@@ -1,0 +1,56 @@
+"""Benchmark harness: runs the headline workloads at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from datanika_core_spark.session import build_spark  # noqa: E402
+from datanika_core_spark.workloads import load_all  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_spark(app_name="datanika_bench")
+    registry = load_all()
+    headline = {n: wl for n, wl in registry.items() if wl.headline}
+
+    timings: dict[str, float] = {}
+    for name, wl in sorted(headline.items()):
+        # Warm the JVM/code paths once at a small slice? No — measure
+        # cold per query, matching how the driver observes us.
+        t0 = time.perf_counter()
+        df = wl.fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,300 @@
+"""Write dispositions + schema contracts (the E+L "load" half).
+
+Reference semantics (SURVEY.md §2A W1-W7):
+- ``append``  — insert all rows (upload_service.py:14).
+- ``replace`` — truncate-and-load (upload_service.py:14).
+- ``merge``   — upsert on ``primary_key`` (str or list)
+  (upload_service.py:163-164, dlt_runner.py:351-356), with per-table
+  hints via ``merge_config`` in full-database mode
+  (dlt_runner.py:341-349).
+- schema contracts ``{tables|columns|data_type} ×
+  {evolve|freeze|discard_value|discard_row}``
+  (upload_service.py:17-18,213-225).
+
+Spark mapping:
+- append/replace → ``df.write.mode(...)``.
+- merge → with a transactional table format (Delta/Iceberg) this is
+  a single ``MERGE INTO``; this repo's warehouse is plain parquet
+  managed tables, so merge is composed as
+  ``target ANTI-JOIN source ∪ source`` written to a staging table and
+  atomically swapped in (the classic warehouse swap pattern). At
+  100 TB you run this on Delta and the anti-join+swap collapses to a
+  file-level MERGE; the API here is format-agnostic.
+- contract ``evolve`` → ``ALTER TABLE ADD COLUMNS`` (metadata-only,
+  O(1) regardless of table size) + append.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datanika_core_spark.errors import SchemaContractViolation, ValidationError
+
+WRITE_DISPOSITIONS = ("append", "replace", "merge")
+
+CONTRACT_ENTITIES = ("tables", "columns", "data_type")
+CONTRACT_MODES = ("evolve", "freeze", "discard_value", "discard_row")
+
+
+@dataclass(frozen=True)
+class SchemaContract:
+    """Per-entity schema-evolution policy (W5)."""
+
+    tables: str = "evolve"
+    columns: str = "evolve"
+    data_type: str = "evolve"
+
+    def __post_init__(self):
+        for entity in CONTRACT_ENTITIES:
+            mode = getattr(self, entity)
+            if mode not in CONTRACT_MODES:
+                raise ValidationError(
+                    f"schema_contract.{entity} must be one of {CONTRACT_MODES},"
+                    f" got {mode!r}"
+                )
+
+    @classmethod
+    def parse(cls, raw: str | Mapping[str, str] | None) -> "SchemaContract":
+        """dlt accepts either a single mode string (applied to every
+        entity) or a per-entity dict."""
+        if raw is None:
+            return cls()
+        if isinstance(raw, str):
+            return cls(tables=raw, columns=raw, data_type=raw)
+        unknown = set(raw) - set(CONTRACT_ENTITIES)
+        if unknown:
+            raise ValidationError(f"unknown schema_contract entities: {sorted(unknown)}")
+        return cls(**{k: raw[k] for k in raw})
+
+
+@dataclass
+class WriteResult:
+    """Load accounting (W7 — rows summed excluding internal tables,
+    dlt_runner.py:58-76)."""
+
+    table: str
+    disposition: str
+    rows_loaded: int
+    evolved_columns: list[str] = field(default_factory=list)
+
+
+class TableWriter:
+    """Writes DataFrames into the session catalog under the reference's
+    disposition + contract semantics."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    # -- public API -----------------------------------------------------
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        disposition: str = "append",
+        primary_key: str | Sequence[str] | None = None,
+        contract: SchemaContract | None = None,
+        precedence_col: str | None = None,
+    ) -> WriteResult:
+        if disposition not in WRITE_DISPOSITIONS:
+            raise ValidationError(
+                f"write_disposition must be one of {WRITE_DISPOSITIONS},"
+                f" got {disposition!r}"
+            )
+        contract = contract or SchemaContract()
+        exists = self.spark.catalog.tableExists(table)
+
+        if not exists:
+            if contract.tables == "freeze":
+                raise SchemaContractViolation(
+                    f"table {table} does not exist and tables contract is 'freeze'"
+                )
+            if contract.tables in ("discard_value", "discard_row"):
+                return WriteResult(table, disposition, 0)
+            # tables=evolve → create. First write of any disposition is CTAS.
+            rows = self._create(df, table)
+            return WriteResult(table, disposition, rows)
+
+        if disposition == "replace":
+            rows = self._replace(df, table)
+            return WriteResult(table, disposition, rows)
+
+        df, evolved = self._apply_column_contract(df, table, contract)
+        if disposition == "append":
+            rows = self._append(df, table)
+        else:
+            if not primary_key:
+                raise ValidationError("merge disposition requires primary_key")
+            pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+            rows = self._merge(df, table, pk, precedence_col)
+        return WriteResult(table, disposition, rows, evolved)
+
+    # -- dispositions ----------------------------------------------------
+
+    def _create(self, df: DataFrame, table: str) -> int:
+        df.write.format("parquet").mode("overwrite").saveAsTable(table)
+        return self._count(table)
+
+    def _replace(self, df: DataFrame, table: str) -> int:
+        # Overwriting a table the plan might also read requires a
+        # staged swap; replace of an independent source df is direct.
+        df.write.format("parquet").mode("overwrite").saveAsTable(table)
+        return self._count(table)
+
+    def _append(self, df: DataFrame, table: str) -> int:
+        before = self._count(table)
+        # Align column order with the target (by-name semantics).
+        target_cols = self.spark.table(table).columns
+        df.select(*target_cols).write.format("parquet").mode("append").saveAsTable(
+            table
+        )
+        return self._count(table) - before
+
+    def _merge(
+        self,
+        df: DataFrame,
+        table: str,
+        pk: list[str],
+        precedence_col: str | None,
+    ) -> int:
+        """Upsert: rows of ``table`` whose pk appears in ``df`` are
+        replaced by the ``df`` version; new pks are inserted.
+
+        Equivalent Delta statement (the 100 TB path)::
+
+            MERGE INTO table t USING df s ON <pk equality>
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """
+        target = self.spark.table(table)
+        source = df
+        if precedence_col:
+            # Deduplicate the batch on pk keeping the highest-precedence
+            # row (dlt keeps one row per pk after dedup).
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*pk).orderBy(F.col(precedence_col).desc())
+            source = (
+                source.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        source = source.select(*target.columns)
+        kept = target.join(source.select(*pk), on=pk, how="left_anti")
+        merged = kept.unionByName(source)
+        self._swap_in(merged, table)
+        return self._count(table)
+
+    def _swap_in(self, df: DataFrame, table: str) -> None:
+        """Atomically replace ``table`` with ``df`` via a staging table
+        (df's plan reads ``table`` itself, so a direct overwrite would
+        read-write conflict)."""
+        stage = f"{table}__stage"
+        df.write.format("parquet").mode("overwrite").saveAsTable(stage)
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        self.spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+
+    # -- schema contracts -------------------------------------------------
+
+    def _apply_column_contract(
+        self, df: DataFrame, table: str, contract: SchemaContract
+    ) -> tuple[DataFrame, list[str]]:
+        """Reconcile incoming columns/types with the existing table."""
+        target_schema = self.spark.table(table).schema
+        target_cols = {f.name: f for f in target_schema.fields}
+        new_fields = [f for f in df.schema.fields if f.name not in target_cols]
+        evolved: list[str] = []
+
+        if new_fields:
+            mode = contract.columns
+            if mode == "freeze":
+                names = [f.name for f in new_fields]
+                raise SchemaContractViolation(
+                    f"columns {names} not in {table} and columns contract is 'freeze'"
+                )
+            if mode == "evolve":
+                cols_ddl = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in new_fields
+                )
+                self.spark.sql(f"ALTER TABLE {table} ADD COLUMNS ({cols_ddl})")
+                evolved = [f.name for f in new_fields]
+            elif mode == "discard_row":
+                # Drop rows carrying values in unknown columns.
+                cond = None
+                for f in new_fields:
+                    c = F.col(f.name).isNull()
+                    cond = c if cond is None else (cond & c)
+                df = df.filter(cond)
+                df = df.drop(*[f.name for f in new_fields])
+            else:  # discard_value
+                df = df.drop(*[f.name for f in new_fields])
+
+        # Fill columns the batch is missing with NULLs, align types.
+        target_schema = self.spark.table(table).schema
+        out_cols = []
+        df_fields = {f.name: f for f in df.schema.fields}
+        for f in target_schema.fields:
+            if f.name not in df_fields:
+                out_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                continue
+            incoming = df_fields[f.name]
+            if incoming.dataType != f.dataType:
+                mode = contract.data_type
+                if mode == "freeze":
+                    raise SchemaContractViolation(
+                        f"column {f.name}: incoming type "
+                        f"{incoming.dataType.simpleString()} != table type "
+                        f"{f.dataType.simpleString()} (data_type contract 'freeze')"
+                    )
+                # evolve/discard_value: cast (non-castable → NULL via
+                # try_cast — plain cast throws under ANSI mode);
+                # discard_row handled below by dropping failed casts.
+                out_cols.append(
+                    F.col(f.name).try_cast(f.dataType).alias(f.name)
+                )
+            else:
+                out_cols.append(F.col(f.name))
+
+        if contract.data_type == "discard_row":
+            # Drop rows where a cast would lose a non-null value.
+            for f in target_schema.fields:
+                if f.name in df_fields and df_fields[f.name].dataType != f.dataType:
+                    ok = (
+                        F.col(f.name).isNull()
+                        | F.col(f.name).try_cast(f.dataType).isNotNull()
+                    )
+                    df = df.filter(ok)
+        return df.select(*out_cols), evolved
+
+    def _count(self, table: str) -> int:
+        return self.spark.table(table).count()
+
+
+def merge_config_dispositions(
+    tables: Sequence[str],
+    merge_config: Mapping[str, Mapping[str, object]] | None,
+) -> dict[str, tuple[str, object]]:
+    """Full-database per-table write plan (W4).
+
+    Tables listed in ``merge_config`` get ``("merge", primary_key)``;
+    all others fall back to ``("append", None)`` — parity with
+    dlt_runner.py:341-349 where hints are applied per resource and the
+    top-level disposition is stripped.
+    """
+    merge_config = merge_config or {}
+    plan: dict[str, tuple[str, object]] = {}
+    for t in tables:
+        if t in merge_config:
+            pk = merge_config[t].get("primary_key")
+            if not pk:
+                raise ValidationError(
+                    f"merge_config entry for {t!r} requires primary_key"
+                )
+            plan[t] = ("merge", pk)
+        else:
+            plan[t] = ("append", None)
+    return plan

@@ -1,0 +1,75 @@
+"""Workload registry: every implemented operator gets a named query
+(Spark callable) paired with a DuckDB-runnable ANSI-SQL oracle.
+
+This is the engine's golden corpus (SURVEY.md §5): the driver runs
+``queries()[name](spark, sf_dir)`` and the matching ``oracle_sql()``
+string side-by-side at sf=0.01 and compares row count + schema +
+order-insensitive value hash.
+
+Conventions that make the hashes match:
+- Every computed column is aliased identically on both sides.
+- Double aggregates are ``round()``-ed (2-6 dp) on both sides so
+  summation-order float drift can't flip a bit.
+- Any ORDER BY ... LIMIT has a total-order tiebreak so top-k sets are
+  deterministic.
+- Session timezone is UTC (EngineSession default) so timestamps agree
+  with DuckDB's naive reading of the same parquet.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Workload:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    headline: bool = False  # include in bench.py
+    doc: str = ""
+
+
+REGISTRY: dict[str, Workload] = {}
+
+
+def workload(
+    name: str,
+    oracle: str | None = None,
+    headline: bool = False,
+    doc: str = "",
+):
+    """Decorator registering a (spark, sf_dir) -> DataFrame workload."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Workload(name, fn, oracle, headline, doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table as a DataFrame (parquet scan; Catalyst
+    prunes columns + pushes filters into it). Normalizes ns
+    timestamps — see session.read_table."""
+    from datanika_core_spark.session import read_table
+
+    return read_table(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all() -> dict[str, Workload]:
+    """Import every workload module, populating REGISTRY."""
+    from datanika_core_spark.workloads import (  # noqa: F401
+        core_sql,
+        elt,
+        models,
+        text_dedup,
+        similarity,
+        events,
+    )
+
+    return REGISTRY

@@ -1,0 +1,535 @@
+"""Core relational surface (SURVEY.md §2B): the analytic SQL the
+reference delegates to destination warehouses, executed here by
+Spark SQL / Catalyst. TPC-H-shaped queries over the driver tables
+plus one query per SQL feature family (joins incl. semi/anti,
+rollup/grouping sets, windows, set ops, correlated subqueries, JSON).
+
+Scale notes: dimension joins (region/nation/customer/supplier/part)
+are broadcast (they stay tiny relative to fact tables at any SF);
+fact-side aggregations are partial-aggregated map-side by Catalyst;
+all filters sit directly on the parquet scans (PushedFilters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from datanika_core_spark.workloads import t, workload
+
+# --------------------------------------------------------------------------
+# Q1-style pricing summary: the flagship scan+agg.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "q1_pricing_summary",
+    headline=True,
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + 8-way aggregate (TPC-H Q1 shape). Single shuffle on the
+    two low-cardinality group keys; partial aggregation map-side."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3-style shipping priority: fact-fact join + broadcast dim + top-k.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "q3_shipping_priority",
+    headline=True,
+    oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer⋈orders⋈lineitem with top-k. customer is broadcast
+    (dim); orders⋈lineitem shuffles on orderkey; top-10 is a global
+    TakeOrdered, no full sort."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5-style local supplier volume: 6-table star join.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "q5_local_supplier_volume",
+    headline=True,
+    oracle="""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: every dimension (supplier/nation/region/customer)
+    broadcast against the lineitem⋈orders fact join."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6-style revenue forecast: pure pushed-down filter + scalar agg.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four predicates push into the parquet scan; result is a
+    single global aggregate (no shuffle beyond the final reduce)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10-style returned items: join + group + top-k customers.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "q10_returned_items",
+    oracle="""
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi/anti joins (EXISTS / NOT EXISTS — also the shape of the dbt
+# `relationships` test, SURVEY.md §2B).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "join_semi_anti_customers",
+    oracle="""
+SELECT c_mktsegment,
+       count(*) FILTER (WHERE has_order)     AS customers_with_orders,
+       count(*) FILTER (WHERE NOT has_order) AS customers_without_orders
+FROM (
+  SELECT c_custkey, c_mktsegment,
+         EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_order
+  FROM customer
+)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def join_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI join counts per segment."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    semi = (
+        cust.join(orders, "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("customers_with_orders"))
+    )
+    anti = (
+        cust.join(orders, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("customers_without_orders"))
+    )
+    return (
+        semi.join(anti, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("customers_with_orders", F.lit(0)).alias(
+                "customers_with_orders"
+            ),
+            F.coalesce("customers_without_orders", F.lit(0)).alias(
+                "customers_without_orders"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP + GROUPING() — multi-grain aggregation in one pass.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "agg_rollup_lineitem",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       grouping(l_returnflag) + grouping(l_linestatus) AS grouping_level,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY grouping_level, returnflag, linestatus
+""",
+)
+def agg_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (
+                F.grouping("l_returnflag") + F.grouping("l_linestatus")
+            ).alias("grouping_level"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            F.col("grouping_level").cast("long").alias("grouping_level"),
+            "sum_qty",
+            "n_rows",
+        )
+        .orderBy("grouping_level", "returnflag", "linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions: top-k per group + running totals + lag.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "window_topk_orders_per_priority",
+    oracle="""
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+ORDER BY o_orderpriority, rn
+""",
+)
+def window_topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per priority class. One shuffle on the
+    partition key; at scale, skewed priorities are split by AQE."""
+    orders = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+@workload(
+    "window_running_revenue_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 2) AS running_spend,
+       round(o_totalprice - lag(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ), 2) AS delta_vs_prev
+FROM orders
+WHERE o_custkey <= 50
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_running_revenue_per_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.sum("o_totalprice").over(
+                    w.rowsBetween(W.unboundedPreceding, W.currentRow)
+                ),
+                2,
+            ).alias("running_spend"),
+            F.round(
+                F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+            ).alias("delta_vs_prev"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "setops_customer_cohorts",
+    oracle="""
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     big_spenders AS (
+       SELECT o_custkey AS c_custkey FROM orders
+       GROUP BY o_custkey HAVING sum(o_totalprice) > 400000
+     )
+SELECT 'intersect' AS op, count(*) AS n FROM (
+  SELECT * FROM building INTERSECT SELECT * FROM big_spenders)
+UNION ALL
+SELECT 'except' AS op, count(*) AS n FROM (
+  SELECT * FROM building EXCEPT SELECT * FROM big_spenders)
+UNION ALL
+SELECT 'union' AS op, count(*) AS n FROM (
+  SELECT * FROM building UNION SELECT * FROM big_spenders)
+ORDER BY op
+""",
+)
+def setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+        .filter(F.col("spend") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    rows = [
+        ("intersect", building.intersect(big)),
+        ("except", building.exceptAll(big).distinct()),
+        ("union", building.union(big).distinct()),
+    ]
+    out = None
+    for op, df in rows:
+        piece = df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out.orderBy("op")
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar subquery (decorrelated by Catalyst).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "subquery_parts_above_brand_avg",
+    oracle="""
+SELECT p_brand, count(*) AS n_above
+FROM part p
+WHERE p_retailprice > (
+  SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+)
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def subquery_parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery via Spark SQL — Catalyst decorrelates
+    it into an aggregate + join (verify with .explain())."""
+    t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_brand, count(*) AS n_above
+        FROM part p
+        WHERE p_retailprice > (
+          SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+        )
+        GROUP BY p_brand
+        ORDER BY p_brand
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar function surface: strings, dates, JSON (events.props).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "scalar_functions_events",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       round(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS sum_k,
+       min(CAST(ts AS DATE)) AS first_day,
+       max(upper(substr(event_type, 1, 3))) AS tag
+FROM events
+WHERE value > 10
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def scalar_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("value") > 10)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.get_json_object("props", "$.k").cast("bigint")), 2
+            ).alias("sum_k"),
+            F.min(F.col("ts").cast("date")).alias("first_day"),
+            F.max(F.upper(F.substring("event_type", 1, 3))).alias("tag"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,160 @@
+"""Write dispositions + schema contracts (W1-W5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from datanika_core_spark.errors import SchemaContractViolation, ValidationError
+from datanika_core_spark.operators.writers import (
+    SchemaContract,
+    TableWriter,
+    merge_config_dispositions,
+)
+
+
+@pytest.fixture()
+def writer(spark):
+    return TableWriter(spark)
+
+
+def _df(spark, rows, schema="id int, name string, v double"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _rows(spark, table):
+    return {
+        tuple(r) for r in spark.table(table).collect()
+    }
+
+
+def test_append_and_replace(spark, writer):
+    spark.sql("DROP TABLE IF EXISTS t_ar")
+    r1 = writer.write(_df(spark, [(1, "a", 1.0)]), "t_ar", "append")
+    assert r1.rows_loaded == 1
+    r2 = writer.write(_df(spark, [(2, "b", 2.0)]), "t_ar", "append")
+    assert r2.rows_loaded == 1
+    assert _rows(spark, "t_ar") == {(1, "a", 1.0), (2, "b", 2.0)}
+    r3 = writer.write(_df(spark, [(9, "z", 9.0)]), "t_ar", "replace")
+    assert r3.rows_loaded == 1
+    assert _rows(spark, "t_ar") == {(9, "z", 9.0)}
+
+
+def test_merge_upserts_on_pk(spark, writer):
+    spark.sql("DROP TABLE IF EXISTS t_m")
+    writer.write(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), "t_m", "append")
+    writer.write(
+        _df(spark, [(2, "B", 20.0), (3, "c", 3.0)]),
+        "t_m",
+        "merge",
+        primary_key="id",
+    )
+    assert _rows(spark, "t_m") == {(1, "a", 1.0), (2, "B", 20.0), (3, "c", 3.0)}
+
+
+def test_merge_composite_pk_and_precedence(spark, writer):
+    spark.sql("DROP TABLE IF EXISTS t_mc")
+    df = spark.createDataFrame(
+        [(1, 1, "x", 1), (1, 2, "y", 1)], "a int, b int, s string, seq int"
+    )
+    writer.write(df, "t_mc", "append")
+    batch = spark.createDataFrame(
+        [(1, 1, "new1", 2), (1, 1, "new2", 3), (2, 1, "z", 1)],
+        "a int, b int, s string, seq int",
+    )
+    writer.write(batch, "t_mc", "merge", primary_key=["a", "b"],
+                 precedence_col="seq")
+    assert _rows(spark, "t_mc") == {
+        (1, 1, "new2", 3),
+        (1, 2, "y", 1),
+        (2, 1, "z", 1),
+    }
+
+
+def test_merge_requires_pk(spark, writer):
+    spark.sql("DROP TABLE IF EXISTS t_pk")
+    writer.write(_df(spark, [(1, "a", 1.0)]), "t_pk", "append")
+    with pytest.raises(ValidationError):
+        writer.write(_df(spark, [(1, "a", 1.0)]), "t_pk", "merge")
+
+
+def test_contract_evolve_adds_column(spark, writer):
+    spark.sql("DROP TABLE IF EXISTS t_ev")
+    writer.write(_df(spark, [(1, "a", 1.0)]), "t_ev", "append")
+    wide = spark.createDataFrame(
+        [(2, "b", 2.0, "extra")], "id int, name string, v double, note string"
+    )
+    res = writer.write(wide, "t_ev", "append",
+                       contract=SchemaContract(columns="evolve"))
+    assert res.evolved_columns == ["note"]
+    rows = _rows(spark, "t_ev")
+    assert (1, "a", 1.0, None) in rows and (2, "b", 2.0, "extra") in rows
+
+
+def test_contract_freeze_raises(spark, writer):
+    spark.sql("DROP TABLE IF EXISTS t_fr")
+    writer.write(_df(spark, [(1, "a", 1.0)]), "t_fr", "append")
+    wide = spark.createDataFrame(
+        [(2, "b", 2.0, "x")], "id int, name string, v double, note string"
+    )
+    with pytest.raises(SchemaContractViolation):
+        writer.write(wide, "t_fr", "append",
+                     contract=SchemaContract(columns="freeze"))
+
+
+def test_contract_discards(spark, writer):
+    spark.sql("DROP TABLE IF EXISTS t_dv")
+    writer.write(_df(spark, [(1, "a", 1.0)]), "t_dv", "append")
+    wide = spark.createDataFrame(
+        [(2, "b", 2.0, "x"), (3, "c", 3.0, None)],
+        "id int, name string, v double, note string",
+    )
+    writer.write(wide, "t_dv", "append",
+                 contract=SchemaContract(columns="discard_value"))
+    assert {r[0] for r in _rows(spark, "t_dv")} == {1, 2, 3}
+
+    spark.sql("DROP TABLE IF EXISTS t_dr")
+    writer.write(_df(spark, [(1, "a", 1.0)]), "t_dr", "append")
+    writer.write(wide, "t_dr", "append",
+                 contract=SchemaContract(columns="discard_row"))
+    # row 2 had a value in the unknown column → dropped; row 3 kept
+    assert {r[0] for r in _rows(spark, "t_dr")} == {1, 3}
+
+
+def test_contract_tables_freeze_blocks_new_table(spark, writer):
+    spark.sql("DROP TABLE IF EXISTS t_new")
+    with pytest.raises(SchemaContractViolation):
+        writer.write(_df(spark, [(1, "a", 1.0)]), "t_new", "append",
+                     contract=SchemaContract(tables="freeze"))
+    res = writer.write(_df(spark, [(1, "a", 1.0)]), "t_new", "append",
+                       contract=SchemaContract(tables="discard_row"))
+    assert res.rows_loaded == 0 and not spark.catalog.tableExists("t_new")
+
+
+def test_contract_data_type_modes(spark, writer):
+    spark.sql("DROP TABLE IF EXISTS t_dt")
+    writer.write(_df(spark, [(1, "a", 1.0)]), "t_dt", "append")
+    drift = spark.createDataFrame(
+        [(2, "b", "not-a-number"), (3, "c", "4.5")],
+        "id int, name string, v string",
+    )
+    with pytest.raises(SchemaContractViolation):
+        writer.write(drift, "t_dt", "append",
+                     contract=SchemaContract(data_type="freeze"))
+    writer.write(drift, "t_dt", "append",
+                 contract=SchemaContract(data_type="discard_row"))
+    # "not-a-number" can't cast → row dropped; "4.5" casts
+    assert _rows(spark, "t_dt") == {(1, "a", 1.0), (3, "c", 4.5)}
+
+
+def test_merge_config_dispositions():
+    plan = merge_config_dispositions(
+        ["a", "b", "c"],
+        {"b": {"primary_key": "id"}, "c": {"primary_key": ["x", "y"]}},
+    )
+    assert plan == {
+        "a": ("append", None),
+        "b": ("merge", "id"),
+        "c": ("merge", ["x", "y"]),
+    }
+    with pytest.raises(ValidationError):
+        merge_config_dispositions(["a"], {"a": {}})
