@@ -26,6 +26,7 @@ Spark mapping:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Mapping, Sequence
 
@@ -272,6 +273,34 @@ class TableWriter:
 
     def _count(self, table: str) -> int:
         return self.spark.table(table).count()
+
+
+def drop_table(spark: SparkSession, table: str) -> None:
+    """DROP TABLE IF EXISTS + clear any orphaned warehouse directory.
+
+    With the in-memory session catalog, a table created by a previous
+    session leaves its parquet directory behind while the new session
+    has no catalog entry for it — a subsequent saveAsTable then fails
+    with LOCATION_ALREADY_EXISTS. Local-filesystem warehouses only;
+    on a cluster use a persistent metastore and plain DROP TABLE.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    if wh.scheme not in ("", "file"):
+        return
+    parts = table.split(".")
+    name = parts[-1].lower()
+    db = parts[-2].lower() if len(parts) > 1 else None
+    root = wh.path or wh.netloc
+    loc = (
+        os.path.join(root, f"{db}.db", name) if db and db != "default"
+        else os.path.join(root, name)
+    )
+    if os.path.exists(loc):
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def merge_config_dispositions(

@@ -1,2 +1,291 @@
-"""E+L semantics workloads (filters/merge/incremental/contracts) —
-populated in Phase 1."""
+"""E+L semantics workloads: row filters (null parity), incremental
+cursor with persisted state, merge disposition, schema contracts,
+nested flatten. Each runs the REAL engine operators (not re-derived
+SQL) and is checked against a DuckDB oracle expressing the same
+semantics independently.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datanika_core_spark.operators.filters import FilterSpec, apply_filters
+from datanika_core_spark.operators.flatten import normalize
+from datanika_core_spark.operators.incremental import (
+    CursorStateStore,
+    apply_incremental,
+)
+from datanika_core_spark.operators.writers import (
+    SchemaContract,
+    TableWriter,
+    drop_table,
+)
+from datanika_core_spark.specs import IncrementalSpec
+from datanika_core_spark.workloads import t, workload
+
+# --------------------------------------------------------------------------
+# Filter ops with reference null semantics. The data has no NULLs, so
+# inject them deterministically on both sides: status NULL where
+# orderkey%5=0, totalprice NULL where orderkey%7=0.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "filter_ops_null_semantics",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS status,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS total,
+         o_orderpriority
+  FROM orders
+)
+SELECT status, count(*) AS n, round(sum(total), 2) AS sum_total
+FROM o
+WHERE (status <> 'F' OR status IS NULL)             -- ne: NULL kept
+  AND total >= 50000                                 -- gte: NULL dropped
+  AND (o_orderpriority NOT IN ('5-LOW', '4-NOT SPECIFIED')
+       OR o_orderpriority IS NULL)                   -- not_in: NULL kept
+GROUP BY status
+ORDER BY status NULLS FIRST
+""",
+)
+def filter_ops_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER_OPS compiled by the engine (ne/not_in keep NULLs,
+    ordered ops drop them) — dlt_runner.py:46-55 parity."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("total"),
+        "o_orderpriority",
+    )
+    filtered = apply_filters(
+        o,
+        [
+            FilterSpec("status", "ne", "F"),
+            FilterSpec("total", "gte", 50000),
+            FilterSpec("o_orderpriority", "not_in", ["5-LOW", "4-NOT SPECIFIED"]),
+        ],
+    )
+    return (
+        filtered.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("total"), 2).alias("sum_total"),
+        )
+        .orderBy(F.col("status").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental cursor (S3): load everything up to a cut-off, commit the
+# high-water mark, then incrementally read only newer rows.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "incremental_cursor_events",
+    oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+WHERE ts > (SELECT max(ts) FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def incremental_cursor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two engine runs against a real CursorStateStore: run 1 loads
+    the backfill and commits max(ts); run 2 reads only rows past the
+    stored cursor — the filter is a pushdown predicate, so at 100 TB
+    the second run scans only new row groups."""
+    store = CursorStateStore(
+        tempfile.mktemp(prefix="cursor_state_", suffix=".json")
+    )
+    ev = t(spark, sf_dir, "events")
+    spec = IncrementalSpec(cursor_path="ts")
+
+    # run 1: the historical backfill (everything ≤ cut-off)
+    backfill = ev.filter(F.col("ts") <= F.lit("2024-01-15").cast("timestamp_ntz"))
+    run1 = apply_incremental(backfill, spec, store, "evt_pipeline", "events")
+    run1.commit()  # persists max(ts) of the backfill
+
+    # run 2: the incremental read — engine applies the stored cursor
+    run2 = apply_incremental(ev, spec, store, "evt_pipeline", "events")
+    return (
+        run2.df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Merge disposition (W3): replace-load a base, merge-upsert a batch.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "merge_upsert_orders",
+    oracle="""
+WITH base AS (
+  SELECT * FROM orders WHERE o_orderkey % 5 <> 4
+), updates AS (
+  -- NOTE: no per-row round() here — Spark rounds doubles via their
+  -- shortest decimal rendering, DuckDB via the raw binary value, so
+  -- values landing on a .005 boundary can round differently. Only
+  -- aggregates get rounded.
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 3 = 0
+), merged AS (
+  SELECT * FROM base
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+  UNION ALL
+  SELECT * FROM updates
+)
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableWriter.merge: updated keys replaced, new keys inserted
+    (Delta MERGE INTO equivalent; emulated via anti-join + staged
+    swap on the parquet warehouse)."""
+    writer = TableWriter(spark)
+    orders = t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 5 != 4)
+    updates = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    tbl = "wl_merge_orders"
+    drop_table(spark, tbl)
+    writer.write(base, tbl, "replace")
+    writer.write(updates, tbl, "merge", primary_key="o_orderkey")
+    return (
+        spark.table(tbl)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Schema contracts (W5): type-drifted + extra columns through
+# discard_row / discard_value.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "schema_contract_discards",
+    oracle="""
+WITH target AS (
+  SELECT * FROM part WHERE p_partkey % 2 = 0
+), batch AS (
+  SELECT p_partkey, p_name, p_brand, p_type, p_size,
+         CASE WHEN p_partkey % 7 = 0 THEN 'N/A'
+              ELSE CAST(p_retailprice AS VARCHAR) END AS p_retailprice
+  FROM part WHERE p_partkey % 2 = 1
+), kept AS (
+  SELECT * FROM batch
+  WHERE p_retailprice IS NULL OR TRY_CAST(p_retailprice AS DOUBLE) IS NOT NULL
+), final AS (
+  SELECT * FROM target
+  UNION ALL
+  SELECT p_partkey, p_name, p_brand, p_type, p_size,
+         TRY_CAST(p_retailprice AS DOUBLE)
+  FROM kept
+)
+SELECT count(*) AS n_rows, round(sum(p_retailprice), 2) AS total_price
+FROM final
+""",
+)
+def schema_contract_discards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """data_type=discard_row drops rows whose drifted value can't cast
+    back to the table type; columns=discard_value drops unknown
+    columns (upload_service.py:17-18,213-225 semantics)."""
+    writer = TableWriter(spark)
+    part = t(spark, sf_dir, "part")
+    target = part.filter(F.col("p_partkey") % 2 == 0)
+    batch = part.filter(F.col("p_partkey") % 2 == 1).select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.when(F.col("p_partkey") % 7 == 0, F.lit("N/A"))
+        .otherwise(F.col("p_retailprice").cast("string"))
+        .alias("p_retailprice"),
+        F.lit("unexpected").alias("surprise_col"),
+    )
+    tbl = "wl_contract_part"
+    drop_table(spark, tbl)
+    writer.write(target, tbl, "replace")
+    writer.write(
+        batch,
+        tbl,
+        "append",
+        contract=SchemaContract(columns="discard_value", data_type="discard_row"),
+    )
+    return spark.table(tbl).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Nested flatten (§1.2): struct → parent columns, array → child table
+# with _dlt_parent_id/_dlt_list_idx linkage.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "flatten_nested_customer",
+    oracle="""
+SELECT c_custkey, c_name || '@example.com' AS contacts__email,
+       0 AS _dlt_list_idx, c_mktsegment AS value
+FROM customer
+UNION ALL
+SELECT c_custkey, c_name || '@example.com', 1, 'vip'
+FROM customer
+ORDER BY c_custkey, _dlt_list_idx
+""",
+)
+def flatten_nested_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize(): struct fields flatten to parent__child columns,
+    array elements explode into a child table joined back via
+    deterministic _dlt ids."""
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.struct(
+            F.concat(F.col("c_name"), F.lit("@example.com")).alias("email"),
+            F.col("c_nationkey").cast("string").alias("nation"),
+        ).alias("contacts"),
+        F.array(F.col("c_mktsegment"), F.lit("vip")).alias("tags"),
+    )
+    tables = dict(normalize(cust, "customers"))
+    parent, child = tables["customers"], tables["customers__tags"]
+    return (
+        child.join(parent, child["_dlt_parent_id"] == parent["_dlt_id"])
+        .select("c_custkey", "contacts__email", "_dlt_list_idx", "value")
+        .orderBy("c_custkey", "_dlt_list_idx")
+    )
