@@ -1,0 +1,151 @@
+"""Materializations (T1-T4, T9): view / table / incremental /
+ephemeral, executed by Spark SQL.
+
+Reference behavior (dbt via dbt_project.py:141-191,265-311):
+- view        → CREATE OR REPLACE VIEW target AS <sql>
+- table       → CREATE TABLE AS (overwrite)
+- incremental → first run (or full_refresh) = CTAS; later runs
+  compile with is_incremental()=true and apply the configured
+  strategy on unique_key: merge (upsert) / append /
+  delete+insert (delete matching keys, insert batch);
+  on_schema_change: ignore/fail/append_new_columns/sync_all_columns
+- ephemeral   → nothing materialized; consumers inline it as a CTE
+
+Scale notes: the incremental path writes only the new-rows batch —
+with an is_incremental() filter like
+``updated_at > (SELECT max(updated_at) FROM {{ this }})`` the scan
+of the source is pruned by the pushed-down predicate, and merge
+touches only matching keys (on Delta this becomes MERGE INTO; here
+it composes anti-join + staged swap like TableWriter).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datanika_core_spark.errors import SchemaContractViolation, ValidationError
+from datanika_core_spark.operators.writers import SchemaContract, TableWriter, drop_table
+from datanika_core_spark.plans.models import Model, ModelRegistry
+from datanika_core_spark.plans.resolver import compile_model
+
+
+@dataclass
+class MaterializeResult:
+    model: str
+    target: str
+    action: str  # view|ctas|merge|append|delete+insert|skipped(ephemeral)
+    rows_affected: int
+
+
+class Materializer:
+    def __init__(self, spark: SparkSession, registry: ModelRegistry):
+        self.spark = spark
+        self.registry = registry
+        self.writer = TableWriter(spark)
+
+    def _ensure_schema(self, model: Model) -> None:
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {model.schema}")
+
+    def run_model(self, name: str, full_refresh: bool = False) -> MaterializeResult:
+        model = self.registry.get(name)
+        if model.materialization == "ephemeral":
+            # T4: inlined by consumers; nothing to execute.
+            return MaterializeResult(name, "", "skipped(ephemeral)", 0)
+        self._ensure_schema(model)
+        if model.materialization == "view":
+            compiled = compile_model(self.registry, model)
+            self.spark.sql(
+                f"CREATE OR REPLACE VIEW {model.target} AS {compiled.sql}"
+            )
+            return MaterializeResult(
+                name, model.target, "view",
+                self.spark.table(model.target).count(),
+            )
+        if model.materialization == "table":
+            compiled = compile_model(self.registry, model)
+            df = self.spark.sql(compiled.sql)
+            drop_table(self.spark, model.target)
+            df.write.format("parquet").mode("overwrite").saveAsTable(model.target)
+            return MaterializeResult(
+                name, model.target, "ctas",
+                self.spark.table(model.target).count(),
+            )
+        # incremental
+        return self._run_incremental(model, full_refresh)
+
+    def _run_incremental(self, model: Model, full_refresh: bool) -> MaterializeResult:
+        cfg = model.incremental
+        exists = self.spark.catalog.tableExists(model.target)
+        if full_refresh or not exists:
+            compiled = compile_model(self.registry, model, is_incremental_run=False)
+            df = self.spark.sql(compiled.sql)
+            drop_table(self.spark, model.target)
+            df.write.format("parquet").mode("overwrite").saveAsTable(model.target)
+            return MaterializeResult(
+                model.name, model.target, "ctas",
+                self.spark.table(model.target).count(),
+            )
+
+        compiled = compile_model(self.registry, model, is_incremental_run=True)
+        batch = self.spark.sql(compiled.sql)
+        batch = self._reconcile_schema(model, batch, cfg.on_schema_change)
+
+        if cfg.strategy == "append":
+            res = self.writer.write(batch, model.target, "append")
+            return MaterializeResult(
+                model.name, model.target, "append", res.rows_loaded
+            )
+        keys = (
+            [cfg.unique_key] if isinstance(cfg.unique_key, str) else list(cfg.unique_key)
+        )
+        # Count the batch BEFORE the swap: batch's plan reads the old
+        # target files (the is_incremental() {{ this }} subquery), which
+        # the staged swap deletes.
+        batch_rows = batch.count()
+        if cfg.strategy == "merge":
+            self.writer.write(
+                batch, model.target, "merge", primary_key=keys,
+                precedence_col=cfg.updated_at,
+            )
+            return MaterializeResult(
+                model.name, model.target, "merge", batch_rows
+            )
+        # delete+insert: drop ALL target rows with keys present in the
+        # batch, then insert the whole batch (dbt semantics).
+        target = self.spark.table(model.target)
+        kept = target.join(
+            batch.select(*keys).distinct(), on=keys, how="left_anti"
+        )
+        merged = kept.unionByName(batch.select(*target.columns))
+        self.writer._swap_in(merged, model.target)
+        return MaterializeResult(
+            model.name, model.target, "delete+insert", batch_rows
+        )
+
+    def _reconcile_schema(
+        self, model: Model, batch: DataFrame, mode: str
+    ) -> DataFrame:
+        """on_schema_change handling (T3)."""
+        target_cols = set(self.spark.table(model.target).columns)
+        batch_cols = set(batch.columns)
+        new = batch_cols - target_cols
+        if not new:
+            return batch
+        if mode == "fail":
+            raise SchemaContractViolation(
+                f"model {model.name}: new columns {sorted(new)} with"
+                " on_schema_change=fail"
+            )
+        if mode == "ignore":
+            return batch.drop(*new)
+        if mode in ("append_new_columns", "sync_all_columns"):
+            # evolve the target via the writer's contract machinery
+            _, _ = batch, self.writer
+            contract = SchemaContract(columns="evolve")
+            df2, _ = self.writer._apply_column_contract(
+                batch, model.target, contract
+            )
+            return df2
+        raise ValidationError(f"unknown on_schema_change {mode!r}")
