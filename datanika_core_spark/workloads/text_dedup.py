@@ -1,1 +1,580 @@
-"""Text analysis + dedup workloads — populated in Phase 4."""
+"""Text analysis + deduplication operators over the `documents`
+table — the training-data-pipeline surface (beyond-reference,
+SURVEY.md §7 Phase 4).
+
+Every operator is expressed with built-in Spark SQL functions
+(higher-order array lambdas, regexp, md5) — zero Python UDFs, so the
+whole pipeline stays inside whole-stage codegen and scales to 100 TB
+corpora: per-document work is embarrassingly parallel, and the only
+shuffles are the candidate-pair joins, which LSH banding keeps small.
+
+Determinism/oracle notes:
+- All hashing is md5-based: ``conv(substring(md5(x),1,15),16,10)``
+  (Spark) == ``('0x'||substring(md5(x),1,15))::BIGINT`` (DuckDB) —
+  a 60-bit positive integer, bit-identical across engines. Spark's
+  native murmur3 ``hash()`` would be faster but has no DuckDB twin;
+  swap it in when you don't need a SQL oracle.
+- The synthetic corpus has no real duplicates, so dedup workloads
+  inject deterministic dup/near-dup rows (exact copies at
+  doc_id+10000, 90%-prefix mutants at doc_id+20000) — the oracle SQL
+  performs the identical injection.
+
+At 100 TB:
+- exact dedup is one hash-shuffle (groupBy md5) — bucket the corpus
+  by the hash to make reruns shuffle-free;
+- MinHash signatures are computed per-row (no shuffle); only band
+  buckets shuffle, and each bucket is tiny if bands/rows are tuned
+  (b*r = K, threshold ≈ (1/b)^(1/r));
+- SimHash block-join is the pigeonhole trick: hamming ≤ k pairs must
+  share one of k+1 fingerprint blocks — a 4-way equi-join replaces
+  the quadratic cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datanika_core_spark.workloads import t, workload
+
+# -- shared fragments (Spark side) ------------------------------------------
+
+_TOKS = r"\s+"  # token split pattern
+
+# distinct word-3-gram shingles from a `toks` array column
+_SHINGLES_EXPR = (
+    "CASE WHEN size(toks) >= 3 THEN array_distinct(transform("
+    "sequence(1, size(toks)-2),"
+    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"
+    " ELSE array() END"
+)
+
+
+def _spark_hash(x: str) -> str:
+    """60-bit md5-derived hash, DuckDB-reproducible."""
+    return f"cast(conv(substring(md5({x}),1,15),16,10) as bigint)"
+
+
+def _with_toks(df: DataFrame) -> DataFrame:
+    return df.withColumn("toks", F.split("text", _TOKS))
+
+
+def _norm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source",
+        F.lower(F.trim(F.col("text"))).alias("text"),
+    )
+
+
+def _corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ 90%-token-prefix mutants of every 25th doc."""
+    docs = _norm_docs(spark, sf_dir)
+    toks = F.split("text", _TOKS)
+    prefix = F.greatest(
+        F.floor(F.size(toks) * 0.9).cast("int"), F.lit(3)
+    )
+    mutants = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, F.lit(1), prefix)).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(mutants)
+
+
+# -- shared fragments (DuckDB oracle side) ----------------------------------
+
+_O_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+_O_HASH = "('0x'||substring(md5({x}),1,15))::BIGINT"
+
+_O_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform("
+    "range(1, len(toks)-1),"
+    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+    " ELSE [] END"
+)
+
+_O_CORPUS_NEARDUP = f"""
+corpus AS (
+  SELECT doc_id, lower(trim(text)) AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id,
+         array_to_string(list_slice(toks, 1,
+             greatest(CAST(floor(len(toks) * 0.9) AS INT), 3)), ' ') AS text
+  FROM (SELECT doc_id, {_O_TOKS} AS toks FROM documents)
+  WHERE doc_id % 25 = 0
+)"""
+
+_O_SHINGLED = f"""
+shingled AS (
+  SELECT doc_id, {_O_SHINGLES} AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM corpus)
+)"""
+
+
+# --------------------------------------------------------------------------
+# Text quality scoring: length / punctuation / stopword ratios per doc.
+# --------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "is")
+_SW_IN = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@workload(
+    "text_quality_scores",
+    oracle=f"""
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+       len(list_filter(toks, x -> x IN ({_SW_IN}))) * 1.0 / len(toks)
+         AS stop_ratio,
+       length(replace(text, ' ', '')) * 1.0 / len(toks) AS avg_token_len,
+       least(1.0, len(toks) / 100.0)
+         * (0.5 + 0.5 * (len(list_filter(toks, x -> x IN ({_SW_IN})))
+                         * 1.0 / len(toks))) AS quality
+FROM (SELECT doc_id, lower(trim(text)) AS text, {_O_TOKS} AS toks
+      FROM documents)
+ORDER BY doc_id
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality profile: token count, punctuation count,
+    stopword ratio, mean token length and a composite quality score —
+    all single-pass column expressions (no shuffle, no UDF)."""
+    docs = _with_toks(_norm_docs(spark, sf_dir))
+    n_tokens = F.size("toks")
+    stop_hits = F.expr(f"size(filter(toks, x -> x IN ({_SW_IN})))")
+    stop_ratio = stop_hits * F.lit(1.0) / n_tokens
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"), 0)).alias("n_punct"),
+        stop_ratio.alias("stop_ratio"),
+        (F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+         * F.lit(1.0) / n_tokens).alias("avg_token_len"),
+        (F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+         * (F.lit(0.5) + F.lit(0.5) * stop_ratio)).alias("quality"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Language ID: stopword-hit n-gram heuristic, scored vs the lang column.
+# --------------------------------------------------------------------------
+
+_LANG_LISTS = {
+    "en": ("the", "a", "and", "of", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "et", "est", "les", "un"),
+    "es": ("el", "los", "y", "es", "una", "por"),
+}
+
+
+def _hits_sql(words: tuple[str, ...], filter_fn: str, len_fn: str) -> str:
+    lits = ", ".join(f"'{w}'" for w in words)
+    return f"{len_fn}({filter_fn}(toks, x -> x IN ({lits})))"
+
+
+def _langid_case(filter_fn: str, len_fn: str) -> str:
+    h = {lg: _hits_sql(ws, filter_fn, len_fn) for lg, ws in _LANG_LISTS.items()}
+    return f"""CASE
+  WHEN {h['en']} >= {h['de']} AND {h['en']} >= {h['fr']}
+       AND {h['en']} >= {h['es']} AND {h['en']} > 0 THEN 'en'
+  WHEN {h['de']} >= {h['fr']} AND {h['de']} >= {h['es']}
+       AND {h['de']} > 0 THEN 'de'
+  WHEN {h['fr']} >= {h['es']} AND {h['fr']} > 0 THEN 'fr'
+  WHEN {h['es']} > 0 THEN 'es'
+  ELSE 'und' END"""
+
+
+@workload(
+    "text_langid_confusion",
+    oracle=f"""
+SELECT lang, {_langid_case('list_filter', 'len')} AS predicted,
+       count(*) AS n
+FROM (SELECT lang, {_O_TOKS} AS toks FROM documents)
+GROUP BY 1, 2
+ORDER BY lang, predicted
+""",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (n-gram heuristic): hit counts per
+    language wordlist, argmax with a fixed tiebreak, reported as a
+    confusion matrix against the ground-truth lang column."""
+    docs = _with_toks(_norm_docs(spark, sf_dir))
+    pred = F.expr(_langid_case("filter", "size"))
+    return (
+        docs.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+# --------------------------------------------------------------------------
+# Token counting: whitespace + BPE-ish regex pretokenizer.
+# --------------------------------------------------------------------------
+
+_BPE_PAT = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+@workload(
+    "text_token_counts",
+    oracle=f"""
+SELECT source,
+       count(*) AS n_docs,
+       sum(len({_O_TOKS})) AS ws_tokens,
+       sum(len(regexp_extract_all(lower(trim(text)), '{_BPE_PAT}')))
+         AS bpe_tokens,
+       max(len({_O_TOKS})) AS max_doc_tokens
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per source: whitespace tokens and a BPE-style
+    regex pretokenization (letter runs / digits / punctuation) — the
+    cheap token-budget estimator for corpus curation."""
+    docs = _norm_docs(spark, sf_dir)
+    ws = F.size(F.split("text", _TOKS))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ws).alias("ws_tokens"),
+            F.sum(bpe).alias("bpe_tokens"),
+            F.max(ws).alias("max_doc_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting: min-shingle-hash (winnowing-lite).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "doc_fingerprint_minshingle",
+    oracle=f"""
+WITH {_O_CORPUS_NEARDUP}, {_O_SHINGLED},
+fp AS (
+  SELECT doc_id,
+         list_min(list_transform(shingles,
+             sh -> {_O_HASH.format(x='sh')})) AS fingerprint
+  FROM shingled
+)
+SELECT doc_id, fingerprint,
+       count(*) OVER (PARTITION BY fingerprint) AS cluster_n
+FROM fp
+ORDER BY doc_id
+""",
+)
+def doc_fingerprint_minshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min over shingle hashes
+    (a 1-permutation MinHash / winnowing-lite). Documents sharing a
+    fingerprint are near-dup candidates — prefix mutants almost always
+    collide with their original."""
+    corpus = _with_toks(_corpus_neardup(spark, sf_dir))
+    sh = corpus.withColumn("shingles", F.expr(_SHINGLES_EXPR))
+    fp = sh.select(
+        "doc_id",
+        F.expr(
+            f"array_min(transform(shingles, sh -> {_spark_hash('sh')}))"
+        ).alias("fingerprint"),
+    )
+    from pyspark.sql import Window
+
+    return fp.select(
+        "doc_id", "fingerprint",
+        F.count(F.lit(1)).over(
+            Window.partitionBy("fingerprint")
+        ).alias("cluster_n"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: hash-groupBy, keep min doc_id.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "dedup_exact_pairs",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, lower(trim(text)) AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, lower(trim(text)) AS text
+  FROM documents WHERE doc_id % 10 = 0
+), h AS (SELECT doc_id, md5(text) AS th FROM corpus),
+keepers AS (
+  SELECT th, min(doc_id) AS keep_id FROM h
+  GROUP BY th HAVING count(*) > 1
+)
+SELECT k.keep_id, h.doc_id AS dup_id
+FROM h JOIN keepers k USING (th)
+WHERE h.doc_id <> k.keep_id
+ORDER BY keep_id, dup_id
+""",
+)
+def dedup_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication: md5(normalized text) groupBy, survivor =
+    min(doc_id) per group, emit (keeper, duplicate) pairs. One
+    hash-partitioned shuffle; at 100 TB bucket the corpus by this
+    hash so repeated dedup runs are shuffle-free."""
+    docs = _norm_docs(spark, sf_dir)
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    h = corpus.select("doc_id", F.md5("text").alias("th"))
+    keepers = (
+        h.groupBy("th")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("th", "keep_id")
+    )
+    return (
+        h.join(keepers, "th")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("keep_id", F.col("doc_id").alias("dup_id"))
+        .orderBy("keep_id", "dup_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard near-dup: exact pairwise via shingle-inverted index.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_O_CORPUS_NEARDUP}, {_O_SHINGLED},
+ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shingled),
+sizes AS (SELECT doc_id, len(shingles) AS sz FROM shingled),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-shingle) Jaccard near-dup pairs via an
+    inverted shingle index: explode distinct shingles, equi-join on
+    shingle, count common, filter J >= 0.8. The shingle join only
+    pairs documents that share at least one shingle — already far
+    below the quadratic cross product; MinHash+LSH below is the
+    100 TB path."""
+    corpus = _with_toks(_corpus_neardup(spark, sf_dir))
+    sh = corpus.withColumn("shingles", F.expr(_SHINGLES_EXPR))
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    jac = F.col("inter") * 1.0 / (F.col("sza") + F.col("szb") - F.col("inter"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding near-dup (the scale path).
+# --------------------------------------------------------------------------
+
+_MH_K = 16   # signature length
+_MH_B = 4    # bands
+_MH_R = 4    # rows per band; threshold ~ (1/B)^(1/R) ≈ 0.71
+
+
+@workload(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_O_CORPUS_NEARDUP}, {_O_SHINGLED},
+sigs AS (
+  SELECT doc_id, shingles,
+         list_transform(range(0, {_MH_K}), s -> list_min(list_transform(
+             shingles, sh -> {_O_HASH.format(x="sh || '#' || s::VARCHAR")}
+         ))) AS sig
+  FROM shingled WHERE len(shingles) > 0
+),
+bands AS (
+  SELECT doc_id, b,
+         md5(array_to_string(list_transform(
+             list_slice(sig, {_MH_R}*b + 1, {_MH_R}*b + {_MH_R}),
+             x -> x::VARCHAR), ',')) AS bh
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, {_MH_B})) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c
+    ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (la + lb - inter), 6) AS jaccard
+FROM (
+  SELECT doc_a, doc_b, len(list_intersect(x.shingles, y.shingles)) AS inter,
+         len(x.shingles) AS la, len(y.shingles) AS lb
+  FROM cand JOIN sigs x ON x.doc_id = doc_a JOIN sigs y ON y.doc_id = doc_b
+)
+WHERE inter * 1.0 / (la + lb - inter) >= 0.7
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (K=16 seeded md5 permutations, computed per-row via
+    higher-order lambdas — NO shuffle) + LSH banding (B=4 bands of
+    R=4 → candidate threshold ≈ 0.71) + exact-Jaccard verification of
+    candidates only. This is the canonical 100 TB near-dup pipeline:
+    signature cost is linear in corpus size, the only shuffle is the
+    band-bucket join whose buckets stay tiny when B·R is tuned."""
+    corpus = _with_toks(_corpus_neardup(spark, sf_dir))
+    sh = corpus.withColumn("shingles", F.expr(_SHINGLES_EXPR)).filter(
+        F.size("shingles") > 0
+    )
+    hash_seeded = _spark_hash("concat(sh, '#', cast(s as string))")
+    sigs = sh.select(
+        "doc_id", "shingles",
+        F.expr(
+            f"transform(sequence(0, {_MH_K - 1}), s -> "
+            f"array_min(transform(shingles, sh -> {hash_seeded})))"
+        ).alias("sig"),
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, {_MH_B - 1}), b -> struct(b AS b, "
+            f"md5(concat_ws(',', transform(slice(sig, {_MH_R}*b + 1, {_MH_R}),"
+            f" x -> cast(x as string)))) AS bh))"
+        )).alias("band"),
+    ).select("doc_id", "band.b", "band.bh")
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
+        a.join(c, (F.col("a.b") == F.col("c.b"))
+               & (F.col("a.bh") == F.col("c.bh"))
+               & (F.col("a.doc_id") < F.col("c.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sigs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("shingles").alias("sh_a"))
+    y = sigs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("shingles").alias("sh_b"))
+    verified = cand.join(x, "doc_a").join(y, "doc_b").select(
+        "doc_a", "doc_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+        F.size("sh_a").alias("la"), F.size("sh_b").alias("lb"),
+    )
+    jac = F.col("inter") * 1.0 / (F.col("la") + F.col("lb") - F.col("inter"))
+    return (
+        verified.filter(jac >= 0.7)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup: 48-bit fingerprint + pigeonhole block join.
+# --------------------------------------------------------------------------
+
+_SH_BITS = 48
+_SH_BLOCKS = 4           # hamming <= _SH_BLOCKS - 1 guaranteed found
+_SH_HAM = 3
+_SH_BLOCK_BITS = _SH_BITS // _SH_BLOCKS  # 12
+_SH_MASK = (1 << _SH_BLOCK_BITS) - 1     # 4095
+
+
+@workload(
+    "dedup_simhash",
+    oracle=f"""
+WITH {_O_CORPUS_NEARDUP}, {_O_SHINGLED},
+fp AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, {_SH_BITS}), i ->
+           CASE WHEN 2 * len(list_filter(hashes, h -> (h >> i) & 1 = 1))
+                     > len(hashes)
+                THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT)
+           AS simhash
+  FROM (SELECT doc_id,
+               list_transform(shingles, sh -> {_O_HASH.format(x='sh')})
+                 AS hashes
+        FROM shingled WHERE len(shingles) > 0)
+),
+blocks AS (
+  SELECT doc_id, simhash, j, (simhash >> ({_SH_BLOCK_BITS} * j)) & {_SH_MASK}
+           AS blk
+  FROM fp CROSS JOIN (SELECT unnest(range(0, {_SH_BLOCKS})) AS j)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM blocks a JOIN blocks b
+  ON a.j = b.j AND a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SH_HAM}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 48-bit majority-vote fingerprint over shingle
+    hashes (per-row lambda math, no shuffle), then the pigeonhole
+    block join — pairs within hamming distance 3 must agree on one of
+    4 12-bit blocks, so a 4-way equi-join on (block_idx, block_value)
+    replaces the O(n²) scan. Candidates are verified with the exact
+    hamming distance."""
+    corpus = _with_toks(_corpus_neardup(spark, sf_dir))
+    sh = corpus.withColumn("shingles", F.expr(_SHINGLES_EXPR)).filter(
+        F.size("shingles") > 0
+    )
+    fp = sh.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(transform(sequence(0, {_SH_BITS - 1}), i -> "
+            f"CASE WHEN 2 * size(filter(transform(shingles, sh -> "
+            f"{_spark_hash('sh')}), h -> (shiftright(h, i) & 1) = 1)) "
+            f"> size(shingles) THEN shiftleft(cast(1 as bigint), i) "
+            f"ELSE cast(0 as bigint) END), cast(0 as bigint), (a, x) -> a + x)"
+        ).alias("simhash"),
+    )
+    blocks = fp.select(
+        "doc_id", "simhash",
+        F.explode(F.expr(
+            f"transform(sequence(0, {_SH_BLOCKS - 1}), j -> struct(j AS j, "
+            f"shiftright(simhash, {_SH_BLOCK_BITS} * j) & {_SH_MASK} AS blk))"
+        )).alias("bl"),
+    ).select("doc_id", "simhash", "bl.j", "bl.blk")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.j") == F.col("b.j"))
+               & (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _SH_HAM)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
