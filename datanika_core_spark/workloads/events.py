@@ -1,2 +1,155 @@
-"""Event-stream workloads (sessionization/windows) — populated in
-Phase 4."""
+"""Event-stream analytics over the `events` table — the batch twins
+of the Structured Streaming operators in
+``datanika_core_spark/streaming/`` (same logical semantics; the
+streaming module adds watermarks + incremental state).
+
+The reference has no streaming surface (SURVEY.md §1.1) — cursor-based
+batch only — so these are beyond-reference extensions exercising the
+event-time operator family a training-data pipeline needs.
+
+Scale notes: sessionization is one shuffle on user_id (then per-key
+ordered scan — Spark's window exec sorts within partitions);
+tumbling/hopping aggregation is a plain hash aggregate keyed by
+(bucket, type). At 100 TB, pre-partition the event log by date and
+bucket by user_id so the session shuffle is local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datanika_core_spark.workloads import t, workload
+
+_GAP_MIN = 30
+
+
+@workload(
+    "events_sessionize_gap",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL {_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered
+)
+SELECT user_id, session_no,
+       min(ts) AS session_start,
+       count(*) AS n_events,
+       date_diff('second', min(ts), max(ts)) AS duration_sec,
+       round(sum(value), 2) AS total_value
+FROM sess
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+""",
+)
+def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    sum of session-start flags per user, then per-session aggregates.
+    The streaming analogue is ``session_window(ts, '30 minutes')`` —
+    see streaming/jobs.py."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lag_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        lag_ts.isNull()
+        | (F.col("ts") > lag_ts + F.expr(f"INTERVAL {_GAP_MIN} MINUTES")),
+        1,
+    ).otherwise(0)
+    sess = (
+        ev.select("user_id", "ts", "value", "event_id")
+        .withColumn("new_session", new_s)
+        .withColumn("session_no", F.sum("new_session").over(wcum))
+    )
+    dur = (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            dur.alias("duration_sec"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+@workload(
+    "events_tumbling_hourly",
+    oracle="""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
+       event_type,
+       count(*) AS n,
+       count(DISTINCT user_id) AS users,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket_start, event_type
+""",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type — Spark's
+    ``window()`` grouping; in streaming mode the identical expression
+    runs under a watermark (streaming/jobs.py)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("bucket_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+@workload(
+    "events_hopping_windows",
+    oracle="""
+WITH phases AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, ts, value
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 1 HOUR, ts,
+                     INTERVAL 30 MINUTE) AS win_start, ts, value
+  FROM events
+)
+SELECT win_start, count(*) AS n, round(sum(value), 2) AS total_value
+FROM phases
+GROUP BY win_start
+ORDER BY win_start
+""",
+)
+def events_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 1-hour length, 30-min hop — every
+    event lands in two windows. Spark's ``window(ts, '1 hour',
+    '30 minutes')`` explodes each row into its windows; the DuckDB
+    oracle reproduces it as the union of the two phase-shifted
+    tumbling bucketings."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").start.alias("win_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("win_start")
+    )

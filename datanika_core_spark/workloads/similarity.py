@@ -1,1 +1,307 @@
-"""Similarity-search workloads — populated in Phase 4."""
+"""Similarity search over the `embeddings` table (array<float>
+column) — approximate-nearest-neighbor surface for training-data
+pipelines (beyond-reference, SURVEY.md §7 Phase 4).
+
+All vector math is built-in higher-order functions
+(``zip_with``/``aggregate``/``transform``) in double precision — one
+JVM-side projection per row, no Python UDFs, no shuffle for the
+per-vector stages. The DuckDB oracles use the identical left-fold
+formulas so dot products are bit-identical; exported similarities are
+rounded to 6 dp anyway.
+
+At 100 TB / billions of vectors:
+- brute-force top-k is one broadcast (queries) × scan (corpus) +
+  a per-query top-k aggregation — the right baseline, and exactly
+  what Spark executes here;
+- IVF: the coarse quantizer is a broadcast of k centroids; cluster
+  assignment is a per-row argmax (map-only); posting lists are the
+  table bucketed by `cluster`; a query probes nprobe clusters →
+  partition-pruned scan instead of full scan;
+- SRP-LSH near-dup: 16 hyperplane sign bits from seeded md5
+  pseudo-randoms → bucket equi-join, verify candidates exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datanika_core_spark.workloads import t, workload
+
+# -- shared vector-math fragments -------------------------------------------
+# Left-fold dot product — identical op order in Spark and DuckDB.
+
+_S_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+          "cast(0 as double), (acc, v) -> acc + v)")
+_O_DOT = ("list_sum(list_transform(range(1, {n} + 1), "
+          "i -> {a}[i] * {b}[i]))")
+
+_DIM = 64
+
+
+def _s_cos(a: str, b: str) -> str:
+    return (f"{_S_DOT.format(a=a, b=b)} / "
+            f"(sqrt({_S_DOT.format(a=a, b=a)}) * "
+            f"sqrt({_S_DOT.format(a=b, b=b)}))")
+
+
+def _o_cos(a: str, b: str) -> str:
+    return (f"{_O_DOT.format(a=a, b=b, n=_DIM)} / "
+            f"(sqrt({_O_DOT.format(a=a, b=a, n=_DIM)}) * "
+            f"sqrt({_O_DOT.format(a=b, b=b, n=_DIM)}))")
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with the float vector upcast to double BEFORE any
+    arithmetic (float32 math differs between engines; double is
+    exact for these magnitudes)."""
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+
+
+_O_VECTORS = ("SELECT vec_id, label, embedding::DOUBLE[] AS v "
+              "FROM embeddings")
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k (the exact baseline).
+# --------------------------------------------------------------------------
+
+_KNN_K = 5
+_KNN_NQ = 10  # vec_id < 10 are the queries
+
+
+@workload(
+    "knn_cosine_topk",
+    oracle=f"""
+WITH vecs AS ({_O_VECTORS}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {_KNN_NQ}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_o_cos('q.qv', 'c.v')} AS sim
+  FROM q JOIN vecs c ON c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+FROM ranked WHERE rank <= {_KNN_K}
+ORDER BY query_id, rank
+""",
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors: broadcast the query set against
+    the corpus scan, per-row fold dot product, per-query top-k window.
+    On a cluster the corpus scan is the only big input — queries are
+    broadcast, so no shuffle of the corpus; the window shuffles just
+    |Q|×|corpus| scored rows, which row_number + filter caps."""
+    from pyspark.sql import Window
+
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(vecs.alias("c"), F.col("c.vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("c.vec_id").alias("neighbor_id"),
+            F.expr(_s_cos("qv", "v")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("sim", 6).alias("sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer + posting lists + nprobe=1.
+# --------------------------------------------------------------------------
+
+_IVF_NCENT = 8
+_IVF_K = 3
+_IVF_QLO, _IVF_QHI = 480, 490  # query ids (disjoint from centroid ids)
+
+
+@workload(
+    "ann_ivf_cosine",
+    oracle=f"""
+WITH vecs AS ({_O_VECTORS}),
+cent AS (SELECT vec_id AS cid, v AS cv FROM vecs
+         WHERE vec_id < {_IVF_NCENT}),
+assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT x.vec_id, x.v, cent.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+               ORDER BY {_o_cos('x.v', 'cent.cv')} DESC, cent.cid) AS rn
+    FROM vecs x CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, cid AS qcid FROM assigned
+      WHERE vec_id >= {_IVF_QLO} AND vec_id < {_IVF_QHI}),
+hits AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_o_cos('q.qv', 'c.v')} AS sim
+  FROM q JOIN assigned c ON c.cid = q.qcid
+                        AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM hits
+) WHERE rank <= {_IVF_K}
+ORDER BY query_id, rank
+""",
+)
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN skeleton: a deterministic coarse quantizer (the first
+    {ncent} vectors as centroids — swap in k-means offline at scale),
+    per-vector argmax cluster assignment (map-only vs broadcast
+    centroids), then queries probe ONLY their own cluster's posting
+    list (nprobe=1). At scale the corpus is written bucketed/
+    partitioned by `cid`, so each probe is a partition-pruned scan —
+    that is the entire point of IVF."""
+    from pyspark.sql import Window
+
+    vecs = _vectors(spark, sf_dir)
+    cent = vecs.filter(F.col("vec_id") < _IVF_NCENT).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    rn = Window.partitionBy("vec_id").orderBy(
+        F.expr(_s_cos("v", "cv")).desc(), F.col("cid")
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    q = assigned.filter(
+        (F.col("vec_id") >= _IVF_QLO) & (F.col("vec_id") < _IVF_QHI)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("cid").alias("qcid"),
+    )
+    hits = (
+        F.broadcast(q)
+        .join(assigned.alias("c"),
+              (F.col("c.cid") == F.col("qcid"))
+              & (F.col("c.vec_id") != F.col("query_id")))
+        .select("query_id", F.col("c.vec_id").alias("neighbor_id"),
+                F.expr(_s_cos("qv", "v")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_K)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("sim", 6).alias("sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup via SRP-LSH (random-hyperplane sign sketches).
+# --------------------------------------------------------------------------
+
+_SRP_BITS = 16
+_SRP_THRESH = 0.999
+
+# pseudo-random hyperplane component in [-1, 1]: seeded md5 of (p, d)
+_S_COMP = ("(cast(conv(substring(md5(concat('hp', cast(p as string), '_',"
+           " cast(d as string))),1,15),16,10) as bigint) % 2001 - 1000)"
+           " / 1000.0")
+_O_COMP = ("((('0x'||substring(md5('hp' || p::VARCHAR || '_' ||"
+           " d::VARCHAR),1,15))::BIGINT % 2001 - 1000) / 1000.0)")
+
+
+@workload(
+    "embedding_near_dup_srp",
+    oracle=f"""
+WITH vecs AS ({_O_VECTORS}),
+corpus AS (
+  SELECT vec_id, v FROM vecs
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id,
+         list_transform(range(1, {_DIM} + 1),
+             i -> CASE WHEN i = 1 THEN v[i] * 1.001 + 0.0005
+                       ELSE v[i] END) AS v
+  FROM vecs WHERE vec_id % 50 = 0
+),
+sk AS (
+  SELECT vec_id, v,
+         list_transform(range(0, {_SRP_BITS}), p ->
+           CASE WHEN list_sum(list_transform(range(1, {_DIM} + 1),
+               d -> v[d] * {_O_COMP})) >= 0 THEN 1 ELSE 0 END) AS bits
+  FROM corpus
+),
+buckets AS (
+  SELECT vec_id, v,
+         array_to_string(list_transform(bits, b -> b::VARCHAR), '')
+           AS bucket
+  FROM sk
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_o_cos('a.v', 'b.v')}, 6) AS cosine
+FROM buckets a JOIN buckets b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_o_cos('a.v', 'b.v')} >= {_SRP_THRESH}
+ORDER BY vec_a, vec_b
+""",
+)
+def embedding_near_dup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate detection: signed-random-projection
+    LSH (16 hyperplanes with md5-seeded pseudo-random components →
+    a 16-bit sign sketch), bucket equi-join on the sketch, exact
+    cosine verification of bucket-mates. Near-identical vectors land
+    in the same bucket with prob ~ (1 - θ/π)^16 ≈ 1 for θ→0, while
+    the bucket join discards the quadratic bulk. The corpus injects
+    perturbed copies of every 50th vector (the synthetic embeddings
+    have no natural near-dups, max pairwise cosine ≈ 0.51)."""
+    vecs = _vectors(spark, sf_dir).select("vec_id", "v")
+    perturbed = vecs.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {_DIM}), i -> "
+            "CASE WHEN i = 1 THEN v[i-1] * 1.001 + 0.0005 "
+            "ELSE v[i-1] END)"
+        ).alias("v"),
+    )
+    corpus = vecs.unionByName(perturbed)
+    sketch = corpus.withColumn(
+        "bucket",
+        F.expr(
+            f"concat_ws('', transform(sequence(0, {_SRP_BITS - 1}), p -> "
+            f"CASE WHEN aggregate(transform(sequence(1, {_DIM}), d -> "
+            f"v[d-1] * ({_S_COMP})), cast(0 as double), (a, x) -> a + x) >= 0 "
+            "THEN '1' ELSE '0' END))"
+        ),
+    )
+    a, b = sketch.alias("a"), sketch.alias("b")
+    cos = F.expr(_s_cos("a.v", "b.v"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= _SRP_THRESH)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
