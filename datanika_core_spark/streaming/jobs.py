@@ -1,0 +1,202 @@
+"""Structured Streaming jobs — the streaming mode of the engine.
+
+The reference is batch-only: its "incremental" is a cursor filter
+re-run on a schedule (SURVEY.md §1.1, dlt_runner.py:173-180). This
+module is the continuous analogue: the same logical operators
+(ingest-append, tumbling/hopping windows, sessionization) expressed
+as Structured Streaming so late data is handled by watermarks instead
+of re-runs, and state (cursor) is handled by checkpoints instead of a
+state table.
+
+Batch/stream parity: each aggregation here reuses the exact column
+expressions of its batch twin in ``workloads/events.py`` — Spark
+guarantees the same results for the same input (event-time semantics,
+not arrival-time), which tests/test_streaming.py asserts by running
+the stream with an ``availableNow`` trigger against the same parquet.
+
+Scale notes: file-source streaming shards listing+reading across
+executors; windowed state lives in the state store keyed by
+(window, group keys) — size it with watermarks (state is dropped once
+the watermark passes a window's end). foreachBatch ingestion reuses
+TableWriter, so write dispositions (append/merge) behave identically
+in both modes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datanika_core_spark.operators.writers import TableWriter
+from datanika_core_spark.session import _nanos_timestamp_columns
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``readStream`` over a parquet path with the same
+    ns-timestamp normalization as the batch ``read_table``.
+
+    Streaming file sources need an explicit schema — taken from a
+    batch read of the same path (one footer read, no data scan).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        # The file streaming source monitors a DIRECTORY; expose a
+        # single-file input through a symlinked staging dir. The dir
+        # is keyed on the source path so checkpointed restarts see
+        # the SAME file URI and correctly skip already-read files.
+        import hashlib
+
+        key = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+        stage = os.path.join(tempfile.gettempdir(), f"stream_src_{key}")
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, os.path.basename(path))
+        if not os.path.exists(link):
+            os.symlink(path, link)
+        path = stage
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    sdf = reader.parquet(path)
+    # Watermarks require TIMESTAMP (not TIMESTAMP_NTZ); the session
+    # timezone is pinned UTC above, so the instant is identical.
+    for col in _nanos_timestamp_columns(path):
+        sdf = sdf.withColumn(
+            col, F.timestamp_micros(F.expr(f"{col} div 1000"))
+        )
+    return sdf
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time windows per event_type (streaming twin of
+    workloads/events.py::events_tumbling_hourly). The watermark bounds
+    state: windows older than max(event time) - watermark are
+    finalized and their state dropped."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).start.alias("bucket_start"),
+                 "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def hopping_totals(
+    events: DataFrame,
+    window: str = "1 hour",
+    hop: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Hopping windows (streaming twin of events_hopping_windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, hop).start.alias("win_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def session_aggregates(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session windows: ``session_window(ts, gap)`` merges
+    events separated by < gap into one window per user — the same
+    session semantics as the batch lag/cumsum sessionization
+    (events_sessionize_gap), held as mergeable state in streaming."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id", F.col("w.start").alias("session_start"),
+            "n_events", "total_value",
+        )
+    )
+
+
+def run_available_now_to_memory(
+    agg: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    timeout_sec: int = 120,
+) -> None:
+    """Run a streaming aggregation to completion over all currently
+    available input (``trigger(availableNow)``) into an in-memory
+    sink — the batch-equivalence harness used by the tests."""
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+def stream_ingest(
+    spark: SparkSession,
+    source_path: str,
+    table: str,
+    disposition: str = "append",
+    primary_key: str | list[str] | None = None,
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 300,
+) -> int:
+    """Continuous ingestion: file stream → TableWriter via
+    ``foreachBatch`` — the streaming analogue of the batch ingestion
+    job (append/merge dispositions behave identically; checkpointing
+    replaces the incremental-cursor state table). Processes all
+    currently-available files (availableNow) and returns rows loaded.
+
+    At scale this is exactly-once into the warehouse: the checkpoint
+    records the processed-file log, and merge-on-primary-key makes
+    replays idempotent.
+    """
+    writer = TableWriter(spark)
+    sdf = read_event_stream(spark, source_path)
+    loaded = {"n": 0}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        res = writer.write(
+            batch_df, table, disposition, primary_key=primary_key
+        )
+        loaded["n"] += res.rows_loaded
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_ingest_")
+    q = (
+        sdf.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(ckpt, table))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return loaded["n"]

@@ -66,10 +66,11 @@ def load_all() -> dict[str, Workload]:
     from datanika_core_spark.workloads import (  # noqa: F401
         core_sql,
         elt,
-        models,
-        text_dedup,
-        similarity,
         events,
+        models,
+        multimodal,
+        similarity,
+        text_dedup,
     )
 
     return REGISTRY

@@ -1,0 +1,100 @@
+"""Multimodal workloads: binary payload columns + Arrow-batched
+decode, oracle-checked end to end.
+
+The payloads are utf-8 bytes of the documents' text (the container
+has no media files or codecs) — which makes the md5-derived fake
+decode SQL-reproducible in DuckDB while the Spark side exercises the
+REAL plumbing: binary columns, metadata structs, and a mapInPandas
+Arrow decode stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datanika_core_spark.operators.multimodal import (
+    _FAKE_H_MOD,
+    _FAKE_W_MOD,
+    decode_media,
+    sample_frames,
+    with_binary_metadata,
+)
+from datanika_core_spark.workloads import t, workload
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a binary payload column (utf-8 text bytes)."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.encode("text", "utf-8").alias("content")
+    )
+
+
+@workload(
+    "multimodal_decode_meta",
+    oracle=f"""
+SELECT doc_id,
+       strlen(text) AS n_bytes,
+       md5(text) AS payload_md5,
+       (('0x'||substring(md5(text),1,8))::BIGINT % {_FAKE_W_MOD} + 1)::INT
+         AS width,
+       (('0x'||substring(md5(text),9,8))::BIGINT % {_FAKE_H_MOD} + 1)::INT
+         AS height,
+       3 AS channels
+FROM documents
+ORDER BY doc_id
+""",
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media pipeline: payload bytes -> metadata struct (size,
+    md5) via JVM built-ins -> decode to (width, height, channels) via
+    an Arrow-batched mapInPandas stage (deterministic fake decoder;
+    the real PIL decoder is the same plumbing behind
+    decoder='pil')."""
+    media = with_binary_metadata(_media(spark, sf_dir))
+    decoded = decode_media(media, "content", decoder="fake")
+    return decoded.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("media_meta.md5").alias("payload_md5"),
+        "width", "height", "channels",
+    ).orderBy("doc_id")
+
+
+@workload(
+    "multimodal_frame_stats",
+    oracle="""
+WITH frames AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(CAST(ceil(strlen(text) / 256.0) AS INT), 1)))
+           AS frame_idx,
+         strlen(text) AS n_bytes
+  FROM documents
+)
+SELECT doc_id,
+       count(*) AS n_frames_kept,
+       sum(CASE WHEN frame_idx * 256 + 256 <= n_bytes THEN 256
+                ELSE n_bytes - frame_idx * 256 END) AS bytes_kept
+FROM frames
+WHERE frame_idx % 2 = 0
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: split payloads into 256-byte frames, keep every
+    2nd (video frame-sample skeleton). Pure JVM byte slicing —
+    substring on binary — verified against arithmetic frame-size
+    accounting in the oracle."""
+    frames = sample_frames(
+        _media(spark, sf_dir), "content",
+        frame_bytes=256, every_n=2, id_cols=("doc_id",),
+    )
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_kept"),
+            F.sum(F.length("frame")).alias("bytes_kept"),
+        )
+        .orderBy("doc_id")
+    )

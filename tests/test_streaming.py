@@ -1,0 +1,116 @@
+"""Structured Streaming: batch/stream equivalence + foreachBatch
+ingestion (streaming mode of the engine, beyond-reference —
+the reference is batch-only, SURVEY.md §1.1)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datanika_core_spark.operators.writers import drop_table
+from datanika_core_spark.session import read_table
+from datanika_core_spark.streaming import (
+    run_available_now_to_memory,
+    session_aggregates,
+    stream_ingest,
+    tumbling_counts,
+)
+from datanika_core_spark.streaming.jobs import read_event_stream
+
+SF_DIR = "/root/testdata/sf0.001"
+EVENTS = f"{SF_DIR}/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    # Cast to TIMESTAMP to match the stream reader (watermarks require
+    # TIMESTAMP; session tz is UTC so the instants are identical).
+    return read_table(spark, EVENTS).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def test_stream_tumbling_equals_batch(spark, events_batch):
+    sdf = read_event_stream(spark, EVENTS)
+    run_available_now_to_memory(
+        tumbling_counts(sdf), "t_stream_tumbling", output_mode="complete"
+    )
+    got = {
+        (r.bucket_start, r.event_type): (r.n, r.total_value)
+        for r in spark.table("t_stream_tumbling").collect()
+    }
+    want = {
+        (r.bucket_start, r.event_type): (r.n, r.total_value)
+        for r in (
+            events_batch.groupBy(
+                F.window("ts", "1 hour").start.alias("bucket_start"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def test_stream_sessions_match_batch_session_count(spark, events_batch):
+    sdf = read_event_stream(spark, EVENTS)
+    run_available_now_to_memory(
+        session_aggregates(sdf, gap="30 minutes"),
+        "t_stream_sessions",
+        output_mode="complete",
+    )
+    stream_sessions = spark.table("t_stream_sessions")
+    # Batch twin: lag/cumsum sessionization with the same 30-min gap.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    lag_ts = F.lag("ts").over(w)
+    batch_sessions = (
+        events_batch.withColumn(
+            "new_s",
+            F.when(
+                lag_ts.isNull()
+                | (F.col("ts") > lag_ts + F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"))
+    )
+    got = {
+        r.user_id: r.n
+        for r in stream_sessions.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {r.user_id: r.n_sessions for r in batch_sessions.collect()}
+    assert got == want
+    # per-session event counts must cover every event exactly once
+    assert (
+        stream_sessions.agg(F.sum("n_events")).collect()[0][0]
+        == events_batch.count()
+    )
+
+
+def test_stream_ingest_append(spark, tmp_path):
+    drop_table(spark, "stream_ingested_events")
+    n = stream_ingest(
+        spark,
+        EVENTS,
+        "stream_ingested_events",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    src_n = read_table(spark, EVENTS).count()
+    assert n == src_n
+    assert spark.table("stream_ingested_events").count() == src_n
+    # restart with the same checkpoint: no new files -> no new rows
+    n2 = stream_ingest(
+        spark,
+        EVENTS,
+        "stream_ingested_events",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    assert n2 == 0
+    assert spark.table("stream_ingested_events").count() == src_n
