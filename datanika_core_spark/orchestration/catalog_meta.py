@@ -68,7 +68,9 @@ def introspect_database(spark: SparkSession, db: str) -> list[dict]:
     skipping dlt-internal tables."""
     out = []
     for t in spark.catalog.listTables(db):
-        if t.name.startswith(_INTERNAL_PREFIX):
+        # listTables(db) also returns session temp views (database is
+        # None for those) — only real tables of this db belong here.
+        if t.database != db or t.name.startswith(_INTERNAL_PREFIX):
             continue
         schema = spark.table(f"{db}.{t.name}").schema
         out.append({
