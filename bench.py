@@ -19,6 +19,14 @@ from datanika_core_spark.session import build_spark  # noqa: E402
 from datanika_core_spark.workloads import load_all  # noqa: E402
 
 
+def _execute_fully(df) -> int:
+    """Force FULL plan execution. count() would let Catalyst prune
+    every computed column out of projection-only plans; the noop sink
+    materializes every output column without writing."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -26,16 +34,24 @@ def main() -> None:
     registry = load_all()
     headline = {n: wl for n, wl in registry.items() if wl.headline}
 
+    # Untimed warmup: JVM/codegen/Arrow spin-up + one tiny query, so
+    # per-query numbers measure the operators, not JVM startup.
+    from datanika_core_spark.session import read_table
+
+    for tbl in ("lineitem", "orders", "customer", "events",
+                "documents", "embeddings"):
+        read_table(spark, os.path.join(sf_dir, f"{tbl}.parquet")).limit(
+            1
+        ).count()
+
     timings: dict[str, float] = {}
     for name, wl in sorted(headline.items()):
-        # Warm the JVM/code paths once at a small slice? No — measure
-        # cold per query, matching how the driver observes us.
         t0 = time.perf_counter()
         df = wl.fn(spark, sf_dir)
-        n = df.count()  # force full execution
+        _execute_fully(df)
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -176,6 +176,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload(
     "q6_forecast_revenue",
+    headline=True,
     oracle="""
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
        count(*) AS n_items
@@ -211,6 +212,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload(
     "q10_returned_items",
+    headline=True,
     oracle="""
 SELECT c_custkey, c_name,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -26,6 +26,7 @@ _GAP_MIN = 30
 
 @workload(
     "events_sessionize_gap",
+    headline=True,
     oracle=f"""
 WITH ordered AS (
   SELECT user_id, ts, value,
@@ -89,6 +90,7 @@ def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload(
     "events_tumbling_hourly",
+    headline=True,
     oracle="""
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
        event_type,

@@ -75,6 +75,7 @@ _KNN_NQ = 10  # vec_id < 10 are the queries
 
 @workload(
     "knn_cosine_topk",
+    headline=True,
     oracle=f"""
 WITH vecs AS ({_O_VECTORS}),
 q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {_KNN_NQ}),

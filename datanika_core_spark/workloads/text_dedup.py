@@ -67,7 +67,13 @@ def _norm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ 90%-token-prefix mutants of every 25th doc."""
+    """documents ∪ 90%-token-prefix mutants of every 25th doc.
+
+    Repartitioned by doc_id: the test corpus is ONE small parquet
+    file → one input split → one task, which serializes the (CPU-
+    heavy) per-document hashing. On a real corpus the scan splits by
+    file/row-group anyway; the explicit spread keyed on doc_id is
+    what you'd do after any single-threaded source."""
     docs = _norm_docs(spark, sf_dir)
     toks = F.split("text", _TOKS)
     prefix = F.greatest(
@@ -77,7 +83,10 @@ def _corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 20000).alias("doc_id"),
         F.concat_ws(" ", F.slice(toks, F.lit(1), prefix)).alias("text"),
     )
-    return docs.select("doc_id", "text").unionByName(mutants)
+    out = docs.select("doc_id", "text").unionByName(mutants)
+    return out.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
 
 
 # -- shared fragments (DuckDB oracle side) ----------------------------------
@@ -406,18 +415,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH_K = 16   # signature length
 _MH_B = 4    # bands
 _MH_R = 4    # rows per band; threshold ~ (1/B)^(1/R) ≈ 0.71
+# Universal-hash tempering: each shingle is md5-hashed ONCE, then the
+# K "permutations" derive arithmetically: ((h mod P) * (2s+1) + s)
+# mod P. P is 30-bit so products stay < 2^35 — exact in BIGINT on
+# both engines (Spark runs ANSI mode: overflow would throw, not wrap).
+_MH_P = 1_000_000_007
 
 
 @workload(
     "dedup_minhash_lsh",
+    headline=True,
     oracle=f"""
 WITH {_O_CORPUS_NEARDUP}, {_O_SHINGLED},
 sigs AS (
   SELECT doc_id, shingles,
          list_transform(range(0, {_MH_K}), s -> list_min(list_transform(
-             shingles, sh -> {_O_HASH.format(x="sh || '#' || s::VARCHAR")}
+             hashes0, h -> ((h % {_MH_P}) * (2*s + 1) + s) % {_MH_P}
          ))) AS sig
-  FROM shingled WHERE len(shingles) > 0
+  FROM (SELECT doc_id, shingles,
+               list_transform(shingles, sh -> {_O_HASH.format(x='sh')})
+                 AS hashes0
+        FROM shingled WHERE len(shingles) > 0)
 ),
 bands AS (
   SELECT doc_id, b,
@@ -450,17 +468,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature cost is linear in corpus size, the only shuffle is the
     band-bucket join whose buckets stay tiny when B·R is tuned."""
     corpus = _with_toks(_corpus_neardup(spark, sf_dir))
-    sh = corpus.withColumn("shingles", F.expr(_SHINGLES_EXPR)).filter(
-        F.size("shingles") > 0
+    # Filter on the CHEAP precondition (>=3 tokens ⟺ >=1 shingle)
+    # BEFORE building shingles: a filter on size(shingles) gets
+    # predicate-pushed below the projection, inlining the whole
+    # shingle expression tree into the predicate (~10× re-evaluation).
+    sh = corpus.filter(F.size("toks") >= 3).withColumn(
+        "shingles", F.expr(_SHINGLES_EXPR)
     )
-    hash_seeded = _spark_hash("concat(sh, '#', cast(s as string))")
-    sigs = sh.select(
+    # One md5 per shingle; the K permutations are arithmetic
+    # tempering of that base hash (16× fewer md5 evaluations).
+    sigs = sh.withColumn(
+        "hashes0",
+        F.expr(f"transform(shingles, sh -> {_spark_hash('sh')})"),
+    ).select(
         "doc_id", "shingles",
         F.expr(
             f"transform(sequence(0, {_MH_K - 1}), s -> "
-            f"array_min(transform(shingles, sh -> {hash_seeded})))"
+            f"array_min(transform(hashes0, h -> "
+            f"((h % {_MH_P}) * (2*s + 1) + s) % {_MH_P})))"
         ).alias("sig"),
     )
+    # The signature table feeds three plan branches (band explode +
+    # both sides of candidate verification); cache it so the md5 pass
+    # runs once. At corpus scale you'd write it to a table instead —
+    # signatures are reusable across dedup runs.
+    sigs = sigs.cache()
     bands = sigs.select(
         "doc_id",
         F.explode(F.expr(
@@ -543,16 +575,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces the O(n²) scan. Candidates are verified with the exact
     hamming distance."""
     corpus = _with_toks(_corpus_neardup(spark, sf_dir))
-    sh = corpus.withColumn("shingles", F.expr(_SHINGLES_EXPR)).filter(
-        F.size("shingles") > 0
+    # cheap-precondition filter BEFORE the shingle projection (see
+    # dedup_minhash_lsh for the predicate-pushdown rationale)
+    sh = corpus.filter(F.size("toks") >= 3).withColumn(
+        "shingles", F.expr(_SHINGLES_EXPR)
     )
-    fp = sh.select(
+    # Hash each shingle ONCE (a column), then fold 48 bit-votes over
+    # the precomputed array — not one md5 pass per bit.
+    fp = sh.withColumn(
+        "hashes",
+        F.expr(f"transform(shingles, sh -> {_spark_hash('sh')})"),
+    ).select(
         "doc_id",
         F.expr(
             f"aggregate(transform(sequence(0, {_SH_BITS - 1}), i -> "
-            f"CASE WHEN 2 * size(filter(transform(shingles, sh -> "
-            f"{_spark_hash('sh')}), h -> (shiftright(h, i) & 1) = 1)) "
-            f"> size(shingles) THEN shiftleft(cast(1 as bigint), i) "
+            f"CASE WHEN 2 * size(filter(hashes, "
+            f"h -> (shiftright(h, i) & 1) = 1)) "
+            f"> size(hashes) THEN shiftleft(cast(1 as bigint), i) "
             f"ELSE cast(0 as bigint) END), cast(0 as bigint), (a, x) -> a + x)"
         ).alias("simhash"),
     )
