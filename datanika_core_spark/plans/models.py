@@ -85,12 +85,55 @@ class Model:
         return f"{self.schema}.{self.name}"
 
 
+@dataclass
+class SnapshotDef:
+    """A snapshot block (T5): SQL selecting the current source state
+    + SCD2 config; materializes to {target_schema}.{name}
+    (dbt_project.py:529-610). ``config`` is an
+    operators.scd2.SnapshotConfig."""
+
+    name: str
+    sql_body: str
+    config: Any
+    target_schema: str = "snapshots"
+
+    def __post_init__(self):
+        validate_identifier(self.name)
+        validate_identifier(self.target_schema)
+        if not self.sql_body or not self.sql_body.strip():
+            raise ValidationError("snapshot sql_body must be non-empty")
+
+    @property
+    def target(self) -> str:
+        return f"{self.target_schema}.{self.name}"
+
+
+@dataclass
+class Seed:
+    """A CSV seed (dbt seed): file loaded as {schema}.{name}."""
+
+    name: str
+    path: str
+    schema: str = "seeds"
+
+    def __post_init__(self):
+        validate_identifier(self.name)
+        validate_identifier(self.schema)
+
+    @property
+    def target(self) -> str:
+        return f"{self.schema}.{self.name}"
+
+
 class ModelRegistry:
-    """name → Model, plus source() name mapping."""
+    """name → Model, plus source() name mapping, snapshots and
+    seeds (the full dbt-project node surface, T1-T8)."""
 
     def __init__(self):
         self._models: dict[str, Model] = {}
         self._sources: dict[tuple[str, str], str] = {}
+        self._snapshots: dict[str, SnapshotDef] = {}
+        self._seeds: dict[str, Seed] = {}
 
     # -- models --
     def add(self, model: Model) -> Model:
@@ -129,3 +172,28 @@ class ModelRegistry:
 
     def sources(self) -> Mapping[tuple[str, str], str]:
         return dict(self._sources)
+
+    # -- snapshots (T5) --
+    def add_snapshot(self, snap: SnapshotDef) -> SnapshotDef:
+        self._snapshots[snap.name] = snap
+        return snap
+
+    def snapshots(self) -> list[SnapshotDef]:
+        return [self._snapshots[n] for n in sorted(self._snapshots)]
+
+    # -- seeds (dbt seed) --
+    def add_seed(self, seed: Seed) -> Seed:
+        self._seeds[seed.name] = seed
+        return seed
+
+    def seeds(self) -> list[Seed]:
+        return [self._seeds[n] for n in sorted(self._seeds)]
+
+    # -- source YML analogue (T16) --
+    def sources_manifest(self) -> dict[str, dict[str, str]]:
+        """The engine's equivalent of generated dbt ``sources:`` YML
+        (dbt_project.py:622-675): source name → {table: physical}."""
+        out: dict[str, dict[str, str]] = {}
+        for (src, tbl), physical in sorted(self._sources.items()):
+            out.setdefault(src, {})[tbl] = physical
+        return out

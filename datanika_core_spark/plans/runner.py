@@ -17,13 +17,14 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from datanika_core_spark.errors import ValidationError
+from datanika_core_spark.operators.scd2 import SnapshotRunner
 from datanika_core_spark.plans.dag import build_graph, select
 from datanika_core_spark.plans.materialize import Materializer
 from datanika_core_spark.plans.model_tests import TestResult, run_test
-from datanika_core_spark.plans.models import ModelRegistry
+from datanika_core_spark.plans.models import Model, ModelRegistry
 from datanika_core_spark.plans.resolver import compile_model
 
-COMMANDS = ("build", "run", "test", "compile")
+COMMANDS = ("build", "run", "test", "compile", "seed", "snapshot")
 
 
 @dataclass
@@ -54,6 +55,10 @@ class ModelRunner:
     ) -> RunReport:
         if command not in COMMANDS:
             raise ValidationError(f"command must be one of {COMMANDS}")
+        if command == "seed":
+            return self._run_seeds()
+        if command == "snapshot":
+            return self._run_snapshots()
         graph = build_graph(self.registry)
         names = select(graph, selector)
         report = RunReport(command)
@@ -87,4 +92,48 @@ class ModelRunner:
                         f"test {ct.test}({model.name}.{ct.column}):"
                         f" {'PASS' if tr.passed else f'FAIL ({tr.violations})'}"
                     )
+        return report
+
+    def _run_seeds(self) -> RunReport:
+        """dbt seed: load each registered CSV as {schema}.{name}
+        (header + schema inference, overwrite like --full-refresh)."""
+        report = RunReport("seed")
+        for seed in self.registry.seeds():
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {seed.schema}")
+            df = (self.spark.read.option("header", "true")
+                  .option("inferSchema", "true").csv(seed.path))
+            from datanika_core_spark.operators.writers import drop_table
+
+            drop_table(self.spark, seed.target)
+            df.write.format("parquet").mode("overwrite").saveAsTable(
+                seed.target
+            )
+            n = self.spark.table(seed.target).count()
+            report.executed.append(seed.name)
+            report.rows_affected += n
+            report.logs.append(f"seed {seed.name} -> {seed.target} ({n} rows)")
+        return report
+
+    def _run_snapshots(self) -> RunReport:
+        """dbt snapshot: compile each snapshot's source SQL
+        (ref()/source() resolution) and apply one SCD2 run
+        (dbt_project.py:529-610)."""
+        report = RunReport("snapshot")
+        snap_runner = SnapshotRunner(self.spark)
+        for snap in self.registry.snapshots():
+            self.spark.sql(
+                f"CREATE DATABASE IF NOT EXISTS {snap.target_schema}"
+            )
+            shim = Model(
+                name=snap.name, sql_body=snap.sql_body,
+                materialization="view", schema=snap.target_schema,
+            )
+            compiled = compile_model(self.registry, shim)
+            source_df = self.spark.sql(compiled.sql)
+            n = snap_runner.run(source_df, snap.target, snap.config)
+            report.executed.append(snap.name)
+            report.rows_affected += n
+            report.logs.append(
+                f"snapshot {snap.name} -> {snap.target} ({n} new versions)"
+            )
         return report
