@@ -345,6 +345,38 @@ def agg_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "agg_groupingsets_part",
+    oracle="""
+SELECT coalesce(p_brand, 'ALL') AS brand,
+       coalesce(p_type, 'ALL') AS ptype,
+       grouping(p_brand) AS g_brand, grouping(p_type) AS g_type,
+       count(*) AS n_parts,
+       round(avg(p_retailprice), 2) AS avg_price
+FROM part
+GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+ORDER BY g_brand, g_type, brand, ptype
+""",
+)
+def agg_groupingsets_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping() flags (§2B multi-dimensional
+    aggregation surface) — one Expand + hash aggregate in Spark, no
+    repeated scans of the input."""
+    p = t(spark, sf_dir, "part")
+    p.createOrReplaceTempView("wl_part_gs")
+    return spark.sql("""
+SELECT coalesce(p_brand, 'ALL') AS brand,
+       coalesce(p_type, 'ALL') AS ptype,
+       cast(grouping(p_brand) as bigint) AS g_brand,
+       cast(grouping(p_type) as bigint) AS g_type,
+       count(*) AS n_parts,
+       round(avg(p_retailprice), 2) AS avg_price
+FROM wl_part_gs
+GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+ORDER BY g_brand, g_type, brand, ptype
+""")
+
+
 # --------------------------------------------------------------------------
 # Window functions: top-k per group + running totals + lag.
 # --------------------------------------------------------------------------

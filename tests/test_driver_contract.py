@@ -1,0 +1,60 @@
+"""Driver-contract regressions: the external driver smoke-runs
+entry() at sf0.001 and then runs every queries() entry at sf0.01 in
+the SAME session — workloads that register temp views or stage
+catalog tables must not leak state between scale factors."""
+
+import __spark_entry__ as entry_mod
+
+
+def test_entry_then_queries_no_cross_sf_leakage(spark):
+    q = entry_mod.queries()
+    # smoke entry (sf0.001 internally)
+    assert entry_mod.entry(spark).count() > 0
+
+    # run the state-heavy workloads at sf0.001 first, then sf0.01 —
+    # second run must reflect ONLY sf0.01 data.
+    stateful = [
+        "model_tests_violations",      # temp views named like raw tables
+        "model_build_star_revenue",    # staged wl_src tables + models
+        "merge_upsert_orders",         # staged warehouse tables
+        "model_incremental_merge_events",  # two-phase incremental state
+    ]
+    for name in stateful:
+        q[name](spark, "/root/testdata/sf0.001").collect()
+
+    small = {
+        name: q[name](spark, "/root/testdata/sf0.001").count()
+        for name in stateful
+    }
+    large = {
+        name: q[name](spark, "/root/testdata/sf0.01").count()
+        for name in stateful
+    }
+    # battery/confusion shapes are fixed-size; row-level ones must grow
+    assert large["model_build_star_revenue"] >= small["model_build_star_revenue"]
+    assert 2 <= small["merge_upsert_orders"] <= large["merge_upsert_orders"] <= 4
+    assert large["model_tests_violations"] == 9
+
+    # value-level check: sf0.01 rerun of the star model equals a fresh
+    # computation (no stale wl_src rows from the sf0.001 pass)
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'/root/testdata/sf0.01/{t}.parquet'"
+        )
+    want = con.execute(
+        entry_mod.oracle_sql()["model_build_star_revenue"]
+    ).fetchall()
+    got = [
+        tuple(r)
+        for r in q["model_build_star_revenue"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    ]
+    assert len(got) == len(want)
+    got_map = {r[0]: r[1] for r in got}
+    for nation, n_orders, _rev in want:
+        assert got_map[nation] == n_orders
