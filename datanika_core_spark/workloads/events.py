@@ -122,6 +122,59 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "events_funnel_conversion",
+    oracle="""
+WITH stages AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT
+  count(*) AS n_users,
+  sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS stage_view,
+  sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+           THEN 1 ELSE 0 END) AS stage_click,
+  sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                AND t_purchase > t_click
+           THEN 1 ELSE 0 END) AS stage_purchase
+FROM stages
+""",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): first
+    occurrence of each stage per user via conditional min, then
+    order-respecting conversion counts. One shuffle on user_id + one
+    global aggregate; NULL comparisons drop non-converts for free
+    (t_click > t_view is NULL-safe false)."""
+    ev = t(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(
+            F.when(F.col("event_type") == etype, F.col("ts"))
+        ).alias(f"t_{etype}")
+
+    stages = ev.groupBy("user_id").agg(
+        first_ts("view"), first_ts("click"), first_ts("purchase")
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+
+    def cnt(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        cnt(viewed, "stage_view"),
+        cnt(clicked, "stage_click"),
+        cnt(purchased, "stage_purchase"),
+    )
+
+
+@workload(
     "events_hopping_windows",
     oracle="""
 WITH phases AS (
