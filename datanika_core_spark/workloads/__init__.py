@@ -70,6 +70,7 @@ def load_all() -> dict[str, Workload]:
         models,
         multimodal,
         similarity,
+        temporal,
         text_dedup,
     )
 

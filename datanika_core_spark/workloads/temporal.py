@@ -1,0 +1,175 @@
+"""Temporal-join workloads: as-of join and interval/range join over
+the `events` table (beyond-reference family — the reference has no
+temporal operators; SURVEY.md §2B delegates all SQL to warehouses).
+
+Oracles use DuckDB's native ASOF JOIN / inequality joins; the Spark
+side uses `operators/temporal.py` (single-shuffle union+window as-of;
+bucketed-equi range join). Same conventions as the rest of the
+corpus: identical aliases both sides, rounded doubles, total-order
+sorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datanika_core_spark.operators.temporal import asof_join, range_join
+from datanika_core_spark.workloads import t, workload
+
+
+@workload(
+    "asof_join_click_purchase",
+    headline=True,
+    oracle="""
+SELECT c.event_id, c.user_id, c.ts,
+       p.ts AS purchase_ts,
+       round(p.value, 2) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click' AND user_id < 40) c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+""",
+)
+def asof_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click gets the latest prior-or-equal
+    purchase of the same user (kdb `aj` / pandas merge_asof shape).
+
+    Spark implementation: union + windowed last-non-null — ONE
+    shuffle on user_id, linear, no point-in-time self-join blowup.
+    Clicks with no prior purchase keep NULLs (ASOF LEFT semantics).
+    """
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & (F.col("user_id") < 40)
+    ).select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="purchase_ts",
+        right_cols=["purchase_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_ts",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+@workload(
+    "asof_join_tolerance_session",
+    oracle="""
+SELECT s.user_id,
+       count(*) AS n_errors,
+       count(CASE WHEN p.ts IS NOT NULL
+                   AND floor(epoch(s.ts)) - floor(epoch(p.ts)) <= 172800 THEN 1 END)
+         AS n_with_recent_signup
+FROM (SELECT * FROM events WHERE event_type = 'error') s
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') p
+  ON s.user_id = p.user_id AND s.ts >= p.ts
+GROUP BY s.user_id
+ORDER BY s.user_id
+""",
+)
+def asof_join_tolerance_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of with a 48 h tolerance: errors matched to a signup at most
+    48 h earlier. Oracle counts non-null matched ts after applying the
+    same tolerance (epoch-diff filter on the ASOF match).
+    """
+    ev = t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts"), F.col("value").alias("signup_value")
+    )
+    joined = asof_join(
+        errors,
+        signups,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="signup_ts",
+        right_cols=["signup_value"],
+        tolerance_seconds=48 * 3600,
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_errors"),
+            F.count("signup_ts").alias("n_with_recent_signup"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@workload(
+    "range_join_purchase_context",
+    headline=True,
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       count(e.event_id) AS n_context_events,
+       round(sum(e.value), 2) AS context_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id < 60) p
+LEFT JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts - INTERVAL 2 HOUR
+ AND e.ts < p.ts
+GROUP BY p.event_id
+ORDER BY p.event_id
+""",
+)
+def range_join_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: for every purchase, the events of the same user
+    in the 2 h window before it. DuckDB runs the inequality join
+    natively (IEJoin); vanilla Spark would pick a nested-loop plan, so
+    the operator buckets time (1 h buckets, fan-out ≤ 3) and
+    equi-joins on (user_id, bucket) before the exact containment
+    filter — shuffled hash join, linear at 100 TB.
+    """
+    ev = t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 60))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("win_start"),
+            F.col("ts").alias("win_end"),
+        )
+    )
+    context = ev.select(
+        "user_id", "ts", F.col("event_id").alias("ctx_id"), F.col("value").alias("ctx_value")
+    )
+    joined = range_join(
+        context,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_start="win_start",
+        right_end="win_end",
+        bucket_seconds=3600,
+        end_inclusive=False,
+    )
+    matched = joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_context_events"),
+        F.round(F.sum("ctx_value"), 2).alias("context_value"),
+    )
+    # LEFT semantics: purchases with zero context events still appear.
+    return (
+        purchases.select("purchase_id")
+        .join(matched, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            F.coalesce("n_context_events", F.lit(0)).alias("n_context_events"),
+            "context_value",
+        )
+        .orderBy("purchase_id")
+    )
