@@ -72,6 +72,7 @@ def load_all() -> dict[str, Workload]:
         similarity,
         temporal,
         text_dedup,
+        tpch_extra,
     )
 
     return REGISTRY
