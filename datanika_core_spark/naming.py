@@ -12,15 +12,20 @@ import re
 from datanika_core_spark.errors import ValidationError
 
 # Display names: alphanumeric + spaces (naming.py:8-16).
-_NAME_RE = re.compile(r"^[a-zA-Z0-9 ]+$")
+_NAME_RE = re.compile(r"[a-zA-Z0-9 ]+")
 
 # SQL identifiers for models/schemas/snapshots (dbt_project.py:20).
-_IDENT_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_-]*$")
+# Validated identifiers are interpolated UNQUOTED into DDL (CREATE
+# VIEW/TABLE, ALTER TABLE ... RENAME), so the accepted set must be
+# exactly the bare-identifier grammar: no hyphens (would parse as
+# subtraction) and fullmatch (re.match + '$' accepts a trailing
+# newline).
+_IDENT_RE = re.compile(r"[a-zA-Z_][a-zA-Z0-9_]*")
 
 
 def validate_name(name: str) -> str:
     """Validate a human-facing object name (alphanumeric + spaces)."""
-    if not name or not _NAME_RE.match(name):
+    if not name or not _NAME_RE.fullmatch(name):
         raise ValidationError(
             f"invalid name {name!r}: only letters, digits and spaces allowed"
         )
@@ -28,10 +33,10 @@ def validate_name(name: str) -> str:
 
 
 def validate_identifier(ident: str) -> str:
-    """Validate a SQL identifier (model/schema/snapshot name)."""
-    if not ident or not _IDENT_RE.match(ident):
+    """Validate a SQL identifier safe to splice unquoted into DDL."""
+    if not ident or not _IDENT_RE.fullmatch(ident):
         raise ValidationError(
-            f"invalid identifier {ident!r}: must match [a-zA-Z_][a-zA-Z0-9_-]*"
+            f"invalid identifier {ident!r}: must match [a-zA-Z_][a-zA-Z0-9_]*"
         )
     return ident
 

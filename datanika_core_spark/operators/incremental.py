@@ -106,10 +106,37 @@ def apply_incremental(
     elif spec.row_order == "desc":
         out = out.orderBy(F.col(cursor).desc())
 
+    # The high-water mark is observed DURING the load action, from the
+    # rows actually extracted — not by re-executing the source plan
+    # afterwards. Re-evaluation was both a second full source scan and
+    # a correctness hole: against a live source (JDBC/REST), rows
+    # arriving between load and commit would bump the persisted cursor
+    # without ever being loaded, and the next run would skip them
+    # (dlt derives the cursor from extracted rows; dlt_runner.py:173-180).
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = out.observe(obs, F.max(F.col(cursor)).alias("m"))
+
     def commit() -> None:
-        row = out.agg(F.max(cursor).alias("m")).collect()[0]
-        if row["m"] is not None:
-            value = row["m"]
+        # The observation completes with the caller's load action, so
+        # after a normal load obs.get returns instantly. If commit()
+        # is called WITHOUT a load having run, obs.get would block
+        # forever — detect that with a bounded wait and run the
+        # extraction into a noop sink (that IS the load in that
+        # usage), which fills the observation.
+        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import TimeoutError as FutTimeout
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(lambda: obs.get)
+            try:
+                row = fut.result(timeout=5.0)
+            except FutTimeout:
+                out.write.format("noop").mode("overwrite").save()
+                row = fut.result()
+        value = row["m"]
+        if value is not None:
             # JSON-serializable representation; timestamps → ISO str
             # (string compare on re-filter works because the column is
             # re-cast by Spark's comparison coercion).

@@ -104,8 +104,9 @@ class SnapshotRunner:
 
         if not self.spark.catalog.tableExists(target_table):
             drop_table(self.spark, target_table)
+            src, obs = TableWriter._observed(src)
             src.write.format("parquet").mode("overwrite").saveAsTable(target_table)
-            return self.spark.table(target_table).count()
+            return obs.get["rows"]
 
         target = self.spark.table(target_table)
         current = target.filter(F.col(VALID_TO).isNull())
@@ -157,11 +158,56 @@ class SnapshotRunner:
             changed_keys.select(*keys), keys, "left_anti"
         )
 
-        n_new = inserts.count()
+        if self.writer.table_provider(target_table) in (
+            self.writer.MERGE_CAPABLE_PROVIDERS
+        ):
+            return self._merge_into(
+                target_table, inserts.select(*current.columns), closing
+            )
+
+        # Parquet-warehouse path: rebuild + staged swap. New-version
+        # rows counted via observe() inside the swap's single write
+        # pass — no extra evaluation of the inserts subtree.
+        ins, obs = TableWriter._observed(inserts.select(*current.columns))
         merged = (
             closed_history.unionByName(unchanged_current)
             .unionByName(closing)
-            .unionByName(inserts.select(*current.columns))
+            .unionByName(ins)
         )
         self.writer._swap_in(merged, target_table)
-        return n_new
+        return obs.get["rows"]
+
+    @staticmethod
+    def merge_into_sql(table: str, staged_view: str) -> str:
+        """dbt's snapshot merge (dbt_project.py:529-610 semantics) as a
+        single transactional statement: staged rows carry
+        ``__change ∈ {insert, update}``; updates close the matched
+        current version (same ``dbt_scd_id``), inserts add the new
+        version row."""
+        return (
+            f"MERGE INTO {table} t USING {staged_view} s "
+            f"ON t.{SCD_ID} = s.{SCD_ID} AND t.{VALID_TO} IS NULL "
+            f"WHEN MATCHED AND s.__change = 'update' "
+            f"THEN UPDATE SET t.{VALID_TO} = s.{VALID_TO} "
+            "WHEN NOT MATCHED AND s.__change = 'insert' THEN INSERT *"
+        )
+
+    def _merge_into(
+        self, table: str, inserts: DataFrame, closing: DataFrame
+    ) -> int:
+        """Transactional SCD2 apply (Delta/Iceberg): one MERGE touches
+        only the files holding changed current rows — the 100 TB path,
+        vs. the parquet branch's full-table rewrite."""
+        # Observe only the inserts subtree: run() reports new-version
+        # rows, and the metric is collected during the merge itself.
+        ins, obs = TableWriter._observed(inserts)
+        staged = ins.withColumn("__change", F.lit("insert")).unionByName(
+            closing.withColumn("__change", F.lit("update"))
+        )
+        view = f"__scd2_staged_{abs(hash(table)) % 10**8}"
+        staged.createOrReplaceTempView(view)
+        try:
+            self.spark.sql(self.merge_into_sql(table, view))
+        finally:
+            self.spark.catalog.dropTempView(view)
+        return obs.get["rows"]

@@ -135,25 +135,54 @@ class TableWriter:
         return WriteResult(table, disposition, rows, evolved)
 
     # -- dispositions ----------------------------------------------------
+    #
+    # W7 accounting: rows_loaded is the SOURCE-batch row count, captured
+    # with ``df.observe()`` as a byproduct of the write itself — never a
+    # ``count()`` scan of the target (dlt parity: dlt sums normalize-step
+    # source counts, dlt_runner.py:58-76). At 100 TB a post-write
+    # full-table count would cost more than the load.
+
+    @staticmethod
+    def _observed(df: DataFrame):
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        return df.observe(obs, F.count(F.lit(1)).alias("rows")), obs
 
     def _create(self, df: DataFrame, table: str) -> int:
+        df, obs = self._observed(df)
         df.write.format("parquet").mode("overwrite").saveAsTable(table)
-        return self._count(table)
+        return obs.get["rows"]
 
     def _replace(self, df: DataFrame, table: str) -> int:
         # Overwriting a table the plan might also read requires a
         # staged swap; replace of an independent source df is direct.
+        df, obs = self._observed(df)
         df.write.format("parquet").mode("overwrite").saveAsTable(table)
-        return self._count(table)
+        return obs.get["rows"]
 
     def _append(self, df: DataFrame, table: str) -> int:
-        before = self._count(table)
         # Align column order with the target (by-name semantics).
         target_cols = self.spark.table(table).columns
-        df.select(*target_cols).write.format("parquet").mode("append").saveAsTable(
-            table
-        )
-        return self._count(table) - before
+        df, obs = self._observed(df.select(*target_cols))
+        df.write.format("parquet").mode("append").saveAsTable(table)
+        return obs.get["rows"]
+
+    # Table providers with transactional row-level MERGE support.
+    MERGE_CAPABLE_PROVIDERS = ("delta", "iceberg")
+
+    def table_provider(self, table: str) -> str:
+        """Lowercased storage provider of ``table`` ('' if unknown)."""
+        try:
+            rows = self.spark.sql(
+                f"DESCRIBE TABLE EXTENDED {table}"
+            ).collect()
+        except Exception:  # noqa: BLE001 — e.g. temp view
+            return ""
+        for r in rows:
+            if (r[0] or "").strip().lower() == "provider":
+                return (r[1] or "").strip().lower()
+        return ""
 
     def _merge(
         self,
@@ -165,11 +194,16 @@ class TableWriter:
         """Upsert: rows of ``table`` whose pk appears in ``df`` are
         replaced by the ``df`` version; new pks are inserted.
 
-        Equivalent Delta statement (the 100 TB path)::
+        Two physical strategies:
 
-            MERGE INTO table t USING df s ON <pk equality>
-            WHEN MATCHED THEN UPDATE SET *
-            WHEN NOT MATCHED THEN INSERT *
+        - transactional table format (Delta/Iceberg): one ``MERGE
+          INTO`` — file-level rewrite of only the touched files, the
+          100 TB path (parity with dlt's merge disposition,
+          dlt_runner.py:341-356).
+        - plain parquet warehouse: composed as
+          ``target ANTI-JOIN source ∪ source`` + staged swap (rewrites
+          the whole table — correct, but the scale story is the
+          transactional branch).
         """
         target = self.spark.table(table)
         source = df
@@ -185,19 +219,63 @@ class TableWriter:
                 .drop("__rn")
             )
         source = source.select(*target.columns)
+        if self.table_provider(table) in self.MERGE_CAPABLE_PROVIDERS:
+            return self._merge_into(source, table, pk)
+        # Observe the deduped source subtree inside the merge plan:
+        # rows_loaded = batch rows after precedence dedup (dlt's
+        # batch-rows semantics), collected during the ONE pass that
+        # writes the merged table — not a post-merge table count.
+        source, obs = self._observed(source)
         kept = target.join(source.select(*pk), on=pk, how="left_anti")
         merged = kept.unionByName(source)
         self._swap_in(merged, table)
-        return self._count(table)
+        return obs.get["rows"]
+
+    @staticmethod
+    def merge_into_sql(table: str, source_view: str, pk: list[str]) -> str:
+        """The MERGE INTO statement for the transactional branch."""
+        on = " AND ".join(f"t.{k} = s.{k}" for k in pk)
+        return (
+            f"MERGE INTO {table} t USING {source_view} s ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+    def _merge_into(self, source: DataFrame, table: str, pk: list[str]) -> int:
+        """Transactional upsert via MERGE INTO (Delta/Iceberg).
+
+        The source batch is registered as a temp view and merged in a
+        single atomic statement; rows_loaded is observed from the
+        source subtree during the merge — same accounting as the
+        composed branch.
+        """
+        source, obs = self._observed(source)
+        view = f"__merge_src_{abs(hash(table)) % 10**8}"
+        source.createOrReplaceTempView(view)
+        try:
+            self.spark.sql(self.merge_into_sql(table, view, pk))
+        finally:
+            self.spark.catalog.dropTempView(view)
+        return obs.get["rows"]
 
     def _swap_in(self, df: DataFrame, table: str) -> None:
-        """Atomically replace ``table`` with ``df`` via a staging table
-        (df's plan reads ``table`` itself, so a direct overwrite would
-        read-write conflict)."""
-        stage = f"{table}__stage"
+        """Replace ``table`` with ``df`` via a staging table (df's plan
+        reads ``table`` itself, so a direct overwrite would read-write
+        conflict).
+
+        The swap is NOT atomic on a parquet warehouse (a transactional
+        format is the real fix — see ``_merge_into``); it is ordered to
+        be crash-RECOVERABLE: the old table is renamed aside before the
+        stage takes its name, so at no point is the data unrecoverable —
+        a crash leaves either ``table`` intact, or ``table__old`` plus
+        a complete ``table__stage`` to roll forward from.
+        """
+        stage, old = f"{table}__stage", f"{table}__old"
         df.write.format("parquet").mode("overwrite").saveAsTable(stage)
-        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {old}")
+        self.spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
         self.spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {old}")
 
     # -- schema contracts -------------------------------------------------
 
@@ -270,9 +348,6 @@ class TableWriter:
                     )
                     df = df.filter(ok)
         return df.select(*out_cols), evolved
-
-    def _count(self, table: str) -> int:
-        return self.spark.table(table).count()
 
 
 def drop_table(spark: SparkSession, table: str) -> None:

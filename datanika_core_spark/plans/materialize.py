@@ -67,10 +67,10 @@ class Materializer:
             compiled = compile_model(self.registry, model)
             df = self.spark.sql(compiled.sql)
             drop_table(self.spark, model.target)
+            df, obs = TableWriter._observed(df)
             df.write.format("parquet").mode("overwrite").saveAsTable(model.target)
             return MaterializeResult(
-                name, model.target, "ctas",
-                self.spark.table(model.target).count(),
+                name, model.target, "ctas", obs.get["rows"],
             )
         # incremental
         return self._run_incremental(model, full_refresh)
@@ -82,10 +82,10 @@ class Materializer:
             compiled = compile_model(self.registry, model, is_incremental_run=False)
             df = self.spark.sql(compiled.sql)
             drop_table(self.spark, model.target)
+            df, obs = TableWriter._observed(df)
             df.write.format("parquet").mode("overwrite").saveAsTable(model.target)
             return MaterializeResult(
-                model.name, model.target, "ctas",
-                self.spark.table(model.target).count(),
+                model.name, model.target, "ctas", obs.get["rows"],
             )
 
         compiled = compile_model(self.registry, model, is_incremental_run=True)
@@ -100,52 +100,79 @@ class Materializer:
         keys = (
             [cfg.unique_key] if isinstance(cfg.unique_key, str) else list(cfg.unique_key)
         )
-        # Count the batch BEFORE the swap: batch's plan reads the old
-        # target files (the is_incremental() {{ this }} subquery), which
-        # the staged swap deletes.
-        batch_rows = batch.count()
         if cfg.strategy == "merge":
-            self.writer.write(
+            res = self.writer.write(
                 batch, model.target, "merge", primary_key=keys,
                 precedence_col=cfg.updated_at,
             )
             return MaterializeResult(
-                model.name, model.target, "merge", batch_rows
+                model.name, model.target, "merge", res.rows_loaded
             )
         # delete+insert: drop ALL target rows with keys present in the
-        # batch, then insert the whole batch (dbt semantics).
+        # batch, then insert the whole batch (dbt semantics). Batch rows
+        # are observed inside the swap's one write pass (the stage write
+        # happens before the old target files are replaced, so the
+        # is_incremental() {{ this }} subquery still reads valid files).
         target = self.spark.table(model.target)
         kept = target.join(
             batch.select(*keys).distinct(), on=keys, how="left_anti"
         )
-        merged = kept.unionByName(batch.select(*target.columns))
+        observed_batch, obs = TableWriter._observed(batch.select(*target.columns))
+        merged = kept.unionByName(observed_batch)
         self.writer._swap_in(merged, model.target)
         return MaterializeResult(
-            model.name, model.target, "delete+insert", batch_rows
+            model.name, model.target, "delete+insert", obs.get["rows"]
         )
 
     def _reconcile_schema(
         self, model: Model, batch: DataFrame, mode: str
     ) -> DataFrame:
-        """on_schema_change handling (T3)."""
+        """on_schema_change handling (T3) — dbt's four named modes
+        (dbt_project.py:170-175 exposes the config; semantics per
+        dbt-core's incremental materialization):
+
+        - ``ignore`` (dbt default): new batch columns are simply not
+          written; departed columns stay NULL-filled.
+        - ``fail``: any schema drift aborts the run.
+        - ``append_new_columns``: new batch columns are ADDED to the
+          target; columns that vanished from the batch are kept
+          (NULL for new rows).
+        - ``sync_all_columns``: adds new columns AND drops target
+          columns absent from the batch; batch values are cast to the
+          target's type where both have the column.
+
+        Column adds are metadata-only (ALTER TABLE ADD COLUMNS).
+        Column drops on a parquet warehouse require a staged rewrite
+        (no DROP COLUMNS without a v2/transactional catalog — on
+        Delta/Iceberg this would be a metadata-only ALTER).
+        """
         target_cols = set(self.spark.table(model.target).columns)
         batch_cols = set(batch.columns)
         new = batch_cols - target_cols
-        if not new:
-            return batch
+        departed = target_cols - batch_cols
         if mode == "fail":
-            raise SchemaContractViolation(
-                f"model {model.name}: new columns {sorted(new)} with"
-                " on_schema_change=fail"
-            )
+            if new or departed:
+                raise SchemaContractViolation(
+                    f"model {model.name}: schema drift (new {sorted(new)},"
+                    f" departed {sorted(departed)}) with on_schema_change=fail"
+                )
+            return batch
         if mode == "ignore":
-            return batch.drop(*new)
-        if mode in ("append_new_columns", "sync_all_columns"):
-            # evolve the target via the writer's contract machinery
-            _, _ = batch, self.writer
-            contract = SchemaContract(columns="evolve")
-            df2, _ = self.writer._apply_column_contract(
-                batch, model.target, contract
+            return batch.drop(*new) if new else batch
+        if mode not in ("append_new_columns", "sync_all_columns"):
+            raise ValidationError(f"unknown on_schema_change {mode!r}")
+        if mode == "sync_all_columns" and departed:
+            survivors = [
+                c for c in self.spark.table(model.target).columns
+                if c not in departed
+            ]
+            self.writer._swap_in(
+                self.spark.table(model.target).select(*survivors),
+                model.target,
             )
-            return df2
-        raise ValidationError(f"unknown on_schema_change {mode!r}")
+        # evolve-add any new columns, then align order/types/NULL-fill
+        # vs the (possibly just-narrowed) target schema
+        df2, _ = self.writer._apply_column_contract(
+            batch, model.target, SchemaContract(columns="evolve")
+        )
+        return df2

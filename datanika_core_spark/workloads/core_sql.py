@@ -406,7 +406,7 @@ def window_topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        orders.withColumn("rn", F.row_number().over(w))
+        orders.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
         .orderBy("o_orderpriority", "rn")
@@ -544,7 +544,7 @@ def subquery_parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
 SELECT event_type,
        count(*) AS n,
-       round(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(ts AS DATE)) AS first_day,
        max(upper(substr(event_type, 1, 3))) AS tag
 FROM events
@@ -559,9 +559,9 @@ def scalar_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.get_json_object("props", "$.k").cast("bigint")), 2
-            ).alias("sum_k"),
+            F.sum(F.get_json_object("props", "$.k").cast("bigint"))
+            .cast("bigint")
+            .alias("sum_k"),
             F.min(F.col("ts").cast("date")).alias("first_day"),
             F.max(F.upper(F.substring("event_type", 1, 3))).alias("tag"),
         )

@@ -29,7 +29,7 @@ _GAP_MIN = 30
     headline=True,
     oracle=f"""
 WITH ordered AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR ts > lag(ts) OVER w + INTERVAL {_GAP_MIN} MINUTE
               THEN 1 ELSE 0 END AS new_session
@@ -38,14 +38,15 @@ WITH ordered AS (
 ),
 sess AS (
   SELECT user_id, ts, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) AS session_no
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_no
   FROM ordered
 )
 SELECT user_id, session_no,
        min(ts) AS session_start,
-       count(*) AS n_events,
-       date_diff('second', min(ts), max(ts)) AS duration_sec,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec,
        round(sum(value), 2) AS total_value
 FROM sess
 GROUP BY user_id, session_no
@@ -61,7 +62,7 @@ def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wcum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    wcum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     lag_ts = F.lag("ts").over(w)
@@ -73,7 +74,7 @@ def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = (
         ev.select("user_id", "ts", "value", "event_id")
         .withColumn("new_session", new_s)
-        .withColumn("session_no", F.sum("new_session").over(wcum))
+        .withColumn("session_no", F.sum("new_session").over(wcum).cast("bigint"))
     )
     dur = (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
     return (
@@ -133,13 +134,14 @@ WITH stages AS (
   GROUP BY user_id
 )
 SELECT
-  count(*) AS n_users,
-  sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS stage_view,
-  sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-           THEN 1 ELSE 0 END) AS stage_click,
-  sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+  CAST(count(*) AS BIGINT) AS n_users,
+  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS stage_view,
+  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+           THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
                 AND t_purchase > t_click
-           THEN 1 ELSE 0 END) AS stage_purchase
+           THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
 FROM stages
 """,
 )

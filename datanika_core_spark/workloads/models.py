@@ -187,6 +187,7 @@ WHERE ts > (SELECT max(ts) FROM {{ this }})
 
 @workload(
     "model_scd2_snapshot_orders",
+    headline=True,
     oracle="""
 SELECT o_orderkey, o_totalprice,
        o_orderdate AS valid_from,

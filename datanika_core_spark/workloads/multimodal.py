@@ -72,9 +72,9 @@ WITH frames AS (
   FROM documents
 )
 SELECT doc_id,
-       count(*) AS n_frames_kept,
-       sum(CASE WHEN frame_idx * 256 + 256 <= n_bytes THEN 256
-                ELSE n_bytes - frame_idx * 256 END) AS bytes_kept
+       CAST(count(*) AS BIGINT) AS n_frames_kept,
+       CAST(sum(CASE WHEN frame_idx * 256 + 256 <= n_bytes THEN 256
+                ELSE n_bytes - frame_idx * 256 END) AS BIGINT) AS bytes_kept
 FROM frames
 WHERE frame_idx % 2 = 0
 GROUP BY doc_id
@@ -94,7 +94,7 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_frames_kept"),
-            F.sum(F.length("frame")).alias("bytes_kept"),
+            F.sum(F.length("frame")).cast("bigint").alias("bytes_kept"),
         )
         .orderBy("doc_id")
     )

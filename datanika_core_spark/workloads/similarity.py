@@ -119,7 +119,7 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sim").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _KNN_K)
         .select("query_id", "neighbor_id", "rank",
                 F.round("sim", 6).alias("sim"))
@@ -208,7 +208,7 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sim").desc(), F.col("neighbor_id")
     )
     return (
-        hits.withColumn("rank", F.row_number().over(w))
+        hits.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _IVF_K)
         .select("query_id", "neighbor_id", "rank",
                 F.round("sim", 6).alias("sim"))

@@ -35,24 +35,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datanika_core_spark.workloads import t, workload
-
-# -- shared fragments (Spark side) ------------------------------------------
-
-_TOKS = r"\s+"  # token split pattern
-
-# distinct word-3-gram shingles from a `toks` array column
-_SHINGLES_EXPR = (
-    "CASE WHEN size(toks) >= 3 THEN array_distinct(transform("
-    "sequence(1, size(toks)-2),"
-    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"
-    " ELSE array() END"
+from datanika_core_spark.operators.minhash import (
+    MH_B as _MH_B,
+    MH_K as _MH_K,
+    MH_P as _MH_P,
+    MH_R as _MH_R,
+    SHINGLES_EXPR as _SHINGLES_EXPR,
+    TOKS_PATTERN as _TOKS,
+    spark_hash_expr as _spark_hash,
 )
-
-
-def _spark_hash(x: str) -> str:
-    """60-bit md5-derived hash, DuckDB-reproducible."""
-    return f"cast(conv(substring(md5({x}),1,15),16,10) as bigint)"
+from datanika_core_spark.workloads import t, workload
 
 
 def _with_toks(df: DataFrame) -> DataFrame:
@@ -155,8 +147,10 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = stop_hits * F.lit(1.0) / n_tokens
     return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"), 0)).alias("n_punct"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"), 0))
+        .cast("bigint")
+        .alias("n_punct"),
         stop_ratio.alias("stop_ratio"),
         (F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
          * F.lit(1.0) / n_tokens).alias("avg_token_len"),
@@ -230,10 +224,10 @@ _BPE_PAT = r"[a-z]+|[0-9]|[^a-z0-9\s]"
     oracle=f"""
 SELECT source,
        count(*) AS n_docs,
-       sum(len({_O_TOKS})) AS ws_tokens,
-       sum(len(regexp_extract_all(lower(trim(text)), '{_BPE_PAT}')))
-         AS bpe_tokens,
-       max(len({_O_TOKS})) AS max_doc_tokens
+       CAST(sum(len({_O_TOKS})) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(lower(trim(text)), '{_BPE_PAT}')))
+         AS BIGINT) AS bpe_tokens,
+       CAST(max(len({_O_TOKS})) AS BIGINT) AS max_doc_tokens
 FROM documents
 GROUP BY source
 ORDER BY source
@@ -250,9 +244,9 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(ws).alias("ws_tokens"),
-            F.sum(bpe).alias("bpe_tokens"),
-            F.max(ws).alias("max_doc_tokens"),
+            F.sum(ws).cast("bigint").alias("ws_tokens"),
+            F.sum(bpe).cast("bigint").alias("bpe_tokens"),
+            F.max(ws).cast("bigint").alias("max_doc_tokens"),
         )
         .orderBy("source")
     )
@@ -384,7 +378,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     below the quadratic cross product; MinHash+LSH below is the
     100 TB path."""
     corpus = _with_toks(_corpus_neardup(spark, sf_dir))
-    sh = corpus.withColumn("shingles", F.expr(_SHINGLES_EXPR))
+    # The shingled table feeds FOUR plan branches (both sides of the
+    # inverted-index self-join + both size lookups); cache it so the
+    # tokenize/shingle pass runs once, not four times.
+    sh = corpus.withColumn("shingles", F.expr(_SHINGLES_EXPR)).select(
+        "doc_id", "shingles"
+    ).cache()
     ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
     sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -409,17 +408,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# MinHash + LSH banding near-dup (the scale path).
+# MinHash + LSH banding near-dup (the scale path). Constants and the
+# signature/band expressions live in operators/minhash.py, which also
+# provides the persisted-signature store (the incremental 100 TB
+# mode); this workload is the one-shot, oracle-paired twin.
 # --------------------------------------------------------------------------
-
-_MH_K = 16   # signature length
-_MH_B = 4    # bands
-_MH_R = 4    # rows per band; threshold ~ (1/B)^(1/R) ≈ 0.71
-# Universal-hash tempering: each shingle is md5-hashed ONCE, then the
-# K "permutations" derive arithmetically: ((h mod P) * (2s+1) + s)
-# mod P. P is 30-bit so products stay < 2^35 — exact in BIGINT on
-# both engines (Spark runs ANSI mode: overflow would throw, not wrap).
-_MH_P = 1_000_000_007
 
 
 @workload(
@@ -540,6 +533,7 @@ _SH_MASK = (1 << _SH_BLOCK_BITS) - 1     # 4095
 
 @workload(
     "dedup_simhash",
+    headline=True,
     oracle=f"""
 WITH {_O_CORPUS_NEARDUP}, {_O_SHINGLED},
 fp AS (
@@ -560,7 +554,7 @@ blocks AS (
   FROM fp CROSS JOIN (SELECT unnest(range(0, {_SH_BLOCKS})) AS j)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM blocks a JOIN blocks b
   ON a.j = b.j AND a.blk = b.blk AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SH_HAM}
@@ -595,6 +589,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ELSE cast(0 as bigint) END), cast(0 as bigint), (a, x) -> a + x)"
         ).alias("simhash"),
     )
+    # Materialization barrier: without it CollapseProject inlines the
+    # 48-bit-vote aggregate into EVERY simhash reference downstream
+    # (4 block slices + the hamming xor on both join sides), and each
+    # inlined copy re-derives the md5 hash array — a ~100× recompute
+    # observed at sf0.1. The fingerprint table is doc_id + one bigint:
+    # tiny to cache; at corpus scale persist it to a table (as
+    # operators/minhash.py does for signatures).
+    fp = fp.cache()
     blocks = fp.select(
         "doc_id", "simhash",
         F.explode(F.expr(
@@ -603,7 +605,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )).alias("bl"),
     ).select("doc_id", "simhash", "bl.j", "bl.blk")
     a, b = blocks.alias("a"), blocks.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("bigint")
     return (
         a.join(b, (F.col("a.j") == F.col("b.j"))
                & (F.col("a.blk") == F.col("b.blk"))

@@ -158,7 +158,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "supp_nation",
             "cust_nation",
-            F.year("l_shipdate").alias("l_year"),
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
@@ -225,7 +225,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
         .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
         .select(
-            F.year("o_orderdate").alias("o_year"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
             vol.alias("volume"),
             "supp_nation",
         )
@@ -249,6 +249,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload(
     "q9_product_profit",
+    headline=True,
     oracle="""
 SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
 FROM (
@@ -285,7 +286,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
-            F.year("o_orderdate").alias("o_year"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
@@ -325,10 +326,10 @@ ORDER BY part_value DESC, l_partkey
     "q12_delay_priority",
     oracle="""
 SELECT delay_bucket,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM (
   SELECT o_orderpriority,
          CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 120 THEN 'very_late'
@@ -532,6 +533,7 @@ WHERE p_brand = 'Brand#3'
 
 @workload(
     "q18_large_orders",
+    headline=True,
     oracle="""
 SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
        round(sum(l_quantity), 2) AS sum_qty

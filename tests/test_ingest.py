@@ -56,6 +56,36 @@ def test_apply_incremental_progression(spark, tmp_path):
     assert r2.df.count() == 0  # nothing new
 
 
+def test_commit_cursor_from_loaded_rows_only(spark, tmp_path):
+    """The persisted high-water mark must come from the rows actually
+    loaded (observe() during the load action), NOT from re-executing
+    the source plan at commit time — otherwise rows arriving between
+    load and commit are skipped forever (ADVICE r1, high)."""
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "id int, seq int"
+    ).write.parquet(src_dir)
+    store = CursorStateStore(str(tmp_path / "c.json"))
+    spec = IncrementalSpec(cursor_path="seq")
+    res = apply_incremental(
+        spark.read.parquet(src_dir), spec, store, "pipe", "t"
+    )
+    assert res.df.count() == 2  # the "load" action
+
+    # a late row lands in the source AFTER the load, BEFORE the commit
+    spark.createDataFrame([(3, 30)], "id int, seq int").write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    res.commit()
+    # cursor reflects only what was loaded → seq=30 is picked up next run
+    assert store.get("pipe", "t") == 20
+    res2 = apply_incremental(
+        spark.read.parquet(src_dir), spec, store, "pipe", "t"
+    )
+    assert [r.seq for r in res2.df.collect()] == [30]
+
+
 # -- flatten ----------------------------------------------------------------
 
 
@@ -130,7 +160,9 @@ def test_job_full_database_with_merge_config(spark, engine, job):
     got = {tuple(r) for r in spark.table("land_zone.users").collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}
     assert spark.table("land_zone.logs").count() == 2
-    assert res2.rows_loaded >= 2
+    # W7 accounting: source-batch rows (users2=2 merged + logs=1 appended),
+    # NOT the post-merge table total (dlt parity, dlt_runner.py:58-76).
+    assert res2.rows_loaded == 3
     engine.drop_database("land zone")
 
 

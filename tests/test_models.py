@@ -292,3 +292,96 @@ def test_runner_tests_command(spark, registry, raw_numbers):
     assert len(report.test_results) == 2
     assert report.rows_affected > 0
     spark.sql("DROP DATABASE IF EXISTS an CASCADE")
+
+
+def test_scd2_merge_into_sql_and_routing(spark, monkeypatch):
+    """SCD2 takes the transactional MERGE branch when the target is a
+    Delta/Iceberg table (statement semantics: updates close the
+    matched current version on dbt_scd_id; inserts add new versions)."""
+    from datanika_core_spark.operators.scd2 import (
+        SCD_ID, VALID_TO, SnapshotConfig, SnapshotRunner,
+    )
+    from datanika_core_spark.operators.writers import drop_table
+
+    sql = SnapshotRunner.merge_into_sql("snap.t", "stg")
+    assert f"ON t.{SCD_ID} = s.{SCD_ID} AND t.{VALID_TO} IS NULL" in sql
+    assert f"WHEN MATCHED AND s.__change = 'update' "\
+           f"THEN UPDATE SET t.{VALID_TO} = s.{VALID_TO}" in sql
+    assert "WHEN NOT MATCHED AND s.__change = 'insert' THEN INSERT *" in sql
+
+    drop_table(spark, "t_scd_route")
+    runner = SnapshotRunner(spark)
+    src1 = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00")], "id int, v string, upd string"
+    ).withColumn("upd", __import__("pyspark").sql.functions.col("upd").cast("timestamp_ntz"))
+    cfg = SnapshotConfig(unique_key="id", strategy="timestamp", updated_at="upd")
+    runner.run(src1, "t_scd_route", cfg)
+
+    called = {}
+    monkeypatch.setattr(
+        runner, "_merge_into",
+        lambda table, ins, closing: (called.setdefault("table", table), 7)[1],
+    )
+    monkeypatch.setattr(
+        runner.writer, "table_provider", lambda t: "iceberg"
+    )
+    src2 = spark.createDataFrame(
+        [(1, "b", "2024-02-01 00:00:00")], "id int, v string, upd string"
+    ).withColumn("upd", __import__("pyspark").sql.functions.col("upd").cast("timestamp_ntz"))
+    assert runner.run(src2, "t_scd_route", cfg) == 7
+    assert called["table"] == "t_scd_route"
+    drop_table(spark, "t_scd_route")
+
+
+def test_on_schema_change_named_modes(spark):
+    """dbt's four on_schema_change modes (dbt-core incremental
+    semantics): ignore drops new cols, append_new_columns evolves the
+    target, sync_all_columns also REMOVES departed target columns."""
+    import pyspark.sql.functions as F  # noqa: N812
+
+    def _mk(name, mode):
+        drop_table(spark, f"src_{name}")
+        spark.createDataFrame([(1, 5)], "id int, v int") \
+            .write.mode("overwrite").saveAsTable(f"src_{name}")
+        r = ModelRegistry()
+        r.add(Model(
+            name, f"SELECT * FROM src_{name}",
+            materialization="incremental", schema="an4",
+            incremental=IncrementalConfig(
+                unique_key="id", strategy="merge", on_schema_change=mode),
+        ))
+        runner = ModelRunner(spark, r)
+        runner.invoke("run")
+        return runner
+
+    # ignore: the new column never reaches the target
+    runner = _mk("m_ig", "ignore")
+    spark.createDataFrame([(2, 6, "x")], "id int, v int, extra string") \
+        .write.mode("overwrite").saveAsTable("src_m_ig")
+    runner.invoke("run")
+    assert spark.table("an4.m_ig").columns == ["id", "v"]
+    assert spark.table("an4.m_ig").count() == 2
+
+    # append_new_columns: target evolves; old rows NULL in new col;
+    # a column DEPARTING the batch is kept (NULL-filled)
+    runner = _mk("m_app", "append_new_columns")
+    spark.createDataFrame([(2, 6, "x")], "id int, v int, extra string") \
+        .write.mode("overwrite").saveAsTable("src_m_app")
+    runner.invoke("run")
+    got = {tuple(r) for r in spark.table("an4.m_app").collect()}
+    assert got == {(1, 5, None), (2, 6, "x")}
+    spark.createDataFrame([(3, 7)], "id int, v int") \
+        .write.mode("overwrite").saveAsTable("src_m_app")
+    runner.invoke("run")
+    assert set(spark.table("an4.m_app").columns) == {"id", "v", "extra"}
+    assert spark.table("an4.m_app").filter(F.col("id") == 3).collect()[0].extra is None
+
+    # sync_all_columns: departed column is DROPPED from the target
+    runner = _mk("m_sync", "sync_all_columns")
+    spark.createDataFrame([(2, "y")], "id int, extra string") \
+        .write.mode("overwrite").saveAsTable("src_m_sync")
+    runner.invoke("run")
+    assert set(spark.table("an4.m_sync").columns) == {"id", "extra"}
+    got = {tuple(r) for r in spark.table("an4.m_sync").collect()}
+    assert got == {(1, None), (2, "y")}
+    spark.sql("DROP DATABASE IF EXISTS an4 CASCADE")

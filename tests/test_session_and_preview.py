@@ -23,6 +23,12 @@ def test_naming():
     with pytest.raises(ValidationError):
         validate_name("bad;name")
     assert validate_identifier("model_1") == "model_1"
+    # hyphens and trailing newlines parse wrong when spliced unquoted
+    # into DDL — must be rejected (ADVICE r1)
+    with pytest.raises(ValidationError):
+        validate_identifier("my-model")
+    with pytest.raises(ValidationError):
+        validate_identifier("model_1\n")
     with pytest.raises(ValidationError):
         validate_identifier("1bad")
     with pytest.raises(ValidationError):

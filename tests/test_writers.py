@@ -42,12 +42,14 @@ def test_append_and_replace(spark, writer):
 def test_merge_upserts_on_pk(spark, writer):
     spark.sql("DROP TABLE IF EXISTS t_m")
     writer.write(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), "t_m", "append")
-    writer.write(
+    res = writer.write(
         _df(spark, [(2, "B", 20.0), (3, "c", 3.0)]),
         "t_m",
         "merge",
         primary_key="id",
     )
+    # rows_loaded = SOURCE batch rows, not the post-merge table total.
+    assert res.rows_loaded == 2
     assert _rows(spark, "t_m") == {(1, "a", 1.0), (2, "B", 20.0), (3, "c", 3.0)}
 
 
@@ -61,8 +63,10 @@ def test_merge_composite_pk_and_precedence(spark, writer):
         [(1, 1, "new1", 2), (1, 1, "new2", 3), (2, 1, "z", 1)],
         "a int, b int, s string, seq int",
     )
-    writer.write(batch, "t_mc", "merge", primary_key=["a", "b"],
-                 precedence_col="seq")
+    res = writer.write(batch, "t_mc", "merge", primary_key=["a", "b"],
+                       precedence_col="seq")
+    # rows_loaded counts the batch AFTER precedence dedup (3 rows → 2).
+    assert res.rows_loaded == 2
     assert _rows(spark, "t_mc") == {
         (1, 1, "new2", 3),
         (1, 2, "y", 1),
@@ -158,3 +162,60 @@ def test_merge_config_dispositions():
     }
     with pytest.raises(ValidationError):
         merge_config_dispositions(["a"], {"a": {}})
+
+
+# -- transactional MERGE INTO branch ----------------------------------------
+
+
+def test_merge_into_sql_text():
+    sql = TableWriter.merge_into_sql("db.orders", "src_v", ["id"])
+    assert sql == (
+        "MERGE INTO db.orders t USING src_v s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    sql2 = TableWriter.merge_into_sql("t2", "v", ["a", "b"])
+    assert "ON t.a = s.a AND t.b = s.b" in sql2
+
+
+def test_merge_routes_to_merge_into_for_transactional_provider(
+    spark, writer, monkeypatch
+):
+    """Provider detection gates the transactional branch: a
+    Delta/Iceberg target takes MERGE INTO; parquet composes the swap."""
+    spark.sql("DROP TABLE IF EXISTS t_route")
+    writer.write(_df(spark, [(1, "a", 1.0)]), "t_route", "append")
+    assert writer.table_provider("t_route") == "parquet"
+
+    calls = {}
+
+    def fake_merge_into(source, table, pk):
+        calls["args"] = (table, pk)
+        return -1
+
+    monkeypatch.setattr(writer, "_merge_into", fake_merge_into)
+    monkeypatch.setattr(writer, "table_provider", lambda t: "delta")
+    res = writer.write(
+        _df(spark, [(2, "b", 2.0)]), "t_route", "merge", primary_key="id"
+    )
+    assert calls["args"] == ("t_route", ["id"]) and res.rows_loaded == -1
+
+
+def _delta_available() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("delta") is not None
+
+
+@pytest.mark.skipif(not _delta_available(), reason="delta-spark not installed")
+def test_merge_into_live_delta(spark, writer):
+    """Same upsert assertions as test_merge_upserts_on_pk, through the
+    transactional branch (runs only where delta-spark is present)."""
+    spark.sql("DROP TABLE IF EXISTS t_md")
+    _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).write.format("delta").saveAsTable("t_md")
+    res = writer.write(
+        _df(spark, [(2, "B", 20.0), (3, "c", 3.0)]),
+        "t_md", "merge", primary_key="id",
+    )
+    assert res.rows_loaded == 2
+    assert _rows(spark, "t_md") == {(1, "a", 1.0), (2, "B", 20.0), (3, "c", 3.0)}
