@@ -37,6 +37,10 @@ DEFAULT_GLOBS: Mapping[str, str] = {
     "json": "*.json",
     "jsonl": "*.jsonl",
     "parquet": "*.parquet",
+    # engine extensions over the reference's format list: columnar
+    # ORC and Avro ship with Spark's builtin/bundled datasources.
+    "orc": "*.orc",
+    "avro": "*.avro",
     "any": "*",
 }
 
@@ -73,6 +77,12 @@ class FilesystemSource:
             return reader.json(path)
         if fmt == "parquet":
             return reader.parquet(path)
+        if fmt == "orc":
+            return reader.orc(path)
+        if fmt == "avro":
+            # bundled as an external module; raises a clear
+            # AnalysisException if the avro jar isn't on the classpath
+            return reader.format("avro").load(path)
         # "any": let Spark's datasource infer by extension is not a
         # thing — read as binaryFile for opaque ingestion (multimodal).
         return reader.format("binaryFile").load(path)

@@ -1,0 +1,225 @@
+"""Corpus-curation operators: near-dup canonicalization (connected
+components), deterministic stratified sampling, and text
+normalization — the steps that turn raw documents + near-dup pairs
+into a training corpus (beyond-reference, SURVEY.md §7 Phase 4).
+
+Scale design:
+- Connected components runs min-label propagation on the NEAR-DUP
+  PAIR set, which LSH keeps orders of magnitude smaller than the
+  corpus (pairs ≈ dup clusters, corpus ≈ everything) — each iteration
+  is one small equi-join + groupBy, and iterations are bounded by
+  cluster diameter (near-dup clusters are shallow; 2-4 rounds in
+  practice). For adversarial graphs use the alternating large/small-
+  star algorithm (Kiveris et al., "Connected Components in MapReduce
+  and Beyond", SoCC'14) — same per-round shape, O(log n) rounds.
+- Sampling is a pure per-row filter on an md5-derived hash — no
+  shuffle, deterministic across engines and reruns (re-running a 100
+  TB sample never re-reads previously sampled rows differently).
+- Normalization is regexp/char expressions only — whole-stage
+  codegen, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datanika_core_spark.workloads import t, workload
+from datanika_core_spark.workloads.text_dedup import (
+    O_MINHASH_PAIRS_CTES,
+    _O_HASH,
+    _spark_hash,
+    dedup_minhash_lsh,
+)
+
+# --------------------------------------------------------------------------
+# Connected-components canonicalization over MinHash near-dup pairs.
+# --------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected edge set
+    ``(doc_a, doc_b)`` → ``(doc_id, canonical_id)`` where
+    canonical_id is the smallest doc_id in the component.
+
+    Driver loop over METADATA only (one `changed` count per round);
+    the data path is per-round one join + one groupBy on the edge
+    set. ``localCheckpoint`` truncates lineage so the plan doesn't
+    grow with iterations.
+    """
+    sym = edges.selectExpr("doc_a AS u", "doc_b AS v").unionByName(
+        edges.selectExpr("doc_b AS u", "doc_a AS v")
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        nxt = (
+            labels.join(neigh, labels.doc_id == neigh.u, "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("nmin", "label")).alias("new_label"),
+                "label",
+            )
+        ).localCheckpoint(eager=True)
+        changed = nxt.filter(F.col("new_label") < F.col("label")).count()
+        labels = nxt.select("doc_id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("canonical_id"))
+
+
+@workload(
+    "dedup_cc_canonical",
+    oracle=f"""
+WITH RECURSIVE {O_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT doc_id, canonical_id,
+       CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+         AS component_size,
+       doc_id <> canonical_id AS is_duplicate
+FROM (
+  SELECT u AS doc_id, least(min(v), u) AS canonical_id
+  FROM reach GROUP BY u
+)
+ORDER BY doc_id
+""",
+)
+def dedup_cc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over
+    the MinHash+LSH pair set; each doc maps to the smallest doc_id of
+    its component (the canonical copy to keep). The oracle computes
+    the same closure with a recursive CTE — viable at oracle scale
+    only; the Spark loop is the distributed path."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    w = Window.partitionBy("canonical_id")
+    return (
+        cc.withColumn("component_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_duplicate", F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id", "canonical_id", "component_size", "is_duplicate")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling (per-source rates).
+# --------------------------------------------------------------------------
+
+# per-stratum keep-rate in percent, derived from the source's numeric
+# suffix: src0→10%, src1→17%, ... ((n*7) % 80 + 10) — spread across
+# strata but stable.
+_RATE_SQL_SPARK = (
+    "(cast(substring(source, 4) as int) * 7) % 80 + 10"
+)
+_RATE_SQL_DUCK = "(CAST(substr(source, 4) AS INT) * 7) % 80 + 10"
+
+
+@workload(
+    "sample_stratified_deterministic",
+    oracle=f"""
+SELECT source,
+       CAST({_RATE_SQL_DUCK} AS BIGINT) AS rate_pct,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN {_O_HASH.format(x="'smpl-' || CAST(doc_id AS VARCHAR)")} % 100
+                      < {_RATE_SQL_DUCK}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with DETERMINISTIC membership: a doc is
+    in-sample iff md5('smpl-'||doc_id) % 100 < its stratum's rate.
+    Unlike rand()-based sampleBy, membership is a pure function of
+    the row — reruns, retries and incremental extensions of a 100 TB
+    sample agree without coordination. Per-row filter: no shuffle
+    before the (tiny) per-stratum count aggregation."""
+    docs = t(spark, sf_dir, "documents")
+    rate = F.expr(_RATE_SQL_SPARK)
+    in_sample = (
+        F.expr(_spark_hash("concat('smpl-', cast(doc_id as string))")) % 100 < rate
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.first(rate).cast("bigint").alias("rate_pct"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(in_sample.cast("int")).cast("bigint").alias("n_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text normalization / cleaning.
+# --------------------------------------------------------------------------
+
+_URL_RE = r"https?://\S+"
+_CTRL_RE = "[\\x00-\\x1f]"
+
+
+@workload(
+    "text_normalize_clean",
+    oracle=f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS orig_len,
+       CAST(length(clean) AS BIGINT) AS clean_len,
+       CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS BIGINT) AS n_urls,
+       substr(clean, 1, 40) AS head
+FROM (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+              '{_URL_RE}', ' ', 'g'),
+              '{_CTRL_RE}', ' ', 'g'),
+              '\\s+', ' ', 'g')) AS clean
+  FROM documents
+)
+ORDER BY doc_id
+""",
+)
+def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization pass for training text: lowercase, scrub URLs
+    and control characters, collapse whitespace — regexp expressions
+    only (codegen, no UDF, no shuffle). Returns length deltas and a
+    40-char head as the cleaning audit."""
+    docs = t(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), _URL_RE, " "),
+                _CTRL_RE, " ",
+            ),
+            r"\s+", " ",
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("orig_len"),
+            F.length(clean).cast("bigint").alias("clean_len"),
+            F.size(F.regexp_extract_all("text", F.lit(_URL_RE), 0))
+            .cast("bigint")
+            .alias("n_urls"),
+            F.substring(clean, 1, 40).alias("head"),
+        )
+        .orderBy("doc_id")
+    )

@@ -415,11 +415,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@workload(
-    "dedup_minhash_lsh",
-    headline=True,
-    oracle=f"""
-WITH {_O_CORPUS_NEARDUP}, {_O_SHINGLED},
+# The full MinHash pairs pipeline as a reusable WITH-clause prefix;
+# dedup_minhash_lsh selects from it, and the connected-components
+# canonicalization oracle (workloads/curation.py) builds on it.
+O_MINHASH_PAIRS_CTES = f"""{_O_CORPUS_NEARDUP}, {_O_SHINGLED},
 sigs AS (
   SELECT doc_id, shingles,
          list_transform(range(0, {_MH_K}), s -> list_min(list_transform(
@@ -441,15 +440,25 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
   FROM bands a JOIN bands c
     ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
-)
-SELECT doc_a, doc_b,
-       round(inter * 1.0 / (la + lb - inter), 6) AS jaccard
-FROM (
-  SELECT doc_a, doc_b, len(list_intersect(x.shingles, y.shingles)) AS inter,
-         len(x.shingles) AS la, len(y.shingles) AS lb
-  FROM cand JOIN sigs x ON x.doc_id = doc_a JOIN sigs y ON y.doc_id = doc_b
-)
-WHERE inter * 1.0 / (la + lb - inter) >= 0.7
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         round(inter * 1.0 / (la + lb - inter), 6) AS jaccard
+  FROM (
+    SELECT doc_a, doc_b, len(list_intersect(x.shingles, y.shingles)) AS inter,
+           len(x.shingles) AS la, len(y.shingles) AS lb
+    FROM cand JOIN sigs x ON x.doc_id = doc_a JOIN sigs y ON y.doc_id = doc_b
+  )
+  WHERE inter * 1.0 / (la + lb - inter) >= 0.7
+)"""
+
+
+@workload(
+    "dedup_minhash_lsh",
+    headline=True,
+    oracle=f"""
+WITH {O_MINHASH_PAIRS_CTES}
+SELECT doc_a, doc_b, jaccard FROM pairs
 ORDER BY doc_a, doc_b
 """,
 )

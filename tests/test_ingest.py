@@ -14,6 +14,7 @@ from datanika_core_spark.operators.incremental import (
     apply_incremental,
 )
 from datanika_core_spark.sources.base import TableBatch
+from datanika_core_spark.sources.filesystem import FilesystemSource
 from datanika_core_spark.sources.jdbc import (
     JdbcSource,
     check_destination_supported,
@@ -350,3 +351,18 @@ def test_jdbc_urls_and_destinations(spark):
                      batch_size=500)
     reader = src.reader("public.users")  # assembles without a driver jar
     assert reader is not None
+
+
+def test_filesystem_source_orc_round_trip(spark, tmp_path):
+    """ORC format (engine extension): write ORC, glob-read it back
+    through FilesystemSource."""
+    d = str(tmp_path / "orcdir")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, s string"
+    ).write.orc(d)
+    src = FilesystemSource(spark, d, file_format="orc", table_name="t_orc")
+    batches = list(src.tables())
+    assert batches[0].name == "t_orc"
+    assert {tuple(r) for r in batches[0].df.select("id", "s").collect()} == {
+        (1, "a"), (2, "b")
+    }

@@ -114,3 +114,33 @@ def test_stream_ingest_append(spark, tmp_path):
     )
     assert n2 == 0
     assert spark.table("stream_ingested_events").count() == src_n
+
+
+def test_stream_sessions_full_parity_sf01(spark):
+    """Full-tuple batch/stream parity at sf0.1 (VERDICT r1 item 10):
+    the session_window() streaming twin must produce EXACTLY the
+    sessions of the events_sessionize_gap batch workload — same
+    (user_id, session_start, n_events, total_value) set — under an
+    availableNow trigger over 100k events."""
+    from datanika_core_spark.workloads.events import events_sessionize_gap
+
+    sf_dir = "/root/testdata/sf0.1"
+    sdf = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    run_available_now_to_memory(
+        session_aggregates(sdf, gap="30 minutes"),
+        "t_stream_sessions_01",
+        output_mode="complete",
+    )
+    got = {
+        (r.user_id, r.session_start.replace(tzinfo=None), r.n_events,
+         r.total_value)
+        for r in spark.table("t_stream_sessions_01").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.n_events, r.total_value)
+        for r in events_sessionize_gap(spark, sf_dir)
+        .select("user_id", "session_start", "n_events", "total_value")
+        .collect()
+    }
+    assert len(got) == len(want)
+    assert got == want
