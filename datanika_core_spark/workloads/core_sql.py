@@ -567,3 +567,83 @@ def scalar_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles (interpolated) per group.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "percentiles_event_value",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.9), 6) AS p90
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def percentiles_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per event type —
+    Spark's ``percentile`` == DuckDB's ``quantile_cont``. Exact
+    percentile is a sort-based aggregate (one shuffle on the group
+    key); at 100 TB swap in ``percentile_approx`` (t-digest sketch,
+    mergeable map-side) when ±ε error is acceptable — noted here
+    because the sketch has no bit-identical oracle."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# PIVOT: event counts by type × ISO weekday.
+# --------------------------------------------------------------------------
+
+_DOWS = list(range(1, 8))  # ISO: Mon=1 .. Sun=7
+
+
+@workload(
+    "pivot_events_weekday",
+    oracle=f"""
+SELECT event_type,
+       {", ".join(
+           f"CAST(sum(CASE WHEN isodow(ts) = {d} THEN 1 ELSE 0 END) AS BIGINT)"
+           f" AS d{d}" for d in _DOWS)}
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def pivot_events_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long → wide): counts per event type × ISO weekday via
+    Spark's relational pivot with an EXPLICIT value list — open-ended
+    pivots need a distinct-values pass first; pinning the values keeps
+    it one aggregation. Spark ``weekday()+1`` == DuckDB ``isodow``."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "dow", F.weekday("ts") + F.lit(1)
+    )
+    out = (
+        ev.groupBy("event_type")
+        .pivot("dow", _DOWS)
+        .agg(F.count(F.lit(1)))
+    )
+    cleaned = out.select(
+        "event_type",
+        *[F.coalesce(F.col(str(d)), F.lit(0)).cast("bigint").alias(f"d{d}")
+          for d in _DOWS],
+    )
+    return cleaned.orderBy("event_type")

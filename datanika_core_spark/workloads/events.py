@@ -210,3 +210,56 @@ def events_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start")
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users grouped by first-seen day, activity by week.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "events_cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         CAST(floor(date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
+                    / 7.0) AS BIGINT) AS week_no
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_day, week_no, CAST(count(*) AS BIGINT) AS n_users
+FROM activity
+GROUP BY cohort_day, week_no
+ORDER BY cohort_day, week_no
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: cohort = user's first-seen day,
+    week_no = weeks since cohort entry, cell = distinct active users.
+    Two shuffles (first-seen agg, then the retention agg); the
+    user_id join reuses the first agg's hash partitioning. At 100 TB
+    the firsts table is a maintained incremental model (first-seen
+    never changes), turning this into one scan + one broadcast-ish
+    join instead of a full recompute."""
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id", "cohort_day",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_day")) / 7.0
+            ).cast("bigint").alias("week_no"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", "week_no")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "week_no")
+    )
