@@ -1,0 +1,100 @@
+"""Warehouse maintenance: small-file compaction + table statistics.
+
+The two operational killers of a 100 TB parquet warehouse:
+
+- **Small files.** Every incremental append / streaming micro-batch
+  writes its own files; after months a table holds millions of
+  KB-sized files and scan planning (file listing + footer reads)
+  dominates query time. ``compact_table`` rewrites a table into
+  size-targeted files. On Delta/Iceberg this is OPTIMIZE /
+  rewrite_data_files; on plain parquet it is a staged rewrite through
+  the same crash-recoverable swap the writers use.
+- **Missing statistics.** Catalyst's cost-based decisions (broadcast
+  eligibility, join reordering) read catalog stats; an unanalyzed
+  table falls back to size-on-disk guesses. ``analyze_table`` wraps
+  ANALYZE TABLE ... COMPUTE STATISTICS (+ per-column stats for join
+  keys).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CompactionResult:
+    table: str
+    files_before: int
+    files_after: int
+    bytes_total: int
+
+
+def _table_files(spark: SparkSession, table: str) -> list[tuple[str, int]]:
+    """(path, size) of the table's current data files via the
+    catalog's input_file_name accounting — storage-API-free, works on
+    any Hadoop-compatible FS."""
+    rows = (
+        spark.table(table)
+        .select(F.input_file_name().alias("f"))
+        .groupBy("f")
+        .count()
+        .collect()
+    )
+    import os
+    from urllib.parse import unquote, urlparse
+
+    out = []
+    for r in rows:
+        p = unquote(urlparse(r.f).path)
+        try:
+            out.append((p, os.path.getsize(p)))
+        except OSError:
+            out.append((p, 0))
+    return out
+
+
+def compact_table(
+    spark: SparkSession,
+    table: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> CompactionResult:
+    """Rewrite ``table`` into ⌈total_bytes / target⌉ files.
+
+    Plain-parquet OPTIMIZE: one full scan + one shuffle-free
+    coalesce-style write (repartition only when file count must
+    GROW). The rewrite goes through the writers' staged swap, so a
+    crash leaves the original table intact. At Delta/Iceberg, prefer
+    the format's native OPTIMIZE (file-level, transactional,
+    can Z-ORDER); this is the fallback that works everywhere.
+    """
+    from datanika_core_spark.operators.writers import TableWriter
+
+    files = _table_files(spark, table)
+    total = sum(sz for _, sz in files)
+    n_target = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.table(table)
+    # coalesce() avoids a shuffle when shrinking file count — the
+    # dominant compaction direction; growing uses a round-robin
+    # repartition to actually split data.
+    df = df.coalesce(n_target) if n_target <= len(files) else df.repartition(n_target)
+    TableWriter(spark)._swap_in(df, table)
+    after = _table_files(spark, table)
+    return CompactionResult(table, len(files), len(after), total)
+
+
+def analyze_table(
+    spark: SparkSession, table: str, columns: list[str] | None = None
+) -> None:
+    """Refresh catalog statistics so Catalyst sizes joins correctly
+    (broadcast decisions, join reordering). Column stats (ndv,
+    min/max, null count) on join/filter keys are what the CBO
+    actually uses — pass the table's key columns."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(
+            f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}"
+        )

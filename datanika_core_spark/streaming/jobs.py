@@ -135,6 +135,56 @@ def session_aggregates(
     )
 
 
+def interval_join_clicks_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's click events within the preceding ``lookback`` — the
+    streaming twin of the batch range join
+    (operators/temporal.py::range_join over a purchase-anchored
+    window).
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions, so Spark can size the state store: a
+    click is held only until (watermark) past its own ts + lookback,
+    then evicted. Without the time bound the state would grow
+    forever — the condition IS the retention policy.
+    """
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"c_user = p_user AND "
+            f"click_ts >= purchase_ts - INTERVAL {lookback} AND "
+            f"click_ts < purchase_ts"
+        ),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id", "purchase_ts", "purchase_value",
+        "click_id", "click_ts",
+    )
+
+
 def run_available_now_to_memory(
     agg: DataFrame,
     name: str,

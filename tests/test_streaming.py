@@ -144,3 +144,47 @@ def test_stream_sessions_full_parity_sf01(spark):
     }
     assert len(got) == len(want)
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_batch):
+    """Stream-stream join parity: purchases × preceding-30-min clicks
+    per user, availableNow vs the identical batch join."""
+    from datanika_core_spark.streaming.jobs import (
+        interval_join_clicks_purchases,
+    )
+
+    sdf = read_event_stream(spark, EVENTS)
+    clicks_s = sdf.filter(F.col("event_type") == "click")
+    purchases_s = sdf.filter(F.col("event_type") == "purchase")
+    run_available_now_to_memory(
+        interval_join_clicks_purchases(clicks_s, purchases_s),
+        "t_ss_join",
+        output_mode="append",
+    )
+    got = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in spark.table("t_ss_join").collect()
+    }
+
+    c = events_batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = events_batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = {
+        (r.p_user, r.purchase_id, r.click_id)
+        for r in c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts")
+               >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("click_ts") < F.col("purchase_ts")),
+        ).collect()
+    }
+    assert len(got) > 0
+    assert got == want
