@@ -80,3 +80,43 @@ def test_frame_sampling_every_2(spark, media):
         r.frame_idx for r in frames.filter(F.col("id") == 1).collect()
     )
     assert idx == [0, 2, 4, 6, 8, 10]  # 1200 bytes -> 12 frames, every 2nd
+
+
+def test_audio_pcm_features_vs_numpy(spark):
+    """PCM16 features computed through the Arrow/mapInPandas path must
+    equal a direct numpy computation on the same bytes."""
+    import struct
+
+    import numpy as np
+
+    from datanika_core_spark.operators.multimodal import audio_pcm_features
+
+    # deterministic synthetic signals incl. an odd-length payload
+    sig_a = [0, 1000, -1000, 30000, -30000, 5, -5, 0]
+    sig_b = [100] * 50 + [-100] * 50
+    pay_a = struct.pack("<" + "h" * len(sig_a), *sig_a)
+    pay_b = struct.pack("<" + "h" * len(sig_b), *sig_b) + b"\x01"  # odd byte
+    df = spark.createDataFrame(
+        [(1, bytearray(pay_a)), (2, bytearray(pay_b)), (3, bytearray(b""))],
+        "media_id int, content binary",
+    )
+    got = {
+        r.media_id: (r.n_samples, round(r.rms, 6), r.peak, r.zero_crossings)
+        for r in audio_pcm_features(df).collect()
+    }
+
+    def expect(sig):
+        arr = np.array(sig, dtype=np.int64)
+        if not len(arr):
+            return (0, 0.0, 0, 0)
+        nz = np.sign(arr)[np.sign(arr) != 0]
+        return (
+            len(arr),
+            round(float(np.sqrt(np.mean(arr.astype("f8") ** 2))), 6),
+            int(np.max(np.abs(arr))),
+            int(np.count_nonzero(np.diff(nz) != 0)),
+        )
+
+    assert got[1] == expect(sig_a)
+    assert got[2] == expect(sig_b)  # trailing odd byte dropped
+    assert got[3] == (0, 0.0, 0, 0)

@@ -219,3 +219,22 @@ def test_merge_into_live_delta(spark, writer):
     )
     assert res.rows_loaded == 2
     assert _rows(spark, "t_md") == {(1, "a", 1.0), (2, "B", 20.0), (3, "c", 3.0)}
+
+
+def test_empty_batch_dispositions(spark, writer):
+    """Empty source batches: writes succeed, rows_loaded == 0, target
+    data unchanged — the observe()-based accounting must complete
+    (not hang) on zero-row plans."""
+    spark.sql("DROP TABLE IF EXISTS t_empty")
+    writer.write(_df(spark, [(1, "a", 1.0)]), "t_empty", "append")
+    empty = _df(spark, [(1, "a", 1.0)]).filter("id < 0")
+
+    res_a = writer.write(empty, "t_empty", "append")
+    assert res_a.rows_loaded == 0
+    res_m = writer.write(empty, "t_empty", "merge", primary_key="id")
+    assert res_m.rows_loaded == 0
+    assert _rows(spark, "t_empty") == {(1, "a", 1.0)}
+
+    res_r = writer.write(empty, "t_empty", "replace")
+    assert res_r.rows_loaded == 0
+    assert spark.table("t_empty").count() == 0
