@@ -65,6 +65,7 @@ def load_all() -> dict[str, Workload]:
     """Import every workload module, populating REGISTRY."""
     from datanika_core_spark.workloads import (  # noqa: F401
         core_sql,
+        corpus_quality,
         curation,
         elt,
         events,

@@ -1,0 +1,389 @@
+"""Corpus-quality operators for training-data curation: Gopher-style
+repetition filters, a staged filter funnel, temperature-scaled source
+mixture weights, and deterministic PII redaction (beyond-reference,
+SURVEY.md §7 Phase 4 — modeled on the published Gopher/C4 curation
+rules: Rae et al. 2021 §A1.1, Raffel et al. 2020 §2.2).
+
+Scale design:
+- Repetition metrics: the only shuffle is the per-(doc, token)
+  count for the top-token fraction — two keyed aggregations on
+  doc_id, both map-side-combinable; bigram dedup ratios are pure
+  higher-order array expressions (no shuffle, no UDF).
+- The filter funnel is ONE pass over the corpus: every stage is a
+  conditional aggregate on the same scan, so adding stages costs
+  zero extra I/O (vs. the naive one-count-per-stage loop that
+  re-reads 100 TB per stage).
+- Mixture weights aggregate to |sources|×|langs| rows — the global
+  normalization window runs on that tiny aggregate, not the corpus.
+- PII redaction is regexp_replace/regexp_count only — stays in
+  whole-stage codegen. The corpus has no real PII, so deterministic
+  fake emails/phones are injected (doc_id-derived, identically on
+  the oracle side) to prove the redaction actually fires; the
+  `residual_*` columns assert the redacted text has zero matches
+  left, and a bit_xor fingerprint of the redacted text proves both
+  engines produced byte-identical output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datanika_core_spark.workloads import t, workload
+from datanika_core_spark.workloads.text_dedup import (
+    _O_HASH,
+    _O_TOKS,
+    _norm_docs,
+    _spark_hash,
+    _with_toks,
+)
+
+# --------------------------------------------------------------------------
+# Shared fragments.
+# --------------------------------------------------------------------------
+
+# Bigram arrays (1-based element_at on both engines).
+_BIGRAMS_SPARK = (
+    "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks)-1),"
+    " i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"
+    " ELSE array() END"
+)
+_BIGRAMS_DUCK = (
+    "CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),"
+    " i -> toks[i] || ' ' || toks[i+1]) ELSE [] END"
+)
+
+# dup-bigram fraction: 1 - distinct/total (0 for degenerate docs).
+# NB: SQL-literal 1.0 is DECIMAL in Spark — decimal division rounds
+# differently from DuckDB's double at threshold boundaries, so force
+# double arithmetic explicitly.
+_DBF_SPARK = (
+    "CASE WHEN size(bigrams) = 0 THEN CAST(0.0 AS DOUBLE) ELSE"
+    " CAST(1.0 AS DOUBLE)"
+    " - CAST(size(array_distinct(bigrams)) AS DOUBLE) / size(bigrams) END"
+)
+_DBF_DUCK = (
+    "CASE WHEN len(bigrams) = 0 THEN 0.0 ELSE"
+    " 1.0 - len(list_distinct(bigrams)) * 1.0 / len(bigrams) END"
+)
+
+_STOPWORDS_IN = "'the', 'a', 'and', 'of', 'to', 'is'"
+
+# Gopher-ish thresholds, calibrated so the synthetic corpus splits
+# non-trivially (top-token frac spans 0.05-0.30, dup-bigram 0-0.13).
+_TTF_MAX = 0.12
+_DBF_MAX = 0.05
+_STOP_MIN = 0.02
+_MIN_TOKENS = 30
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition filter: top-token fraction + duplicate-bigram
+# fraction per document.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "corpus_gopher_repetition",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {_O_TOKS} AS toks FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+topc AS (
+  SELECT doc_id, max(c) AS top_cnt
+  FROM (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+  GROUP BY 1
+),
+bg AS (SELECT doc_id, {_BIGRAMS_DUCK} AS bigrams FROM d)
+SELECT d.doc_id,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       round(top_cnt * 1.0 / len(d.toks), 6) AS top_tok_frac,
+       round({_DBF_DUCK}, 6) AS dup_bigram_frac,
+       (top_cnt * 1.0 / len(d.toks) <= {_TTF_MAX}
+        AND {_DBF_DUCK} <= {_DBF_MAX}) AS keep
+FROM d JOIN topc USING (doc_id) JOIN bg USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def corpus_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition profile (Gopher A1.1-style): fraction
+    of tokens taken by the single most frequent token, and fraction
+    of duplicated bigrams; `keep` applies both thresholds.
+
+    The top-token count uses explode + two keyed aggregations (both
+    partial-aggregated map-side); bigram stats are array expressions
+    with no shuffle at all."""
+    d = _with_toks(_norm_docs(spark, sf_dir)).select("doc_id", "toks")
+    topc = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    bg = d.withColumn("bigrams", F.expr(_BIGRAMS_SPARK))
+    dbf = F.expr(_DBF_SPARK)
+    ttf = F.col("top_cnt") * F.lit(1.0) / F.size("toks")
+    return (
+        bg.join(topc, "doc_id")
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            F.round(ttf, 6).alias("top_tok_frac"),
+            F.round(dbf, 6).alias("dup_bigram_frac"),
+            ((ttf <= _TTF_MAX) & (dbf <= _DBF_MAX)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Filter funnel: staged survivor counts in ONE corpus pass.
+# --------------------------------------------------------------------------
+
+_FUNNEL_STAGES = [
+    ("total", "true"),
+    ("lang_en", "lang = 'en'"),
+    ("len_ok", f"size(toks) >= {_MIN_TOKENS}"),
+    ("repetition_ok", f"({_DBF_SPARK.replace('bigrams', 'bg')}) <= {_DBF_MAX}"),
+    ("stopword_ok", f"stop_ratio >= {_STOP_MIN}"),
+]
+
+_FUNNEL_STAGES_DUCK = [
+    ("total", "true"),
+    ("lang_en", "lang = 'en'"),
+    ("len_ok", f"len(toks) >= {_MIN_TOKENS}"),
+    ("repetition_ok", f"({_DBF_DUCK.replace('bigrams', 'bg')}) <= {_DBF_MAX}"),
+    ("stopword_ok", f"stop_ratio >= {_STOP_MIN}"),
+]
+
+
+def _funnel_oracle() -> str:
+    # cumulative-AND survivor count per stage, all from one agg row
+    conds, selects = [], []
+    for i, (name, cond) in enumerate(_FUNNEL_STAGES_DUCK):
+        conds.append(cond)
+        selects.append(
+            f"SELECT {i} AS stage_no, '{name}' AS stage,"
+            f" CAST(count_if({' AND '.join(conds)}) AS BIGINT) AS n FROM d"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, toks, {_BIGRAMS_DUCK} AS bg,
+         len(list_filter(toks, x -> x IN ({_STOPWORDS_IN})))
+           * 1.0 / len(toks) AS stop_ratio
+  FROM (SELECT doc_id, lang, {_O_TOKS} AS toks FROM documents)
+),
+stages AS ({union}),
+total AS (SELECT n AS tot FROM stages WHERE stage_no = 0)
+SELECT stage_no, stage, n, round(n * 1.0 / tot, 6) AS frac
+FROM stages, total
+ORDER BY stage_no
+"""
+
+
+@workload("corpus_filter_funnel", oracle=_funnel_oracle())
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor counts through a cumulative curation funnel
+    (language -> length -> repetition -> stopword-density), computed
+    as conditional aggregates over a SINGLE corpus scan — stage
+    counts at 100 TB cost one pass, not one pass per stage."""
+    d = (
+        _with_toks(_norm_docs(spark, sf_dir))
+        .select(
+            "doc_id",
+            "lang",
+            "toks",
+            F.expr(_BIGRAMS_SPARK.replace("toks", "toks")).alias("bg"),
+        )
+        .withColumn(
+            "stop_ratio",
+            F.expr(f"size(filter(toks, x -> x IN ({_STOPWORDS_IN})))")
+            * F.lit(1.0) / F.size("toks"),
+        )
+    )
+    conds: list[str] = []
+    aggs = []
+    for i, (name, cond) in enumerate(_FUNNEL_STAGES):
+        conds.append(cond)
+        aggs.append(
+            F.count_if(F.expr(" AND ".join(conds))).alias(f"s{i}")
+        )
+    row = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, '{name}', s{i}" for i, (name, _) in enumerate(_FUNNEL_STAGES)
+    )
+    n_stage = len(_FUNNEL_STAGES)
+    return (
+        row.select(
+            F.expr(
+                f"stack({n_stage}, {stack_args}) AS (stage_no, stage, n)"
+            ),
+            F.col("s0").alias("tot"),
+        )
+        .select(
+            F.col("stage_no").cast("int").alias("stage_no"),
+            "stage",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") * F.lit(1.0) / F.col("tot"), 6).alias("frac"),
+        )
+        .orderBy("stage_no")
+    )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled mixture weights per (source, lang).
+# --------------------------------------------------------------------------
+
+_MIX_TEMP = 0.7  # tokens^0.7, the multilingual-sampling convention
+
+
+@workload(
+    "corpus_mixture_weights",
+    oracle=f"""
+WITH g AS (
+  SELECT source, lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_O_TOKS})) AS BIGINT) AS tokens
+  FROM documents
+  GROUP BY source, lang
+)
+SELECT source, lang, n_docs, tokens,
+       round(power(tokens, {_MIX_TEMP})
+             / sum(power(tokens, {_MIX_TEMP})) OVER (), 6) AS weight
+FROM g
+ORDER BY source, lang
+""",
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling weights per (source, lang) bucket: token counts
+    scaled by temperature tokens^0.7 and normalized — the standard
+    up-weighting of low-resource slices when composing a training
+    mixture. The normalization window runs over the aggregate
+    (|sources|x|langs| rows), never the corpus."""
+    g = (
+        _with_toks(_norm_docs(spark, sf_dir))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.size("toks")).cast("bigint").alias("tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    p = F.pow(F.col("tokens"), F.lit(_MIX_TEMP))
+    return g.select(
+        "source", "lang", "n_docs", "tokens",
+        F.round(p / F.sum(p).over(w), 6).alias("weight"),
+    ).orderBy("source", "lang")
+
+
+# --------------------------------------------------------------------------
+# PII redaction with deterministic injection + fingerprint proof.
+# --------------------------------------------------------------------------
+
+_EMAIL_PAT = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_PAT = "\\+1-555-[0-9]{4}"
+
+
+@workload(
+    "pii_redact_injected",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id, source,
+         lower(trim(text))
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || doc_id || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS text
+  FROM documents
+),
+red AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '{_EMAIL_PAT}')) AS n_email,
+         len(regexp_extract_all(text, '{_PHONE_PAT}')) AS n_phone,
+         regexp_replace(regexp_replace(text, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                        '{_PHONE_PAT}', '<PHONE>', 'g') AS clean
+  FROM aug
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count_if(n_email > 0) AS BIGINT) AS email_docs,
+       CAST(count_if(n_phone > 0) AS BIGINT) AS phone_docs,
+       CAST(sum(n_email) AS BIGINT) AS emails_redacted,
+       CAST(sum(n_phone) AS BIGINT) AS phones_redacted,
+       CAST(sum(len(regexp_extract_all(clean, '{_EMAIL_PAT}'))
+                + len(regexp_extract_all(clean, '{_PHONE_PAT}')))
+         AS BIGINT) AS residual_matches,
+       bit_xor({_O_HASH.format(x='clean')}) AS clean_fingerprint
+FROM red
+GROUP BY source
+ORDER BY source
+""",
+)
+def pii_redact_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (emails + phone numbers) with
+    deterministically injected fakes (the synthetic corpus has no
+    real PII; both engines inject identically from doc_id).
+
+    `residual_matches` must be 0 — the redacted text contains no
+    remaining PII — and `clean_fingerprint` bit_xors a 60-bit md5 of
+    every redacted document, proving byte-identical redaction across
+    engines without shipping the text. Pure regexp expressions:
+    whole-stage codegen, zero UDFs, no shuffle beyond the final
+    per-source aggregate."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.lower(F.trim(F.col("text"))).alias("text")
+    )
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    red = aug.select(
+        "source",
+        F.regexp_count("text", F.lit(_EMAIL_PAT)).alias("n_email"),
+        F.regexp_count("text", F.lit(_PHONE_PAT)).alias("n_phone"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_PAT, "<EMAIL>"),
+            _PHONE_PAT,
+            "<PHONE>",
+        ).alias("clean"),
+    )
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_if(F.col("n_email") > 0).cast("bigint").alias("email_docs"),
+            F.count_if(F.col("n_phone") > 0).cast("bigint").alias("phone_docs"),
+            F.sum("n_email").cast("bigint").alias("emails_redacted"),
+            F.sum("n_phone").cast("bigint").alias("phones_redacted"),
+            F.sum(
+                F.regexp_count("clean", F.lit(_EMAIL_PAT))
+                + F.regexp_count("clean", F.lit(_PHONE_PAT))
+            ).cast("bigint").alias("residual_matches"),
+            F.expr(f"bit_xor({_spark_hash('clean')})").alias(
+                "clean_fingerprint"
+            ),
+        )
+        .orderBy("source")
+    )
