@@ -78,3 +78,156 @@ def streaming_dedup(
             _dedup, out_schema, state_schema, "append", timeout_conf
         )
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 stateful API): per-key token
+# quota enforcement.
+# --------------------------------------------------------------------------
+
+try:  # Spark >= 4.0 only
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    HAS_TWS = False
+
+
+def tws_runtime_available() -> bool:
+    """transformWithState's Python<->JVM state protocol is protobuf-
+    based; without google.protobuf the driver worker crashes at init.
+    Gate callers so they can fall back to applyInPandasWithState."""
+    if not HAS_TWS:
+        return False
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class TokenQuotaProcessor(StatefulProcessor):
+    """Per-key cumulative token budget: rows pass through, in
+    ``order_col`` order, until the RUNNING TOTAL of ``token_col``
+    (counting every row seen, kept or not) exceeds ``budget`` — the
+    'cap each source's contribution to the training mix' operator.
+
+    Semantics are 'truncate at overflow': a row is emitted iff the
+    cumulative token count up to and including it is <= budget. That
+    makes the operator order-deterministic AND expressible as a batch
+    window-cumsum (workloads/corpus_quality.py::corpus_token_quota is
+    the oracle-paired twin; the parity test drives both).
+
+    State is ONE bigint per key (the running total) in the state
+    store — hash-partitioned by key, constant size per key no matter
+    how many rows stream through. Uses the Spark 4 transformWithState
+    ValueState API rather than applyInPandasWithState's whole-state
+    tuple: the handle supports typed value/list/map state and timers,
+    which is the pattern to extend for per-key quota *windows* (e.g.
+    daily budgets via timers).
+    """
+
+    def __init__(self, order_col: str, token_col: str, budget: int):
+        self.order_col = order_col
+        self.token_col = token_col
+        self.budget = budget
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._used = handle.getValueState("used", "used bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values(self.order_col, kind="mergesort")
+        )
+        prev = self._used.get()[0] if self._used.exists() else 0
+        cum = prev + pdf[self.token_col].cumsum()
+        keep = pdf[cum <= self.budget].copy()
+        keep["used_after"] = cum[cum <= self.budget]
+        # every row seen advances the cursor, kept or dropped —
+        # matches the batch twin's cumsum over ALL rows
+        self._used.update((int(cum.iloc[-1]),))
+        if len(keep):
+            yield keep
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_token_quota(
+    sdf: DataFrame,
+    key: str,
+    order_col: str,
+    token_col: str,
+    budget: int,
+    output_schema: str,
+    impl: str = "auto",
+) -> DataFrame:
+    """Per-key token quota on a stream grouped by ``key``.
+
+    ``impl="transform_with_state"`` uses :class:`TokenQuotaProcessor`
+    (requires the RocksDB state store — callers set
+    ``spark.sql.streaming.stateStore.providerClass`` — and a Python
+    runtime with google.protobuf). ``impl="apply_in_pandas"`` uses an
+    applyInPandasWithState twin with IDENTICAL semantics.
+    ``impl="auto"`` picks transformWithState when its runtime is
+    available. Both keep one bigint of state per key."""
+    if impl == "auto":
+        impl = (
+            "transform_with_state"
+            if tws_runtime_available()
+            else "apply_in_pandas"
+        )
+    if impl == "transform_with_state":
+        return sdf.groupBy(key).transformWithStateInPandas(
+            statefulProcessor=TokenQuotaProcessor(
+                order_col, token_col, budget
+            ),
+            outputStructType=output_schema,
+            outputMode="Append",
+            timeMode="None",
+        )
+    if impl != "apply_in_pandas":
+        raise ValueError(f"unknown impl {impl!r}")
+
+    out_schema = StructType.fromDDL(output_schema)
+    state_schema = StructType.fromDDL("used bigint")
+
+    def _quota(
+        key_tuple: Any,
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            order_col, kind="mergesort"
+        )
+        prev = state.get[0] if state.exists else 0
+        cum = prev + pdf[token_col].cumsum()
+        keep = pdf[cum <= budget].copy()
+        keep["used_after"] = cum[cum <= budget]
+        state.update((int(cum.iloc[-1]),))
+        if len(keep):
+            yield keep[[f.name for f in out_schema.fields]]
+
+    return sdf.groupBy(key).applyInPandasWithState(
+        _quota,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

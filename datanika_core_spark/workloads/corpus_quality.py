@@ -280,6 +280,59 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Per-source token quota (batch twin of streaming_token_quota).
+# --------------------------------------------------------------------------
+
+_QUOTA_BUDGET = 800
+
+
+@workload(
+    "corpus_token_quota",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len({_O_TOKS}) AS BIGINT) AS tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, tokens,
+         CAST(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id)
+           AS BIGINT) AS used_after
+  FROM d
+)
+SELECT doc_id, source, tokens, used_after
+FROM c WHERE used_after <= {_QUOTA_BUDGET}
+ORDER BY source, doc_id
+""",
+)
+def corpus_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each source's contribution to the corpus at a token
+    budget: keep a document iff the running per-source token total
+    (in doc_id order, counting every doc) stays within budget —
+    'truncate at overflow' semantics, identical to the streaming
+    operator streaming/stateful.py::TokenQuotaProcessor (the parity
+    test drives both). One window shuffle on source."""
+    return _batch_token_quota(
+        _norm_docs(spark, sf_dir), budget=_QUOTA_BUDGET
+    )
+
+
+def _batch_token_quota(docs: DataFrame, budget: int) -> DataFrame:
+    toks = F.size(F.split("text", r"\s+"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.select(
+            "doc_id", "source", toks.cast("bigint").alias("tokens")
+        )
+        .withColumn(
+            "used_after", F.sum("tokens").over(w).cast("bigint")
+        )
+        .filter(F.col("used_after") <= budget)
+        .orderBy("source", "doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # PII redaction with deterministic injection + fingerprint proof.
 # --------------------------------------------------------------------------
 
