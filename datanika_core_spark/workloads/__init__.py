@@ -64,6 +64,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_all() -> dict[str, Workload]:
     """Import every workload module, populating REGISTRY."""
     from datanika_core_spark.workloads import (  # noqa: F401
+        contamination,
         core_sql,
         corpus_quality,
         curation,
