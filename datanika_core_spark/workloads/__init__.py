@@ -72,6 +72,7 @@ def load_all() -> dict[str, Workload]:
         events,
         models,
         multimodal,
+        pipeline,
         similarity,
         temporal,
         text_dedup,

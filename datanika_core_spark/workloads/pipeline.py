@@ -1,0 +1,261 @@
+"""Flagship end-to-end corpus-curation pipeline: every document gets
+a drop reason (or 'kept') from the staged filter chain
+
+    lang filter -> repetition -> benchmark scrub -> contamination
+    -> near-dup dedup -> per-source token quota
+
+composed from the individually-tested operators (corpus_quality,
+contamination, text_dedup) into ONE declarative plan — the "switch
+your curation pipeline to this engine" demonstration. Fully
+oracle-paired: the DuckDB SQL composes the same CTE fragments.
+
+Scale design (the whole point of composing declaratively):
+- One corpus scan feeds every stage; Catalyst shares the scan and
+  pipelines per-doc metrics (repetition, tokens) in one codegen pass.
+- The two pairwise stages (contamination, near-dup) reuse the
+  broadcast-shingle join and LSH-band join — never quadratic.
+- Stage verdicts combine as a CASE precedence chain (cheap,
+  columnar); the quota cumsum runs only over survivors, partitioned
+  by source.
+- At 100 TB each stage's intermediate (pairs, flags) is tiny
+  relative to the corpus: per-doc labels stream through one final
+  broadcast-left-join chain.
+
+The dup/mutant injection mirrors text_dedup (raw crawls contain
+dups; the synthetic corpus doesn't, so both engines inject the same
+90%-prefix mutants at doc_id+20000).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datanika_core_spark.workloads import workload
+from datanika_core_spark.workloads.contamination import (
+    _BENCH_MOD,
+    _shingle8_duck,
+    _shingle8_spark,
+)
+from datanika_core_spark.workloads.corpus_quality import (
+    _BIGRAMS_DUCK,
+    _BIGRAMS_SPARK,
+    _DBF_DUCK,
+    _DBF_SPARK,
+    _DBF_MAX,
+    _TTF_MAX,
+)
+from datanika_core_spark.workloads.text_dedup import (
+    O_MINHASH_PAIRS_CTES,
+    _O_HASH,
+    _O_TOKS,
+    _corpus_neardup,
+    _norm_docs,
+    _spark_hash,
+    dedup_minhash_lsh,
+)
+
+_QUOTA = 300  # per-source token budget over pipeline survivors
+
+
+@workload(
+    "corpus_curation_pipeline",
+    headline=True,
+    oracle=f"""
+WITH {O_MINHASH_PAIRS_CTES},
+meta AS (
+  SELECT c.doc_id,
+         d.lang, d.source,
+         len({_O_TOKS.replace('text', 'c.text')}) AS tokens
+  FROM corpus c
+  JOIN documents d
+    ON d.doc_id = CASE WHEN c.doc_id >= 20000
+                       THEN c.doc_id - 20000 ELSE c.doc_id END
+),
+rep AS (
+  SELECT doc_id,
+         top_cnt * 1.0 / n_toks AS ttf,
+         {_DBF_DUCK} AS dbf
+  FROM (
+    SELECT d.doc_id, len(d.toks) AS n_toks, {_BIGRAMS_DUCK} AS bigrams,
+           (SELECT max(c) FROM (
+              SELECT count(*) AS c FROM unnest(d.toks) AS u(tok)
+              GROUP BY tok)) AS top_cnt
+    FROM (SELECT doc_id, {_O_TOKS} AS toks FROM corpus) d
+  )
+),
+bench_sh AS (
+  SELECT DISTINCT {_O_HASH.format(x='s')} AS sh
+  FROM (
+    SELECT unnest({_shingle8_duck('toks')}) AS s
+    FROM (SELECT {_O_TOKS} AS toks FROM documents
+          WHERE doc_id % {_BENCH_MOD} = 0)
+  )
+),
+contaminated AS (
+  SELECT DISTINCT doc_id
+  FROM (
+    SELECT doc_id, {_O_HASH.format(x='s')} AS sh
+    FROM (
+      SELECT doc_id, unnest({_shingle8_duck('toks')}) AS s
+      FROM (SELECT doc_id, {_O_TOKS} AS toks FROM corpus
+            WHERE NOT (doc_id % {_BENCH_MOD} = 0 AND doc_id < 20000))
+    )
+  ) c JOIN bench_sh b USING (sh)
+),
+dup_losers AS (
+  SELECT DISTINCT doc_b AS doc_id FROM pairs
+),
+labeled AS (
+  SELECT m.doc_id, m.source, m.lang, m.tokens,
+         CASE
+           WHEN m.lang <> 'en' THEN 'lang_filter'
+           WHEN r.ttf > {_TTF_MAX} OR r.dbf > {_DBF_MAX}
+             THEN 'repetition'
+           WHEN m.doc_id % {_BENCH_MOD} = 0 AND m.doc_id < 20000
+             THEN 'benchmark_member'
+           WHEN m.doc_id IN (SELECT doc_id FROM contaminated)
+             THEN 'contaminated'
+           WHEN m.doc_id IN (SELECT doc_id FROM dup_losers)
+             THEN 'near_dup'
+           ELSE NULL
+         END AS early_drop
+  FROM meta m JOIN rep r USING (doc_id)
+),
+quota AS (
+  SELECT doc_id,
+         CAST(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id)
+           AS BIGINT) AS used_after
+  FROM labeled WHERE early_drop IS NULL
+)
+SELECT l.doc_id, l.source, l.lang,
+       CAST(l.tokens AS BIGINT) AS tokens,
+       coalesce(
+         l.early_drop,
+         CASE WHEN q.used_after > {_QUOTA} THEN 'over_quota'
+              ELSE 'kept' END
+       ) AS verdict
+FROM labeled l LEFT JOIN quota q USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label every corpus document (base + injected near-dup
+    mutants) with its curation verdict; precedence: lang_filter >
+    repetition > benchmark_member > contaminated > near_dup >
+    over_quota > kept. Mutants inherit the parent doc's lang/source.
+
+    Reuses dedup_minhash_lsh for the pair set and the
+    contamination/corpus_quality expression fragments — each stage's
+    semantics are exactly the standalone operator's."""
+    base = _norm_docs(spark, sf_dir)
+    corpus = _corpus_neardup(spark, sf_dir)  # doc_id, text (+mutants)
+
+    orig_id = F.when(
+        F.col("doc_id") >= 20000, F.col("doc_id") - 20000
+    ).otherwise(F.col("doc_id"))
+    meta = (
+        corpus.withColumn("orig_id", orig_id)
+        .join(
+            base.select(
+                F.col("doc_id").alias("orig_id"), "lang", "source"
+            ),
+            "orig_id",
+        )
+        .select(
+            "doc_id", "lang", "source", "text",
+            F.size(F.split("text", r"\s+")).alias("tokens"),
+        )
+    )
+
+    # repetition metrics (corpus_quality fragments)
+    toks_df = corpus.select(
+        "doc_id", F.split("text", r"\s+").alias("toks")
+    )
+    topc = (
+        toks_df.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    rep = (
+        toks_df.withColumn("bigrams", F.expr(_BIGRAMS_SPARK))
+        .join(topc, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("top_cnt") * F.lit(1.0) / F.size("toks")).alias("ttf"),
+            F.expr(_DBF_SPARK).alias("dbf"),
+        )
+    )
+
+    # contamination vs the benchmark members (base ids % mod == 0)
+    def shingle_hashes(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.expr(_shingle8_spark("split(text, '\\\\s+')"))
+            ).alias("s"),
+        ).select("doc_id", F.expr(_spark_hash("s")).alias("sh"))
+
+    bench_sh = (
+        shingle_hashes(base.filter(F.col("doc_id") % _BENCH_MOD == 0))
+        .select("sh")
+        .distinct()
+    )
+    is_bench = (F.col("doc_id") % _BENCH_MOD == 0) & (
+        F.col("doc_id") < 20000
+    )
+    contaminated = (
+        shingle_hashes(corpus.filter(~is_bench))
+        .join(F.broadcast(bench_sh), "sh")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contaminated", F.lit(True))
+    )
+
+    # near-dup losers from the tested LSH pipeline
+    dup_losers = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup_loser", F.lit(True))
+    )
+
+    labeled = (
+        meta.join(rep, "doc_id")
+        .join(contaminated, "doc_id", "left")
+        .join(dup_losers, "doc_id", "left")
+        .select(
+            "doc_id", "source", "lang", "tokens",
+            F.when(F.col("lang") != "en", "lang_filter")
+            .when(
+                (F.col("ttf") > _TTF_MAX) | (F.col("dbf") > _DBF_MAX),
+                "repetition",
+            )
+            .when(is_bench, "benchmark_member")
+            .when(F.col("is_contaminated"), "contaminated")
+            .when(F.col("is_dup_loser"), "near_dup")
+            .alias("early_drop"),
+        )
+    )
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    quota = (
+        labeled.filter(F.col("early_drop").isNull())
+        .withColumn("used_after", F.sum("tokens").over(w))
+        .select("doc_id", "used_after")
+    )
+    return (
+        labeled.join(quota, "doc_id", "left")
+        .select(
+            "doc_id", "source", "lang",
+            F.col("tokens").cast("bigint").alias("tokens"),
+            F.coalesce(
+                "early_drop",
+                F.when(F.col("used_after") > _QUOTA, "over_quota")
+                .otherwise("kept"),
+            ).alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
