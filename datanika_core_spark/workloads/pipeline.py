@@ -52,7 +52,8 @@ from datanika_core_spark.workloads.text_dedup import (
     _corpus_neardup,
     _norm_docs,
     _spark_hash,
-    dedup_minhash_lsh,
+    _with_toks,
+    minhash_pairs,
 )
 
 _QUOTA = 300  # per-source token budget over pipeline survivors
@@ -149,7 +150,12 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination/corpus_quality expression fragments — each stage's
     semantics are exactly the standalone operator's."""
     base = _norm_docs(spark, sf_dir)
-    corpus = _corpus_neardup(spark, sf_dir)  # doc_id, text (+mutants)
+    # One materialization of the (base + mutants) corpus feeds every
+    # stage INCLUDING the minhash pair pipeline — without it each
+    # branch re-scans parquet and re-tokenizes (4+ corpus passes; at
+    # 100 TB you'd persist this to a table, same as the signature
+    # store).
+    corpus = _with_toks(_corpus_neardup(spark, sf_dir)).cache()
 
     orig_id = F.when(
         F.col("doc_id") >= 20000, F.col("doc_id") - 20000
@@ -163,15 +169,13 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orig_id",
         )
         .select(
-            "doc_id", "lang", "source", "text",
-            F.size(F.split("text", r"\s+")).alias("tokens"),
+            "doc_id", "lang", "source",
+            F.size("toks").alias("tokens"),
         )
     )
 
     # repetition metrics (corpus_quality fragments)
-    toks_df = corpus.select(
-        "doc_id", F.split("text", r"\s+").alias("toks")
-    )
+    toks_df = corpus.select("doc_id", "toks")
     topc = (
         toks_df.select("doc_id", F.explode("toks").alias("tok"))
         .groupBy("doc_id", "tok")
@@ -193,13 +197,13 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     def shingle_hashes(df: DataFrame) -> DataFrame:
         return df.select(
             "doc_id",
-            F.explode(
-                F.expr(_shingle8_spark("split(text, '\\\\s+')"))
-            ).alias("s"),
+            F.explode(F.expr(_shingle8_spark("toks"))).alias("s"),
         ).select("doc_id", F.expr(_spark_hash("s")).alias("sh"))
 
     bench_sh = (
-        shingle_hashes(base.filter(F.col("doc_id") % _BENCH_MOD == 0))
+        shingle_hashes(
+            _with_toks(base.filter(F.col("doc_id") % _BENCH_MOD == 0))
+        )
         .select("sh")
         .distinct()
     )
@@ -214,9 +218,10 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_contaminated", F.lit(True))
     )
 
-    # near-dup losers from the tested LSH pipeline
+    # near-dup losers from the tested LSH pipeline, fed the SAME
+    # cached corpus (no re-scan/re-tokenize)
     dup_losers = (
-        dedup_minhash_lsh(spark, sf_dir)
+        minhash_pairs(corpus)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("is_dup_loser", F.lit(True))

@@ -469,7 +469,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only. This is the canonical 100 TB near-dup pipeline:
     signature cost is linear in corpus size, the only shuffle is the
     band-bucket join whose buckets stay tiny when B·R is tuned."""
-    corpus = _with_toks(_corpus_neardup(spark, sf_dir))
+    return minhash_pairs(_with_toks(_corpus_neardup(spark, sf_dir)))
+
+
+def minhash_pairs(corpus: DataFrame) -> DataFrame:
+    """The pair pipeline on an arbitrary ``(doc_id, toks)`` corpus —
+    callers that already hold (and may have cached) the corpus reuse
+    it instead of re-deriving it (workloads/pipeline.py)."""
     # Filter on the CHEAP precondition (>=3 tokens ⟺ >=1 shingle)
     # BEFORE building shingles: a filter on size(shingles) gets
     # predicate-pushed below the projection, inlining the whole
