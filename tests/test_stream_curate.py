@@ -1,0 +1,100 @@
+"""Streaming curation: cross-batch dedup against the persisted
+signature store, quality gating, idempotent accounting."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from datanika_core_spark.operators.minhash import MinHashSignatureStore
+from datanika_core_spark.session import read_table
+from datanika_core_spark.streaming.curate import stream_curate
+
+from tests.conftest import SF_SMOKE
+
+
+def _stage_files(spark, tmp_path):
+    """batch 0: docs 0..24. batch 1: docs 25..249 + exact copies of
+    docs 0..4 re-keyed to 10000+ (dups vs batch 0, found via the
+    store) + one garbage doc (fails the quality gate). batch 2: the
+    remaining docs + exact copies of docs 30..32 re-keyed to 11000+
+    (dups vs batch 1 — catches stale store reads after append)."""
+    docs = read_table(spark, f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    src = tmp_path / "arrivals"
+    b0 = docs.filter("doc_id < 25")
+    dups1 = (
+        docs.filter("doc_id < 5")
+        .withColumn("doc_id", F.col("doc_id") + 10000)
+    )
+    garbage = spark.createDataFrame(
+        [(99999, "spam spam", "en", "srcX", 9)],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    b1 = (
+        docs.filter("doc_id >= 25 AND doc_id < 250")
+        .unionByName(dups1)
+        .unionByName(garbage)
+    )
+    dups2 = (
+        docs.filter("doc_id >= 30 AND doc_id < 33")
+        .withColumn("doc_id", F.col("doc_id") + 11000)
+    )
+    b2 = docs.filter("doc_id >= 250").unionByName(dups2)
+    for i, b in enumerate((b0, b1, b2)):
+        b.coalesce(1).write.parquet(str(src / f"f{i}"))
+    # flatten: the file stream wants files in ONE dir
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    base_t = 1_700_000_000
+    for i in range(3):
+        part = next((src / f"f{i}").glob("part-*.parquet"))
+        dst = flat / f"batch{i}.parquet"
+        shutil.copy(part, dst)
+        # FileStreamSource orders batches by mtime, not name — pin
+        # strictly increasing times so arrival order is batch0..2
+        os.utime(dst, (base_t + i * 60, base_t + i * 60))
+    return str(flat), docs.count()
+
+
+def test_stream_curate_cross_batch_dedup(spark, tmp_path):
+    path, n_docs = _stage_files(spark, tmp_path)
+    store = MinHashSignatureStore(spark, "default.curate_sigs_t")
+    spark.sql("DROP TABLE IF EXISTS default.curate_sigs_t")
+    spark.sql("DROP TABLE IF EXISTS default.curate_corpus_t")
+
+    stats = stream_curate(
+        spark,
+        path,
+        corpus_table="default.curate_corpus_t",
+        store=store,
+        min_tokens=5,
+        max_dup_bigram=0.5,
+        checkpoint_dir=str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+    )
+
+    assert stats.batches == 3
+    assert stats.arrived == n_docs + 9  # 5 + 3 dups + 1 garbage
+    assert stats.dropped_quality == 1  # the 2-token spam doc
+    # every injected exact copy collides with its earlier-batch
+    # original through the signature store (the 11000+ set proves
+    # appends from batch 1 are visible in batch 2 — no stale reads);
+    # the corpus also contains NATURAL >=0.7-Jaccard near-dups,
+    # which the operator correctly rejects too (their count is data,
+    # not operator behavior)
+    injected = {10000 + i for i in range(5)} | {11030, 11031, 11032}
+    assert injected <= set(stats.rejected_ids)
+    assert stats.dropped_dup >= len(injected)
+    kept_expected = stats.arrived - stats.dropped_quality - stats.dropped_dup
+    corpus = spark.table("default.curate_corpus_t")
+    assert corpus.count() == kept_expected
+    assert stats.loaded == kept_expected
+    # store holds signatures for exactly the kept docs
+    assert spark.table("default.curate_sigs_t").count() == kept_expected
+    # no injected dup survived
+    assert corpus.filter("doc_id >= 10000").count() == 0
