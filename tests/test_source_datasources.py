@@ -1,0 +1,91 @@
+"""Spark 4 Python DataSources for Mongo (S8) and Sheets (S7) —
+executor-parallel upgrades of the driver-side sources."""
+
+import json
+
+import pytest
+
+from datanika_core_spark.sources.mongo_datasource import MongoDataSource
+from datanika_core_spark.sources.sheets_datasource import SheetsDataSource
+
+
+@pytest.fixture()
+def mongo_dump(tmp_path):
+    users = tmp_path / "users"
+    users.mkdir()
+    (users / "chunk-0.json").write_text(json.dumps([
+        {"_id": {"$oid": "65f000000000000000000001"}, "name": "ada",
+         "age": 36},
+        {"_id": {"$oid": "65f000000000000000000002"}, "name": "bob",
+         "age": 41},
+    ]))
+    (users / "chunk-1.json").write_text(json.dumps([
+        {"_id": {"$oid": "65f000000000000000000003"}, "name": "cyd",
+         "age": None, "tags": ["x"]},
+    ]))
+    events = tmp_path / "events"
+    events.mkdir()
+    (events / "chunk-0.json").write_text(json.dumps(
+        [{"_id": {"$oid": "65f0000000000000000000aa"}, "name": "e1",
+          "age": 7}]
+    ))
+    return tmp_path
+
+
+def test_mongo_datasource_chunks_and_oid(spark, mongo_dump):
+    spark.dataSource.register(MongoDataSource)
+    df = (
+        spark.read.format("mongo_ds")
+        .option("schema_ddl", "_id string, name string, age bigint")
+        .option("transport", "file")
+        .option("base_dir", str(mongo_dump))
+        .option("collections", "users,events")
+        .option("chunks_per_collection", "2")
+        .load()
+    )
+    rows = {(r._id, r.name, r.age) for r in df.collect()}
+    assert rows == {
+        ("65f000000000000000000001", "ada", 36),
+        ("65f000000000000000000002", "bob", 41),
+        ("65f000000000000000000003", "cyd", None),
+        ("65f0000000000000000000aa", "e1", 7),
+    }
+    # one partition per (collection, chunk)
+    assert df.rdd.getNumPartitions() == 4
+
+
+@pytest.fixture()
+def sheets_dump(tmp_path):
+    (tmp_path / "Q1.csv").write_text(
+        "region,revenue,active\nemea,100.5,true\namer,200.25,false\n"
+    )
+    (tmp_path / "Q2.csv").write_text(
+        "region,revenue,active\napac,50.75,true\nemea,,false\n"
+    )
+    return tmp_path
+
+
+def test_sheets_datasource_tabs_and_coercion(spark, sheets_dump):
+    spark.dataSource.register(SheetsDataSource)
+    df = (
+        spark.read.format("sheets_ds")
+        .option(
+            "schema_ddl",
+            "region string, revenue double, active boolean, _tab string",
+        )
+        .option("transport", "file")
+        .option("base_dir", str(sheets_dump))
+        .option("tabs", "Q1,Q2")
+        .load()
+    )
+    rows = {(r.region, r.revenue, r.active, r._tab) for r in df.collect()}
+    assert rows == {
+        ("emea", 100.5, True, "Q1"),
+        ("amer", 200.25, False, "Q1"),
+        ("apac", 50.75, True, "Q2"),
+        ("emea", None, False, "Q2"),
+    }
+    assert df.rdd.getNumPartitions() == 2
+    # schema columns missing from the sheet come back NULL, and the
+    # filter pushes into the scan without error
+    assert df.filter("active").count() == 2
