@@ -440,3 +440,82 @@ def pii_redact_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-weighted decile sampling (curriculum-style).
+# --------------------------------------------------------------------------
+
+_N_BINS = 10
+
+
+@workload(
+    "corpus_quality_bins",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         least(1.0, len(toks) / 100.0)
+           * (0.5 + 0.5 * (len(list_filter(toks,
+                x -> x IN ({_STOPWORDS_IN}))) * 1.0 / len(toks)))
+           AS quality
+  FROM (SELECT doc_id, {_O_TOKS} AS toks FROM documents)
+),
+binned AS (
+  SELECT doc_id, quality,
+         ntile({_N_BINS}) OVER (ORDER BY quality, doc_id) AS bin
+  FROM scored
+),
+sampled AS (
+  SELECT bin, doc_id, quality,
+         ({_O_HASH.format(x="'qbin:' || doc_id")}) % 100
+           < bin * {100 // _N_BINS} AS picked
+  FROM binned
+)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count_if(picked) AS BIGINT) AS n_sampled,
+       round(min(quality), 6) AS q_min,
+       round(max(quality), 6) AS q_max
+FROM sampled
+GROUP BY bin
+ORDER BY bin
+""",
+)
+def corpus_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-bin documents by the composite quality score, then
+    sample each bin at a rate proportional to its bin index (top
+    decile keeps ~100%, bottom ~10%) — quality-weighted sampling a la
+    curriculum/QuRating-style data selection, with the md5-hash
+    membership rule making the sample deterministic and rerun-stable
+    (same property as the stratified sampler).
+
+    ntile's ORDER BY carries a doc_id tiebreak so bin edges are
+    total-ordered — identical across engines and partitionings. The
+    global sort is one shuffle over (quality, doc_id) pairs only."""
+    docs = _with_toks(_norm_docs(spark, sf_dir))
+    n_tokens = F.size("toks")
+    stop_hits = F.expr(f"size(filter(toks, x -> x IN ({_STOPWORDS_IN})))")
+    quality = (
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        * (F.lit(0.5) + F.lit(0.5) * (stop_hits * F.lit(1.0) / n_tokens))
+    )
+    w = Window.orderBy("quality", "doc_id")
+    binned = (
+        docs.select("doc_id", quality.alias("quality"))
+        .withColumn("bin", F.ntile(_N_BINS).over(w))
+    )
+    picked = (
+        F.expr(_spark_hash("concat('qbin:', doc_id)")) % 100
+        < F.col("bin") * (100 // _N_BINS)
+    )
+    return (
+        binned.withColumn("picked", picked)
+        .groupBy(F.col("bin").cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_if(F.col("picked")).cast("bigint").alias("n_sampled"),
+            F.round(F.min("quality"), 6).alias("q_min"),
+            F.round(F.max("quality"), 6).alias("q_max"),
+        )
+        .orderBy("bin")
+    )
