@@ -52,6 +52,7 @@ def asof_join(
     right_cols: Sequence[str],
     tolerance_seconds: int | None = None,
     suffix: str = "_right",
+    prune_right: bool = False,
 ) -> DataFrame:
     """For each left row, attach the columns of the latest right row
     with the same key and ``right_ts <= left_ts`` (backward as-of).
@@ -62,9 +63,20 @@ def asof_join(
     requires ``left_ts - right_ts <= tolerance``.
 
     Single shuffle on ``on``; no data-dependent blowup.
+
+    ``prune_right=True`` first semi-joins the right side against the
+    left's distinct keys — when the left is key-selective (a filtered
+    cohort against a firehose history table) this keeps the dominant
+    right side from riding through the union shuffle at all. The
+    distinct-key set is typically tiny → broadcast semi join, and
+    with AQE it stays map-side.
     """
     on = list(on)
     right_cols = list(right_cols)
+    if prune_right:
+        right = right.join(
+            F.broadcast(left.select(*on).distinct()), on, "left_semi"
+        )
 
     payload = F.struct(
         F.col(right_ts).alias("__ts"),
