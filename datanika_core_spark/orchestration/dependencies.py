@@ -113,3 +113,35 @@ class DependencyGraph:
             ):
                 blocking.append(e)
         return GateResult(not blocking, blocking)
+
+    def gate_with_retry(
+        self,
+        ledger: RunLedger,
+        target_type: str,
+        target_id: str,
+        retries: int = 5,
+        delay_seconds: int = 60,
+        sleep=None,
+        clock=None,
+    ) -> GateResult:
+        """The reference's Celery-side polling behavior
+        (dependency_helpers.py:14-15: countdown=60, max_retries=5):
+        re-check the gate up to ``retries`` times, sleeping
+        ``delay_seconds`` between attempts, until satisfied.
+
+        ``sleep``/``clock`` are injectable so tests (and cooperative
+        schedulers) can drive virtual time; by default wall-clock
+        time.sleep. Returns the LAST GateResult — satisfied or still
+        blocked after the retry budget."""
+        import time as _time
+
+        sleep = sleep or _time.sleep
+        res = self.check_gate(ledger, target_type, target_id,
+                              clock() if clock else None)
+        for _ in range(retries):
+            if res.satisfied:
+                return res
+            sleep(delay_seconds)
+            res = self.check_gate(ledger, target_type, target_id,
+                                  clock() if clock else None)
+        return res

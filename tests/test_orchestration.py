@@ -127,6 +127,47 @@ def test_gate_ignores_metadata_only_edges():
     assert g.check_gate(led, "transformation", "t").satisfied
 
 
+def test_gate_with_retry_celery_parity():
+    """Reference polls countdown=60 max_retries=5; virtual time:
+    upstream succeeds while the downstream is sleeping between
+    attempts."""
+    led = RunLedger()
+    g = DependencyGraph()
+    g.add(Edge("upload", "u", "transformation", "t", 30, "minutes"))
+    t0 = dt.datetime(2026, 1, 1, 12, 0)
+    state = {"now": t0}
+    sleeps: list[int] = []
+
+    def sleep(s):
+        sleeps.append(s)
+        state["now"] += dt.timedelta(seconds=s)
+        if len(sleeps) == 2:  # upstream lands during the 2nd wait
+            r = led.create("upload", "u")
+            led.start(r.run_id)
+            led.complete(r.run_id)
+            led.get(r.run_id).finished_at = state["now"]
+
+    res = g.gate_with_retry(
+        led, "transformation", "t",
+        retries=5, delay_seconds=60,
+        sleep=sleep, clock=lambda: state["now"],
+    )
+    assert res.satisfied
+    assert sleeps == [60, 60]  # stopped as soon as satisfied
+
+    # never-satisfied: exhausts exactly the retry budget
+    g2 = DependencyGraph()
+    g2.add(Edge("upload", "x", "transformation", "y", 5, "minutes"))
+    sleeps2: list[int] = []
+    res2 = g2.gate_with_retry(
+        RunLedger(), "transformation", "y",
+        retries=5, delay_seconds=60,
+        sleep=lambda s: sleeps2.append(s), clock=lambda: t0,
+    )
+    assert not res2.satisfied
+    assert sleeps2 == [60] * 5
+
+
 # -- O3: cron ---------------------------------------------------------------
 
 
