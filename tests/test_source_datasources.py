@@ -89,3 +89,64 @@ def test_sheets_datasource_tabs_and_coercion(spark, sheets_dump):
     # schema columns missing from the sheet come back NULL, and the
     # filter pushes into the scan without error
     assert df.filter("active").count() == 2
+
+
+# -- http transport over a localhost server ---------------------------------
+
+
+@pytest.fixture()
+def http_server():
+    """Stdlib HTTP server serving REST-style JSON pages; exercises
+    the real urllib transport path end-to-end on localhost."""
+    import http.server
+    import json as _json
+    import threading
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            # /users?page=N
+            path, _, query = self.path.partition("?")
+            page = int(dict(
+                p.split("=") for p in query.split("&") if "=" in p
+            ).get("page", "0"))
+            pages = {
+                "/users": [
+                    [{"id": 1, "name": "ada"}, {"id": 2, "name": "bob"}],
+                    [{"id": 3, "name": "cyd"}],
+                ],
+            }
+            body = pages.get(path, [[]])
+            payload = body[page] if page < len(body) else []
+            data = _json.dumps(payload).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_rest_datasource_http_transport(spark, http_server):
+    from datanika_core_spark.sources.rest_datasource import (
+        RestApiDataSource,
+    )
+
+    spark.dataSource.register(RestApiDataSource)
+    df = (
+        spark.read.format("rest_api")
+        .option("schema_ddl", "id bigint, name string")
+        .option("transport", "http")
+        .option("base_url", http_server)
+        .option("resources", "users")
+        .load()
+    )
+    got = {(r.id, r.name) for r in df.collect()}
+    assert got == {(1, "ada"), (2, "bob"), (3, "cyd")}
