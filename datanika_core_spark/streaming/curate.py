@@ -221,3 +221,47 @@ def stream_curate(
         if spark.catalog.tableExists(t):
             spark.catalog.refreshTable(t)
     return stats
+
+
+def stream_decontaminate(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    bench_shingles: DataFrame,
+    ngram: int = 8,
+) -> DataFrame:
+    """Stream decontamination: drop arriving documents that share an
+    ``ngram``-token shingle with the static benchmark set
+    (workloads/contamination.py computes the same collision batch-
+    side; the oracle-paired batch op is the twin).
+
+    Why not a join: "doc has NO colliding shingle" is an aggregation
+    over the doc's exploded shingles, and Structured Streaming
+    forbids both stream-side anti joins and unwatermarked
+    aggregations in append mode. Instead the benchmark hash set
+    (tiny — benchmarks are MBs against a TB corpus) ships to every
+    task as a LITERAL sorted array, and the filter is one per-row
+    ``arrays_overlap`` — map-side, stateless, no watermark, exact.
+    At larger benchmark sizes swap the literal for a bloom filter
+    broadcast (same shape, probabilistic membership, then an exact
+    batch-side recheck of the flagged docs).
+    """
+    from datanika_core_spark.operators.minhash import spark_hash_expr
+    from datanika_core_spark.workloads.contamination import _shingle8_spark
+
+    if ngram != 8:  # the shared fragment is specialized to 8
+        raise ValueError("only 8-gram supported (shared oracle fragment)")
+    hashes = sorted(
+        r.sh for r in bench_shingles.select("sh").distinct().collect()
+    )
+    doc_hashes = F.expr(
+        f"transform({_shingle8_spark('toks')},"
+        f" s -> {spark_hash_expr('s')})"
+    )
+    return (
+        stream_df.withColumn(
+            "toks", F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        )
+        .withColumn("__doc_h", doc_hashes)
+        .filter(~F.arrays_overlap("__doc_h", F.lit(hashes)))
+        .drop("toks", "__doc_h")
+    )

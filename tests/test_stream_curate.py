@@ -98,3 +98,59 @@ def test_stream_curate_cross_batch_dedup(spark, tmp_path):
     assert spark.table("default.curate_sigs_t").count() == kept_expected
     # no injected dup survived
     assert corpus.filter("doc_id >= 10000").count() == 0
+
+
+def test_stream_decontaminate_matches_batch_twin(spark, tmp_path):
+    """Stream-static anti-join drops exactly the docs the batch
+    decontamination workload flags (same corpus, same bench set)."""
+    from pyspark.sql import functions as F
+
+    from datanika_core_spark.operators.minhash import spark_hash_expr
+    from datanika_core_spark.streaming.curate import stream_decontaminate
+    from datanika_core_spark.streaming.jobs import (
+        read_event_stream,
+        run_available_now_to_memory,
+    )
+    from datanika_core_spark.workloads.contamination import (
+        _shingle8_spark,
+        decontaminate_ngram_overlap,
+    )
+
+    docs_path = f"{SF_SMOKE}/documents.parquet"
+    docs = read_table(spark, docs_path)
+
+    # static side: distinct bench shingle hashes (doc_id % 40 == 0)
+    bench_sh = (
+        docs.filter("doc_id % 40 = 0")
+        .withColumn(
+            "toks", F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        )
+        .select(F.explode(F.expr(_shingle8_spark("toks"))).alias("s"))
+        .select(F.expr(spark_hash_expr("s")).alias("sh"))
+        .distinct()
+    )
+
+    sdf = read_event_stream(spark, docs_path)
+    out = stream_decontaminate(spark, sdf, bench_sh)
+    run_available_now_to_memory(
+        out.select("doc_id"), "t_decon", output_mode="append"
+    )
+    kept_stream = {r.doc_id for r in spark.table("t_decon").collect()}
+
+    # batch twin flags bench members' own shingles too; replicate the
+    # stream's semantics: a doc is dropped iff it shares a shingle
+    # with the bench set INCLUDING itself when it is a bench member
+    flagged = {
+        r.doc_id
+        for r in decontaminate_ngram_overlap(spark, SF_SMOKE).collect()
+        if r.doc_id < 20000  # workload adds injected leak docs
+    }
+    bench_members = {
+        r.doc_id for r in docs.filter("doc_id % 40 = 0").collect()
+    }
+    expect_dropped = flagged | bench_members  # self-collision drops
+    expect_kept = {
+        r.doc_id for r in docs.collect()
+    } - expect_dropped
+    assert kept_stream == expect_kept
+    assert bench_members & kept_stream == set()
