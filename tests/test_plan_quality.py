@@ -29,6 +29,13 @@ MUST_BROADCAST = {
     "q10_returned_items",
     "q18_large_orders",
     "dedup_minhash_lsh",
+    # benchmark shingle set must broadcast (never shuffle the corpus
+    # against it)
+    "decontaminate_ngram_overlap",
+    # the composite pipeline embeds the same broadcast joins
+    "corpus_curation_pipeline",
+    # right side semi-pruned via a broadcast of left keys
+    "asof_join_click_purchase",
 }
 
 
