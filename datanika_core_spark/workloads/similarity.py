@@ -453,3 +453,100 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rmse, 6).alias("rmse"),
         F.round(F.expr(_s_cos("v", "r")), 6).alias("cos_sim"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# IVF with multi-probe (nprobe=3): the recall/latency knob.
+# --------------------------------------------------------------------------
+
+_IVF_NPROBE = 3
+
+
+@workload(
+    "ann_ivf_cosine_nprobe",
+    oracle=f"""
+WITH vecs AS ({_O_VECTORS}),
+cent AS (SELECT vec_id AS cid, v AS cv FROM vecs
+         WHERE vec_id < {_IVF_NCENT}),
+assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT x.vec_id, x.v, cent.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+               ORDER BY {_o_cos('x.v', 'cent.cv')} DESC, cent.cid) AS rn
+    FROM vecs x CROSS JOIN cent
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, v AS qv, cid AS pcid FROM (
+    SELECT x.vec_id, x.v, cent.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+               ORDER BY {_o_cos('x.v', 'cent.cv')} DESC, cent.cid) AS rn
+    FROM vecs x CROSS JOIN cent
+    WHERE x.vec_id >= {_IVF_QLO} AND x.vec_id < {_IVF_QHI}
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+hits AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+         {_o_cos('q.qv', 'c.v')} AS sim
+  FROM qprobe q JOIN assigned c ON c.cid = q.pcid
+                              AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM hits
+) WHERE rank <= {_IVF_K}
+ORDER BY query_id, rank
+""",
+)
+def ann_ivf_cosine_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with multi-probe: each query searches its nprobe=3
+    closest posting lists instead of one. Same partition-pruned scan
+    shape as nprobe=1 — cost scales with nprobe/ncentroids of the
+    corpus, and recall@3 rises accordingly (the recall/latency knob
+    every IVF deployment tunes; tests/test_similarity.py measures
+    both variants against the exact baseline)."""
+    from pyspark.sql import Window
+
+    vecs = _vectors(spark, sf_dir)
+    cent = vecs.filter(F.col("vec_id") < _IVF_NCENT).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    rn = Window.partitionBy("vec_id").orderBy(
+        F.expr(_s_cos("v", "cv")).desc(), F.col("cid")
+    )
+    ranked = (
+        vecs.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(rn))
+    )
+    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "v", "cid")
+    qprobe = (
+        ranked.filter(
+            (F.col("vec_id") >= _IVF_QLO) & (F.col("vec_id") < _IVF_QHI)
+            & (F.col("rn") <= _IVF_NPROBE)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+            F.col("cid").alias("pcid"),
+        )
+    )
+    hits = (
+        F.broadcast(qprobe)
+        .join(assigned.alias("c"),
+              (F.col("c.cid") == F.col("pcid"))
+              & (F.col("c.vec_id") != F.col("query_id")))
+        .select("query_id", F.col("c.vec_id").alias("neighbor_id"),
+                F.expr(_s_cos("qv", "v")).alias("sim"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _IVF_K)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("sim", 6).alias("sim"))
+        .orderBy("query_id", "rank")
+    )
