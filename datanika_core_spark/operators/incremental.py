@@ -122,19 +122,20 @@ def apply_incremental(
         # The observation completes with the caller's load action, so
         # after a normal load obs.get returns instantly. If commit()
         # is called WITHOUT a load having run, obs.get would block
-        # forever — detect that with a bounded wait and run the
-        # extraction into a noop sink (that IS the load in that
-        # usage), which fills the observation.
-        from concurrent.futures import ThreadPoolExecutor
-        from concurrent.futures import TimeoutError as FutTimeout
-
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            fut = pool.submit(lambda: obs.get)
-            try:
-                row = fut.result(timeout=5.0)
-            except FutTimeout:
-                out.write.format("noop").mode("overwrite").save()
-                row = fut.result()
+        # forever — probe the JVM Observation non-blockingly
+        # (getRowOrEmpty never waits) and, when still empty, run the
+        # extraction into a noop sink: that IS the load in that usage.
+        # No waiter thread and no fixed timeout means a failure in the
+        # fallback write propagates to the caller instead of wedging a
+        # blocked obs.get thread, and a slow caller-side load can't
+        # race a timeout into a redundant second extraction.
+        try:
+            filled = not obs._jo.getRowOrEmpty().isEmpty()
+        except Exception:  # probe unavailable (e.g. Spark Connect)
+            filled = False
+        if not filled:
+            out.write.format("noop").mode("overwrite").save()
+        row = obs.get
         value = row["m"]
         if value is not None:
             # JSON-serializable representation; timestamps → ISO str

@@ -269,10 +269,17 @@ class TableWriter:
         stage takes its name, so at no point is the data unrecoverable —
         a crash leaves either ``table`` intact, or ``table__old`` plus
         a complete ``table__stage`` to roll forward from.
+
+        The intermediate names are cleared with :func:`drop_table`, not
+        a bare DROP TABLE IF EXISTS: a crash can leave an orphaned
+        warehouse DIRECTORY for ``table__old``/``table__stage`` with no
+        catalog entry, and DROP TABLE alone would not remove it — the
+        next swap's RENAME TO would then fail on the occupied location.
         """
         stage, old = f"{table}__stage", f"{table}__old"
+        drop_table(self.spark, stage)
         df.write.format("parquet").mode("overwrite").saveAsTable(stage)
-        self.spark.sql(f"DROP TABLE IF EXISTS {old}")
+        drop_table(self.spark, old)
         self.spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
         self.spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
         self.spark.sql(f"DROP TABLE IF EXISTS {old}")

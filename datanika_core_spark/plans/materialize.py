@@ -162,6 +162,16 @@ class Materializer:
         if mode not in ("append_new_columns", "sync_all_columns"):
             raise ValidationError(f"unknown on_schema_change {mode!r}")
         if mode == "sync_all_columns" and departed:
+            # The batch plan may read {{ this }} (the canonical
+            # is_incremental pattern), so its unexecuted plan is pinned
+            # to the target's CURRENT files — rewriting the target first
+            # would delete those files out from under it and the later
+            # batch execution dies with FileNotFoundException.
+            # Materialize the batch eagerly before touching the target.
+            # Cost is bounded: this runs only on the rare
+            # departed-column drift event, and only the incremental
+            # batch (not the table) is checkpointed.
+            batch = batch.localCheckpoint(eager=True)
             survivors = [
                 c for c in self.spark.table(model.target).columns
                 if c not in departed

@@ -60,9 +60,21 @@ def _coerce(v: Any) -> Any:
 
 
 class _ChunkPartition(InputPartition):
-    def __init__(self, collection: str, chunk: int):
+    def __init__(
+        self,
+        collection: str,
+        chunk: int,
+        skip: int | None = None,
+        limit: int | None = None,
+    ):
         self.collection = collection
         self.chunk = chunk
+        # (skip, limit) are computed ONCE on the driver in partitions()
+        # so every task works from the same snapshot of the collection
+        # size; executor-side counting would let concurrent writes give
+        # each task different boundaries (overlapping / missed ranges).
+        self.skip = skip
+        self.limit = limit
 
 
 class _MongoReader(DataSourceReader):
@@ -77,9 +89,25 @@ class _MongoReader(DataSourceReader):
             if c.strip()
         ]
         n = int(self.options.get("chunks_per_collection", "4"))
-        return [
-            _ChunkPartition(c, i) for c in cols for i in range(n)
-        ]
+        if self.options.get("transport", "pymongo") != "pymongo":
+            return [_ChunkPartition(c, i) for c in cols for i in range(n)]
+        # Driver-side: one count per collection, boundaries embedded in
+        # the partitions so all tasks agree on them.
+        import pymongo
+
+        client = pymongo.MongoClient(self.options.get("uri"))
+        db = client[self.options["database"]]
+        parts: list[_ChunkPartition] = []
+        for c in cols:
+            total = db[c].count_documents({})
+            chunk = -(-total // n) if total else 0
+            for i in range(n):
+                skip = i * chunk
+                limit = min(chunk, max(total - skip, 0))
+                if limit:
+                    parts.append(_ChunkPartition(c, i, skip, limit))
+        client.close()
+        return parts
 
     def _docs_file(self, part: _ChunkPartition):
         path = os.path.join(
@@ -95,19 +123,23 @@ class _MongoReader(DataSourceReader):
     def _docs_pymongo(self, part: _ChunkPartition):
         import pymongo  # executor-side import; gated by transport
 
+        if not part.limit:
+            return []
         client = pymongo.MongoClient(self.options.get("uri"))
         db = client[self.options["database"]]
-        n = int(self.options.get("chunks_per_collection", "4"))
-        total = db[part.collection].count_documents({})
-        chunk = -(-total // n) if total else 0
-        if not chunk:
-            return []
-        return db[part.collection].find(
-            batch_size=int(
-                self.options.get("batch_size", str(DEFAULT_BATCH_SIZE))
-            ),
-            skip=part.chunk * chunk,
-            limit=chunk,
+        # sort on _id: skip/limit has no stable-order guarantee without
+        # a sort, even on a quiescent collection — unsorted ranges can
+        # overlap or miss documents across tasks. _id is always indexed.
+        return (
+            db[part.collection]
+            .find(
+                batch_size=int(
+                    self.options.get("batch_size", str(DEFAULT_BATCH_SIZE))
+                ),
+                sort=[("_id", pymongo.ASCENDING)],
+                skip=part.skip,
+                limit=part.limit,
+            )
         )
 
     def read(self, partition: _ChunkPartition):

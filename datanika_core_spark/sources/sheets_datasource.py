@@ -62,7 +62,15 @@ def _parse(value: str | None, dtype):
         except ValueError:
             return None
     if isinstance(dtype, BooleanType):
-        return value.strip().lower() in ("true", "1", "yes")
+        # Mirror the numeric try-parse semantics: a cell outside the
+        # recognized true/false vocabulary is a bad value -> NULL, not
+        # False ('N/A' must not silently become False).
+        v = value.strip().lower()
+        if v in ("true", "1", "yes"):
+            return True
+        if v in ("false", "0", "no"):
+            return False
+        return None
     return value
 
 

@@ -385,3 +385,39 @@ def test_on_schema_change_named_modes(spark):
     got = {tuple(r) for r in spark.table("an4.m_sync").collect()}
     assert got == {(1, None), (2, "y")}
     spark.sql("DROP DATABASE IF EXISTS an4 CASCADE")
+
+
+def test_sync_all_columns_with_this_subquery(spark):
+    """Regression: a sync_all_columns run whose batch reads {{ this }}
+    (the canonical is_incremental pattern). The departed-column drop
+    rewrites the target's files; the lazy batch plan was pinned to the
+    OLD files and the second run died with FileNotFoundException,
+    leaving the target narrowed but unmerged. The batch must be
+    materialized before the target swap."""
+    drop_table(spark, "src_m_this")
+    spark.createDataFrame(
+        [(1, 5, "a")], "id int, v int, extra string"
+    ).write.mode("overwrite").saveAsTable("src_m_this")
+    r = ModelRegistry()
+    r.add(Model(
+        "m_this",
+        "SELECT * FROM src_m_this {% if is_incremental() %}"
+        "WHERE id > (SELECT coalesce(max(id), -1) FROM {{ this }})"
+        "{% endif %}",
+        materialization="incremental", schema="an5",
+        incremental=IncrementalConfig(
+            unique_key="id", strategy="merge",
+            on_schema_change="sync_all_columns"),
+    ))
+    runner = ModelRunner(spark, r)
+    runner.invoke("run")
+    # second run: 'extra' departs the source -> target must be narrowed
+    # AND the batch (which read {{ this }}) must still land
+    spark.createDataFrame([(2, 6)], "id int, v int") \
+        .write.mode("overwrite").saveAsTable("src_m_this")
+    runner.invoke("run")
+    assert set(spark.table("an5.m_this").columns) == {"id", "v"}
+    got = {tuple(r_) for r_ in spark.table("an5.m_this").collect()}
+    assert got == {(1, 5), (2, 6)}
+    drop_table(spark, "src_m_this")
+    spark.sql("DROP DATABASE IF EXISTS an5 CASCADE")

@@ -150,3 +150,87 @@ def test_rest_datasource_http_transport(spark, http_server):
     )
     got = {(r.id, r.name) for r in df.collect()}
     assert got == {(1, "ada"), (2, "bob"), (3, "cyd")}
+
+
+def test_mongo_pymongo_boundaries_computed_on_driver(monkeypatch):
+    """skip/limit ranges are derived from ONE driver-side count and
+    embedded in the partitions (executor-side counting could give each
+    task different boundaries under concurrent writes), and the cursor
+    is sorted on _id so skip/limit ranges are stable."""
+    import sys
+    import types
+
+    from datanika_core_spark.sources.mongo_datasource import _MongoReader
+    from pyspark.sql.types import StructType
+
+    find_calls = []
+
+    class _Coll:
+        def __init__(self, total):
+            self.total = total
+
+        def count_documents(self, q):
+            return self.total
+
+        def find(self, batch_size, sort, skip, limit):
+            find_calls.append((sort, skip, limit))
+            return [
+                {"_id": {"$oid": f"{i:024x}"}, "name": f"n{i}", "age": i}
+                for i in range(skip, min(skip + limit, self.total))
+            ]
+
+    class _DB:
+        def __getitem__(self, name):
+            return _Coll(10)
+
+    class _Client:
+        def __init__(self, uri=None):
+            pass
+
+        def __getitem__(self, name):
+            return _DB()
+
+        def close(self):
+            pass
+
+    fake = types.ModuleType("pymongo")
+    fake.MongoClient = _Client
+    fake.ASCENDING = 1
+    monkeypatch.setitem(sys.modules, "pymongo", fake)
+
+    reader = _MongoReader(
+        StructType.fromDDL("_id string, name string, age bigint"),
+        {
+            "collections": "users",
+            "transport": "pymongo",
+            "database": "db",
+            "chunks_per_collection": "4",
+            "schema_ddl": "_id string, name string, age bigint",
+        },
+    )
+    parts = reader.partitions()
+    # 10 docs / 4 chunks -> ceil=3: boundaries (0,3) (3,3) (6,3) (9,1),
+    # non-overlapping and covering every document exactly once
+    assert [(p.skip, p.limit) for p in parts] == [
+        (0, 3), (3, 3), (6, 3), (9, 1)
+    ]
+    rows = [r for p in parts for r in reader.read(p)]
+    assert len(rows) == 10
+    assert len({r[0] for r in rows}) == 10
+    assert all(sort == [("_id", 1)] for sort, _, _ in find_calls)
+
+
+def test_sheets_parse_bad_bool_is_null():
+    """Bad-value semantics are consistent across types: a cell outside
+    the boolean vocabulary -> NULL (like numeric parse failures), not
+    False."""
+    from pyspark.sql.types import BooleanType, LongType
+
+    from datanika_core_spark.sources.sheets_datasource import _parse
+
+    assert _parse("true", BooleanType()) is True
+    assert _parse("No", BooleanType()) is False
+    assert _parse("0", BooleanType()) is False
+    assert _parse("N/A", BooleanType()) is None
+    assert _parse("N/A", LongType()) is None
+    assert _parse("", BooleanType()) is None

@@ -238,3 +238,28 @@ def test_empty_batch_dispositions(spark, writer):
     res_r = writer.write(empty, "t_empty", "replace")
     assert res_r.rows_loaded == 0
     assert spark.table("t_empty").count() == 0
+
+
+def test_swap_in_recovers_from_orphaned_dirs(spark, writer):
+    """A crash can leave `<table>__old` / `<table>__stage` warehouse
+    DIRECTORIES with no catalog entry; the next swap must clear them
+    (DROP TABLE IF EXISTS alone does not), else RENAME TO fails on the
+    occupied location."""
+    import os
+    from urllib.parse import urlparse
+
+    spark.sql("DROP TABLE IF EXISTS t_orph")
+    writer.write(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), "t_orph", "append")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    root = wh.path or wh.netloc
+    for suffix in ("__old", "__stage"):
+        orphan = os.path.join(root, f"t_orph{suffix}")
+        os.makedirs(orphan, exist_ok=True)
+        with open(os.path.join(orphan, "junk.parquet"), "w") as fh:
+            fh.write("not parquet")
+    res = writer.write(
+        _df(spark, [(2, "B", 20.0)]), "t_orph", "merge", primary_key="id"
+    )
+    assert res.rows_loaded == 1
+    assert _rows(spark, "t_orph") == {(1, "a", 1.0), (2, "B", 20.0)}
+    spark.sql("DROP TABLE IF EXISTS t_orph")
