@@ -67,6 +67,23 @@ _DBF_DUCK = (
     " 1.0 - len(list_distinct(bigrams)) * 1.0 / len(bigrams) END"
 )
 
+# Count of the single most frequent token, computed per-row with NO
+# shuffle: sort the token array, then the longest run of equal
+# adjacent elements IS the max token count. O(n log n) per document
+# inside whole-stage codegen — replaces explode + two keyed
+# aggregations (two shuffles of every token in the corpus) + a join
+# back; at 100 TB the explode shape shuffles ~the corpus itself.
+_TOP_CNT_SPARK = """aggregate(
+  array_sort(toks),
+  named_struct('run', 0, 'best', 0, 'prev', CAST(NULL AS STRING)),
+  (acc, x) -> named_struct(
+     'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1),
+     'best', greatest(acc.best,
+                      IF(acc.prev IS NOT NULL AND x = acc.prev,
+                         acc.run + 1, 1)),
+     'prev', x),
+  acc -> acc.best)"""
+
 _STOPWORDS_IN = "'the', 'a', 'and', 'of', 'to', 'is'"
 
 # Gopher-ish thresholds, calibrated so the synthetic corpus splits
@@ -111,22 +128,17 @@ def corpus_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     of tokens taken by the single most frequent token, and fraction
     of duplicated bigrams; `keep` applies both thresholds.
 
-    The top-token count uses explode + two keyed aggregations (both
-    partial-aggregated map-side); bigram stats are array expressions
-    with no shuffle at all."""
+    The whole profile is ONE map-only pass: the top-token count is
+    the longest equal-run of the sorted token array (_TOP_CNT_SPARK)
+    and bigram stats are array expressions — no shuffle, no join,
+    no UDF."""
     d = _with_toks(_norm_docs(spark, sf_dir)).select("doc_id", "toks")
-    topc = (
-        d.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_cnt"))
-    )
-    bg = d.withColumn("bigrams", F.expr(_BIGRAMS_SPARK))
+    bg = d.withColumn("bigrams", F.expr(_BIGRAMS_SPARK)) \
+          .withColumn("top_cnt", F.expr(_TOP_CNT_SPARK))
     dbf = F.expr(_DBF_SPARK)
     ttf = F.col("top_cnt") * F.lit(1.0) / F.size("toks")
     return (
-        bg.join(topc, "doc_id")
+        bg
         .select(
             "doc_id",
             F.size("toks").cast("bigint").alias("n_tokens"),

@@ -43,6 +43,7 @@ from datanika_core_spark.workloads.corpus_quality import (
     _DBF_DUCK,
     _DBF_SPARK,
     _DBF_MAX,
+    _TOP_CNT_SPARK,
     _TTF_MAX,
 )
 from datanika_core_spark.workloads.text_dedup import (
@@ -174,18 +175,13 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # repetition metrics (corpus_quality fragments)
-    toks_df = corpus.select("doc_id", "toks")
-    topc = (
-        toks_df.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_cnt"))
-    )
+    # repetition metrics (corpus_quality fragments) — map-only: the
+    # top-token count is the longest equal-run of the sorted token
+    # array, so no explode/shuffle/join in this stage
     rep = (
-        toks_df.withColumn("bigrams", F.expr(_BIGRAMS_SPARK))
-        .join(topc, "doc_id")
+        corpus.select("doc_id", "toks")
+        .withColumn("bigrams", F.expr(_BIGRAMS_SPARK))
+        .withColumn("top_cnt", F.expr(_TOP_CNT_SPARK))
         .select(
             "doc_id",
             (F.col("top_cnt") * F.lit(1.0) / F.size("toks")).alias("ttf"),
