@@ -67,17 +67,22 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: yet covered by a prior round's run go first (round 2 checked the
 #: first 50 of the then-current order; these 26 were past the cut).
 CHECK_FIRST = [
+    # still lacking a recorded CORRECTNESS row after r01+r02
+    "q14_promo_effect", "q15_top_supplier", "q16_part_supplier_counts",
+    "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_revenue",
+    "q20_excess_stock_suppliers", "q21_sole_late_suppliers",
+    "q22_idle_customers", "knn_cosine_topk_vectorized",
+    "ann_ivf_cosine_nprobe", "embedding_quantize_int8",
+    # new in round 4
+    "pack_sequences_concat_chunk", "doc_chunk_sliding", "bm25_topk_docs",
+    "kmeans_lloyd_embeddings",
+    # round-3 additions whose r03 rows may not have landed
     "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q11_important_parts",
-    "q12_delay_priority", "q13_customer_distribution", "q14_promo_effect",
-    "q15_top_supplier", "q16_part_supplier_counts", "q17_small_qty_revenue",
-    "q18_large_orders", "q19_disjunctive_revenue",
-    "q20_excess_stock_suppliers", "q21_sole_late_suppliers",
-    "q22_idle_customers", "asof_join_click_purchase",
-    "asof_join_tolerance_session", "range_join_purchase_context",
-    "knn_cosine_topk", "knn_cosine_topk_vectorized", "ann_ivf_cosine",
-    "ann_ivf_cosine_nprobe", "embedding_near_dup_srp",
-    "embedding_quantize_int8",
+    "q12_delay_priority", "q13_customer_distribution",
+    "asof_join_click_purchase", "asof_join_tolerance_session",
+    "range_join_purchase_context", "knn_cosine_topk", "ann_ivf_cosine",
+    "embedding_near_dup_srp",
 ]
 
 
@@ -92,7 +97,9 @@ def load_all() -> dict[str, Workload]:
         events,
         models,
         multimodal,
+        packing,
         pipeline,
+        retrieval,
         similarity,
         temporal,
         text_dedup,

@@ -1,0 +1,116 @@
+"""Lexical retrieval scoring over the `documents` table — BM25
+top-k, the classic retrieval-based curation/filter primitive for
+training-data pipelines (beyond-reference, SURVEY.md §7 Phase 4).
+
+Shape at 100 TB: term frequencies are per-row array folds (map-only,
+inside the scan stage); the corpus statistics (N, avgdl, per-term
+document frequencies) reduce to ONE tiny row that is broadcast back,
+and the final top-k is `orderBy().limit()` → Spark's TakeOrdered —
+a per-partition heap + driver merge, never a global sort shuffle.
+So the whole query is: scan → 1-row aggregate → scan again with the
+broadcast row → heap top-k. Two scans, zero wide shuffles.
+
+Determinism: tf/df/N/dl are exact integers; avgdl, idf and the BM25
+ratio are evaluated with the identical operation order on both
+engines, so scores agree bit-for-bit before the 6-dp output rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datanika_core_spark.operators.minhash import TOKS_PATTERN as _TOKS
+from datanika_core_spark.workloads import t, workload
+
+_O_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+_BM25_TERMS = ("spark", "vector", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 15
+
+
+def _score_sql(tf: str, df_: str) -> str:
+    """One term's BM25 contribution; identical text evaluates on both
+    engines (ln/least/greatest are common), so op order matches."""
+    idf = f"ln(1.0 + (nn - {df_} + 0.5) / ({df_} + 0.5))"
+    return (
+        f"{idf} * ({tf} * ({_BM25_K1} + 1.0)) / "
+        f"({tf} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+    )
+
+
+_SCORE_EXPR = " + ".join(
+    _score_sql(f"tf_{i}", f"df_{i}") for i in range(len(_BM25_TERMS))
+)
+
+
+@workload(
+    "bm25_topk_docs",
+    headline=True,
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_O_TOKS} AS toks,
+         CAST(len({_O_TOKS}) AS BIGINT) AS dl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, dl,
+         {", ".join(
+             f"CAST(len(list_filter(toks, x -> x = '{w}')) AS BIGINT)"
+             f" AS tf_{i}"
+             for i, w in enumerate(_BM25_TERMS))}
+  FROM tok
+),
+stats AS (
+  SELECT count(*) AS nn, sum(dl) * 1.0 / count(*) AS avgdl,
+         {", ".join(
+             f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+             f" AS df_{i}"
+             for i in range(len(_BM25_TERMS)))}
+  FROM tf
+)
+SELECT doc_id, round({_SCORE_EXPR}, 6) AS bm25
+FROM tf CROSS JOIN stats
+WHERE {" + ".join(f"tf_{i}" for i in range(len(_BM25_TERMS)))} > 0
+ORDER BY {_SCORE_EXPR} DESC, doc_id
+LIMIT {_BM25_TOPK}
+""",
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25(k1=1.2, b=0.75) of a 3-term query against every document;
+    top-15. Term frequency = per-row array fold; corpus stats = one
+    broadcast row; top-k = TakeOrdered (no global sort)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), _TOKS).alias("toks")
+    )
+    tf = docs.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        *[
+            F.expr(f"size(filter(toks, x -> x = '{w}'))")
+            .cast("bigint")
+            .alias(f"tf_{i}")
+            for i, w in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("nn"),
+        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    scored = tf.join(F.broadcast(stats)).filter(
+        sum(F.col(f"tf_{i}") for i in range(len(_BM25_TERMS))) > 0
+    )
+    return (
+        scored.select("doc_id", F.expr(_SCORE_EXPR).alias("_s"))
+        .orderBy(F.col("_s").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+        .select("doc_id", F.round("_s", 6).alias("bm25"))
+    )

@@ -550,3 +550,130 @@ def ann_ivf_cosine_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("sim", 6).alias("sim"))
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# K-means (Lloyd) training on the embedding corpus — how the IVF
+# coarse quantizer's centroids get LEARNED (the workloads above take
+# centroids as given). Two unrolled Lloyd iterations, deterministic
+# seed (the first k vectors), centroids rounded to 6 dp after every
+# recompute so cross-engine summation-order drift cannot leak into
+# the next assignment's argmin.
+# --------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ROUND = 6
+
+_S_SQD = ("aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+          "cast(0 as double), (acc, v) -> acc + v)")
+_O_SQD = ("list_sum(list_transform(range(1, {n} + 1), "
+          "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+
+
+def _km_assign(vecs: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+    """Map-only assignment: centroids enter the plan as literal
+    arrays (the broadcast-variable pattern, but expression-level), a
+    per-row fold computes each distance, argmin breaks ties by
+    centroid id. Returns (vec_id, v, cid, dist)."""
+    dist_cols = F.array(*[
+        F.struct(
+            F.expr(_S_SQD.format(
+                a="v",
+                b=f"array({', '.join(repr(x) + 'd' for x in cvec)})",
+            )).alias("dist"),
+            F.lit(cid).cast("bigint").alias("cid"),
+        )
+        for cid, cvec in sorted(cents.items())
+    ])
+    best = F.array_min(dist_cols)
+    return vecs.select(
+        "vec_id", "v",
+        best["cid"].alias("cid"), best["dist"].alias("dist"),
+    )
+
+
+def _km_recompute(assigned: DataFrame) -> dict[int, list[float]]:
+    """New centroids = per-cluster per-dimension mean, rounded. The
+    collect is k×dim scalars — driver-side by design, exactly like
+    MLlib's KMeans (centroids are broadcast state, the data never
+    leaves the executors)."""
+    rows = (
+        assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg("x"), _KM_ROUND).alias("m"))
+        .collect()
+    )
+    cents: dict[int, dict[int, float]] = {}
+    for r in rows:
+        cents.setdefault(r.cid, {})[r.pos] = r.m
+    return {
+        cid: [by_pos[i] for i in range(len(by_pos))]
+        for cid, by_pos in cents.items()
+    }
+
+
+def _o_km_assign(vec_src: str, cent_src: str) -> str:
+    """One Lloyd assignment as a DuckDB CTE body (argmin via
+    min_by over (dist, cid) — same tiebreak as the Spark side)."""
+    d = _O_SQD.format(a="e.v", b="c.cvec", n=_DIM)
+    return f"""
+  SELECT vec_id, v, cid, dist FROM (
+    SELECT e.vec_id, e.v, c.cid, {d} AS dist,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d}, c.cid) AS rn
+    FROM {vec_src} e CROSS JOIN {cent_src} c
+  ) WHERE rn = 1
+"""
+
+
+_O_KM_RECOMPUTE = """
+  SELECT cid, list(m ORDER BY pos) AS cvec FROM (
+    SELECT cid, pos, round(avg(x), {rnd}) AS m
+    FROM (SELECT cid, unnest(v) AS x,
+                 generate_subscripts(v, 1) AS pos FROM {src})
+    GROUP BY cid, pos
+  ) GROUP BY cid
+"""
+
+
+@workload(
+    "kmeans_lloyd_embeddings",
+    headline=True,
+    oracle=f"""
+WITH vecs AS ({_O_VECTORS}),
+c0 AS (SELECT vec_id AS cid, v AS cvec FROM vecs WHERE vec_id < {_KM_K}),
+a1 AS ({_o_km_assign('vecs', 'c0')}),
+c1 AS ({_O_KM_RECOMPUTE.format(src='a1', rnd=_KM_ROUND)}),
+a2 AS ({_o_km_assign('vecs', 'c1')}),
+c2 AS ({_O_KM_RECOMPUTE.format(src='a2', rnd=_KM_ROUND)}),
+a3 AS ({_o_km_assign('vecs', 'c2')})
+SELECT cid AS cluster_id, count(*) AS n_vecs,
+       round(avg(dist), 4) AS mean_sq_dist
+FROM a3 GROUP BY cid ORDER BY cluster_id
+""",
+)
+def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means, 2 iterations, k=8, seeded with the first k
+    vectors. Each iteration is: map-only assignment against broadcast
+    (literal) centroids + one k×dim-sized aggregate — the canonical
+    Spark iterative-ML shape where per-iteration driver state is tiny
+    and the corpus is only ever scanned, never shuffled. Reports
+    cluster sizes and mean within-cluster squared distance under the
+    final centroids."""
+    vecs = _vectors(spark, sf_dir)
+    cents = {
+        int(r.vec_id): list(r.v)
+        for r in vecs.filter(F.col("vec_id") < _KM_K).collect()
+    }
+    for _ in range(2):
+        assigned = _km_assign(vecs, cents)
+        cents = _km_recompute(assigned)
+    final = _km_assign(vecs, cents)
+    return (
+        final.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("dist"), 4).alias("mean_sq_dist"),
+        )
+        .orderBy("cluster_id")
+    )
