@@ -155,35 +155,27 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage INCLUDING the minhash pair pipeline — without it each
     # branch re-scans parquet and re-tokenizes (4+ corpus passes; at
     # 100 TB you'd persist this to a table, same as the signature
-    # store).
-    corpus = _with_toks(_corpus_neardup(spark, sf_dir)).cache()
-
-    orig_id = F.when(
-        F.col("doc_id") >= 20000, F.col("doc_id") - 20000
-    ).otherwise(F.col("doc_id"))
-    meta = (
-        corpus.withColumn("orig_id", orig_id)
-        .join(
-            base.select(
-                F.col("doc_id").alias("orig_id"), "lang", "source"
-            ),
-            "orig_id",
-        )
-        .select(
-            "doc_id", "lang", "source",
-            F.size("toks").alias("tokens"),
-        )
+    # store). Only (doc_id, lang, source, toks) is cached — text is
+    # never needed again, and lang/source arrived WITH the corpus
+    # (mutants inherit the parent row's values at construction), so
+    # there is no join back to the base table.
+    corpus = (
+        _with_toks(_corpus_neardup(spark, sf_dir))
+        .select("doc_id", "lang", "source", "toks")
+        .cache()
     )
 
-    # repetition metrics (corpus_quality fragments) — map-only: the
-    # top-token count is the longest equal-run of the sorted token
-    # array, so no explode/shuffle/join in this stage
-    rep = (
-        corpus.select("doc_id", "toks")
+    # per-doc metadata + repetition metrics (corpus_quality
+    # fragments) in ONE map-only projection over the cached corpus:
+    # the top-token count is the longest equal-run of the sorted
+    # token array, so no explode/shuffle/join in this stage
+    meta_rep = (
+        corpus
         .withColumn("bigrams", F.expr(_BIGRAMS_SPARK))
         .withColumn("top_cnt", F.expr(_TOP_CNT_SPARK))
         .select(
-            "doc_id",
+            "doc_id", "lang", "source",
+            F.size("toks").alias("tokens"),
             (F.col("top_cnt") * F.lit(1.0) / F.size("toks")).alias("ttf"),
             F.expr(_DBF_SPARK).alias("dbf"),
         )
@@ -224,7 +216,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     labeled = (
-        meta.join(rep, "doc_id")
+        meta_rep
         .join(contaminated, "doc_id", "left")
         .join(dup_losers, "doc_id", "left")
         .select(
@@ -241,14 +233,17 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # Quota cumsum WITHOUT a self-join: sum survivor tokens (dropped
+    # rows contribute 0) in the same window — at a survivor row the
+    # masked running total equals the survivors-only running total,
+    # and dropped rows never read used_after. One window pass
+    # replaces filter + window + join-back-on-doc_id.
     w = Window.partitionBy("source").orderBy("doc_id")
-    quota = (
-        labeled.filter(F.col("early_drop").isNull())
-        .withColumn("used_after", F.sum("tokens").over(w))
-        .select("doc_id", "used_after")
-    )
+    used_after = F.sum(
+        F.when(F.col("early_drop").isNull(), F.col("tokens")).otherwise(0)
+    ).over(w)
     return (
-        labeled.join(quota, "doc_id", "left")
+        labeled.withColumn("used_after", used_after)
         .select(
             "doc_id", "source", "lang",
             F.col("tokens").cast("bigint").alias("tokens"),

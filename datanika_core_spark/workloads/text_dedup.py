@@ -71,11 +71,16 @@ def _corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = F.greatest(
         F.floor(F.size(toks) * 0.9).cast("int"), F.lit(3)
     )
+    # lang/source ride along (mutants inherit the parent's — a
+    # projection of the same row, so downstream consumers that need
+    # them, e.g. the curation pipeline's metadata stage, never join
+    # back to the base table; unused columns prune away for free)
     mutants = docs.filter(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 20000).alias("doc_id"),
+        "lang", "source",
         F.concat_ws(" ", F.slice(toks, F.lit(1), prefix)).alias("text"),
     )
-    out = docs.select("doc_id", "text").unionByName(mutants)
+    out = docs.select("doc_id", "lang", "source", "text").unionByName(mutants)
     return out.repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )

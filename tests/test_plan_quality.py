@@ -18,8 +18,10 @@ from datanika_core_spark.workloads import load_all
 SF = "/root/testdata/sf0.001"
 
 # intentional BroadcastNestedLoop: exact kNN broadcasts the tiny query
-# set into a non-equi scan — the documented exact baseline.
-BNL_ALLOWED = {"knn_cosine_topk"}
+# set into a non-equi scan — the documented exact baseline; BM25
+# cross-joins a ONE-row broadcast stats frame (N/avgdl/df) into the
+# scan — a 1-row build side, not a quadratic join.
+BNL_ALLOWED = {"knn_cosine_topk", "bm25_topk_docs"}
 
 # queries whose plan must contain dimension broadcasts
 MUST_BROADCAST = {
