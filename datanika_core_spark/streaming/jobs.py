@@ -72,6 +72,11 @@ def read_event_stream(
         sdf = sdf.withColumn(
             col, F.timestamp_micros(F.expr(f"{col} div 1000"))
         )
+    for field in sdf.schema.fields:
+        if field.dataType.typeName() == "timestamp_ntz":
+            sdf = sdf.withColumn(
+                field.name, F.col(field.name).cast("timestamp")
+            )
     return sdf
 
 

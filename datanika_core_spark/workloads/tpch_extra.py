@@ -688,11 +688,15 @@ FROM customer
 WHERE c_acctbal > (
     SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (
-    SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY c_nationkey
 ORDER BY cntry
 """,
     doc="TPC-H Q22 shape: above-average balances (uncorrelated scalar "
-        "subquery) with no orders (anti-join), grouped by nation "
-        "(replacing the phone-prefix country codes).",
+        "subquery) with no *recent* orders (date-windowed anti-join; "
+        "every synthetic customer has some order, so the recency cutoff "
+        "plays Q22's idle-customer role), grouped by nation (replacing "
+        "the phone-prefix country codes).",
 )
