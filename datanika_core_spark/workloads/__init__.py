@@ -67,6 +67,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: yet covered by a prior round's run go first (round 2 checked the
 #: first 50 of the then-current order; these 26 were past the cut).
 CHECK_FIRST = [
+    # new in round 3 (second half)
+    "semdedup_embedding_prune", "bloom_dedup_incoming_batch",
+    "quality_classifier_hashed", "sample_weighted_priority",
+    "corpus_source_stats", "tfidf_topk_terms",
     # still lacking a recorded CORRECTNESS row after r01+r02
     "q14_promo_effect", "q15_top_supplier", "q16_part_supplier_counts",
     "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_revenue",
@@ -100,7 +104,10 @@ def load_all() -> dict[str, Workload]:
         packing,
         pipeline,
         retrieval,
+        scoring,
+        semdedup,
         similarity,
+        sketches,
         temporal,
         text_dedup,
         tpch_extra,

@@ -114,3 +114,66 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BM25_TOPK)
         .select("doc_id", F.round("_s", 6).alias("bm25"))
     )
+
+
+_TFIDF_TOPK = 25
+
+
+@workload(
+    "tfidf_topk_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_O_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS nn FROM documents
+)
+SELECT doc_id, term, tf, df,
+       round(tf * ln((1.0 + nn) / (1.0 + df)), 6) AS tfidf
+FROM tf JOIN df USING (term) CROSS JOIN stats
+ORDER BY tf * ln((1.0 + nn) / (1.0 + df)) DESC, doc_id, term
+LIMIT {_TFIDF_TOPK}
+""",
+)
+def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide TF-IDF (smooth idf = ln((1+N)/(1+df))) with the
+    global top-25 (doc, term) cells. The canonical explode →
+    partial-agg shape: term counting shuffles once on (doc_id, term)
+    with map-side combine, document frequencies reduce the tf table
+    (already term-bucketed) a second time, N is a 1-row broadcast,
+    and the top-k is TakeOrdered — no global sort. At 100 TB the tf
+    table is the working set; bucketing it by term makes the df agg
+    and the join co-partitioned (shuffle-free)."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), _TOKS)
+        ).alias("term"),
+    )
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    stats = docs.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log((1.0 + F.col("nn")) / (1.0 + F.col("df"))),
+        )
+    )
+    return (
+        scored.orderBy(F.col("tfidf").desc(), "doc_id", "term")
+        .limit(_TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df",
+                F.round("tfidf", 6).alias("tfidf"))
+    )

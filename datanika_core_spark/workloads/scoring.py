@@ -1,0 +1,165 @@
+"""Model-based corpus scoring primitives (beyond-reference, SURVEY.md
+§7 Phase 4): a hashed-feature linear quality classifier, weighted
+reservoir sampling, and per-source corpus statistics.
+
+All three are map-only or single-aggregation shapes:
+
+- `quality_classifier_hashed` is the fastText-style serving path: a
+  linear model over hashed token features evaluates as ONE per-row
+  array fold inside the scan stage — no shuffle, no Python. A real
+  model's weight table is a broadcast map-lookup; here the weights
+  are a deterministic hash-derived function of the token so the
+  DuckDB oracle can reproduce them bit-for-bit (same md5 machinery as
+  the MinHash operators, operators/minhash.py::spark_hash_expr).
+- `sample_weighted_priority` is Efraimidis–Spirakis A-Res weighted
+  sampling without replacement: priority key = ln(u)/w with
+  deterministic hash-uniform u — ONE pass + a TakeOrdered top-k
+  (per-partition heap, no global sort). The standard way to draw a
+  quality-weighted subsample from a 100 TB corpus in one scan.
+- `corpus_source_stats` is a single groupBy(source) with exact
+  interpolated percentiles — the profiling report a curation run
+  emits per ingest source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datanika_core_spark.operators.minhash import TOKS_PATTERN as _TOKS
+from datanika_core_spark.workloads import t, workload
+
+_O_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+# -- hashed pseudo-weights: w(tok) ∈ [-1, 1), identical both engines --------
+_S_W = ("(cast(conv(substring(md5(concat('qw:', {x})),1,15),16,10) as bigint)"
+        " % 2001 - 1000) / 1000.0")
+_O_W = ("(('0x'||substring(md5('qw:' || {x}),1,15))::BIGINT"
+        " % 2001 - 1000) / 1000.0")
+
+
+@workload(
+    "quality_classifier_hashed",
+    headline=True,
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, {_O_TOKS} AS toks FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS BIGINT) AS n_toks,
+         1.0 / (1.0 + exp(-(
+           list_sum(list_transform(toks, x -> {_O_W.format(x='x')}))
+           / len(toks)))) AS score
+  FROM tok WHERE len(toks) > 0
+)
+SELECT doc_id, lang, n_toks, round(score, 6) AS quality,
+       CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM scored
+ORDER BY doc_id
+""",
+)
+def quality_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over hashed token features:
+    score = sigmoid(mean_tok w(tok)), w = deterministic hash-derived
+    weight. Evaluates as one per-row fold in the scan stage — the
+    fastText serving shape, zero shuffles."""
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.split(F.lower(F.trim(F.col("text"))), _TOKS).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    fold = (f"aggregate(transform(toks, x -> {_S_W.format(x='x')}), "
+            f"cast(0 as double), (a, v) -> a + v)")
+    scored = tok.select(
+        "doc_id", "lang",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        F.expr(f"1.0 / (1.0 + exp(-({fold} / size(toks))))").alias("score"),
+    )
+    return scored.select(
+        "doc_id", "lang", "n_toks",
+        F.round("score", 6).alias("quality"),
+        F.when(F.col("score") >= 0.5, 1).otherwise(0)
+        .cast("bigint").alias("keep"),
+    ).orderBy("doc_id")
+
+
+_WS_N = 30
+
+
+@workload(
+    "sample_weighted_priority",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ln(((('0x'||substring(md5('ws:' || CAST(doc_id AS VARCHAR)),1,15))
+              ::BIGINT % 1000000) + 0.5) / 1000000.0)
+         / ln(1.0 + n_chars) AS k
+  FROM documents
+)
+SELECT doc_id, n_chars, round(k, 6) AS priority
+FROM keyed
+ORDER BY k DESC, doc_id
+LIMIT {_WS_N}
+""",
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis A-Res weighted sampling: priority
+    ln(u)/w with w = ln(1+n_chars) and deterministic hash-uniform u;
+    top-30 by priority = a weighted sample without replacement drawn
+    in ONE pass (TakeOrdered heap, no global sort, no RNG state)."""
+    keyed = t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        F.expr(
+            "ln(((cast(conv(substring(md5(concat('ws:', "
+            "cast(doc_id as string))),1,15),16,10) as bigint) % 1000000)"
+            " + 0.5) / 1000000.0) / ln(1.0 + n_chars)"
+        ).alias("k"),
+    )
+    return (
+        keyed.orderBy(F.col("k").desc(), "doc_id")
+        .limit(_WS_N)
+        .select("doc_id", "n_chars", F.round("k", 6).alias("priority"))
+    )
+
+
+@workload(
+    "corpus_source_stats",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, n_chars,
+         CAST(len({_O_TOKS}) AS BIGINT) AS dl
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dl) AS BIGINT) AS total_tokens,
+       round(sum(n_chars) * 1.0 / sum(dl), 6) AS chars_per_token,
+       round(quantile_cont(dl, 0.5), 2) AS p50_tokens,
+       round(quantile_cont(dl, 0.9), 2) AS p90_tokens
+FROM tok
+GROUP BY source
+ORDER BY source
+""",
+)
+def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest-source profile: doc count, token volume, tokenizer
+    fertility (chars/token), exact interpolated p50/p90 document
+    length. One partial-aggregated groupBy(source); percentiles use
+    Spark's exact `percentile` == DuckDB `quantile_cont`
+    (linear interpolation)."""
+    tok = t(spark, sf_dir, "documents").select(
+        "source", "n_chars",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), _TOKS))
+        .cast("bigint").alias("dl"),
+    )
+    return (
+        tok.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("n_chars") * F.lit(1.0) / F.sum("dl"), 6)
+            .alias("chars_per_token"),
+            F.round(F.expr("percentile(dl, 0.5)"), 2).alias("p50_tokens"),
+            F.round(F.expr("percentile(dl, 0.9)"), 2).alias("p90_tokens"),
+        )
+        .orderBy("source")
+    )

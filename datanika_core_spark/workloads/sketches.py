@@ -1,0 +1,136 @@
+"""Sketch-accelerated membership: a distributed Bloom filter built
+from pure DataFrame ops, used to dedup an incoming document batch
+against an existing corpus (beyond-reference, SURVEY.md §7 Phase 4).
+
+This is the 100 TB incremental-ingest shape: the EXISTING corpus is
+reduced once to a ~8 KB bitset (k=3 md5-derived bit positions per
+doc, OR-combined per 64-bit word by a `bit_or` aggregation — a
+map-side-combinable reduction to ≤1024 rows). The incoming batch
+probes that bitset via a BROADCAST join on word index; only the tiny
+candidate set that passes all k bit tests pays the exact-verification
+join against the corpus. The corpus is scanned once and never
+shuffled; the batch shuffles only its surviving candidates.
+
+Spark 4 does not expose `bloom_filter_agg`/`might_contain` in the
+public function registry (they are internal to runtime join
+filtering), so the bitset is built explicitly — which also makes the
+construction engine-portable and exactly reproducible.
+
+Correctness: a Bloom filter admits false positives but never false
+negatives, and every candidate is re-verified by an exact hash join —
+so the final result equals the plain exact join, which is what the
+DuckDB oracle computes directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datanika_core_spark.workloads import t, workload
+
+_BF_K = 3            # hash functions per item
+_BF_M = 64 * 1024    # bits (1024 longs ≈ 8 KB broadcast)
+
+#: md5-derived bit position j for value x — Spark SQL fragment.
+_S_POS = ("pmod(cast(conv(substring(md5(concat(cast({j} as string), ':', "
+          "{x})),1,15),16,10) as bigint), {m})")
+
+
+def _s_positions(x: str) -> str:
+    """array<bigint> of the k bloom bit positions for value `x`."""
+    elems = ", ".join(
+        _S_POS.format(j=j, x=x, m=_BF_M) for j in range(_BF_K)
+    )
+    return f"array({elems})"
+
+
+def _corpus_and_batch(spark: SparkSession, sf_dir: str):
+    """(existing corpus, incoming batch): batch = every 10th doc
+    verbatim (true duplicates, re-keyed +10000) ∪ every 7th doc with
+    a novelty suffix (non-duplicates the bloom must reject — modulo
+    false positives, which exact verification removes)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("text")
+    )
+    existing = docs.withColumn("th", F.md5("text"))
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 10000).alias("batch_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 20000).alias("batch_id"),
+                F.concat(F.col("text"), F.lit(" #novel")).alias("text"),
+            )
+        )
+        .withColumn("th", F.md5("text"))
+    )
+    return existing, batch
+
+
+@workload(
+    "bloom_dedup_incoming_batch",
+    headline=True,
+    oracle="""
+WITH existing AS (
+  SELECT doc_id, md5(lower(trim(text))) AS th FROM documents
+), batch AS (
+  SELECT doc_id + 10000 AS batch_id, md5(lower(trim(text))) AS th
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 20000 AS batch_id,
+         md5(lower(trim(text)) || ' #novel') AS th
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT b.batch_id, e.doc_id AS keeper_id
+FROM batch b JOIN existing e USING (th)
+ORDER BY batch_id, keeper_id
+""",
+)
+def bloom_dedup_incoming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup: reduce the corpus to an
+    8 KB bitset (k=3, m=65536), probe the incoming batch against the
+    broadcast bitset, exact-verify the candidates. Result == exact
+    join (no false negatives; false positives verified away)."""
+    existing, batch = _corpus_and_batch(spark, sf_dir)
+
+    # Corpus → bloom bitset, as ≤1024 (word, bits) rows. bit_or is
+    # map-side combinable: each scan task emits ≤1024 partial words.
+    words = (
+        existing.select(
+            F.explode(F.expr(_s_positions("text"))).alias("pos")
+        )
+        .select(
+            F.expr("pos div 64").alias("word"),
+            F.expr("shiftleft(1L, int(pmod(pos, 64)))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+
+    # Batch probes: a row survives only if ALL k positions are set.
+    probes = batch.select(
+        "batch_id", "th",
+        F.explode(F.expr(_s_positions("text"))).alias("pos"),
+    ).select(
+        "batch_id", "th",
+        F.expr("pos div 64").alias("word"),
+        F.expr("shiftleft(1L, int(pmod(pos, 64)))").alias("bit"),
+    )
+    candidates = (
+        probes.join(F.broadcast(words), "word")
+        .filter((F.col("bits").bitwiseAND(F.col("bit"))) == F.col("bit"))
+        .groupBy("batch_id", "th")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == _BF_K)
+        .select("batch_id", "th")
+    )
+
+    # Exact verification: candidates ⋈ corpus on the text hash.
+    return (
+        candidates.join(
+            existing.select(F.col("doc_id").alias("keeper_id"), "th"), "th"
+        )
+        .select("batch_id", "keeper_id")
+        .orderBy("batch_id", "keeper_id")
+    )
