@@ -96,9 +96,12 @@ def bloom_dedup_incoming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Corpus → bloom bitset, as ≤1024 (word, bits) rows. bit_or is
     # map-side combinable: each scan task emits ≤1024 partial words.
+    # Positions hash the 32-char text digest `th`, not the full text:
+    # one full-text md5 per doc total, the k position hashes are
+    # constant-cost.
     words = (
         existing.select(
-            F.explode(F.expr(_s_positions("text"))).alias("pos")
+            F.explode(F.expr(_s_positions("th"))).alias("pos")
         )
         .select(
             F.expr("pos div 64").alias("word"),
@@ -111,7 +114,7 @@ def bloom_dedup_incoming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Batch probes: a row survives only if ALL k positions are set.
     probes = batch.select(
         "batch_id", "th",
-        F.explode(F.expr(_s_positions("text"))).alias("pos"),
+        F.explode(F.expr(_s_positions("th"))).alias("pos"),
     ).select(
         "batch_id", "th",
         F.expr("pos div 64").alias("word"),
