@@ -1,8 +1,9 @@
 """Model-based corpus scoring primitives (beyond-reference, SURVEY.md
 §7 Phase 4): a hashed-feature linear quality classifier, weighted
-reservoir sampling, and per-source corpus statistics.
+reservoir sampling, per-source corpus statistics, unigram-LM
+perplexity, and per-doc token entropy.
 
-All three are map-only or single-aggregation shapes:
+All are map-only or single-aggregation shapes:
 
 - `quality_classifier_hashed` is the fastText-style serving path: a
   linear model over hashed token features evaluates as ONE per-row
@@ -163,3 +164,131 @@ def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_PPL_FLOOR = 0.001  # OOV probability floor (unused against own corpus)
+
+
+@workload(
+    "perplexity_unigram_score",
+    headline=True,
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_O_TOKS} AS toks FROM documents
+), flat AS (
+  SELECT unnest(toks) AS term FROM tok
+), ucnt AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM flat GROUP BY term
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ucnt
+), m AS (
+  SELECT map(list(term), list(cnt * 1.0 / total)) AS mm
+  FROM ucnt CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS dl,
+       round(exp(-(
+         list_sum(list_transform(toks,
+           x -> ln(coalesce(mm[x][1], {_PPL_FLOOR}))))
+         / len(toks))), 6) AS ppl
+FROM tok CROSS JOIN m
+WHERE len(toks) > 0
+ORDER BY doc_id
+""",
+)
+def perplexity_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model perplexity per document — the CCNet-
+    style statistical quality signal: fit p(tok) on the corpus itself
+    (one explode + groupBy with map-side combine), broadcast the
+    probability table as a map, then score each doc with a per-row
+    fold: ppl = exp(-mean ln p). The corpus is scanned twice and
+    shuffled once (term counts); scoring is map-only against the
+    broadcast LM. At web scale the LM table is truncated to a top-K
+    vocabulary with an OOV floor — the floor is already in the
+    formula — or the lookup becomes a bucketed join instead of a
+    broadcast map."""
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), _TOKS).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    flat = tok.select(F.explode("toks").alias("term"))
+    ucnt = flat.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = ucnt.agg(F.sum("cnt").cast("bigint").alias("total"))
+    m = (
+        ucnt.join(F.broadcast(tot))
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct(
+                F.col("term"),
+                (F.col("cnt") * F.lit(1.0) / F.col("total")).alias("p"),
+            ))
+        ).alias("mm"))
+    )
+    fold = (f"aggregate(transform(toks, "
+            f"x -> ln(coalesce(element_at(mm, x), {_PPL_FLOOR}d))), "
+            f"cast(0 as double), (a, v) -> a + v)")
+    return (
+        tok.join(F.broadcast(m))
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("dl"),
+            F.round(F.expr(f"exp(-({fold} / size(toks)))"), 6).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@workload(
+    "token_entropy_filter",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_O_TOKS} AS toks FROM documents
+), ent AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS dl,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         list_sum(list_transform(list_sort(list_distinct(toks)), d ->
+           -(CAST(len(list_filter(toks, x -> x = d)) AS DOUBLE)
+             / len(toks))
+            * ln(CAST(len(list_filter(toks, x -> x = d)) AS DOUBLE)
+                 / len(toks)))) AS h
+  FROM tok WHERE len(toks) > 0
+)
+SELECT doc_id, dl, n_distinct, round(h, 6) AS entropy,
+       round(CASE WHEN n_distinct > 1 THEN h / ln(n_distinct)
+                  ELSE 0.0 END, 6) AS norm_entropy
+FROM ent
+ORDER BY doc_id
+""",
+)
+def token_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's own token distribution —
+    the repetition/degeneracy signal (low entropy = boilerplate or
+    stuck-token spam). Entirely per-row array lambdas inside the scan
+    stage: distinct tokens sorted for a deterministic fold order,
+    each term's in-doc frequency via a nested filter — O(d·n) per
+    row, zero shuffles, zero Python."""
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), _TOKS).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    h = ("aggregate(transform(array_sort(array_distinct(toks)), d -> "
+         " -(cast(size(filter(toks, x -> x = d)) as double) / size(toks))"
+         "  * ln(cast(size(filter(toks, x -> x = d)) as double)"
+         "       / size(toks))), cast(0 as double), (a, v) -> a + v)")
+    ent = tok.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+        F.expr(h).alias("h"),
+    )
+    return ent.select(
+        "doc_id", "dl", "n_distinct",
+        F.round("h", 6).alias("entropy"),
+        F.round(
+            F.when(F.col("n_distinct") > 1,
+                   F.col("h") / F.log(F.col("n_distinct").cast("double")))
+            .otherwise(0.0), 6
+        ).alias("norm_entropy"),
+    ).orderBy("doc_id")

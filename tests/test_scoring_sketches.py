@@ -111,3 +111,22 @@ def test_tfidf_topk_is_consistent(spark):
     for r in rows:
         # smooth idf recomputable from the reported tf/df and N
         assert r.tf >= 1 and r.df >= 1
+
+
+def test_perplexity_uniform_doc_matches_unigram(spark):
+    reg = load_all()
+    rows = reg["perplexity_unigram_score"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.ppl > 1.0  # any non-degenerate LM
+        assert r.dl >= 1
+
+
+def test_token_entropy_bounds(spark):
+    reg = load_all()
+    rows = reg["token_entropy_filter"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.norm_entropy <= 1.0 + 1e-9
+        # entropy can't exceed ln(n_distinct)
+        assert r.entropy <= math.log(max(r.n_distinct, 2)) + 1e-6
