@@ -129,11 +129,12 @@ def bloom_dedup_incoming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("batch_id", "th")
     )
 
-    # Exact verification: candidates ⋈ corpus on the text hash.
+    # Exact verification: candidates ⋈ corpus on the text hash. The
+    # candidate set is tiny post-bloom — broadcast it so the corpus
+    # side streams through without a shuffle.
     return (
-        candidates.join(
-            existing.select(F.col("doc_id").alias("keeper_id"), "th"), "th"
-        )
+        existing.select(F.col("doc_id").alias("keeper_id"), "th")
+        .join(F.broadcast(candidates), "th")
         .select("batch_id", "keeper_id")
         .orderBy("batch_id", "keeper_id")
     )

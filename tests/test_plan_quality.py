@@ -18,10 +18,12 @@ from datanika_core_spark.workloads import load_all
 SF = "/root/testdata/sf0.001"
 
 # intentional BroadcastNestedLoop: exact kNN broadcasts the tiny query
-# set into a non-equi scan — the documented exact baseline; BM25
-# cross-joins a ONE-row broadcast stats frame (N/avgdl/df) into the
-# scan — a 1-row build side, not a quadratic join.
-BNL_ALLOWED = {"knn_cosine_topk", "bm25_topk_docs"}
+# set into a non-equi scan — the documented exact baseline; BM25 and
+# the unigram-perplexity scorer cross-join a ONE-row broadcast frame
+# (corpus stats / LM prob map) into the scan — a 1-row build side,
+# not a quadratic join.
+BNL_ALLOWED = {"knn_cosine_topk", "bm25_topk_docs",
+               "perplexity_unigram_score"}
 
 # queries whose plan must contain dimension broadcasts
 MUST_BROADCAST = {
@@ -38,6 +40,8 @@ MUST_BROADCAST = {
     "corpus_curation_pipeline",
     # right side semi-pruned via a broadcast of left keys
     "asof_join_click_purchase",
+    # the ≤1024-row bloom word table must broadcast into the probe
+    "bloom_dedup_incoming_batch",
 }
 
 
