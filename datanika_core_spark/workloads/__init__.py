@@ -72,6 +72,7 @@ CHECK_FIRST = [
     "quality_classifier_hashed", "sample_weighted_priority",
     "corpus_source_stats", "tfidf_topk_terms",
     "perplexity_unigram_score", "token_entropy_filter",
+    "events_zscore_anomaly", "pagerank_event_transitions",
     # still lacking a recorded CORRECTNESS row after r01+r02
     "q14_promo_effect", "q15_top_supplier", "q16_part_supplier_counts",
     "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_revenue",
@@ -100,6 +101,7 @@ def load_all() -> dict[str, Workload]:
         curation,
         elt,
         events,
+        graph,
         models,
         multimodal,
         packing,

@@ -263,3 +263,58 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_day", "week_no")
     )
+
+
+@workload(
+    "events_zscore_anomaly",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS days,
+         CAST(sum(n) AS BIGINT) AS s1,
+         CAST(sum(n * n) AS BIGINT) AS s2
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.n,
+       round((d.n - s1 * 1.0 / days)
+             / sqrt(s2 * 1.0 / days
+                    - (s1 * 1.0 / days) * (s1 * 1.0 / days)), 6) AS z
+FROM daily d JOIN stats s USING (event_type)
+WHERE abs((d.n - s1 * 1.0 / days)
+          / sqrt(s2 * 1.0 / days
+                 - (s1 * 1.0 / days) * (s1 * 1.0 / days))) > 2.0
+ORDER BY event_type, day
+""",
+)
+def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection: daily event counts per type, flagged
+    where |z| > 2 against that type's own distribution. Variance is
+    derived from exact integer sum/sum-of-squares aggregates (two
+    partial-aggregated shuffles, no float accumulation order anywhere
+    until two final divisions) — so both engines produce bit-identical
+    z-scores, unlike stddev_samp whose merge order is engine-defined.
+    The per-type stats frame is tiny and broadcast back onto the
+    daily counts."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("days"),
+        F.sum("n").cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1") * F.lit(1.0) / F.col("days")
+    z = (F.col("n") - mean) / F.sqrt(
+        F.col("s2") * F.lit(1.0) / F.col("days") - mean * mean
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.0)
+        .select("event_type", "day", "n", F.round(z, 6).alias("z"))
+        .orderBy("event_type", "day")
+    )

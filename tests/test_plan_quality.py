@@ -23,7 +23,9 @@ SF = "/root/testdata/sf0.001"
 # (corpus stats / LM prob map) into the scan — a 1-row build side,
 # not a quadratic join.
 BNL_ALLOWED = {"knn_cosine_topk", "bm25_topk_docs",
-               "perplexity_unigram_score"}
+               "perplexity_unigram_score",
+               # 1-row dangling-mass frame cross-joined per iteration
+               "pagerank_event_transitions"}
 
 # queries whose plan must contain dimension broadcasts
 MUST_BROADCAST = {

@@ -130,3 +130,19 @@ def test_token_entropy_bounds(spark):
         assert 0.0 <= r.norm_entropy <= 1.0 + 1e-9
         # entropy can't exceed ln(n_distinct)
         assert r.entropy <= math.log(max(r.n_distinct, 2)) + 1e-6
+
+
+def test_pagerank_sums_to_one(spark):
+    reg = load_all()
+    rows = reg["pagerank_event_transitions"].fn(spark, SF).collect()
+    assert rows
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < 1e-4  # mass conserved (6dp rounding)
+    assert all(r.pagerank > 0 for r in rows)
+
+
+def test_zscore_anomaly_flags_are_extreme(spark):
+    reg = load_all()
+    rows = reg["events_zscore_anomaly"].fn(spark, SF).collect()
+    for r in rows:
+        assert abs(r.z) > 2.0
