@@ -98,3 +98,49 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@workload(
+    "multimodal_audio_features",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         strlen(text) // 2 AS n_samples,
+         list_transform(range(0, strlen(text) // 2),
+           i -> ascii(substring(text, 2 * i + 1, 1))
+                + 256 * ascii(substring(text, 2 * i + 2, 1))) AS samples
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       round(sqrt(list_sum(list_transform(samples,
+             x -> CAST(x AS DOUBLE) * x)) / n_samples), 6) AS rms,
+       CAST(list_max(samples) AS BIGINT) AS peak
+FROM s
+WHERE n_samples > 0
+ORDER BY doc_id
+""",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio featurization end-to-end: the binary payload
+    reinterpreted as PCM16-LE inside the Arrow-batched numpy stage
+    (operators/multimodal.py::audio_pcm_features — the librosa-shaped
+    plumbing), emitting per-clip sample count, RMS amplitude, and
+    peak. The oracle reconstructs the same little-endian samples
+    arithmetically from the (all-ASCII) payload bytes, so the decode
+    path is value-checked, not just shape-checked. Zero-crossing
+    count is covered by the numpy-parity unit test (it is
+    identically 0 on ASCII payloads — both bytes positive)."""
+    from datanika_core_spark.operators.multimodal import audio_pcm_features
+
+    feats = audio_pcm_features(_media(spark, sf_dir))
+    return (
+        feats.filter(F.col("n_samples") > 0)
+        .select(
+            "doc_id",
+            F.col("n_samples").cast("bigint").alias("n_samples"),
+            F.round("rms", 6).alias("rms"),
+            F.col("peak").cast("bigint").alias("peak"),
+        )
+        .orderBy("doc_id")
+    )
