@@ -124,17 +124,28 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("event_type").alias("dst"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
-    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    # The reduced graph feeds every iteration: cache it so the event
+    # log is scanned ONCE, not once per iteration (at corpus scale,
+    # persist nodes/edges to a table instead — same principle).
+    edges = edges.cache()
+    nodes = ev.select(F.col("event_type").alias("node")).distinct().cache()
     n = nodes.count()
     outw = edges.groupBy("src").agg(
         F.sum("w").cast("bigint").alias("total_w")
     )
     edges = edges.join(outw, "src")
 
+    # nodes without out-edges never change: resolve the dangling set
+    # once instead of re-deriving it with a left-anti join per
+    # iteration.
+    no_out = nodes.join(
+        outw, nodes.node == outw.src, "left_anti"
+    ).cache()
+
     pr = nodes.withColumn("pr", F.lit(1.0) / F.lit(float(n)))
     for _ in range(_PR_ITERS):
         dang = (
-            pr.join(outw, pr.node == outw.src, "left_anti")
+            pr.join(F.broadcast(no_out), "node", "left_semi")
             .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dmass"))
         )
         contrib = (
