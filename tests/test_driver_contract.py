@@ -58,3 +58,27 @@ def test_entry_then_queries_no_cross_sf_leakage(spark):
     got_map = {r[0]: r[1] for r in got}
     for nation, n_orders, _rev in want:
         assert got_map[nation] == n_orders
+
+
+def test_check_first_names_all_exist_and_are_unique():
+    """A typo'd name in CHECK_FIRST silently vanishes from the
+    driver's 50-query check window (the ordering comprehension skips
+    unknown names) — pin every entry to a registered workload."""
+    from datanika_core_spark.workloads import CHECK_FIRST, load_all
+
+    reg = load_all()
+    missing = [n for n in CHECK_FIRST if n not in reg]
+    assert missing == []
+    assert len(CHECK_FIRST) == len(set(CHECK_FIRST))
+    # every workload in the priority window carries an oracle
+    assert all(reg[n].oracle for n in CHECK_FIRST)
+
+
+def test_all_workloads_have_oracles():
+    """Every registry entry is oracle-paired (the strong correctness
+    gate) — a new workload without an oracle should be a deliberate,
+    visible decision, not an accident."""
+    from datanika_core_spark.workloads import load_all
+
+    no_oracle = [n for n, wl in load_all().items() if not wl.oracle]
+    assert no_oracle == []
