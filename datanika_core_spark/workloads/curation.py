@@ -28,6 +28,7 @@ from datanika_core_spark.workloads import t, workload
 from datanika_core_spark.workloads.text_dedup import (
     O_MINHASH_PAIRS_CTES,
     _O_HASH,
+    _corpus_neardup,
     _spark_hash,
     dedup_minhash_lsh,
 )
@@ -221,5 +222,75 @@ def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_urls"),
             F.substring(clean, 1, 40).alias("head"),
         )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe train/val/test split: split by dup-CLUSTER, not by doc.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "split_leakage_safe",
+    oracle=f"""
+WITH RECURSIVE {O_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+canon AS (
+  SELECT u AS doc_id, least(min(v), u) AS canonical_id
+  FROM reach GROUP BY u
+),
+assigned AS (
+  SELECT c.doc_id, coalesce(k.canonical_id, c.doc_id) AS canonical_id
+  FROM corpus c LEFT JOIN canon k ON k.doc_id = c.doc_id
+)
+SELECT doc_id, canonical_id,
+       CASE WHEN h < 80 THEN 'train'
+            WHEN h < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, canonical_id,
+         {_O_HASH.format(x="'split:' || CAST(canonical_id AS VARCHAR)")}
+           % 100 AS h
+  FROM assigned
+)
+ORDER BY doc_id
+""",
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that can't leak through near-dups:
+    the 80/10/10 hash split keys on the CANONICAL id of each doc's
+    near-dup cluster (connected components over the MinHash pair
+    set), so every member of a cluster lands in the same split — the
+    step naive per-doc hashing gets wrong and the reason benchmark
+    contamination survives "deduplicated" corpora. Docs with no
+    near-dup are their own cluster. One LSH pair pipeline + the small
+    CC loop + a map-only hash assignment; nothing quadratic,
+    deterministic across engines and reruns."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    corpus = _corpus_neardup(spark, sf_dir).select("doc_id")
+    assigned = (
+        corpus.join(F.broadcast(cc), "doc_id", "left")
+        .withColumn("canonical_id",
+                    F.coalesce(F.col("canonical_id"), F.col("doc_id")))
+    )
+    h = F.expr(
+        _spark_hash("concat('split:', cast(canonical_id as string))")
+    ) % 100
+    return (
+        assigned.withColumn(
+            "split",
+            F.when(h < 80, "train").when(h < 90, "val").otherwise("test"),
+        )
+        .select("doc_id", "canonical_id", "split")
         .orderBy("doc_id")
     )

@@ -47,3 +47,22 @@ def test_stratified_sample_deterministic_across_runs(spark, sf_dir):
     # every stratum's sample is a subset bounded by its total
     for r in a:
         assert 0 <= r.n_sampled <= r.n_total
+
+
+def test_split_leakage_safe_clusters_never_span_splits(spark):
+    from datanika_core_spark.workloads import load_all
+
+    rows = load_all()["split_leakage_safe"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.canonical_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    splits = {r.split for r in rows}
+    assert splits <= {"train", "val", "test"}
+    # the hash split should produce a roughly-80/10/10 partition
+    n = len(rows)
+    n_train = sum(1 for r in rows if r.split == "train")
+    assert 0.6 * n < n_train < 0.95 * n
