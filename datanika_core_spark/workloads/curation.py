@@ -294,3 +294,102 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "canonical_id", "split")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Contrastive pair mining: (anchor, positive, negatives) triplets.
+# --------------------------------------------------------------------------
+
+_NEG_K = 2  # negatives per anchor
+
+
+@workload(
+    "contrastive_pairs_mined",
+    oracle=f"""
+WITH RECURSIVE {O_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+canon AS (
+  SELECT u AS doc_id, least(min(v), u) AS canonical_id
+  FROM reach GROUP BY u
+),
+idx AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY doc_id) - 1 AS pos
+  FROM corpus
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM corpus),
+negcand AS (
+  SELECT p.doc_a AS anchor, p.doc_b AS positive, j.j,
+         {_O_HASH.format(
+             x="'neg:' || CAST(p.doc_a AS VARCHAR) || ':' "
+               "|| CAST(j.j AS VARCHAR)")} % nn.n AS neg_pos
+  FROM pairs p
+  CROSS JOIN (SELECT unnest(range(0, {_NEG_K})) AS j) j
+  CROSS JOIN nn
+)
+SELECT c.anchor, c.positive, i.doc_id AS negative,
+       CAST(c.j AS BIGINT) AS neg_no
+FROM negcand c
+JOIN idx i ON i.pos = c.neg_pos
+LEFT JOIN canon ka ON ka.doc_id = c.anchor
+LEFT JOIN canon kn ON kn.doc_id = i.doc_id
+WHERE coalesce(kn.canonical_id, i.doc_id)
+      <> coalesce(ka.canonical_id, c.anchor)
+ORDER BY anchor, positive, neg_no
+""",
+)
+def contrastive_pairs_mined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training triplets from the dedup machinery:
+    anchors/positives are the MinHash near-dup pairs; each anchor
+    draws k=2 deterministic hash-indexed negatives from the corpus,
+    rejecting any negative that falls inside the anchor's own
+    near-dup cluster (connected components — the same anti-leakage
+    rule as split_leakage_safe). Everything is joins on hash-derived
+    indexes: no RNG state, rerun-stable, and the corpus-index join
+    replaces "ORDER BY rand() LIMIT k" (a full sort at 100 TB) with
+    an equi-join on a precomputed row-number index."""
+    from datanika_core_spark.operators.ordering import with_global_offset
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    corpus = _corpus_neardup(spark, sf_dir).select("doc_id")
+    n = corpus.count()
+    idx = with_global_offset(
+        corpus.withColumn("one", F.lit(1)), "doc_id", "one", "pos", 32
+    ).select("doc_id", "pos")
+
+    js = spark.range(_NEG_K).select(F.col("id").alias("j"))
+    cand = (
+        pairs.selectExpr("doc_a AS anchor", "doc_b AS positive")
+        .join(F.broadcast(js))
+        .withColumn(
+            "neg_pos",
+            F.expr(_spark_hash(
+                "concat('neg:', cast(anchor as string), ':', "
+                "cast(j as string))"
+            )) % F.lit(n),
+        )
+    )
+    ka = cc.selectExpr("doc_id AS anchor", "canonical_id AS a_canon")
+    kn = cc.selectExpr("doc_id AS negative", "canonical_id AS n_canon")
+    return (
+        cand.join(idx, cand.neg_pos == idx.pos)
+        .withColumnRenamed("doc_id", "negative")
+        .join(F.broadcast(ka), "anchor", "left")
+        .join(F.broadcast(kn), "negative", "left")
+        .filter(
+            F.coalesce(F.col("n_canon"), F.col("negative"))
+            != F.coalesce(F.col("a_canon"), F.col("anchor"))
+        )
+        .select("anchor", "positive", "negative",
+                F.col("j").cast("bigint").alias("neg_no"))
+        .orderBy("anchor", "positive", "neg_no")
+    )

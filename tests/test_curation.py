@@ -66,3 +66,24 @@ def test_split_leakage_safe_clusters_never_span_splits(spark):
     n = len(rows)
     n_train = sum(1 for r in rows if r.split == "train")
     assert 0.6 * n < n_train < 0.95 * n
+
+
+def test_contrastive_triplets_are_leakage_free(spark):
+    from datanika_core_spark.workloads import load_all
+    from datanika_core_spark.workloads.curation import connected_components
+    from datanika_core_spark.workloads.text_dedup import dedup_minhash_lsh
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["contrastive_pairs_mined"].fn(spark, sf).collect()
+    assert rows
+    pairs = dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b")
+    canon = {
+        r.doc_id: r.canonical_id
+        for r in connected_components(pairs).collect()
+    }
+    for r in rows:
+        a = canon.get(r.anchor, r.anchor)
+        n = canon.get(r.negative, r.negative)
+        assert a != n                     # negative outside anchor cluster
+        assert canon.get(r.positive, r.positive) == a  # positive inside
+        assert r.neg_no in (0, 1)
