@@ -83,7 +83,12 @@ class Materializer:
             df = self.spark.sql(compiled.sql)
             drop_table(self.spark, model.target)
             df, obs = TableWriter._observed(df)
-            df.write.format("parquet").mode("overwrite").saveAsTable(model.target)
+            writer = df.write.format("parquet").mode("overwrite")
+            if cfg.strategy == "insert_overwrite":
+                # lay the target out partitioned so later runs can
+                # replace partitions instead of rewriting the table
+                writer = writer.partitionBy(cfg.partition_by)
+            writer.saveAsTable(model.target)
             return MaterializeResult(
                 model.name, model.target, "ctas", obs.get["rows"],
             )
@@ -97,6 +102,8 @@ class Materializer:
             return MaterializeResult(
                 model.name, model.target, "append", res.rows_loaded
             )
+        if cfg.strategy == "insert_overwrite":
+            return self._insert_overwrite(model, batch, cfg)
         keys = (
             [cfg.unique_key] if isinstance(cfg.unique_key, str) else list(cfg.unique_key)
         )
@@ -122,6 +129,34 @@ class Materializer:
         self.writer._swap_in(merged, model.target)
         return MaterializeResult(
             model.name, model.target, "delete+insert", obs.get["rows"]
+        )
+
+    def _insert_overwrite(
+        self, model: Model, batch: DataFrame, cfg
+    ) -> MaterializeResult:
+        """dbt-on-Spark's partition-replacing incremental: ONLY the
+        partitions present in the batch are atomically overwritten
+        (dynamic partition overwrite); untouched partitions are never
+        read or rewritten — the write cost is proportional to the
+        changed partitions, which is the point of the strategy at
+        100 TB. No unique_key, no merge shuffle."""
+        target_cols = self.spark.table(model.target).columns
+        observed, obs = TableWriter._observed(batch.select(*target_cols))
+        prev = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        self.spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            # insertInto is position-based: columns were aligned above
+            observed.write.insertInto(model.target, overwrite=True)
+        finally:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+        return MaterializeResult(
+            model.name, model.target, "insert_overwrite", obs.get["rows"]
         )
 
     def _reconcile_schema(

@@ -17,7 +17,8 @@ from datanika_core_spark.errors import ValidationError
 from datanika_core_spark.naming import validate_identifier
 
 MATERIALIZATIONS = ("view", "table", "incremental", "ephemeral")
-INCREMENTAL_STRATEGIES = ("merge", "append", "delete+insert")
+INCREMENTAL_STRATEGIES = ("merge", "append", "delete+insert",
+                           "insert_overwrite")
 ON_SCHEMA_CHANGE = ("ignore", "fail", "append_new_columns", "sync_all_columns")
 
 
@@ -30,6 +31,12 @@ class IncrementalConfig:
     strategy: str = "merge"
     updated_at: str | None = None
     on_schema_change: str = "ignore"
+    #: required by insert_overwrite: the partition column whose
+    #: batch-present values get atomically replaced (dbt-on-Spark's
+    #: partition-replacing strategy — no merge shuffle, no full-table
+    #: rewrite; the write cost is proportional to the touched
+    #: partitions).
+    partition_by: str | None = None
 
     def __post_init__(self):
         if self.strategy not in INCREMENTAL_STRATEGIES:
@@ -42,6 +49,10 @@ class IncrementalConfig:
             )
         if self.strategy == "merge" and not self.unique_key:
             raise ValidationError("merge strategy requires unique_key")
+        if self.strategy == "insert_overwrite" and not self.partition_by:
+            raise ValidationError(
+                "insert_overwrite strategy requires partition_by"
+            )
 
 
 @dataclass

@@ -421,3 +421,52 @@ def test_sync_all_columns_with_this_subquery(spark):
     assert got == {(1, 5), (2, 6)}
     drop_table(spark, "src_m_this")
     spark.sql("DROP DATABASE IF EXISTS an5 CASCADE")
+
+
+def test_incremental_insert_overwrite_replaces_only_batch_partitions(spark):
+    """dbt-on-Spark's partition-replacing strategy: run 2's batch
+    carries days 3-4 only → day 3 is atomically replaced, day 4
+    appears, days 1-2 are untouched (and never rewritten)."""
+    drop_table(spark, "src_io")
+    spark.createDataFrame(
+        [(1, "d1", 10), (2, "d2", 10), (3, "d3", 10)],
+        "id int, day string, v int",
+    ).write.mode("overwrite").saveAsTable("src_io")
+    r = ModelRegistry()
+    r.add(Model(
+        "io_m",
+        "SELECT * FROM src_io {% if is_incremental() %}"
+        "WHERE day >= 'd3'{% endif %}",
+        materialization="incremental",
+        schema="an_io",
+        incremental=IncrementalConfig(
+            strategy="insert_overwrite", partition_by="day",
+        ),
+    ))
+    runner = ModelRunner(spark, r)
+    runner.invoke("run")
+    assert spark.table("an_io.io_m").count() == 3
+
+    # day 3 changes, day 4 appears; days 1-2 also "change" in the
+    # source but are NOT in the batch window → must stay at v=10
+    spark.createDataFrame(
+        [(1, "d1", 99), (2, "d2", 99), (3, "d3", 20), (4, "d4", 30),
+         (5, "d3", 21)],
+        "id int, day string, v int",
+    ).write.mode("overwrite").saveAsTable("src_io")
+    res = runner.invoke("run")
+    got = {(x.id, x.day, x.v) for x in spark.table("an_io.io_m").collect()}
+    assert got == {
+        (1, "d1", 10), (2, "d2", 10),          # untouched partitions
+        (3, "d3", 20), (5, "d3", 21),          # replaced partition
+        (4, "d4", 30),                          # new partition
+    }
+    # rows_affected reports the batch size, not the table size
+    assert res.rows_affected == 3
+    assert "io_m" in res.executed
+    spark.sql("DROP DATABASE IF EXISTS an_io CASCADE")
+
+
+def test_insert_overwrite_requires_partition_by():
+    with pytest.raises(ValidationError):
+        IncrementalConfig(strategy="insert_overwrite")
