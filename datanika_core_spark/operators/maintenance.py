@@ -98,3 +98,63 @@ def analyze_table(
         spark.sql(
             f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}"
         )
+
+
+@dataclass
+class PartitionCompactionResult:
+    table: str
+    partitions_compacted: list[str]
+    files_before: int
+    files_after: int
+
+
+def compact_partitioned_table(
+    spark: SparkSession,
+    table: str,
+    partition_col: str,
+    max_files_per_partition: int = 1,
+) -> PartitionCompactionResult:
+    """Per-partition compaction for partitioned tables (IVF posting
+    lists, insert_overwrite targets): rewrite ONLY partitions whose
+    file count exceeds ``max_files_per_partition``, via dynamic
+    partition overwrite — untouched partitions are never read or
+    rewritten, so the cost is proportional to the fragmentation, not
+    the table (``compact_table``'s whole-table swap would also lose
+    the partitioned layout).
+
+    ``repartition(partition_col)`` routes each fragmented partition's
+    rows to one task, so the rewrite emits one file per partition.
+    """
+    import re
+
+    files = _table_files(spark, table)
+    pat = re.compile(rf"{re.escape(partition_col)}=([^/]+)/")
+    per_part: dict[str, int] = {}
+    for path, _ in files:
+        m = pat.search(path)
+        if m:
+            per_part[m.group(1)] = per_part.get(m.group(1), 0) + 1
+    frag = sorted(
+        v for v, n in per_part.items() if n > max_files_per_partition
+    )
+    if not frag:
+        return PartitionCompactionResult(table, [], len(files), len(files))
+
+    df = spark.table(table)
+    ptype = dict(df.dtypes)[partition_col]
+    vals = [
+        F.lit(v).cast(ptype) for v in frag
+    ]
+    batch = df.filter(F.col(partition_col).isin(*vals)).repartition(
+        F.col(partition_col)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        batch.write.insertInto(table, overwrite=True)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.catalog.refreshTable(table)
+    after = _table_files(spark, table)
+    return PartitionCompactionResult(table, frag, len(files), len(after))

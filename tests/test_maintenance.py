@@ -57,3 +57,40 @@ def test_analyze_table_populates_stats(spark):
     got = {r[0]: r[1] for r in col}
     assert got.get("distinct_count") == "7"
     drop_table(spark, "t_stats")
+
+
+def test_compact_partitioned_table_rewrites_only_fragmented(spark):
+    from datanika_core_spark.operators.maintenance import (
+        _table_files,
+        compact_partitioned_table,
+    )
+    from datanika_core_spark.operators.writers import drop_table
+
+    drop_table(spark, "part_frag")
+    base = spark.createDataFrame(
+        [(i, "p%d" % (i % 3), i * 10) for i in range(30)],
+        "id int, part string, v int",
+    )
+    base.repartition(F.col("part")).write.partitionBy("part").mode(
+        "overwrite"
+    ).saveAsTable("part_frag")
+    # fragment ONLY p1 with several tiny appends
+    for lo in (100, 200, 300):
+        spark.createDataFrame(
+            [(lo, "p1", lo)], "id int, part string, v int"
+        ).write.partitionBy("part").mode("append").saveAsTable("part_frag")
+    before = {p for p, _ in _table_files(spark, "part_frag") if "part=p0" in p}
+    n_rows = spark.table("part_frag").count()
+
+    res = compact_partitioned_table(spark, "part_frag", "part",
+                                    max_files_per_partition=1)
+    assert res.partitions_compacted == ["p1"]
+    assert res.files_after < res.files_before
+    # data intact
+    assert spark.table("part_frag").count() == n_rows
+    # p1 now a single file; p0's files untouched (same paths)
+    files = _table_files(spark, "part_frag")
+    assert sum(1 for p, _ in files if "part=p1" in p) == 1
+    after = {p for p, _ in files if "part=p0" in p}
+    assert after == before
+    drop_table(spark, "part_frag")
