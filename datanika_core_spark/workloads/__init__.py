@@ -74,7 +74,7 @@ CHECK_FIRST = [
     "perplexity_unigram_score", "token_entropy_filter",
     "events_zscore_anomaly", "pagerank_event_transitions",
     "multimodal_audio_features", "split_leakage_safe",
-    "contrastive_pairs_mined",
+    "contrastive_pairs_mined", "dedup_containment_fragments",
     # still lacking a recorded CORRECTNESS row after r01+r02
     "q14_promo_effect", "q15_top_supplier", "q16_part_supplier_counts",
     "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_revenue",

@@ -641,3 +641,91 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment near-dup: fragment-inside-document detection.
+# --------------------------------------------------------------------------
+
+_CONT_THRESH = 0.9
+
+
+@workload(
+    "dedup_containment_fragments",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, lower(trim(text)) AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 30000 AS doc_id,
+         array_to_string(list_slice(toks, 1,
+             greatest(CAST(floor(len(toks) * 0.3) AS INT), 3)), ' ') AS text
+  FROM (SELECT doc_id, {_O_TOKS} AS toks FROM documents)
+  WHERE doc_id % 40 = 0
+), {_O_SHINGLED},
+ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shingled
+       WHERE len(shingles) > 0),
+sizes AS (SELECT doc_id, len(shingles) AS sz FROM shingled),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / least(sa.sz, sb.sz), 6) AS containment,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 1.0 / least(sa.sz, sb.sz) >= {_CONT_THRESH}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_containment_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: C = |A∩B| / min(|A|,|B|)
+    catches a short fragment embedded in a longer document (quotes,
+    excerpts, boilerplate reuse) that symmetric Jaccard scores far
+    below threshold — the corpus injects 30%-prefix fragments whose
+    containment ≈ 1 while Jaccard ≈ 0.3. Same inverted-shingle-index
+    shape as `dedup_ngram_jaccard` (pairs only share-a-shingle docs,
+    never the cross product); both scores are reported so the gap is
+    visible in the output."""
+    docs = _norm_docs(spark, sf_dir)
+    toks = F.split("text", _TOKS)
+    prefix = F.greatest(
+        F.floor(F.size(toks) * 0.3).cast("int"), F.lit(3)
+    )
+    frags = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 30000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, F.lit(1), prefix)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(frags)
+    sh = (
+        _with_toks(corpus)
+        .withColumn("shingles", F.expr(_SHINGLES_EXPR))
+        .select("doc_id", "shingles")
+        .cache()
+    )
+    ex = sh.filter(F.size("shingles") > 0).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    cont = F.col("inter") * 1.0 / F.least(F.col("sza"), F.col("szb"))
+    jac = F.col("inter") * 1.0 / (F.col("sza") + F.col("szb") - F.col("inter"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(cont >= _CONT_THRESH)
+        .select("doc_a", "doc_b",
+                F.round(cont, 6).alias("containment"),
+                F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -146,3 +146,15 @@ def test_zscore_anomaly_flags_are_extreme(spark):
     rows = reg["events_zscore_anomaly"].fn(spark, SF).collect()
     for r in rows:
         assert abs(r.z) > 2.0
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    reg = load_all()
+    rows = reg["dedup_containment_fragments"].fn(spark, SF).collect()
+    assert rows
+    # the injected 30%-prefix fragments: containment ≈ 1 while
+    # Jaccard sits far below the 0.8 near-dup threshold
+    frag_pairs = [r for r in rows if r.doc_b >= 30000]
+    assert frag_pairs
+    assert all(r.containment >= 0.9 for r in rows)
+    assert any(r.jaccard < 0.8 for r in frag_pairs)
