@@ -49,6 +49,10 @@ class SnapshotConfig:
     strategy: str  # timestamp | check
     updated_at: str | None = None  # required for timestamp
     check_cols: list[str] | None = None  # required for check
+    #: dbt's invalidate_hard_deletes: keys that disappear from the
+    #: source get their current row closed (valid_to = run time)
+    #: instead of living forever as phantom "current" rows.
+    invalidate_hard_deletes: bool = False
 
     def __post_init__(self):
         if self.strategy not in ("timestamp", "check"):
@@ -141,6 +145,16 @@ class SnapshotRunner:
             (F.col(f"s.{UPDATED_AT}") if cfg.strategy == "timestamp" else ts_lit
              ).alias("__close_ts"),
         )
+        if cfg.invalidate_hard_deletes:
+            # keys gone from the source: close their current rows at
+            # the run time (dbt's invalidate_hard_deletes)
+            deleted_keys = (
+                current.select(*keys)
+                .join(src.select(*keys).distinct(), keys, "left_anti")
+                .withColumn("__close_ts", ts_lit)
+            )
+            changed_keys = changed_keys.unionByName(deleted_keys)
+
         closing = (
             current.alias("t")
             .join(changed_keys.alias("k"), keys, "inner")

@@ -470,3 +470,35 @@ def test_incremental_insert_overwrite_replaces_only_batch_partitions(spark):
 def test_insert_overwrite_requires_partition_by():
     with pytest.raises(ValidationError):
         IncrementalConfig(strategy="insert_overwrite")
+
+
+def test_snapshot_invalidate_hard_deletes(spark):
+    import datetime as dt
+    from datanika_core_spark.operators.scd2 import SnapshotRunner
+
+    runner = SnapshotRunner(spark)
+    tgt = "snap_hard_del"
+    drop_table(spark, tgt)
+    cfg = SnapshotConfig(unique_key="id", strategy="check",
+                         check_cols=["v"], invalidate_hard_deletes=True)
+    b1 = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id int, v int")
+    runner.run(b1, tgt, cfg, as_of=dt.datetime(2024, 1, 1))
+    # id=3 disappears; id=2 changes
+    b2 = spark.createDataFrame([(1, 10), (2, 21)], "id int, v int")
+    runner.run(b2, tgt, cfg, as_of=dt.datetime(2024, 2, 1))
+    hist = spark.table(tgt)
+    cur = {(r.id, r.v) for r in hist.filter("dbt_valid_to IS NULL").collect()}
+    assert cur == {(1, 10), (2, 21)}          # id=3 no longer current
+    closed = {(r.id, str(r.dbt_valid_to))
+              for r in hist.filter("dbt_valid_to IS NOT NULL").collect()}
+    assert closed == {(2, "2024-02-01 00:00:00"), (3, "2024-02-01 00:00:00")}
+
+    # without the flag, the vanished key stays current (dbt default)
+    tgt2 = "snap_soft_del"
+    drop_table(spark, tgt2)
+    cfg2 = SnapshotConfig(unique_key="id", strategy="check", check_cols=["v"])
+    runner.run(b1, tgt2, cfg2, as_of=dt.datetime(2024, 1, 1))
+    runner.run(b2, tgt2, cfg2, as_of=dt.datetime(2024, 2, 1))
+    cur2 = {r.id for r in
+            spark.table(tgt2).filter("dbt_valid_to IS NULL").collect()}
+    assert cur2 == {1, 2, 3}
