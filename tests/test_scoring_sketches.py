@@ -158,3 +158,31 @@ def test_containment_catches_what_jaccard_misses(spark):
     assert frag_pairs
     assert all(r.containment >= 0.9 for r in rows)
     assert any(r.jaccard < 0.8 for r in frag_pairs)
+
+
+def test_fuzzy_match_links_typos_back(spark):
+    reg = load_all()
+    rows = reg["entity_fuzzy_match"].fn(spark, SF).collect()
+    assert rows
+    # every dirty record is a single-char deletion of its source →
+    # the true match is at distance 1; best-match may also land on a
+    # naturally closer name, but never farther than 1
+    assert all(r.dist <= 1 for r in rows)
+    # with short names many entities sit at distance 1, so the
+    # deterministic (dist, key) tiebreak may prefer another entity —
+    # but at least some typos must link straight back
+    exact_back = sum(1 for r in rows if r.dirty_id - 10000 == r.matched_key)
+    assert exact_back >= 1
+
+
+def test_table_diff_statuses(spark):
+    reg = load_all()
+    rows = reg["table_diff_keyed"].fn(spark, SF).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.status, []).append(r)
+    assert set(by) == {"added", "removed", "changed"}
+    for r in by["changed"]:
+        assert r.changed_cols == ["o_totalprice"]
+    for r in by["added"] + by["removed"]:
+        assert r.changed_cols == []
