@@ -318,3 +318,46 @@ def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "n", F.round(z, 6).alias("z"))
         .orderBy("event_type", "day")
     )
+
+
+_ROLL_US = 7 * 86400 * 1000000  # 7 days in microseconds
+
+
+@workload(
+    "events_rolling_window_features",
+    oracle=f"""
+SELECT user_id, event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_7d,
+       round(sum(value) OVER w, 2) AS value_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_ROLL_US} PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+""",
+)
+def events_rolling_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window features: per user, the trailing-7-day event
+    count and value sum AT EVERY event — the standard feature-
+    engineering shape for behavioral models. Unlike ROWS frames, the
+    RANGE frame is defined on event time (microsecond epoch on both
+    engines, so frame boundaries agree exactly); one shuffle on
+    user_id, then a sorted streaming frame scan — no self-join, no
+    explode, state bounded by the frame width."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_ROLL_US, 0)
+    )
+    return (
+        ev.select(
+            "user_id", "event_id",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_7d"),
+            F.round(F.sum("value").over(w), 2).alias("value_7d"),
+        )
+        .orderBy("user_id", "event_id")
+    )
