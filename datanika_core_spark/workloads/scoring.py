@@ -292,3 +292,63 @@ def token_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0.0), 6
         ).alias("norm_entropy"),
     ).orderBy("doc_id")
+
+
+@workload(
+    "corpus_data_card",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len({_O_TOKS}) AS BIGINT) AS dl,
+         md5(lower(trim(text))) AS th,
+         1.0 / (1.0 + exp(-(
+           list_sum(list_transform({_O_TOKS},
+             x -> {_O_W.format(x='x')}))
+           / len({_O_TOKS})))) AS score
+  FROM documents
+)
+SELECT coalesce(source, '__all__') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dl) AS BIGINT) AS total_tokens,
+       CAST(count(*) - count(DISTINCT th) AS BIGINT) AS exact_dup_docs,
+       round(avg(score), 6) AS mean_quality
+FROM per_doc
+GROUP BY ROLLUP(source)
+ORDER BY source
+""",
+)
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus "data card": per-source and overall (ROLLUP) doc
+    counts, token volume, exact-duplicate counts, and mean
+    model-quality score — the one-page health report a training-data
+    pipeline publishes with every corpus release. ONE scan computes
+    every per-doc signal in the same projection; the rollup is a
+    single grouping-sets aggregate."""
+    per_doc = t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), _TOKS))
+        .cast("bigint").alias("dl"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("th"),
+        F.expr(
+            "1.0 / (1.0 + exp(-("
+            "aggregate(transform(split(lower(trim(text)), '\\\\s+'), "
+            f"x -> {_S_W.format(x='x')}), cast(0 as double), "
+            "(a, v) -> a + v) "
+            "/ size(split(lower(trim(text)), '\\\\s+')))))"
+        ).alias("score"),
+    )
+    return (
+        per_doc.rollup("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("total_tokens"),
+            (F.count(F.lit(1)) - F.countDistinct("th"))
+            .cast("bigint").alias("exact_dup_docs"),
+            F.round(F.avg("score"), 6).alias("mean_quality"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("__all__")).alias("source"),
+            "n_docs", "total_tokens", "exact_dup_docs", "mean_quality",
+        )
+        .orderBy("source")
+    )
