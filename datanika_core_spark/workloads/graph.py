@@ -143,7 +143,7 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
 
     pr = nodes.withColumn("pr", F.lit(1.0) / F.lit(float(n)))
-    for _ in range(_PR_ITERS):
+    for it in range(_PR_ITERS):
         dang = (
             pr.join(F.broadcast(no_out), "node", "left_semi")
             .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dmass"))
@@ -165,6 +165,13 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.col("dmass") / F.lit(float(n)))).alias("pr"),
             )
         )
+        if it < _PR_ITERS - 1:
+            # truncate lineage between iterations (the rank vector is
+            # |V| rows): keeps the final plan one-iteration deep
+            # instead of exponentially re-deriving earlier rounds in
+            # every broadcast branch — same pattern as
+            # connected_components' localCheckpoint loop.
+            pr = pr.localCheckpoint(eager=True)
     return (
         pr.select(F.col("node").alias("event_type"),
                   F.round("pr", 6).alias("pagerank"))
