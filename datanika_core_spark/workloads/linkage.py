@@ -117,7 +117,8 @@ SELECT coalesce(l.o_orderkey, r.o_orderkey) AS key,
        CASE WHEN l.o_orderkey IS NULL THEN 'added'
             WHEN r.o_orderkey IS NULL THEN 'removed'
             ELSE 'changed' END AS status,
-       CASE WHEN l.o_orderkey IS NULL OR r.o_orderkey IS NULL THEN []
+       CASE WHEN l.o_orderkey IS NULL OR r.o_orderkey IS NULL
+            THEN CAST([] AS VARCHAR[])
             ELSE list_filter([
               {", ".join(
                   f"CASE WHEN NOT (l.{c} IS NOT DISTINCT FROM r.{c}) "
