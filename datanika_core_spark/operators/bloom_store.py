@@ -78,7 +78,10 @@ class BloomFilterStore:
         (all k bits set). No false negatives; callers exact-verify
         the survivors."""
         words = self.spark.table(self.table)
-        probes = batch.select(
+        # distinct first: a duplicated input row would double its
+        # exploded positions and fail the hits == k test — a false
+        # negative, which a Bloom filter must never produce
+        probes = batch.select(*keep_cols, F.col(value_col)).distinct().select(
             *keep_cols,
             F.explode(F.expr(_s_positions(value_col))).alias("pos"),
         ).select(

@@ -48,3 +48,14 @@ def test_probe_rejects_most_unseen_values(spark):
     # with m=64Ki bits, k=3 and ~500 inserted values the FP rate is
     # far below 1%; allow generous slack
     assert fp <= max(2, n // 50)
+
+
+def test_probe_handles_duplicated_input_rows(spark):
+    spark.sql("DROP TABLE IF EXISTS bf_store_dup")
+    docs = _docs(spark)
+    store = BloomFilterStore(spark, "bf_store_dup")
+    store.update(docs, "th")
+    doubled = docs.unionByName(docs)   # every row twice
+    hits = store.probe(doubled, "th", ["doc_id"])
+    # still no false negatives: every distinct ingested id passes
+    assert hits.count() == docs.count()
