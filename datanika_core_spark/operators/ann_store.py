@@ -104,6 +104,11 @@ class IVFIndexStore:
         return cents
 
     def centroids(self) -> dict[int, list[float]]:
+        if not self.spark.catalog.tableExists(self.centroids_table):
+            raise ValueError(
+                f"IVF index {self.table!r} has no trained quantizer "
+                f"({self.centroids_table} missing) — call train() first"
+            )
         return {
             int(r.cid): list(r.cvec)
             for r in self.spark.table(self.centroids_table).collect()

@@ -86,6 +86,10 @@ def stream_embed_ingest(
             lists = spark.table(store.table)
             dup_sets.append(
                 lists.join(F.broadcast(new_side), "cid")
+                # a replayed file re-delivers vec_ids already in the
+                # store; they'd match THEMSELVES at cosine 1.0 —
+                # that's idempotent redelivery, not a duplicate
+                .filter(F.col("vec_id") != F.col("new_id"))
                 .filter(F.expr(_s_cos("nv", "v")) >= threshold)
                 .select("new_id")
             )
