@@ -94,3 +94,28 @@ def test_compact_partitioned_table_rewrites_only_fragmented(spark):
     after = {p for p, _ in files if "part=p0" in p}
     assert after == before
     drop_table(spark, "part_frag")
+
+
+def test_compact_ivf_posting_lists_roundtrip(spark):
+    """The real consumer of partition-aware compaction: incremental
+    IVF updates fragment the cid partitions; compaction coalesces
+    them and probes still work (int partition column)."""
+    from datanika_core_spark.operators.ann_store import IVFIndexStore
+    from datanika_core_spark.workloads.similarity import _vectors
+
+    for t in ("ivf_cmp_t", "ivf_cmp_t__centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    vecs = _vectors(spark, "/root/testdata/sf0.001").select("vec_id", "v")
+    store = IVFIndexStore(spark, "ivf_cmp_t", k=4, iters=1)
+    store.train(vecs)
+    for lo, hi in ((0, 150), (150, 300), (300, 10**9)):
+        store.update(vecs.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ))
+    res = compact_partitioned_table(spark, "ivf_cmp_t", "cid",
+                                    max_files_per_partition=1)
+    assert res.files_after < res.files_before
+    assert spark.table("ivf_cmp_t").count() == vecs.count()
+    q = vecs.limit(1).collect()[0]
+    out = store.probe([(int(q.vec_id), list(q.v))], topk=2).collect()
+    assert out[0].vec_id == q.vec_id
