@@ -6,7 +6,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datanika_core_spark.operators.maintenance import (
+    _table_files,
     analyze_table,
+    compact_partitioned_table,
     compact_table,
 )
 from datanika_core_spark.operators.writers import drop_table
