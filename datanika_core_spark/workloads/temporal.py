@@ -176,3 +176,84 @@ def range_join_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time (PIT) join: facts against SCD2 validity intervals.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "pit_join_scd2_dim",
+    oracle="""
+WITH dim AS (
+  SELECT o_orderkey, o_totalprice AS dim_price,
+         CAST(1 AS BIGINT) AS version,
+         o_orderdate AS valid_from,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN o_orderdate + INTERVAL 30 DAY END AS valid_to
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_totalprice * 1.05 AS dim_price,
+         CAST(2 AS BIGINT) AS version,
+         o_orderdate + INTERVAL 30 DAY AS valid_from,
+         NULL AS valid_to
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT d.version, l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(d.dim_price), 2) AS dim_price_total
+FROM lineitem l
+JOIN dim d
+  ON l.l_orderkey = d.o_orderkey
+ AND l.l_shipdate >= d.valid_from
+ AND (d.valid_to IS NULL OR l.l_shipdate < d.valid_to)
+GROUP BY d.version, l.l_returnflag
+ORDER BY version, l_returnflag
+""",
+)
+def pit_join_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each lineitem picks the order-dimension
+    VERSION that was valid at its ship date (SCD2 validity
+    intervals — same versioning as model_scd2_snapshot_orders). The
+    plan is an equi-join on the surrogate key with the interval
+    predicate as residual condition — one shuffle on o_orderkey, and
+    at scale both sides bucket by the key so the join co-locates;
+    never a cross product. This is how facts consume the SCD2 tables
+    the snapshot runner maintains."""
+    orders = t(spark, sf_dir, "orders")
+    v1 = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("dim_price"),
+        F.lit(1).cast("bigint").alias("version"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.when(F.col("o_orderkey") % 7 == 0,
+               F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .alias("valid_to"),
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.05).alias("dim_price"),
+        F.lit(2).cast("bigint").alias("version"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag"
+    )
+    joined = li.join(
+        dim,
+        (li.l_orderkey == dim.o_orderkey)
+        & (li.l_shipdate >= dim.valid_from)
+        & (dim.valid_to.isNull() | (li.l_shipdate < dim.valid_to)),
+    )
+    return (
+        joined.groupBy("version", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.sum("dim_price"), 2).alias("dim_price_total"),
+        )
+        .orderBy("version", "l_returnflag")
+    )
