@@ -729,3 +729,86 @@ def dedup_containment_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# LSH quality evaluation: banding recall vs exact ground truth.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "dedup_lsh_recall_eval",
+    oracle=f"""
+WITH {O_MINHASH_PAIRS_CTES},
+ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shingled
+       WHERE len(shingles) > 0),
+szs AS (SELECT doc_id, len(shingles) AS sz FROM shingled),
+common AS (
+  SELECT a.doc_id AS ta, b.doc_id AS tb, count(*) AS inter
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT ta, tb FROM common
+  JOIN szs sa ON sa.doc_id = ta
+  JOIN szs sb ON sb.doc_id = tb
+  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.7
+),
+hits AS (
+  SELECT count(*) AS n_hit
+  FROM pairs p JOIN truth t ON p.doc_a = t.ta AND p.doc_b = t.tb
+)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_lsh,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       round(n_hit * 1.0 / (SELECT count(*) FROM truth), 6) AS recall
+FROM hits
+""",
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine measuring its own approximation: MinHash+LSH pair
+    recall against the exact >= 0.7-Jaccard ground truth (inverted
+    shingle index — affordable at eval scale, which is the point of
+    running this on a SAMPLE of a 100 TB corpus). Precision is 1.0
+    by construction (LSH candidates are exact-verified); what banding
+    risks is RECALL, so that's what gets measured and regression-
+    tested. One number a curation run can alert on."""
+    corpus = _with_toks(_corpus_neardup(spark, sf_dir))
+    sh = corpus.withColumn("shingles", F.expr(_SHINGLES_EXPR)).select(
+        "doc_id", "shingles"
+    ).cache()
+    ex = sh.filter(F.size("shingles") > 0).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    szs = sh.select("doc_id", F.size("shingles").alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ta"),
+                 F.col("b.doc_id").alias("tb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = szs.select(F.col("doc_id").alias("ta"), F.col("sz").alias("sza"))
+    sb = szs.select(F.col("doc_id").alias("tb"), F.col("sz").alias("szb"))
+    truth = (
+        common.join(sa, "ta").join(sb, "tb")
+        .filter(F.col("inter") * 1.0
+                / (F.col("sza") + F.col("szb") - F.col("inter")) >= 0.7)
+        .select("ta", "tb")
+    )
+    lsh = minhash_pairs(corpus).select("doc_a", "doc_b")
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh"))
+    n_hit = (
+        lsh.join(truth, (lsh.doc_a == truth.ta) & (lsh.doc_b == truth.tb))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    return (
+        n_truth.join(n_lsh).join(n_hit)
+        .select(
+            "n_truth", "n_lsh", "n_hit",
+            F.round(F.col("n_hit") * 1.0 / F.col("n_truth"), 6)
+            .alias("recall"),
+        )
+    )
