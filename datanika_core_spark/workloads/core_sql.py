@@ -647,3 +647,43 @@ def pivot_events_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
           for d in _DOWS],
     )
     return cleaned.orderBy("event_type")
+
+
+@workload(
+    "salted_join_revenue",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted fact-fact join, oracle-verified: lineitem ⋈ orders
+    through `operators/skew.py::salted_join` (16-way deterministic
+    whole-row salt on the fact side, 16× replication of the other
+    side) must produce EXACTLY the plain join's aggregate — the
+    oracle IS the plain join, so the salting layer is proven
+    result-transparent, not just unit-shape-tested. Use on hot-key
+    joins AQE can't split (streaming micro-batches, forced
+    deterministic plans)."""
+    from datanika_core_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = salted_join(li, orders, on="l_orderkey", n_salts=16)
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
