@@ -531,3 +531,44 @@ def corpus_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@workload(
+    "export_shard_manifest",
+    oracle=f"""
+SELECT CAST(('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+            % 8 AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+            AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+ORDER BY shard
+""",
+)
+def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The export path's budget manifest, oracle-verified: the same
+    deterministic md5 shard assignment `operators/export.py` writes
+    with (hash(doc_id) % 8), aggregated to per-shard docs / tokens /
+    chars. Because assignment is a pure function of the row key, the
+    manifest — and the shard layout it describes — is identical
+    across engines, reruns, and cluster sizes; an incremental
+    re-export moves only new docs."""
+    from datanika_core_spark.operators.export import assign_shard
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast("bigint").alias("dl"),
+    )
+    sharded = assign_shard(docs, "doc_id", 8)
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("shard")
+    )
