@@ -63,9 +63,12 @@ def main() -> int:
         if wl.oracle is None:
             continue
         sdf = wl.fn(spark, sf_dir)
+        # toArrow converts via the DataFrame's own schema — unlike
+        # pandas round-tripping, a sampled empty list stays
+        # list<string> instead of inferring list<null>
         s_schema = {f.name: _canon(t) for f, t in zip(
             sdf.schema.fields,
-            pa.Table.from_pandas(sdf.limit(1).toPandas()).schema.types,
+            sdf.limit(1).toArrow().schema.types,
         )}
         o_schema = {
             f.name: _canon(f.type)
