@@ -677,3 +677,119 @@ def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF quality evaluation: recall@k vs the exact scan, per query.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "ann_ivf_recall_eval",
+    oracle=f"""
+WITH vecs AS ({_O_VECTORS}),
+cent AS (SELECT vec_id AS cid, v AS cv FROM vecs
+         WHERE vec_id < {_IVF_NCENT}),
+assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT x.vec_id, x.v, cent.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+               ORDER BY {_o_cos('x.v', 'cent.cv')} DESC, cent.cid) AS rn
+    FROM vecs x CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, cid AS qcid FROM assigned
+      WHERE vec_id >= {_IVF_QLO} AND vec_id < {_IVF_QHI}),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_o_cos('q.qv', 'c.v')} DESC, c.vec_id) AS rank
+    FROM q JOIN vecs c ON c.vec_id <> q.query_id
+  ) WHERE rank <= {_IVF_K}
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_o_cos('q.qv', 'c.v')} DESC, c.vec_id) AS rank
+    FROM q JOIN assigned c ON c.cid = q.qcid AND c.vec_id <> q.query_id
+  ) WHERE rank <= {_IVF_K}
+)
+SELECT e.query_id,
+       CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+       round(count(i.neighbor_id) * 1.0 / {_IVF_K}, 6) AS recall_at_k
+FROM exact e LEFT JOIN ivf i
+  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+""",
+)
+def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the nprobe=1 IVF probe against the
+    exact scan — the ANN twin of dedup_lsh_recall_eval: the engine
+    quantifies its own approximation, driver-verified. At corpus
+    scale this runs on a query SAMPLE and its number gates the
+    nprobe/k tradeoff (the multi-probe variant exists precisely
+    because this metric says when nprobe=1 is not enough)."""
+    from pyspark.sql import Window
+
+    vecs = _vectors(spark, sf_dir)
+    cent = vecs.filter(F.col("vec_id") < _IVF_NCENT).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    rn = Window.partitionBy("vec_id").orderBy(
+        F.expr(_s_cos("v", "cv")).desc(), F.col("cid")
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    q = assigned.filter(
+        (F.col("vec_id") >= _IVF_QLO) & (F.col("vec_id") < _IVF_QHI)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cid").alias("qcid"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+
+    def topk(cands: DataFrame) -> DataFrame:
+        return (
+            cands.select(
+                "query_id", F.col("vec_id").alias("neighbor_id"),
+                F.expr(_s_cos("qv", "v")).alias("sim"),
+            )
+            .withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= _IVF_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    exact = topk(
+        F.broadcast(q).join(vecs, vecs.vec_id != q.query_id)
+    )
+    ivf = topk(
+        F.broadcast(q).join(
+            assigned,
+            (assigned.cid == q.qcid) & (assigned.vec_id != q.query_id),
+        )
+    )
+    i = ivf.select(
+        F.col("query_id").alias("iq"), F.col("neighbor_id").alias("inb")
+    )
+    return (
+        exact.join(
+            i, (exact.query_id == i.iq) & (exact.neighbor_id == i.inb),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("inb").cast("bigint").alias("n_hit"),
+            F.round(F.count("inb") * 1.0 / _IVF_K, 6).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
