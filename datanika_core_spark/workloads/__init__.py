@@ -62,10 +62,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 #: The driver's correctness gate checks the first 50 registry entries
-#: per round. With >50 workloads, rotate the ordering so every query
-#: accumulates a green CORRECTNESS_r{N} row across rounds: entries not
-#: yet covered by a prior round's run go first (round 2 checked the
-#: first 50 of the then-current order; these 26 were past the cut).
+#: per round. Rotation is AUTOMATIC (see load_all): workloads with a
+#: recorded CORRECTNESS_r*.json row sink below unrecorded ones, so
+#: every query accumulates a green row across rounds with no manual
+#: bookkeeping. This list only breaks ties WITHIN each group —
+#: newest additions first.
 CHECK_FIRST = [
     # new in round 3 (second half)
     "semdedup_embedding_prune", "bloom_dedup_incoming_batch",
@@ -99,6 +100,23 @@ CHECK_FIRST = [
 ]
 
 
+def _recorded_names() -> set[str]:
+    """Workload names with a recorded driver CORRECTNESS row (any
+    round). Read from the repo root; missing/invalid files mean 'no
+    rows yet', never an import error."""
+    import json
+    from pathlib import Path
+
+    names: set[str] = set()
+    root = Path(__file__).resolve().parents[2]
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            names |= set(json.loads(f.read_text()))
+        except Exception:
+            continue
+    return names
+
+
 def load_all() -> dict[str, Workload]:
     """Import every workload module, populating REGISTRY."""
     from datanika_core_spark.workloads import (  # noqa: F401
@@ -124,6 +142,16 @@ def load_all() -> dict[str, Workload]:
         tpch_extra,
     )
 
-    ordered = {n: REGISTRY[n] for n in CHECK_FIRST if n in REGISTRY}
-    ordered.update({n: wl for n, wl in REGISTRY.items() if n not in ordered})
-    return ordered
+    # Auto-rotation: any workload that already has a recorded row in a
+    # CORRECTNESS_r*.json sinks BELOW ones that don't, so the driver's
+    # first-50 check window always prioritizes unverified queries. The
+    # manual CHECK_FIRST list breaks ties (newest additions first);
+    # within each group the ordering is stable.
+    recorded = _recorded_names()
+    pri = {n: i for i, n in enumerate(CHECK_FIRST)}
+
+    def sort_key(item):
+        n = item[0]
+        return (n in recorded, pri.get(n, len(pri)))
+
+    return dict(sorted(REGISTRY.items(), key=sort_key))
