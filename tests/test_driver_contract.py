@@ -82,3 +82,30 @@ def test_all_workloads_have_oracles():
 
     no_oracle = [n for n, wl in load_all().items() if not wl.oracle]
     assert no_oracle == []
+
+
+def test_auto_rotation_sinks_recorded_workloads(tmp_path, monkeypatch):
+    """load_all must order unrecorded workloads first; a workload
+    that gains a CORRECTNESS row in any round sinks below the ones
+    still lacking evidence."""
+    import datanika_core_spark.workloads as w
+
+    order_before = list(w.load_all())
+    target = order_before[0]          # currently unrecorded, leads
+    fake = tmp_path / "CORRECTNESS_r99.json"
+    fake.write_text('{"%s": {"hash_match": true}}' % target)
+
+    real = w._recorded_names
+
+    def patched():
+        return real() | {target}
+
+    monkeypatch.setattr(w, "_recorded_names", patched)
+    order_after = list(w.load_all())
+    assert order_after[0] != target
+    # it sank below every unrecorded entry but is still present
+    assert target in order_after
+    recorded = real() | {target}
+    first_unrecorded_block = [n for n in order_after
+                              if n not in recorded]
+    assert order_after[:len(first_unrecorded_block)] == first_unrecorded_block
