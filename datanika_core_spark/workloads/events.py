@@ -361,3 +361,79 @@ def events_rolling_window_features(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@workload(
+    "events_resample_dense_hourly",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS t0,
+         date_trunc('hour', max(ts)) AS t1
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (
+    SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket
+    FROM bounds
+  ) g
+),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         round(sum(value), 2) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT g.event_type AS event_type, g.bucket AS bucket,
+       coalesce(h.n, 0) AS n,
+       coalesce(h.total_value, 0.0) AS total_value
+FROM grid g LEFT JOIN hourly h
+  ON h.event_type = g.event_type AND h.bucket = g.bucket
+ORDER BY g.event_type, g.bucket
+""",
+)
+def events_resample_dense_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: every (event_type, hour) cell of
+    the full time range, zero-filled where no events landed — the
+    gap-filling step dashboards and forecasting models need before
+    window math. The dense grid is generated from ONE min/max
+    aggregate (a 1-row broadcast) × the distinct key set via
+    sequence(), never materialized wider than |keys| × |buckets|;
+    the sparse hourly aggregate left-joins onto it."""
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(t0, t1, INTERVAL 1 HOUR)")
+            ).alias("bucket"),
+        )
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    h = hourly.select(
+        F.col("event_type").alias("het"),
+        F.col("bucket").alias("hb"), "n", "total_value",
+    )
+    return (
+        grid.join(
+            h, (grid.event_type == h.het) & (grid.bucket == h.hb), "left"
+        )
+        .select(
+            "event_type", "bucket",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("event_type", "bucket")
+    )
