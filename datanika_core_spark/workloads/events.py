@@ -325,6 +325,7 @@ _ROLL_US = 7 * 86400 * 1000000  # 7 days in microseconds
 
 @workload(
     "events_rolling_window_features",
+    headline=True,
     oracle=f"""
 SELECT user_id, event_id,
        CAST(count(*) OVER w AS BIGINT) AS n_7d,

@@ -121,6 +121,7 @@ _TFIDF_TOPK = 25
 
 @workload(
     "tfidf_topk_terms",
+    headline=True,
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, unnest({_O_TOKS}) AS term FROM documents

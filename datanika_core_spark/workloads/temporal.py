@@ -185,6 +185,7 @@ def range_join_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload(
     "pit_join_scd2_dim",
+    headline=True,
     oracle="""
 WITH dim AS (
   SELECT o_orderkey, o_totalprice AS dim_price,

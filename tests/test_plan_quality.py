@@ -24,6 +24,8 @@ SF = "/root/testdata/sf0.001"
 # not a quadratic join.
 BNL_ALLOWED = {"knn_cosine_topk", "bm25_topk_docs",
                "perplexity_unigram_score",
+               # 1-row corpus-size frame (N) broadcast into the scan
+               "tfidf_topk_terms",
                # 1-row dangling-mass frame cross-joined per iteration
                "pagerank_event_transitions"}
 
