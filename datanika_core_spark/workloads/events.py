@@ -438,3 +438,60 @@ def events_resample_dense_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@workload(
+    "events_mad_outliers",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(n, 0.5) AS median_n
+  FROM daily GROUP BY event_type
+),
+mad AS (
+  SELECT d.event_type,
+         quantile_cont(abs(d.n - m.median_n), 0.5) AS mad_n
+  FROM daily d JOIN med m USING (event_type)
+  GROUP BY d.event_type
+)
+SELECT d.event_type, d.day, d.n,
+       round(abs(d.n - m.median_n) / (1.4826 * x.mad_n), 6)
+         AS robust_z
+FROM daily d
+JOIN med m USING (event_type)
+JOIN mad x USING (event_type)
+WHERE abs(d.n - m.median_n) / (1.4826 * x.mad_n) > 2.0
+ORDER BY d.event_type, d.day
+""",
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation:
+    robust_z = |n - median| / (1.4826·MAD) > 2 — unlike the
+    mean/stddev z-score, one wild day cannot drag the threshold and
+    mask itself. Two grouped exact-percentile aggregates (median,
+    then MAD of residuals vs the broadcast medians); both tiny
+    per-type frames broadcast back onto the daily counts."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("median_n")
+    )
+    mad = (
+        daily.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(n - median_n), 0.5)").alias("mad_n"))
+    )
+    rz = F.abs(F.col("n") - F.col("median_n")) / (1.4826 * F.col("mad_n"))
+    return (
+        daily.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(rz > 2.0)
+        .select("event_type", "day", "n", F.round(rz, 6).alias("robust_z"))
+        .orderBy("event_type", "day")
+    )
