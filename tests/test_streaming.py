@@ -188,3 +188,27 @@ def test_stream_stream_interval_join_matches_batch(spark, events_batch):
     }
     assert len(got) > 0
     assert got == want
+
+
+def test_stream_hopping_equals_batch(spark, events_batch):
+    """Full-tuple parity for the hopping-window twin — the one
+    windowed family that previously had no stream/batch equality
+    test."""
+    from datanika_core_spark.streaming.jobs import hopping_totals
+    from datanika_core_spark.workloads import load_all
+
+    sdf = read_event_stream(spark, EVENTS)
+    run_available_now_to_memory(
+        hopping_totals(sdf), "t_stream_hopping", output_mode="complete"
+    )
+    got = {
+        r.win_start: (r.n, r.total_value)
+        for r in spark.table("t_stream_hopping").collect()
+    }
+    want = {
+        r.win_start: (r.n, r.total_value)
+        for r in load_all()["events_hopping_windows"].fn(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == want
