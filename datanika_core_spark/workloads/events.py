@@ -495,3 +495,54 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "n", F.round(rz, 6).alias("robust_z"))
         .orderBy("event_type", "day")
     )
+
+
+@workload(
+    "events_conversion_latency",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT user_id,
+         epoch(t_purchase - t_click) / 60.0 AS latency_min
+  FROM firsts
+  WHERE t_click IS NOT NULL AND t_purchase > t_click
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(latency_min, 0.5), 4) AS p50_min,
+       round(quantile_cont(latency_min, 0.9), 4) AS p90_min,
+       round(max(latency_min), 4) AS max_min
+FROM conv
+""",
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: minutes from a user's FIRST
+    click to their FIRST subsequent purchase, exact interpolated
+    p50/p90 over converting users. One conditional-min groupBy per
+    user (map-side combinable) + a single tiny percentile aggregate —
+    the funnel-latency readout every growth dashboard wants."""
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+        .alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("t_purchase"),
+    )
+    conv = firsts.filter(
+        F.col("t_click").isNotNull()
+        & (F.col("t_purchase") > F.col("t_click"))
+    ).select(
+        ((F.unix_micros(F.col("t_purchase").cast("timestamp"))
+          - F.unix_micros(F.col("t_click").cast("timestamp")))
+         / 1e6 / 60.0).alias("latency_min")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.expr("percentile(latency_min, 0.5)"), 4).alias("p50_min"),
+        F.round(F.expr("percentile(latency_min, 0.9)"), 4).alias("p90_min"),
+        F.round(F.max("latency_min"), 4).alias("max_min"),
+    )
