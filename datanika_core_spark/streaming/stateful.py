@@ -231,3 +231,66 @@ def streaming_token_quota(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+class SeenRecentlyDedupProcessor(StatefulProcessor):
+    """Streaming first-occurrence filter with TTL-BOUNDED state: the
+    first row per key passes, repeats are dropped while the key's
+    marker state lives; the marker expires after ``ttl_ms`` so the
+    state store holds only RECENTLY-seen keys — the property that
+    makes exact streaming dedup feasible over unbounded key spaces
+    (an un-TTL'd seen-set grows forever; with TTL it is bounded by
+    the key arrival rate × the window you actually care about,
+    e.g. "suppress duplicate events within 24h").
+
+    Extends the state-API surface past TokenQuotaProcessor's plain
+    ValueState: the marker uses ``getValueState(ttlDurationMs=...)``,
+    Spark's native state TTL (per-entry, enforced by the state
+    store — no timers or manual sweep needed).
+    """
+
+    def __init__(self, order_col: str, ttl_ms: int = 24 * 3600 * 1000):
+        self.order_col = order_col
+        self.ttl_ms = ttl_ms
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._seen = handle.getValueState(
+            "seen", "seen tinyint", ttlDurationMs=self.ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if not chunks:
+            return
+        if self._seen.exists():
+            return  # repeat within TTL → drop everything for this key
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values(self.order_col, kind="mergesort")
+            .head(1)  # first occurrence only, deterministic order
+        )
+        self._seen.update((1,))
+        yield pdf
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_seen_dedup(
+    sdf: DataFrame,
+    key: str,
+    order_col: str,
+    output_schema: str,
+    ttl_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
+    """First-occurrence-per-key stream filter with TTL-bounded state
+    (requires the transformWithState runtime; callers gate on
+    ``tws_runtime_available()``)."""
+    return sdf.groupBy(key).transformWithStateInPandas(
+        SeenRecentlyDedupProcessor(order_col, ttl_ms),
+        outputStructType=output_schema,
+        outputMode="Append",
+        timeMode="ProcessingTime",
+    )

@@ -134,3 +134,96 @@ def test_token_quota_processor_logic_without_runtime():
     out2 = list(p.handleInputRows(("s",), iter([b2]), None))
     assert out2 == []
     assert h.state.get() == (16,)
+
+
+def test_ttl_seen_dedup_first_occurrence_per_user(spark):
+    """TTL-bounded first-occurrence filter: one row per user (its
+    earliest event by (ts, event_id)); within the run every repeat
+    is suppressed by the live TTL marker."""
+    import pytest
+
+    from datanika_core_spark.streaming.stateful import (
+        streaming_seen_dedup,
+        tws_runtime_available,
+    )
+
+    if not tws_runtime_available():
+        pytest.skip("transformWithState runtime unavailable")
+    sdf = read_event_stream(spark, EVENTS).withColumn(
+        "ord",
+        F.concat(
+            F.date_format("ts", "yyyyMMddHHmmssSSS"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ),
+    ).select("user_id", "event_id", "ord")
+    out_schema = "user_id bigint, event_id bigint, ord string"
+    deduped = streaming_seen_dedup(
+        sdf, "user_id", "ord", out_schema, ttl_ms=3600 * 1000
+    )
+    run_available_now_to_memory(deduped, "t_ttl_dedup",
+                                output_mode="append")
+    out = spark.table("t_ttl_dedup")
+    batch = read_table(spark, EVENTS)
+    n_users = batch.select("user_id").distinct().count()
+    assert out.count() == n_users
+    # the emitted row is each user's EARLIEST event
+    first = batch.withColumn(
+        "rn",
+        F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"])
+            .Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    ).filter("rn = 1").select("user_id", "event_id")
+    match = out.join(first, ["user_id", "event_id"]).count()
+    assert match == n_users
+
+
+def test_ttl_seen_dedup_processor_logic_without_runtime():
+    """SeenRecentlyDedupProcessor's per-key logic with a fake handle:
+    first batch emits exactly the earliest row and sets the TTL'd
+    marker; while the marker lives, repeats emit nothing; after the
+    store evicts it (simulated), the key passes again."""
+    import pandas as pd
+
+    from datanika_core_spark.streaming.stateful import (
+        SeenRecentlyDedupProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, t):
+            self.v = t
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+            self.ttl_ms = None
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            self.ttl_ms = ttlDurationMs
+            return self.state
+
+    p = SeenRecentlyDedupProcessor("ord", ttl_ms=1234)
+    h = FakeHandle()
+    p.init(h)
+    assert h.ttl_ms == 1234            # TTL config reaches the store
+
+    b1 = pd.DataFrame({"user_id": [7, 7], "ord": ["b", "a"]})
+    out1 = pd.concat(list(p.handleInputRows((7,), iter([b1]), None)))
+    assert list(out1.ord) == ["a"]     # earliest only
+    assert h.state.exists()
+
+    b2 = pd.DataFrame({"user_id": [7], "ord": ["c"]})
+    assert list(p.handleInputRows((7,), iter([b2]), None)) == []
+
+    h.state.v = None                   # simulate TTL eviction
+    out3 = pd.concat(list(p.handleInputRows((7,), iter([b2]), None)))
+    assert list(out3.ord) == ["c"]     # key admissible again
