@@ -177,3 +177,74 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round("pr", 6).alias("pagerank"))
         .orderBy("event_type")
     )
+
+
+@workload(
+    "markov_next_event",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+edges AS (
+  SELECT prev_type AS src, event_type AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM seq
+  WHERE prev_type IS NOT NULL
+    AND ts <= prev_ts + INTERVAL {_PR_GAP_MIN} MINUTE
+  GROUP BY prev_type, event_type
+),
+outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS total_w
+         FROM edges GROUP BY src)
+SELECT e.src, e.dst, e.w,
+       round(e.w * 1.0 / o.total_w, 6) AS p,
+       CAST(row_number() OVER (PARTITION BY e.src
+                               ORDER BY e.w DESC, e.dst) AS BIGINT)
+         AS rank_within_src
+FROM edges e JOIN outw o USING (src)
+ORDER BY src, rank_within_src
+""",
+)
+def markov_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event table: P(dst | src) over the
+    same session-gap transition edges PageRank consumes, with each
+    source's successors ranked by probability — the "what does a
+    user do next" readout. The heavy half is the one lag-window
+    shuffle; the conditional table is a tiny grouped division."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    edges = (
+        seq.filter(
+            F.col("prev_type").isNotNull()
+            & (F.col("ts") <= F.col("prev_ts")
+               + F.expr(f"INTERVAL {_PR_GAP_MIN} MINUTES"))
+        )
+        .groupBy(F.col("prev_type").alias("src"),
+                 F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(
+        F.sum("w").cast("bigint").alias("total_w")
+    )
+    wr = Window.partitionBy("src").orderBy(F.col("w").desc(), "dst")
+    return (
+        edges.join(F.broadcast(outw), "src")
+        .select(
+            "src", "dst", "w",
+            F.round(F.col("w") * 1.0 / F.col("total_w"), 6).alias("p"),
+            F.row_number().over(wr).cast("bigint")
+            .alias("rank_within_src"),
+        )
+        .orderBy("src", "rank_within_src")
+    )
