@@ -82,7 +82,7 @@ CHECK_FIRST = [
     "salted_join_revenue", "export_shard_manifest",
     "ann_ivf_recall_eval", "events_resample_dense_hourly",
     "events_mad_outliers", "events_conversion_latency",
-    "markov_next_event",
+    "markov_next_event", "text_langid_confidence",
     # still lacking a recorded CORRECTNESS row after r01+r02
     "q14_promo_effect", "q15_top_supplier", "q16_part_supplier_counts",
     "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_revenue",

@@ -812,3 +812,58 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Language-ID confidence: top-1 vs top-2 stopword-profile margin.
+# --------------------------------------------------------------------------
+
+
+def _lang_hits_array(filter_fn: str, len_fn: str) -> str:
+    return ("[" if filter_fn == "list_filter" else "array(") + ", ".join(
+        _hits_sql(ws, filter_fn, len_fn) for ws in _LANG_LISTS.values()
+    ) + ("]" if filter_fn == "list_filter" else ")")
+
+
+@workload(
+    "text_langid_confidence",
+    oracle=f"""
+SELECT doc_id,
+       {_langid_case('list_filter', 'len')} AS predicted,
+       CAST(hits_sorted[1] AS BIGINT) AS top1,
+       CAST(hits_sorted[2] AS BIGINT) AS top2,
+       round((hits_sorted[1] - hits_sorted[2]) * 1.0
+             / greatest(hits_sorted[1], 1), 4) AS margin
+FROM (
+  SELECT doc_id, toks,
+         list_sort({_lang_hits_array('list_filter', 'len')},
+                   'DESC') AS hits_sorted
+  FROM (SELECT doc_id, {_O_TOKS} AS toks FROM documents)
+)
+ORDER BY doc_id
+""",
+)
+def text_langid_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID with a CONFIDENCE margin: the stopword-profile
+    argmax plus (top1 - top2) / top1 over the per-language hit
+    counts — low margin flags docs the classifier can't separate
+    (code-mixed, too short), the rows a pipeline routes to a heavier
+    model. Pure per-row integer array math in the scan stage."""
+    docs = _with_toks(_norm_docs(spark, sf_dir))
+    pred = F.expr(_langid_case("filter", "size"))
+    hits_sorted = F.expr(
+        f"sort_array({_lang_hits_array('filter', 'size')}, false)"
+    )
+    return (
+        docs.withColumn("hs", hits_sorted)
+        .select(
+            "doc_id",
+            pred.alias("predicted"),
+            F.expr("hs[0]").cast("bigint").alias("top1"),
+            F.expr("hs[1]").cast("bigint").alias("top2"),
+            F.round(
+                F.expr("(hs[0] - hs[1]) * 1.0 / greatest(hs[0], 1)"), 4
+            ).alias("margin"),
+        )
+        .orderBy("doc_id")
+    )
