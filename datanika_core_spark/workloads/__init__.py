@@ -128,6 +128,7 @@ def load_all() -> dict[str, Workload]:
         curation,
         elt,
         events,
+        frontier,
         graph,
         linkage,
         models,

@@ -1,0 +1,506 @@
+"""Crawl-frontier scheduling, passage-level boilerplate removal,
+distribution-shaping filters and n-gram LM stats — the ingestion-side
+operators of a crawl→corpus pipeline (upstream of the curation chain
+in workloads/pipeline.py).
+
+Reference parity: the reference (an ELT orchestration platform) has
+no crawl layer; these belong to the beyond-reference training-data
+families the project brief mandates. Scale notes per workload; the
+common theme is that every one is a single scan + one keyed shuffle,
+with all per-row scoring as columnar expressions (no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datanika_core_spark.operators.minhash import (
+    spark_hash_expr as _spark_hash,
+)
+from datanika_core_spark.workloads import t, workload
+
+_O_HASH = "('0x'||substring(md5({x}),1,15))::BIGINT"
+_O_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+# --------------------------------------------------------------------------
+# Crawl-frontier per-domain quota (politeness scheduling).
+# --------------------------------------------------------------------------
+
+_FRONTIER_K = 40  # fetch slots per domain per scheduling round
+
+
+@workload(
+    "crawl_frontier_quota",
+    oracle=f"""
+SELECT doc_id, source,
+       ROUND(priority, 6) AS priority,
+       CAST(fetch_rank AS BIGINT) AS fetch_rank,
+       fetch_rank <= {_FRONTIER_K} AS admitted
+FROM (
+  SELECT doc_id, source, priority,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY priority DESC, doc_id
+         ) AS fetch_rank
+  FROM (
+    SELECT doc_id, source,
+           n_chars * 1.0 / 200
+             + ({_O_HASH.format(x="'prio-' || CAST(doc_id AS VARCHAR)")}
+                % 1000) / 1000.0 AS priority
+    FROM documents
+  )
+)
+ORDER BY source, fetch_rank
+""",
+)
+def crawl_frontier_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain politeness scheduling: rank every frontier URL
+    (doc) within its domain (source) by a priority score — here a
+    length prior plus a deterministic md5 tiebreak jitter, standing
+    in for a learned fetch-value model — and admit the top K per
+    domain into this round's fetch budget.
+
+    Scale: ONE shuffle, keyed by domain. Domains are numerous and
+    individually small (the web's domain distribution), so the
+    window's per-key sort is bounded; a mega-domain (skew) caps at
+    its quota anyway, and AQE skew-split handles the sort spill. The
+    full ranked frontier (not just admitted rows) is returned so the
+    scheduler can persist `fetch_rank` as the next round's resume
+    point — reruns are deterministic (no rand())."""
+    docs = t(spark, sf_dir, "documents")
+    priority = (
+        F.col("n_chars") * F.lit(1.0) / 200
+        + (
+            F.expr(_spark_hash("concat('prio-', cast(doc_id as string))"))
+            % 1000
+        )
+        / 1000.0
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("priority").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id", "source", priority.alias("priority")
+        )
+        .withColumn("fetch_rank", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "source",
+            F.round("priority", 6).alias("priority"),
+            F.col("fetch_rank").cast("bigint").alias("fetch_rank"),
+            (F.col("fetch_rank") <= _FRONTIER_K).alias("admitted"),
+        )
+        .orderBy("source", "fetch_rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Passage-level boilerplate removal (shared-chunk suppression).
+# --------------------------------------------------------------------------
+
+_CHUNK = 8       # tokens per passage
+_BP_MIN_DOCS = 4  # a passage seen in >= this many docs is boilerplate
+
+# non-overlapping 8-token chunks of the token array (tail shorter than
+# _CHUNK kept: truncation would silently exempt doc tails from the
+# frequency count)
+_CHUNKS_SPARK = (
+    f"transform(sequence(0, (size(toks)-1) DIV {_CHUNK}),"
+    f" i -> concat_ws(' ', slice(toks, i*{_CHUNK}+1, {_CHUNK})))"
+)
+_CHUNKS_DUCK = (
+    f"list_transform(range(0, ((len(toks)-1) // {_CHUNK}) + 1),"
+    f" i -> array_to_string(list_slice(toks, i*{_CHUNK}+1,"
+    f" i*{_CHUNK}+{_CHUNK}), ' '))"
+)
+
+
+@workload(
+    "boilerplate_passage_removal",
+    oracle=f"""
+WITH chunks AS (
+  SELECT doc_id, {_O_HASH.format(x='chunk')} AS ch
+  FROM (
+    SELECT doc_id, unnest(chunks) AS chunk
+    FROM (SELECT doc_id, {_CHUNKS_DUCK} AS chunks
+          FROM (SELECT doc_id, {_O_TOKS} AS toks FROM documents))
+  )
+),
+freq AS (
+  SELECT ch, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY ch
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN f.n_docs >= {_BP_MIN_DOCS} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_boilerplate,
+       ROUND(sum(CASE WHEN f.n_docs >= {_BP_MIN_DOCS} THEN 1 ELSE 0 END)
+         * 1.0 / count(*), 6) AS bp_ratio
+FROM chunks c JOIN freq f USING (ch)
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+""",
+)
+def boilerplate_passage_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate suppression at passage granularity:
+    hash each non-overlapping 8-token passage, count how many
+    DISTINCT docs contain it corpus-wide, and report each doc's
+    boilerplate fraction (passages shared by >= 4 docs) — the drop
+    decision happens per passage, not per doc, so navigation chrome
+    and license headers vanish while unique prose survives.
+
+    Scale: explode → groupBy(hash) is the only corpus-size shuffle,
+    and partial aggregation collapses repeats map-side (boilerplate
+    is by definition massively repeated, so the combiner does the
+    work). The frequency table is a (hash, count) pair set, orders of
+    magnitude smaller than the corpus; the join back is on the
+    already-shuffled hash key. At 100 TB: identical plan, with the
+    freq table optionally broadcast once pruned to n_docs >= K rows."""
+    docs = t(spark, sf_dir, "documents")
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(_CHUNKS_SPARK)).alias("pos", "chunk"),
+        )
+        .select("doc_id", F.expr(_spark_hash("chunk")).alias("ch"))
+    )
+    freq = chunks.groupBy("ch").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    is_bp = (F.col("n_docs") >= _BP_MIN_DOCS).cast("int")
+    return (
+        chunks.join(freq, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(is_bp).cast("bigint").alias("n_boilerplate"),
+            F.round(
+                F.sum(is_bp) * F.lit(1.0) / F.count(F.lit(1)), 6
+            ).alias("bp_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Length-band filter from per-language percentiles.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "length_percentile_filter",
+    oracle="""
+WITH lens AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_toks
+  FROM documents
+),
+bands AS (
+  SELECT lang,
+         quantile_cont(n_toks, 0.05) AS p05,
+         quantile_cont(n_toks, 0.95) AS p95
+  FROM lens GROUP BY lang
+)
+SELECT lang,
+       ROUND(p05, 4) AS p05,
+       ROUND(p95, 4) AS p95,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_toks < p05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_too_short,
+       CAST(sum(CASE WHEN n_toks > p95 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_too_long
+FROM lens JOIN bands USING (lang)
+GROUP BY lang, p05, p95
+ORDER BY lang
+""",
+)
+def length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-derived length filtering: compute each language's 5th /
+    95th percentile token count (exact linear-interpolation
+    `percentile`, matching DuckDB's quantile_cont), then count the
+    docs outside the band — the adaptive alternative to hard-coded
+    min/max length cutoffs, which break on languages with different
+    tokenization density.
+
+    Scale: two shuffles on `lang` (percentile agg, then the
+    band-count agg after a broadcast join of the tiny per-lang band
+    table). Exact percentile sorts per language group — at 100 TB
+    swap `percentile` for `percentile_approx` (t-digest sketch,
+    mergeable map-side, no sort); the exact version here doubles as
+    the oracle for that approximation's error measurement."""
+    lens = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "n_toks"
+        ),
+    )
+    bands = lens.groupBy("lang").agg(
+        F.expr("percentile(n_toks, 0.05)").alias("p05"),
+        F.expr("percentile(n_toks, 0.95)").alias("p95"),
+    )
+    return (
+        lens.join(F.broadcast(bands), "lang")
+        .groupBy("lang", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_toks") < F.col("p05")).cast("int"))
+            .cast("bigint")
+            .alias("n_too_short"),
+            F.sum((F.col("n_toks") > F.col("p95")).cast("int"))
+            .cast("bigint")
+            .alias("n_too_long"),
+        )
+        .select(
+            "lang",
+            F.round("p05", 4).alias("p05"),
+            F.round("p95", 4).alias("p95"),
+            "n_docs",
+            "n_too_short",
+            "n_too_long",
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Winsorization of a metric column (robust outlier clamping).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "winsorize_event_values",
+    oracle="""
+WITH bands AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS p01,
+         quantile_cont(value, 0.99) AS p99
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN e.value < b.p01 OR e.value > b.p99
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+       ROUND(avg(e.value), 4) AS mean_raw,
+       ROUND(avg(CASE WHEN e.value < b.p01 THEN b.p01
+                      WHEN e.value > b.p99 THEN b.p99
+                      ELSE e.value END), 4) AS mean_winsor,
+       ROUND(stddev_samp(e.value), 4) AS std_raw,
+       ROUND(stddev_samp(CASE WHEN e.value < b.p01 THEN b.p01
+                              WHEN e.value > b.p99 THEN b.p99
+                              ELSE e.value END), 4) AS std_winsor
+FROM events e JOIN bands b USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+""",
+)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize the event `value` metric per event type — clamp to
+    the [p01, p99] band — and report raw vs winsorized mean/stddev,
+    the standard robustification before a metric feeds a quality
+    classifier or reward model (one fat-finger value otherwise drags
+    the mean for its whole group).
+
+    Scale: same two-shuffle shape as length_percentile_filter —
+    percentile agg per type, broadcast the tiny band table back, one
+    final agg. The clamp itself is a columnar CASE (codegen'd), and
+    at 100 TB the exact percentile becomes percentile_approx."""
+    events = t(spark, sf_dir, "events")
+    bands = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    clamped = F.when(F.col("value") < F.col("p01"), F.col("p01")).when(
+        F.col("value") > F.col("p99"), F.col("p99")
+    ).otherwise(F.col("value"))
+    out_of_band = (
+        (F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99"))
+    ).cast("int")
+    return (
+        events.join(F.broadcast(bands), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(out_of_band).cast("bigint").alias("n_clamped"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg(clamped), 4).alias("mean_winsor"),
+            F.round(F.stddev_samp("value"), 4).alias("std_raw"),
+            F.round(F.stddev_samp(clamped), 4).alias("std_winsor"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Mixture resampling to a uniform source distribution.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "mixture_resample_uniform",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+),
+target AS (SELECT min(n) AS floor_n FROM counts)
+SELECT c.source,
+       CAST(c.n AS BIGINT) AS n_docs,
+       ROUND(t.floor_n * 1.0 / c.n, 6) AS keep_rate,
+       CAST((
+         SELECT count(*) FROM documents d
+         WHERE d.source = c.source
+           AND {_O_HASH.format(x="'mix-' || CAST(d.doc_id AS VARCHAR)")}
+               % 1000000 < CAST(t.floor_n * 1000000.0 / c.n AS BIGINT)
+       ) AS BIGINT) AS n_kept
+FROM counts c CROSS JOIN target t
+ORDER BY c.source
+""",
+)
+def mixture_resample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample every source to the smallest source's size —
+    uniform mixture, the degenerate case of data-mixing weights
+    (corpus_mixture_weights computes the weights; this workload
+    EXECUTES a resample). Membership is deterministic:
+    md5('mix-'||doc_id) % 1e6 < floor(rate*1e6), so incremental
+    corpus extensions keep prior sampling decisions without
+    coordination, and the realized count concentrates within
+    ~1/sqrt(n) of the target.
+
+    Scale: per-source counts are a combiner-friendly agg; the rate
+    table (sources × 1 row) broadcasts back; the keep decision is a
+    per-row filter — no second shuffle over the corpus. At 100 TB
+    the same plan holds with sources in the thousands."""
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    floor_n = counts.agg(F.min("n").alias("floor_n"))
+    rates = counts.crossJoin(F.broadcast(floor_n)).select(
+        "source",
+        "n",
+        (F.col("floor_n") * F.lit(1000000.0) / F.col("n"))
+        .cast("bigint")
+        .alias("thresh_ppm"),
+        (F.col("floor_n") * F.lit(1.0) / F.col("n")).alias("keep_rate"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(
+            F.expr(_spark_hash("concat('mix-', cast(doc_id as string))"))
+            % 1000000
+            < F.col("thresh_ppm")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.round("keep_rate", 6).alias("keep_rate"),
+            F.coalesce(F.col("n_kept"), F.lit(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model counts (tokenizer/LM training stats).
+# --------------------------------------------------------------------------
+
+_BIGRAM_TOPK = 15
+
+_BIGRAMS_PAIRS_SPARK = (
+    "transform(sequence(1, size(toks)-1),"
+    " i -> struct(toks[i-1] as w1, toks[i] as w2))"
+)
+_BIGRAMS_PAIRS_DUCK = (
+    "list_transform(range(1, len(toks)),"
+    " i -> {'w1': toks[i], 'w2': toks[i+1]})"
+)
+
+
+@workload(
+    "bigram_lm_topk",
+    oracle=f"""
+WITH pairs AS (
+  SELECT lang, u.bg.w1 AS w1, u.bg.w2 AS w2
+  FROM (SELECT lang, {_BIGRAMS_PAIRS_DUCK} AS bgs
+        FROM (SELECT lang, {_O_TOKS} AS toks FROM documents)
+        WHERE len(toks) >= 2),
+       unnest(bgs) AS u(bg)
+),
+big AS (
+  SELECT lang, w1, w2, count(*) AS c
+  FROM pairs GROUP BY lang, w1, w2
+),
+uni AS (
+  SELECT lang, w1, sum(c) AS c1 FROM big GROUP BY lang, w1
+)
+SELECT lang, w1, w2,
+       CAST(c AS BIGINT) AS pair_count,
+       ROUND(c * 1.0 / c1, 6) AS cond_prob
+FROM (
+  SELECT b.lang, b.w1, b.w2, b.c, u.c1,
+         row_number() OVER (
+           PARTITION BY b.lang
+           ORDER BY b.c DESC, b.w1, b.w2
+         ) AS rk
+  FROM big b JOIN uni u USING (lang, w1)
+)
+WHERE rk <= {_BIGRAM_TOPK}
+ORDER BY lang, pair_count DESC, w1, w2
+""",
+)
+def bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bigram LM statistics: the top-{_BIGRAM_TOPK}
+    bigrams by count with their conditional probability
+    P(w2 | w1) = c(w1,w2) / c(w1·) — the counting pass behind
+    tokenizer merges (BPE picks the argmax pair) and n-gram LM
+    estimation, with a total-order tiebreak so top-k is
+    deterministic.
+
+    Scale: explode → groupBy(lang,w1,w2) with map-side partial
+    aggregation (natural-language bigram frequency is Zipfian, so
+    combiners collapse most of the volume before the shuffle). The
+    unigram table derives from the bigram table — no second corpus
+    pass — and the top-k window runs on the already-aggregated
+    (small) count table."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(
+            "lang",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+        )
+        .filter(F.size("toks") >= 2)
+        .select("lang", F.explode(F.expr(_BIGRAMS_PAIRS_SPARK)).alias("bg"))
+        .select("lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    big = pairs.groupBy("lang", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    uni = big.groupBy("lang", "w1").agg(F.sum("c").alias("c1"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("c").desc(), F.col("w1"), F.col("w2")
+    )
+    return (
+        big.join(uni, ["lang", "w1"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BIGRAM_TOPK)
+        .select(
+            "lang",
+            "w1",
+            "w2",
+            F.col("c").cast("bigint").alias("pair_count"),
+            F.round(F.col("c") * F.lit(1.0) / F.col("c1"), 6).alias(
+                "cond_prob"
+            ),
+        )
+        .orderBy("lang", F.col("pair_count").desc(), "w1", "w2")
+    )
