@@ -862,7 +862,10 @@ def text_langid_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("hs[0]").cast("bigint").alias("top1"),
             F.expr("hs[1]").cast("bigint").alias("top2"),
             F.round(
-                F.expr("(hs[0] - hs[1]) * 1.0 / greatest(hs[0], 1)"), 4
+                # 1.0D: a bare 1.0 literal parses as DECIMAL in Spark
+                # SQL, and decimal(17,4) vs the oracle's DOUBLE fails
+                # the driver's type-sensitive value hash
+                F.expr("(hs[0] - hs[1]) * 1.0D / greatest(hs[0], 1)"), 4
             ).alias("margin"),
         )
         .orderBy("doc_id")
