@@ -687,3 +687,52 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT (wide metrics -> long) — the inverse of pivot_events_weekday.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "unpivot_event_metrics",
+    oracle="""
+WITH wide AS (
+  SELECT event_type,
+         count(*)::DOUBLE AS n_events,
+         round(sum(value), 2) AS total_value,
+         round(avg(value), 4) AS avg_value,
+         count(DISTINCT user_id)::DOUBLE AS n_users
+  FROM events GROUP BY event_type
+)
+SELECT event_type, metric, val
+FROM wide
+UNPIVOT (val FOR metric IN (n_events, total_value, avg_value, n_users))
+ORDER BY event_type, metric
+""",
+)
+def unpivot_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: a wide per-type metrics table (count, sum, avg,
+    distinct users) rotated to long (event_type, metric, val) — the
+    §2B relational-surface complement of PIVOT
+    (pivot_events_weekday), and the shape metric stores and plotting
+    layers ingest.
+
+    Scale: the agg is the only shuffle; unpivot itself is a map-side
+    Expand (each input row emits 4, no exchange)."""
+    ev = t(spark, sf_dir, "events")
+    wide = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.countDistinct("user_id").cast("double").alias("n_users"),
+    )
+    return (
+        wide.unpivot(
+            "event_type",
+            ["n_events", "total_value", "avg_value", "n_users"],
+            "metric",
+            "val",
+        )
+        .orderBy("event_type", "metric")
+    )

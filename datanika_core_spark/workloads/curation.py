@@ -393,3 +393,71 @@ def contrastive_pairs_mined(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("j").cast("bigint").alias("neg_no"))
         .orderBy("anchor", "positive", "neg_no")
     )
+
+
+# --------------------------------------------------------------------------
+# K-fold cross-validation assignment (deterministic, balance-audited).
+# --------------------------------------------------------------------------
+
+_KFOLDS = 5
+
+
+@workload(
+    "kfold_assignment_balanced",
+    oracle=f"""
+WITH folds AS (
+  SELECT label,
+         {_O_HASH.format(x="'fold-' || CAST(vec_id AS VARCHAR)")}
+           % {_KFOLDS} AS fold
+  FROM embeddings
+),
+per_label AS (
+  SELECT label, count(*) AS n_label FROM folds GROUP BY label
+)
+SELECT f.label, CAST(f.fold AS BIGINT) AS fold,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(count(*) * 1.0 / max(p.n_label), 6) AS frac_of_label
+FROM folds f JOIN per_label p USING (label)
+GROUP BY f.label, f.fold
+ORDER BY f.label, f.fold
+""",
+)
+def kfold_assignment_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold CV assignment over the labeled embedding
+    set: fold = md5('fold-'||vec_id) % 5, audited per (label, fold)
+    — each cell's fraction of its label should sit near 1/5, the
+    check that hash-fold assignment didn't correlate with the label.
+    Membership is a pure row function, so training jobs on different
+    clusters reconstruct identical folds with no shared state (the
+    same property sample_stratified_deterministic relies on).
+
+    Scale: one map-side hash + one combiner-friendly agg; the
+    per-label totals broadcast back for the fraction."""
+    emb = t(spark, sf_dir, "embeddings")
+    folds = emb.select(
+        "label",
+        (
+            F.expr(_spark_hash("concat('fold-', cast(vec_id as string))"))
+            % _KFOLDS
+        ).alias("fold"),
+    )
+    per_label = folds.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_label")
+    )
+    return (
+        folds.join(F.broadcast(per_label), "label")
+        .groupBy("label", "fold")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.count(F.lit(1)) * F.lit(1.0) / F.max("n_label"), 6
+            ).alias("frac_of_label"),
+        )
+        .select(
+            "label",
+            F.col("fold").cast("bigint").alias("fold"),
+            "n",
+            "frac_of_label",
+        )
+        .orderBy("label", "fold")
+    )

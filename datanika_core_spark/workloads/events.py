@@ -546,3 +546,159 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(latency_min, 0.9)"), 4).alias("p90_min"),
         F.round(F.max("latency_min"), 4).alias("max_min"),
     )
+
+
+# --------------------------------------------------------------------------
+# New-user accrual: first-seen dates and the cumulative user curve.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "events_first_seen_users",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, min(ts)::DATE AS first_day FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT first_day AS day, count(*) AS new_users
+  FROM first_seen GROUP BY first_day
+)
+SELECT day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+FROM daily
+ORDER BY day
+""",
+)
+def events_first_seen_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-user accrual curve: each user's first-seen day, the daily
+    new-user count, and the running cumulative — the distinct-count
+    growth curve computed WITHOUT a distinct per day (a per-day
+    COUNT(DISTINCT) over the full history re-scans everything per
+    day; first-seen reduces it to one groupBy(user) + a tiny daily
+    cumsum).
+
+    Scale: the user-level min(ts) agg is the only corpus-size
+    shuffle (combiner-friendly); the daily curve is |days| rows, so
+    the unpartitioned cumulative window is safe — it runs over a
+    few thousand rows regardless of corpus size."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        daily.withColumn(
+            "cumulative_users", F.sum("new_users").over(w).cast("bigint")
+        )
+        .select(
+            "day",
+            F.col("new_users").cast("bigint").alias("new_users"),
+            "cumulative_users",
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Session path mining: most common within-session event trigrams.
+# --------------------------------------------------------------------------
+
+_PATH_TOPK = 20
+
+
+@workload(
+    "session_path_trigrams",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL {_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered
+),
+paths AS (
+  SELECT list(event_type ORDER BY ts, event_id) AS types
+  FROM sess GROUP BY user_id, session_no
+),
+trigrams AS (
+  SELECT unnest(CASE WHEN len(types) >= 3 THEN
+           list_transform(range(1, len(types) - 1),
+             i -> types[i] || '>' || types[i+1] || '>' || types[i+2])
+           ELSE [] END) AS path
+  FROM paths
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM trigrams
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT {_PATH_TOPK}
+""",
+)
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: the {_PATH_TOPK} most common 3-step
+    event-type paths WITHIN a session (30-min-gap sessions, same
+    definition as events_sessionize_gap) — the funnel-discovery
+    primitive: frequent trigrams are the de-facto flows, and a
+    trigram ending in 'error' localizes where journeys break.
+
+    Scale: sessionization is the one user-keyed shuffle;
+    collect_list within (user, session) is bounded by session
+    length (minutes of activity, not history). The trigram explode
+    and count aggregate with map-side combine; top-k is a
+    TakeOrdered over the (tiny) distinct-path table with a
+    total-order tiebreak."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lag_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        lag_ts.isNull()
+        | (F.col("ts") > lag_ts + F.expr(f"INTERVAL {_GAP_MIN} MINUTES")),
+        1,
+    ).otherwise(0)
+    sess = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("new_session", new_s)
+        .withColumn("session_no", F.sum("new_session").over(wcum))
+    )
+    # sort_array over (ts, event_id, type) structs == ORDER BY within
+    # the group — collect_list alone has no order guarantee
+    paths = sess.groupBy("user_id", "session_no").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(ts, event_id,"
+            " event_type))), s -> s.event_type)"
+        ).alias("types")
+    )
+    trigram_expr = (
+        "CASE WHEN size(types) >= 3 THEN"
+        " transform(sequence(1, size(types) - 2),"
+        " i -> concat(types[i-1], '>', types[i], '>', types[i+1]))"
+        " ELSE array() END"
+    )
+    return (
+        paths.select(F.explode(F.expr(trigram_expr)).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(_PATH_TOPK)
+    )

@@ -188,6 +188,96 @@ def boilerplate_passage_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Cross-document repeated-substring spans (overlapping n-grams).
+# --------------------------------------------------------------------------
+
+_SPAN = 10  # tokens per overlapping window
+
+# all overlapping 10-grams (guarded: sequence(1, 0) in Spark would
+# generate a DESCENDING [1, 0], not an empty array)
+_SPANS_SPARK = (
+    f"CASE WHEN size(toks) >= {_SPAN} THEN"
+    f" transform(sequence(1, size(toks)-{_SPAN}+1),"
+    f" i -> concat_ws(' ', slice(toks, i, {_SPAN})))"
+    f" ELSE array() END"
+)
+_SPANS_DUCK = (
+    f"CASE WHEN len(toks) >= {_SPAN} THEN"
+    f" list_transform(range(1, len(toks)-{_SPAN}+2),"
+    f" i -> array_to_string(list_slice(toks, i, i+{_SPAN}-1), ' '))"
+    f" ELSE [] END"
+)
+
+
+@workload(
+    "dedup_repeated_span_fraction",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, {_O_HASH.format(x='g')} AS gh
+  FROM (
+    SELECT doc_id, unnest(spans) AS g
+    FROM (SELECT doc_id, {_SPANS_DUCK} AS spans
+          FROM (SELECT doc_id, {_O_TOKS} AS toks FROM documents))
+  )
+),
+freq AS (
+  SELECT gh, count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY gh
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeated,
+       ROUND(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS rep_fraction
+FROM grams g JOIN freq f USING (gh)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+""",
+)
+def dedup_repeated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal (the suffix-array criterion of
+    "Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022, at fixed width): every OVERLAPPING 10-token
+    span is hashed, spans occurring in >= 2 distinct docs are
+    repeated, and each doc reports its repeated-span fraction —
+    docs above a threshold get their duplicated spans cut or the
+    whole doc dropped.
+
+    Scale: overlapping windows inflate the explode x10 vs the
+    non-overlapping chunker (boilerplate_passage_removal) — still
+    linear in corpus tokens, and the groupBy(hash) combiner
+    collapses repeats map-side. A true suffix array finds
+    variable-length maximal repeats; fixed-width spans are the
+    shuffle-friendly approximation (any repeat >= 10 tokens contains
+    a repeated 10-gram, so recall at the threshold width is exact)."""
+    docs = t(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+        )
+        .select("doc_id", F.explode(F.expr(_SPANS_SPARK)).alias("g"))
+        .select("doc_id", F.expr(_spark_hash("g")).alias("gh"))
+    )
+    freq = grams.groupBy("gh").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    rep = (F.col("n_docs") >= 2).cast("int")
+    return (
+        grams.join(freq, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(rep).cast("bigint").alias("n_repeated"),
+            F.round(
+                F.sum(rep) * F.lit(1.0) / F.count(F.lit(1)), 6
+            ).alias("rep_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Length-band filter from per-language percentiles.
 # --------------------------------------------------------------------------
 

@@ -793,3 +793,102 @@ def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (64 -> 16 dims).
+# --------------------------------------------------------------------------
+
+_RP_OUT = 16
+
+
+def _rp_signs() -> list[list[int]]:
+    """Deterministic Rademacher (+-1) projection matrix derived from
+    md5 — the same construction both engines embed as a literal, so
+    the projection is reproducible across reruns and incremental
+    extensions of the store (no rand(), no seed state to ship)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"rp-{j}-{k}".encode()).hexdigest()[:8], 16
+            )
+            % 2
+            == 0
+            else -1
+            for j in range(_DIM)
+        ]
+        for k in range(_RP_OUT)
+    ]
+
+
+def _rp_literal(open_b: str, close_b: str) -> str:
+    rows = [
+        open_b + ", ".join(str(s) for s in row) + close_b
+        for row in _rp_signs()
+    ]
+    return open_b + ", ".join(rows) + close_b
+
+
+@workload(
+    "embedding_random_projection",
+    oracle=f"""
+WITH vecs AS ({_O_VECTORS}),
+proj AS (
+  SELECT vec_id, v,
+         list_transform({_rp_literal('[', ']')},
+           row -> list_sum(list_transform(range(1, {_DIM} + 1),
+                    j -> v[j] * row[j])) / sqrt({_RP_OUT})) AS p
+  FROM vecs
+)
+SELECT vec_id,
+       ROUND(p[1], 4) AS p0,
+       ROUND(p[2], 4) AS p1,
+       ROUND(p[3], 4) AS p2,
+       ROUND(sqrt(list_sum(list_transform(p, x -> x * x))), 4)
+         AS norm_proj,
+       ROUND(sqrt(list_sum(list_transform(v, x -> x * x))), 4)
+         AS norm_orig,
+       ROUND(sqrt(list_sum(list_transform(p, x -> x * x)))
+             / sqrt(list_sum(list_transform(v, x -> x * x))), 4)
+         AS norm_ratio
+FROM proj
+ORDER BY vec_id
+""",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project each
+    64-d embedding to 16-d with a +-1/sqrt(16) Rademacher matrix
+    (Achlioptas 2003 — database-friendly random projections), and
+    report the norm ratio per vector, the JL distortion the reduced
+    index actually pays. The matrix is an md5-derived literal, so
+    engine and oracle multiply the SAME matrix and a rerun or an
+    incremental batch projects identically.
+
+    Scale: map-only — a per-row double fold over a 16x64 broadcast
+    literal; no shuffle, no UDF, codegen throughout. This is the
+    cheap front-end that shrinks the ANN index 4x; recall impact is
+    measured the same way as ann_ivf_recall_eval."""
+    vecs = _vectors(spark, sf_dir)
+    proj = vecs.withColumn(
+        "p",
+        F.expr(
+            f"transform({_rp_literal('array(', ')')},"
+            f" row -> aggregate(zip_with(v, row, (x, s) -> x * s),"
+            f" 0d, (acc, x) -> acc + x) / sqrt({_RP_OUT}d))"
+        ),
+    )
+    norm = "sqrt(aggregate(transform({c}, x -> x * x), 0d, (a, x) -> a + x))"
+    return proj.select(
+        "vec_id",
+        F.round(F.expr("p[0]"), 4).alias("p0"),
+        F.round(F.expr("p[1]"), 4).alias("p1"),
+        F.round(F.expr("p[2]"), 4).alias("p2"),
+        F.round(F.expr(norm.format(c="p")), 4).alias("norm_proj"),
+        F.round(F.expr(norm.format(c="v")), 4).alias("norm_orig"),
+        F.round(
+            F.expr(norm.format(c="p")) / F.expr(norm.format(c="v")), 4
+        ).alias("norm_ratio"),
+    ).orderBy("vec_id")
