@@ -617,6 +617,7 @@ _PATH_TOPK = 20
 
 @workload(
     "session_path_trigrams",
+    headline=True,
     oracle=f"""
 WITH ordered AS (
   SELECT user_id, ts, event_id, event_type,

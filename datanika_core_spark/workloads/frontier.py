@@ -119,6 +119,7 @@ _CHUNKS_DUCK = (
 
 @workload(
     "boilerplate_passage_removal",
+    headline=True,
     oracle=f"""
 WITH chunks AS (
   SELECT doc_id, {_O_HASH.format(x='chunk')} AS ch
@@ -150,37 +151,34 @@ def boilerplate_passage_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision happens per passage, not per doc, so navigation chrome
     and license headers vanish while unique prose survives.
 
-    Scale: explode → groupBy(hash) is the only corpus-size shuffle,
-    and partial aggregation collapses repeats map-side (boilerplate
-    is by definition massively repeated, so the combiner does the
-    work). The frequency table is a (hash, count) pair set, orders of
-    magnitude smaller than the corpus; the join back is on the
-    already-shuffled hash key. At 100 TB: identical plan, with the
-    freq table optionally broadcast once pruned to n_docs >= K rows."""
+    Scale: ONE pass over the corpus (a hash-frequency subplan joined
+    back would re-run the explode+hash lineage — Spark doesn't reuse
+    unexchanged subplans). Explode → pre-agg to unique (doc, hash)
+    rows (map-side combine collapses within-doc repeats), then
+    count(*) OVER (PARTITION BY hash) over those unique rows IS the
+    distinct-doc frequency. Post-explode shuffles touch (doc, hash,
+    cnt) triples only — tiny next to the corpus text."""
     docs = t(spark, sf_dir, "documents")
-    chunks = (
+    per_doc = (
         docs.select(
             "doc_id",
             F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
         )
-        .select(
-            "doc_id",
-            F.posexplode(F.expr(_CHUNKS_SPARK)).alias("pos", "chunk"),
-        )
+        .select("doc_id", F.explode(F.expr(_CHUNKS_SPARK)).alias("chunk"))
         .select("doc_id", F.expr(_spark_hash("chunk")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    freq = chunks.groupBy("ch").agg(
-        F.countDistinct("doc_id").alias("n_docs")
-    )
-    is_bp = (F.col("n_docs") >= _BP_MIN_DOCS).cast("int")
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("ch"))
+    is_bp = F.when(n_docs >= _BP_MIN_DOCS, F.col("cnt")).otherwise(0)
     return (
-        chunks.join(freq, "ch")
+        per_doc.select("doc_id", "cnt", is_bp.alias("bp_cnt"))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(is_bp).cast("bigint").alias("n_boilerplate"),
+            F.sum("cnt").cast("bigint").alias("n_chunks"),
+            F.sum("bp_cnt").cast("bigint").alias("n_boilerplate"),
             F.round(
-                F.sum(is_bp) * F.lit(1.0) / F.count(F.lit(1)), 6
+                F.sum("bp_cnt") * F.lit(1.0) / F.sum("cnt"), 6
             ).alias("bp_ratio"),
         )
         .orderBy("doc_id")
@@ -211,6 +209,7 @@ _SPANS_DUCK = (
 
 @workload(
     "dedup_repeated_span_fraction",
+    headline=True,
     oracle=f"""
 WITH grams AS (
   SELECT doc_id, {_O_HASH.format(x='g')} AS gh
@@ -251,26 +250,30 @@ def dedup_repeated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-friendly approximation (any repeat >= 10 tokens contains
     a repeated 10-gram, so recall at the threshold width is exact)."""
     docs = t(spark, sf_dir, "documents")
-    grams = (
+    # single corpus pass, same shape as boilerplate_passage_removal:
+    # pre-agg to unique (doc, gram-hash) rows, window count over the
+    # hash gives the distinct-doc frequency without a join-back that
+    # would re-run the explode+hash lineage
+    per_doc = (
         docs.select(
             "doc_id",
             F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
         )
         .select("doc_id", F.explode(F.expr(_SPANS_SPARK)).alias("g"))
         .select("doc_id", F.expr(_spark_hash("g")).alias("gh"))
+        .groupBy("doc_id", "gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    freq = grams.groupBy("gh").agg(
-        F.countDistinct("doc_id").alias("n_docs")
-    )
-    rep = (F.col("n_docs") >= 2).cast("int")
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    rep_cnt = F.when(n_docs >= 2, F.col("cnt")).otherwise(0)
     return (
-        grams.join(freq, "gh")
+        per_doc.select("doc_id", "cnt", rep_cnt.alias("rep_cnt"))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(rep).cast("bigint").alias("n_repeated"),
+            F.sum("cnt").cast("bigint").alias("n_spans"),
+            F.sum("rep_cnt").cast("bigint").alias("n_repeated"),
             F.round(
-                F.sum(rep) * F.lit(1.0) / F.count(F.lit(1)), 6
+                F.sum("rep_cnt") * F.lit(1.0) / F.sum("cnt"), 6
             ).alias("rep_fraction"),
         )
         .orderBy("doc_id")
@@ -468,6 +471,11 @@ def mixture_resample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     floor_n = counts.agg(F.min("n").alias("floor_n"))
+    # cache: `rates` feeds BOTH the keep-filter join and the final
+    # report join — uncached, each use re-runs the per-source count
+    # aggregation (a full corpus scan each time); cached, the
+    # sources×1-row table is computed once. Tiny (one row per
+    # source), so this holds at 100 TB.
     rates = counts.crossJoin(F.broadcast(floor_n)).select(
         "source",
         "n",
@@ -475,7 +483,7 @@ def mixture_resample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("thresh_ppm"),
         (F.col("floor_n") * F.lit(1.0) / F.col("n")).alias("keep_rate"),
-    )
+    ).cache()
     kept = (
         docs.join(F.broadcast(rates), "source")
         .filter(
@@ -487,7 +495,7 @@ def mixture_resample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
     return (
-        rates.join(kept, "source", "left")
+        rates.join(F.broadcast(kept), "source", "left")
         .select(
             "source",
             F.col("n").cast("bigint").alias("n_docs"),
