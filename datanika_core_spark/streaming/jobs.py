@@ -255,3 +255,71 @@ def stream_ingest(
         if q.isActive:
             q.stop()
     return loaded["n"]
+
+
+def interval_join_left_outer(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase emits — joined
+    to same-user clicks in the preceding ``lookback`` when they
+    exist, with NULL click columns otherwise. The null row for an
+    unmatched purchase is emitted only once the watermark passes the
+    point where a matching click could still arrive — outer results
+    are therefore delayed by the watermark, which is the semantic
+    price of a correct streaming outer join (emitting early would
+    retract on a late click).
+
+    State sizing follows the same rule as the inner variant: the
+    time-bounded condition lets Spark evict both sides' state at
+    watermark, so memory is O(events within the lookback+watermark
+    horizon), not O(history)."""
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"p_user = c_user AND "
+            f"click_ts >= purchase_ts - INTERVAL {lookback} AND "
+            f"click_ts < purchase_ts"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id", "purchase_ts", "purchase_value",
+        "click_id", "click_ts",
+    )
+
+
+def dedup_within_watermark(
+    sdf: DataFrame,
+    keys: list[str],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First-occurrence dedup with BOUNDED state via
+    ``dropDuplicatesWithinWatermark``: a duplicate of a key is
+    dropped if it arrives within the watermark delay of the first
+    occurrence; key state is evicted once the watermark passes, so
+    state is O(keys per watermark window), not O(all keys ever) —
+    the built-in alternative to the TTL ValueState processor in
+    streaming/stateful.py (which gives per-key TTL control and
+    custom logic; this gives zero code).
+
+    Note the semantic difference from plain dropDuplicates: a
+    re-occurrence AFTER the watermark gap is emitted again — for
+    exactly-once-ever semantics use the stateful processor or a
+    persisted Bloom/exact store (operators/bloom_store.py)."""
+    return sdf.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

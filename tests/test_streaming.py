@@ -212,3 +212,121 @@ def test_stream_hopping_equals_batch(spark, events_batch):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_dedup_within_watermark_key_set(spark, events_batch):
+    """dropDuplicatesWithinWatermark with a watermark wider than the
+    whole input span == one surviving row per key; the surviving KEY
+    set must equal the batch distinct (which row of a dup group
+    survives is arrival-order-dependent, so only keys are asserted)."""
+    from datanika_core_spark.streaming.jobs import dedup_within_watermark
+
+    sdf = read_event_stream(spark, EVENTS)
+    run_available_now_to_memory(
+        dedup_within_watermark(
+            sdf, ["user_id", "event_type"], watermark="30 days"
+        ),
+        "t_wm_dedup",
+        output_mode="append",
+    )
+    got = {
+        (r.user_id, r.event_type)
+        for r in spark.table("t_wm_dedup").collect()
+    }
+    want = {
+        (r.user_id, r.event_type)
+        for r in events_batch.select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    # and it deduplicated: emitted rows == distinct keys
+    assert spark.table("t_wm_dedup").count() == len(want)
+
+
+def test_stream_stream_left_outer_join(spark, events_batch, tmp_path):
+    """Left-outer stream-stream join: matched pairs must equal the
+    batch join exactly; null-click rows (unmatched purchases) are
+    emitted only after the watermark passes, so with a time-split
+    two-batch input the early purchases' nulls must appear and every
+    emitted null must be a genuine batch-side non-match."""
+    from datanika_core_spark.streaming.jobs import interval_join_left_outer
+
+    # two files split on the median ts so the second batch advances
+    # the watermark past the first file's purchases
+    stage = tmp_path / "ev_split"
+    stage.mkdir()
+    mid = events_batch.agg(
+        F.expr("percentile(cast(ts as double), 0.5)")
+    ).collect()[0][0]
+    events_batch.filter(F.col("ts").cast("double") <= mid).coalesce(
+        1
+    ).write.parquet(str(stage / "a"))
+    events_batch.filter(F.col("ts").cast("double") > mid).coalesce(
+        1
+    ).write.parquet(str(stage / "b"))
+    # flatten: file source wants one dir of files
+    import shutil
+
+    flat = tmp_path / "ev_flat"
+    flat.mkdir()
+    i = 0
+    for sub in ("a", "b"):
+        for f in sorted((stage / sub).glob("*.parquet")):
+            shutil.copy(f, flat / f"part-{i:03d}.parquet")
+            i += 1
+
+    sdf = (
+        spark.readStream.schema(events_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    purchases_s = sdf.filter(F.col("event_type") == "purchase")
+    clicks_s = sdf.filter(F.col("event_type") == "click")
+    run_available_now_to_memory(
+        interval_join_left_outer(
+            purchases_s, clicks_s, watermark="10 minutes"
+        ),
+        "t_ss_louter",
+        output_mode="append",
+    )
+    out = spark.table("t_ss_louter").collect()
+
+    p = events_batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    c = events_batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    batch_pairs = {
+        (r.p_user, r.purchase_id, r.click_id)
+        for r in p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts")
+               >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("click_ts") < F.col("purchase_ts")),
+        ).collect()
+    }
+    matched = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in out
+        if r.click_id is not None
+    }
+    assert matched == batch_pairs
+
+    unmatched_purchases = {
+        r.purchase_id for r in out if r.click_id is None
+    }
+    batch_matched_purchases = {pid for (_, pid, _) in batch_pairs}
+    # every emitted null row is a genuine non-match
+    assert not (unmatched_purchases & batch_matched_purchases)
+    # the two-batch split advanced the watermark: early unmatched
+    # purchases must have emitted their null rows
+    assert unmatched_purchases, (
+        "no outer rows emitted - watermark never advanced"
+    )
