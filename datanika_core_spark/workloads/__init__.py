@@ -122,6 +122,7 @@ def _recorded_names() -> set[str]:
 def load_all() -> dict[str, Workload]:
     """Import every workload module, populating REGISTRY."""
     from datanika_core_spark.workloads import (  # noqa: F401
+        attribution,
         contamination,
         core_sql,
         corpus_quality,

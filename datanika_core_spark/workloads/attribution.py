@@ -1,0 +1,175 @@
+"""Marketing/user analytics: revenue attribution and RFM
+segmentation over the event stream — the warehouse-side analytics a
+reference user runs downstream of the ELT layer (delegated-SQL
+surface, SURVEY.md §2B: window functions + NTILE + conditional
+aggregation composed into named business operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datanika_core_spark.workloads import t, workload
+
+# --------------------------------------------------------------------------
+# Last-touch revenue attribution.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "attribution_last_touch",
+    oracle="""
+WITH touched AS (
+  SELECT event_type, value,
+         coalesce(
+           last_value(CASE WHEN event_type <> 'purchase'
+                           THEN event_type END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           'direct') AS touch
+  FROM events
+)
+SELECT touch,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       ROUND(sum(value), 2) AS revenue,
+       ROUND(ROUND(sum(value), 2) / count(*), 4) AS avg_order
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY touch
+ORDER BY touch
+""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the
+    user's most recent preceding non-purchase event (view, click,
+    signup, even error) — purchases with no prior touch fall into
+    'direct'. One conditional last_value(IGNORE NULLS) window over
+    the raw stream; no self-join of purchases back onto touches.
+
+    Scale: ONE shuffle keyed by user (the same key every sessionize/
+    funnel window uses — at 100 TB these share a bucketed layout).
+    The attribution column is computed in the window pass; the final
+    per-channel rollup aggregates five rows per... channel, i.e.
+    nothing."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.coalesce(
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+        F.lit("direct"),
+    )
+    return (
+        ev.select("event_type", "value", "user_id", "ts", "event_id")
+        .withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+            # divide the ALREADY-rounded revenue: avg(value) rounds a
+            # summation-order-dependent double and can land on the
+            # other side of a .xxxx5 boundary than the oracle's sum
+            F.round(
+                F.round(F.sum("value"), 2) / F.count(F.lit(1)), 4
+            ).alias("avg_order"),
+        )
+        .orderBy("touch")
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quintiles).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "rfm_segments",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         max(ts) AS last_purchase,
+         count(*) AS freq,
+         sum(value) AS monetary
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+scored AS (
+  SELECT user_id,
+         ntile(5) OVER (ORDER BY last_purchase DESC, user_id) AS r,
+         ntile(5) OVER (ORDER BY freq DESC, user_id) AS f,
+         ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m,
+         freq, ROUND(monetary, 2) AS monetary
+  FROM per_user
+)
+SELECT 'R' || CAST(r AS VARCHAR) || 'F' || CAST(f AS VARCHAR)
+         || 'M' || CAST(m AS VARCHAR) AS segment,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(freq) AS BIGINT) AS total_orders,
+       ROUND(sum(monetary), 2) AS total_revenue
+FROM scored
+GROUP BY segment
+ORDER BY segment
+""",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per purchasing user, quintile ranks of
+    recency (latest purchase first), frequency and monetary value —
+    ntile(5) with a user_id tiebreak so bucket boundaries are
+    deterministic — rolled up to segment labels R?F?M? with user /
+    order / revenue totals (the 'R5F5M5 = champions' marketing
+    taxonomy).
+
+    Scale: the per-user agg shuffles once on user_id. The three
+    unpartitioned ntile windows run over USERS (post-agg, orders of
+    magnitude smaller than events); if the user table itself is
+    huge, swap ntile for bucketing on percentile_approx boundaries —
+    sketch-mergeable, no global sort (same trade documented in
+    docs/SCALE.md for the percentile filters)."""
+    ev = t(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_purchase"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("value").alias("monetary"),
+        )
+    )
+    r = F.ntile(5).over(
+        Window.orderBy(F.col("last_purchase").desc(), F.col("user_id"))
+    )
+    f_ = F.ntile(5).over(
+        Window.orderBy(F.col("freq").desc(), F.col("user_id"))
+    )
+    m = F.ntile(5).over(
+        Window.orderBy(F.col("monetary").desc(), F.col("user_id"))
+    )
+    # per-user monetary is rounded BEFORE the segment sum on both
+    # sides: both engines then sum the same 2-dp multiset and the
+    # final round can't straddle a half-cent boundary
+    scored = per_user.select(
+        "user_id", "freq",
+        F.round("monetary", 2).alias("monetary"),
+        r.alias("r"), f_.alias("f"), m.alias("m"),
+    )
+    segment = F.concat(
+        F.lit("R"), F.col("r").cast("string"),
+        F.lit("F"), F.col("f").cast("string"),
+        F.lit("M"), F.col("m").cast("string"),
+    )
+    return (
+        scored.groupBy(segment.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("freq").cast("bigint").alias("total_orders"),
+            F.round(F.sum("monetary"), 2).alias("total_revenue"),
+        )
+        .orderBy("segment")
+    )
