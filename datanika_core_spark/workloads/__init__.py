@@ -123,6 +123,7 @@ def load_all() -> dict[str, Workload]:
     """Import every workload module, populating REGISTRY."""
     from datanika_core_spark.workloads import (  # noqa: F401
         attribution,
+        cdc,
         contamination,
         core_sql,
         corpus_quality,
