@@ -173,3 +173,133 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# Association rules over session baskets (support / confidence / lift).
+# --------------------------------------------------------------------------
+
+_GAP_MIN = 30  # same session definition as events_sessionize_gap
+
+
+@workload(
+    "assoc_rules_session_pairs",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL {_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess_items AS (
+  SELECT DISTINCT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no,
+         event_type
+  FROM ordered
+),
+n_sessions AS (
+  SELECT count(DISTINCT (user_id, session_no)) AS n FROM sess_items
+),
+item_counts AS (
+  SELECT event_type, count(*) AS cnt FROM sess_items GROUP BY event_type
+),
+pair_counts AS (
+  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+         count(*) AS cnt
+  FROM sess_items a
+  JOIN sess_items b
+    ON a.user_id = b.user_id AND a.session_no = b.session_no
+   AND a.event_type <> b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.antecedent, p.consequent,
+       CAST(p.cnt AS BIGINT) AS n_cooccur,
+       ROUND(p.cnt * 1.0 / n.n, 6) AS support,
+       ROUND(p.cnt * 1.0 / ia.cnt, 6) AS confidence,
+       ROUND((p.cnt * 1.0 / ia.cnt) / (ic.cnt * 1.0 / n.n), 6) AS lift
+FROM pair_counts p
+JOIN item_counts ia ON ia.event_type = p.antecedent
+JOIN item_counts ic ON ic.event_type = p.consequent
+CROSS JOIN n_sessions n
+ORDER BY antecedent, consequent
+""",
+)
+def assoc_rules_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules at the session-basket level: for every
+    directed event-type pair (a → b), the support
+    P(a,b), confidence P(b|a) and lift P(b|a)/P(b) over 30-min-gap
+    sessions — lift > 1 means b is genuinely promoted by a's
+    presence, the signal behind 'users who viewed also purchased'.
+
+    Scale: sessionization is the one event-scale shuffle (shared
+    key with every other session operator). Baskets collapse to
+    DISTINCT (session, type) rows — bounded by types-per-session,
+    not events — and the pair self-join runs on that collapsed set
+    keyed by session. Item/pair count tables are |types| and
+    |types|² rows; the final joins are broadcasts."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lag_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        lag_ts.isNull()
+        | (F.col("ts") > lag_ts + F.expr(f"INTERVAL {_GAP_MIN} MINUTES")),
+        1,
+    ).otherwise(0)
+    sess_items = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("new_session", new_s)
+        .withColumn("session_no", F.sum("new_session").over(wcum))
+        .select("user_id", "session_no", "event_type")
+        .distinct()
+    )
+    n_sessions = sess_items.select("user_id", "session_no").distinct().count()
+    item_counts = sess_items.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    a = sess_items.select(
+        "user_id", "session_no", F.col("event_type").alias("antecedent")
+    )
+    b = sess_items.select(
+        "user_id", "session_no", F.col("event_type").alias("consequent")
+    )
+    pair_counts = (
+        a.join(b, ["user_id", "session_no"])
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ia = item_counts.select(
+        F.col("event_type").alias("antecedent"), F.col("cnt").alias("a_cnt")
+    )
+    ic = item_counts.select(
+        F.col("event_type").alias("consequent"), F.col("cnt").alias("c_cnt")
+    )
+    return (
+        pair_counts.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("cnt").cast("bigint").alias("n_cooccur"),
+            F.round(F.col("cnt") * F.lit(1.0) / n_sessions, 6).alias(
+                "support"
+            ),
+            F.round(F.col("cnt") * F.lit(1.0) / F.col("a_cnt"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("cnt") * F.lit(1.0) / F.col("a_cnt"))
+                / (F.col("c_cnt") * F.lit(1.0) / n_sessions),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
