@@ -602,3 +602,37 @@ def bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", F.col("pair_count").desc(), "w1", "w2")
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge learning (iterative; Python-reference-verified, no SQL oracle).
+# --------------------------------------------------------------------------
+
+_BPE_MERGES = 10
+
+
+@workload(
+    "bpe_learned_merges",
+    # no oracle: the greedy left-to-right merge rewrite needs a
+    # lookahead regex (or a procedural fold) per iteration — DuckDB's
+    # RE2 engine has no lookahead and SQL has no iteration, so this is
+    # verified against a pure-Python textbook implementation instead
+    # (tests/test_bpe.py); the driver records a rows-only check.
+)
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first {n} BPE merges learned from the corpus (Sennrich
+    et al. 2016) — rank, merged pair and its frequency-weighted
+    count. Iterative: each rank depends on the previous merge's
+    rewrite, so this is a driver loop over the (small) vocabulary
+    table, not a single declarative plan — see operators/bpe.py for
+    the scale analysis (corpus scanned once; iterations run on the
+    vocab)."""
+    from datanika_core_spark.operators.bpe import learn_merges
+
+    docs = t(spark, sf_dir, "documents")
+    merges = learn_merges(docs, n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        [(r, a, b, a + b, c) for (r, a, b, c) in merges],
+        "rank int, left string, right string, merged string,"
+        " pair_count bigint",
+    )
