@@ -71,3 +71,56 @@ def test_apply_cdc_roundtrip(spark):
         assert got == {(1, 20.0), (3, 33.0), (5, 50.0), (9, 9.0)}
     finally:
         drop_table(spark, table)
+
+
+# -- property-based: latest_state vs a Python fold ----------------------
+
+
+def _python_latest_state(rows):
+    """Reference collapse: per key, max (seq, delete-first) wins."""
+    best = {}
+    for k, seq, op, v in rows:
+        # delete outranks non-delete at equal seq -> rank deletes higher
+        rank = (seq, 1 if op == "delete" else 0)
+        if k not in best or rank > best[k][0]:
+            best[k] = (rank, op, v)
+    return {
+        k: v for k, (rank, op, v) in best.items() if op != "delete"
+    }
+
+
+def test_latest_state_random_logs(spark):
+    from hypothesis import given, settings, strategies as st
+
+    ops = st.sampled_from(["insert", "update", "delete"])
+    row = st.tuples(
+        st.integers(min_value=0, max_value=6),   # key (collisions likely)
+        st.integers(min_value=1, max_value=5),   # seq (ties likely)
+        ops,
+        st.integers(min_value=0, max_value=99),  # value
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(row, min_size=1, max_size=25))
+    def check(rows):
+        # at equal (key, seq) with MULTIPLE non-delete ops the winner
+        # among them is unspecified (row_number tie) — keep one
+        # non-delete candidate per (key, seq) so expectations are
+        # well-defined, while delete-vs-nondelete ties stay in scope
+        seen = {}
+        filtered = []
+        for r in rows:
+            k, seq, op, v = r
+            if op != "delete":
+                if (k, seq) in seen:
+                    continue
+                seen[(k, seq)] = True
+            filtered.append(r)
+        df = spark.createDataFrame(
+            filtered, "k bigint, seq int, op string, v int"
+        )
+        got = {r.k: r.v for r in latest_state(df, "k").collect()}
+        want = _python_latest_state(filtered)
+        assert got == want
+
+    check()
