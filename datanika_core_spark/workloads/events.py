@@ -703,3 +703,70 @@ def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(_PATH_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram of a metric column.
+# --------------------------------------------------------------------------
+
+_HIST_BINS = 10
+
+
+@workload(
+    "events_value_histogram",
+    oracle=f"""
+WITH bounds AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(least(CAST(floor((e.value - b.lo) * {_HIST_BINS}
+                        / (b.hi - b.lo)) AS BIGINT),
+                  {_HIST_BINS - 1}) AS BIGINT) AS bin,
+       ROUND(b.lo + least(CAST(floor((e.value - b.lo) * {_HIST_BINS}
+                        / (b.hi - b.lo)) AS BIGINT),
+                  {_HIST_BINS - 1}) * (b.hi - b.lo) / {_HIST_BINS}, 4)
+         AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM events e JOIN bounds b USING (event_type)
+GROUP BY 1, 2, 3
+ORDER BY event_type, bin
+""",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bin histogram of `value` per event type — the
+    distribution snapshot a data card or drift monitor embeds. The
+    max lands in the top bin (least() clamp), matching NumPy's
+    histogram edge convention.
+
+    Scale: two passes expressed as one agg + one broadcast-join agg —
+    same shape as the percentile filters; the bounds table is
+    |types| rows. (An approx single-pass variant would read bounds
+    from a prior micro-batch or fixed domain knowledge.)"""
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bin_ = F.least(
+        F.floor(
+            (F.col("value") - F.col("lo"))
+            * _HIST_BINS
+            / (F.col("hi") - F.col("lo"))
+        ).cast("bigint"),
+        F.lit(_HIST_BINS - 1),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            bin_.alias("bin"),
+            F.round(
+                F.col("lo")
+                + bin_ * (F.col("hi") - F.col("lo")) / _HIST_BINS,
+                4,
+            ).alias("bin_lo"),
+        )
+        .groupBy("event_type", "bin", "bin_lo")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bin")
+    )
