@@ -892,3 +892,31 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(norm.format(c="p")) / F.expr(norm.format(c="v")), 4
         ).alias("norm_ratio"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Product quantization (rows-only; NumPy-reference-verified).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "pq_reconstruction_error",
+    # no oracle: PQ training is iterative (per-subspace Lloyd with a
+    # global argmax dependency per step). Verified instead against a
+    # NumPy textbook implementation — codebook to 1e-9, encodings
+    # exactly (tests/test_pq.py); the driver records rows-only.
+)
+def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train an 8×16 product quantizer (Jégou 2011) on the embedding
+    store (3 Lloyd iterations, deterministic init/tiebreaks) and
+    report each vector's reconstruction RMSE — the distortion side
+    of PQ's 64× compression, comparable row-for-row with
+    embedding_quantize_int8's 4×-ratio scalar quantization."""
+    from datanika_core_spark.operators.pq import (
+        reconstruction_rmse,
+        train_pq,
+    )
+
+    vecs = _vectors(spark, sf_dir).select("vec_id", "v")
+    cb = train_pq(vecs, _DIM, m=8, k=16, iters=3)
+    return reconstruction_rmse(vecs, cb, _DIM).orderBy("vec_id")
