@@ -920,3 +920,178 @@ def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir).select("vec_id", "v")
     cb = train_pq(vecs, _DIM, m=8, k=16, iters=3)
     return reconstruction_rmse(vecs, cb, _DIM).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + PQ codes + asymmetric distance (ADC).
+# --------------------------------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_ITERS = 8, 16, 2
+_PQ_RERANK = 20  # ADC shortlist size fed to the exact re-rank
+
+
+def _pq_cb_literal(cb: list[list[list[float]]]) -> str:
+    return (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{x!r}D" for x in cw) + ")"
+                for cw in sub
+            )
+            + ")"
+            for sub in cb
+        )
+        + ")"
+    )
+
+
+@workload(
+    "ann_ivfpq_adc_topk",
+    # no oracle: PQ training is iterative (see pq_reconstruction_error);
+    # the ADC ranking itself is deterministic given the codebook and is
+    # recall-tested against the uncompressed in-cluster scan in
+    # tests/test_pq.py::test_ivfpq_adc_recall
+)
+def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ read path with re-ranking (IVFADC+R,
+    Jégou 2011): queries probe their coarse cluster's posting list,
+    shortlist the top-20 by ASYMMETRIC distance — exact query
+    subvectors against the candidates' PQ codewords, an 8-byte scan
+    instead of 256 — then re-rank ONLY the shortlist with exact
+    vectors. Measured on this corpus: strict ADC top-3 recall 0.23
+    (PQ distortion ≈ inter-neighbor gaps on near-uniform synthetic
+    embeddings), +re-rank 0.87 (tests/test_pq.py).
+
+    Scale: the posting lists store (vec_id, codes) — the 64×
+    compression is what lets a 100 TB corpus's index fit a memory
+    tier; ADC is a map-side lookup-sum against the broadcast (tiny)
+    codebook, the probe is the same partition-pruned cid scan as
+    ann_ivf_cosine, and the refine step fetches R=20 full vectors
+    per query, not the cluster."""
+    from pyspark.sql import Window
+
+    from datanika_core_spark.operators.pq import train_pq
+
+    # L2-normalize first: with unit vectors, squared L2 = 2 - 2cos,
+    # so the ADC ordering approximates the cosine ordering the rest
+    # of the ANN family ranks by (raw-L2 ADC against a cosine ground
+    # truth measured 0.23 recall@3; normalized it is 0.8+)
+    norm = f"sqrt({_S_DOT.format(a='v', b='v')})"
+    vecs = (
+        _vectors(spark, sf_dir)
+        .select("vec_id", F.expr(f"transform(v, x -> x / {norm})").alias("v"))
+    )
+    cb = train_pq(vecs, _DIM, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    sub_d = _DIM // _PQ_M
+    cb_lit = _pq_cb_literal(cb)
+
+    # coarse assignment (same deterministic centroids as ann_ivf_cosine)
+    cent = vecs.filter(F.col("vec_id") < _IVF_NCENT).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    rn = Window.partitionBy("vec_id").orderBy(
+        F.expr(_s_cos("v", "cv")).desc(), F.col("cid")
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+
+    # PQ-encode the posting lists: per-subspace nearest codeword
+    qsubs = (
+        f"transform(sequence(0, {_PQ_M - 1}),"
+        f" s -> slice(v, s * {sub_d} + 1, {sub_d}))"
+    )
+    # NB: SQL bracket indexing is 0-based (element_at is the 1-based
+    # variant) — subspace loops run over sequence(0, m-1) throughout
+    codes = (
+        f"transform(sequence(0, {_PQ_M - 1}), s -> cast(array_position("
+        f" transform({cb_lit}[s], cw -> aggregate("
+        f"   zip_with({qsubs}[s], cw, (x, c) -> (x - c) * (x - c)),"
+        f"   0d, (a, x) -> a + x)),"
+        f" array_min(transform({cb_lit}[s], cw -> aggregate("
+        f"   zip_with({qsubs}[s], cw, (x, c) -> (x - c) * (x - c)),"
+        f"   0d, (a, x) -> a + x)))) - 1 as int))"
+    )
+    posting = assigned.select(
+        "vec_id", "cid", F.expr(codes).alias("codes")
+    )
+
+    q = assigned.filter(
+        (F.col("vec_id") >= _IVF_QLO) & (F.col("vec_id") < _IVF_QHI)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(qsubs).alias("qsubs"),
+        F.col("cid").alias("qcid"),
+    )
+    # ADC: sum over subspaces of ||q_sub − codeword(code_s)||²
+    adc = (
+        f"aggregate(transform(sequence(0, {_PQ_M - 1}),"
+        f" s -> aggregate(zip_with(qsubs[s], {cb_lit}[s][codes[s]],"
+        f" (x, c) -> (x - c) * (x - c)), 0d, (a, x) -> a + x)),"
+        f" 0d, (a, x) -> a + x)"
+    )
+    hits = (
+        F.broadcast(q)
+        .join(
+            posting.alias("c"),
+            (F.col("c.cid") == F.col("qcid"))
+            & (F.col("c.vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "qsubs",
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.expr(adc).alias("adc_dist"),
+        )
+    )
+    # IVFADC+R: the compressed scan produces a SHORTLIST, not the
+    # answer — PQ distortion on near-uniform embeddings is comparable
+    # to the inter-neighbor gaps (strict ADC top-3 recall ~0.23), so
+    # the read path re-ranks the top-R shortlist with exact vectors
+    # (only R full vectors are ever read per query; the corpus scan
+    # stays 8-byte codes)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        hits.withColumn("srank", F.row_number().over(w_adc))
+        .filter(F.col("srank") <= _PQ_RERANK)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )
+    exact = (
+        shortlist.join(
+            q.select("query_id", F.col("qsubs").alias("qs")), "query_id"
+        )
+        .join(
+            assigned.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("nv"),
+            ),
+            "neighbor_id",
+        )
+        .withColumn(
+            "sim",
+            F.expr(
+                f"aggregate(transform(sequence(0, {_PQ_M - 1}),"
+                f" s -> {_S_DOT.format(a='qs[s]', b=f'slice(nv, s * {sub_d} + 1, {sub_d})')}),"
+                f" 0d, (a, x) -> a + x)"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _IVF_K)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("sim", 6).alias("sim"),
+            F.round("adc_dist", 6).alias("adc_dist"),
+        )
+        .orderBy("query_id", "rank")
+    )

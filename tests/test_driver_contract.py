@@ -79,6 +79,7 @@ def test_check_first_names_all_exist_and_are_unique():
 ROWS_ONLY_OK = {
     "bpe_learned_merges",       # pure-Python BPE parity, tests/test_bpe.py
     "pq_reconstruction_error",  # NumPy PQ parity, tests/test_pq.py
+    "ann_ivfpq_adc_topk",       # recall vs exact twin, tests/test_pq.py
 }
 
 

@@ -115,3 +115,24 @@ def test_reconstruction_rmse_reasonable(vecs):
     # embeddings have entries ~N(0, 0.1..0.3); PQ at 16 codewords per
     # 8-dim subspace must reconstruct well below the raw signal scale
     assert 0 < sum(rmses) / len(rmses) < 0.2
+
+
+def test_ivfpq_adc_recall(spark):
+    """IVFADC+R read path: shortlist-by-ADC + exact re-rank must
+    recover most of the uncompressed in-cluster exact top-3 (the
+    strict no-rerank ADC ranking manages only ~0.23 on this
+    near-uniform corpus — the re-rank stage is load-bearing)."""
+    from datanika_core_spark.workloads import load_all
+
+    wls = load_all()
+    sf = "/root/testdata/sf0.01"
+    adc = {
+        (r.query_id, r.neighbor_id)
+        for r in wls["ann_ivfpq_adc_topk"].fn(spark, sf).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in wls["ann_ivf_cosine"].fn(spark, sf).collect()
+    }
+    recall = len(adc & exact) / len(exact)
+    assert recall >= 0.7, f"recall@3 {recall:.2f}"
