@@ -303,3 +303,91 @@ def assoc_rules_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("antecedent", "consequent")
     )
+
+
+# --------------------------------------------------------------------------
+# Linear multi-touch attribution (windowed credit split).
+# --------------------------------------------------------------------------
+
+_MT_WINDOW_MIN = 30  # touch lookback before each purchase
+
+
+@workload(
+    "attribution_linear_multitouch",
+    oracle=f"""
+WITH purchases AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_id, value
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, ts AS t_ts, event_type AS touch
+  FROM events WHERE event_type <> 'purchase'
+),
+joined AS (
+  SELECT p.p_id, p.value, t.touch
+  FROM purchases p
+  JOIN touches t
+    ON t.user_id = p.user_id
+   AND t.t_ts >= p.p_ts - INTERVAL {_MT_WINDOW_MIN} MINUTE
+   AND t.t_ts < p.p_ts
+),
+credited AS (
+  SELECT touch,
+         value * 1.0 / count(*) OVER (PARTITION BY p_id) AS credit
+  FROM joined
+)
+SELECT touch,
+       CAST(count(*) AS BIGINT) AS n_credits,
+       ROUND(sum(CAST(round(credit * 10000) AS BIGINT)) / 10000.0, 4)
+         AS attributed_revenue
+FROM credited
+GROUP BY touch
+ORDER BY touch
+""",
+)
+def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits its
+    revenue EQUALLY across all of the user's touches in the
+    preceding 30 minutes (vs last-touch's winner-takes-all). The
+    per-purchase credit denominator comes from a window over the
+    purchase id — no second aggregation pass.
+
+    Scale: the purchases×touches join is the range-join shape
+    (operators/temporal.py::range_join time-bucket-explodes it at
+    scale); here the user_id equi-key already bounds the pairing.
+    Credits sum in integer 1e-4 units so the multiset sum is
+    order-independent across engines."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"), "value",
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch"),
+    )
+    joined = purchases.join(
+        touches,
+        (purchases.user_id == touches.user_id)
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {_MT_WINDOW_MIN} MINUTES")
+        )
+        & (F.col("t_ts") < F.col("p_ts")),
+    ).select("p_id", "value", "touch")
+    credit = F.col("value") * F.lit(1.0) / F.count(F.lit(1)).over(
+        Window.partitionBy("p_id")
+    )
+    return (
+        joined.withColumn("credit", credit)
+        .groupBy("touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.round(
+                F.sum(F.round(F.col("credit") * 10000).cast("bigint"))
+                / 10000.0,
+                4,
+            ).alias("attributed_revenue"),
+        )
+        .orderBy("touch")
+    )
