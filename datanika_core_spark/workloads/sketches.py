@@ -138,3 +138,110 @@ def bloom_dedup_incoming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("batch_id", "keeper_id")
         .orderBy("batch_id", "keeper_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min Sketch: heavy-hitter estimation with measured overestimate.
+# --------------------------------------------------------------------------
+
+_CMS_W = 256   # buckets per row
+_CMS_D = 4     # hash rows (estimate = min over rows)
+_CMS_TOPK = 20
+
+_CMS_O_HASH = "('0x'||substring(md5({x}),1,15))::BIGINT"
+
+
+def _cms_spark_hash(x: str) -> str:
+    return f"cast(conv(substring(md5({x}),1,15),16,10) as bigint)"
+
+
+@workload(
+    "cms_heavy_hitters_eval",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+exact AS (
+  SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok
+),
+cms AS (
+  SELECT d, {_CMS_O_HASH.format(x="CAST(d AS VARCHAR) || ':' || tok")}
+           % {_CMS_W} AS bucket,
+         count(*) AS cnt
+  FROM toks CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS d)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT tok, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, tok LIMIT {_CMS_TOPK}
+),
+est AS (
+  SELECT t.tok, t.exact_cnt, min(c.cnt) AS cms_est
+  FROM top t
+  JOIN cms c
+    ON c.bucket = {_CMS_O_HASH.format(
+        x="CAST(c.d AS VARCHAR) || ':' || t.tok")} % {_CMS_W}
+  GROUP BY t.tok, t.exact_cnt
+)
+SELECT tok,
+       CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS overestimate
+FROM est
+ORDER BY exact_cnt DESC, tok
+""",
+)
+def cms_heavy_hitters_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch (Cormode & Muthukrishnan 2005) over corpus
+    tokens — the fixed-size (d×w counters), mergeable frequency
+    sketch that answers heavy-hitter queries without holding the
+    full token dictionary — evaluated against exact counts for the
+    top-{_CMS_TOPK} tokens. CMS never underestimates; the
+    `overestimate` column IS the sketch's collision error at this
+    (256×4) sizing, measured not assumed (same self-measurement
+    pattern as the LSH/IVF recall evals).
+
+    Scale: the sketch build is explode ×{_CMS_D} → groupBy(d,bucket)
+    — combiner-collapsed to ≤{_CMS_D}×{_CMS_W} rows regardless of
+    corpus size, then broadcast for estimation. Hashes are
+    md5-derived so the DuckDB oracle reproduces the sketch
+    bit-for-bit (including its collisions)."""
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok")
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    depths = spark.range(_CMS_D).select(
+        F.col("id").cast("int").alias("d")
+    )
+    bucket = (
+        F.expr(_cms_spark_hash("concat(cast(d as string), ':', tok)"))
+        % _CMS_W
+    )
+    cms = (
+        toks.crossJoin(F.broadcast(depths))
+        .select("tok", "d")
+        .withColumn("bucket", bucket)
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = exact.orderBy(F.col("exact_cnt").desc(), "tok").limit(_CMS_TOPK)
+    probes = top.withColumn(
+        "d", F.explode(F.expr(f"sequence(0, {_CMS_D - 1})"))
+    ).withColumn("bucket", bucket)
+    return (
+        probes.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "tok",
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("cms_est") - F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "tok")
+    )
