@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 from typing import Iterator, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from datanika_core_spark.errors import ValidationError
 from datanika_core_spark.sources.base import TableBatch
@@ -58,6 +59,22 @@ class FilesystemSource:
     file_glob: str | None = None
     table_name: str = "files"
     reader_options: dict = field(default_factory=dict)
+    #: malformed-row policy for the text formats (csv/json/jsonl):
+    #: - "permissive" (default, dlt-like tolerance): bad rows load
+    #:   with NULL fields plus the raw line in `_corrupt_record`, so
+    #:   nothing is silently lost and quarantine() can split them out;
+    #: - "drop": bad rows are discarded (Spark DROPMALFORMED);
+    #: - "fail": first bad row aborts the load (Spark FAILFAST).
+    bad_records: str = "permissive"
+
+    #: the quarantine column PERMISSIVE mode captures raw lines into
+    CORRUPT_COL = "_corrupt_record"
+
+    _BAD_MODES = {
+        "permissive": "PERMISSIVE",
+        "drop": "DROPMALFORMED",
+        "fail": "FAILFAST",
+    }
 
     def __post_init__(self):
         if self.file_format not in DEFAULT_GLOBS:
@@ -65,6 +82,16 @@ class FilesystemSource:
                 f"unsupported file format {self.file_format!r};"
                 f" allowed: {sorted(DEFAULT_GLOBS)}"
             )
+        if self.bad_records not in self._BAD_MODES:
+            raise ValidationError(
+                f"bad_records must be one of {sorted(self._BAD_MODES)},"
+                f" got {self.bad_records!r}"
+            )
+
+    def _text_reader(self):
+        return self.spark.read.options(**self.reader_options).option(
+            "mode", self._BAD_MODES[self.bad_records]
+        ).option("columnNameOfCorruptRecord", self.CORRUPT_COL)
 
     def read(self) -> DataFrame:
         glob = self.file_glob or DEFAULT_GLOBS[self.file_format]
@@ -72,9 +99,14 @@ class FilesystemSource:
         reader = self.spark.read.options(**self.reader_options)
         fmt = self.file_format
         if fmt == "csv":
-            return reader.option("header", "true").option("inferSchema", "true").csv(path)
+            return (
+                self._text_reader()
+                .option("header", "true")
+                .option("inferSchema", "true")
+                .csv(path)
+            )
         if fmt in ("json", "jsonl"):
-            return reader.json(path)
+            return self._text_reader().json(path)
         if fmt == "parquet":
             return reader.parquet(path)
         if fmt == "orc":
@@ -86,6 +118,35 @@ class FilesystemSource:
         # "any": let Spark's datasource infer by extension is not a
         # thing — read as binaryFile for opaque ingestion (multimodal).
         return reader.format("binaryFile").load(path)
+
+    def quarantine(self) -> tuple[DataFrame, DataFrame]:
+        """Split a permissive read into (good, bad): good rows with
+        the corrupt column dropped, bad rows as (raw_record) for the
+        reject table — the load-nothing-silently ingest pattern
+        (write `bad` alongside the target with an `_rejects` suffix).
+
+        Spark requires the corrupt column to be materialized before
+        it can be filtered on (a cached/persisted scan); a cheap
+        localCheckpoint guarantees that regardless of caller plans."""
+        if self.bad_records != "permissive":
+            raise ValidationError(
+                "quarantine() requires bad_records='permissive'"
+            )
+        df = self.read()
+        if self.CORRUPT_COL not in df.columns:
+            # schema inference found no malformed rows at all
+            return df, df.limit(0).select(
+                F.lit(None).cast("string").alias("raw_record")
+            ).limit(0)
+        df = df.localCheckpoint(eager=False)
+        bad = (
+            df.filter(F.col(self.CORRUPT_COL).isNotNull())
+            .select(F.col(self.CORRUPT_COL).alias("raw_record"))
+        )
+        good = df.filter(F.col(self.CORRUPT_COL).isNull()).drop(
+            self.CORRUPT_COL
+        )
+        return good, bad
 
     def tables(self) -> Iterator[TableBatch]:
         yield TableBatch(self.table_name, self.read())

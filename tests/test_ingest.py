@@ -366,3 +366,67 @@ def test_filesystem_source_orc_round_trip(spark, tmp_path):
     assert {tuple(r) for r in batches[0].df.select("id", "s").collect()} == {
         (1, "a"), (2, "b")
     }
+
+
+# -- malformed-record handling (bad_records policy + quarantine) --------
+
+
+def _write_mixed_jsonl(tmp_path):
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{this is not json}\n"
+        '{"id": 2, "name": "fine"}\n'
+        "also-garbage\n"
+    )
+    return str(d)
+
+
+def test_bad_records_permissive_quarantines(spark, tmp_path):
+    from datanika_core_spark.sources.filesystem import FilesystemSource
+
+    src = FilesystemSource(
+        spark, _write_mixed_jsonl(tmp_path), file_format="jsonl"
+    )
+    good, bad = src.quarantine()
+    assert {r.id for r in good.collect()} == {1, 2}
+    assert "_corrupt_record" not in good.columns
+    raws = {r.raw_record for r in bad.collect()}
+    assert raws == {"{this is not json}", "also-garbage"}
+
+
+def test_bad_records_drop(spark, tmp_path):
+    from datanika_core_spark.sources.filesystem import FilesystemSource
+
+    src = FilesystemSource(
+        spark,
+        _write_mixed_jsonl(tmp_path),
+        file_format="jsonl",
+        bad_records="drop",
+    )
+    rows = src.read().collect()
+    assert {r.id for r in rows} == {1, 2}
+
+
+def test_bad_records_fail(spark, tmp_path):
+    from datanika_core_spark.sources.filesystem import FilesystemSource
+
+    src = FilesystemSource(
+        spark,
+        _write_mixed_jsonl(tmp_path),
+        file_format="jsonl",
+        bad_records="fail",
+    )
+    with pytest.raises(Exception):
+        src.read().collect()
+
+
+def test_bad_records_invalid_mode_rejected(spark, tmp_path):
+    from datanika_core_spark.errors import ValidationError
+    from datanika_core_spark.sources.filesystem import FilesystemSource
+
+    with pytest.raises(ValidationError):
+        FilesystemSource(
+            spark, str(tmp_path), file_format="jsonl", bad_records="wat"
+        )
