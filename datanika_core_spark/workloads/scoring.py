@@ -352,3 +352,101 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution shift: per-source unigram KL divergence vs the corpus.
+# --------------------------------------------------------------------------
+
+_KL_VOCAB = 200  # top-V corpus tokens define the comparison support
+
+
+@workload(
+    "source_unigram_kl",
+    oracle=f"""
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, count(*) AS c_corpus FROM toks GROUP BY tok
+  ORDER BY c_corpus DESC, tok LIMIT {_KL_VOCAB}
+),
+corpus_n AS (SELECT sum(c_corpus) AS n FROM vocab),
+src AS (
+  SELECT t.source, t.tok, count(*) AS c_src
+  FROM toks t JOIN vocab v USING (tok)
+  GROUP BY t.source, t.tok
+),
+src_n AS (SELECT source, sum(c_src) AS n_src FROM src GROUP BY source),
+terms AS (
+  SELECT s.source,
+         (s.c_src + 1.0) / (sn.n_src + {_KL_VOCAB}) AS p,
+         (v.c_corpus + 1.0) / (cn.n + {_KL_VOCAB}) AS q
+  FROM src s
+  JOIN src_n sn USING (source)
+  JOIN vocab v USING (tok)
+  CROSS JOIN corpus_n cn
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       ROUND(sum(p * log2(p / q)), 6) AS kl_bits
+FROM terms
+GROUP BY source
+ORDER BY source
+""",
+)
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution shift per source: KL(P_source || P_corpus) over
+    the top-{_KL_VOCAB} corpus tokens with add-one smoothing — the
+    number that tells a data-mixing pipeline which source deviates
+    from the blend (high KL → reweight or inspect). Bits (log2).
+
+    Scale: one explode + two combiner aggs; the vocabulary support
+    is a top-V broadcast, so per-source term tables are |sources|×V
+    rows regardless of corpus size. (Terms missing from a source
+    contribute only through smoothing mass on the present terms —
+    the standard plug-in estimator on a truncated support.)"""
+    toks = t(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_corpus"))
+        .orderBy(F.col("c_corpus").desc(), "tok")
+        .limit(_KL_VOCAB)
+    )
+    corpus_n = vocab.agg(F.sum("c_corpus").alias("n")).collect()[0]["n"]
+    src = (
+        toks.join(F.broadcast(vocab.select("tok")), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c_src"))
+    )
+    src_n = src.groupBy("source").agg(F.sum("c_src").alias("n_src"))
+    terms = (
+        src.join(F.broadcast(src_n), "source")
+        .join(F.broadcast(vocab), "tok")
+        .select(
+            "source",
+            ((F.col("c_src") + 1.0) / (F.col("n_src") + _KL_VOCAB)).alias(
+                "p"
+            ),
+            (
+                (F.col("c_corpus") + 1.0) / (corpus_n + _KL_VOCAB)
+            ).alias("q"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(
+                F.sum(F.col("p") * F.log2(F.col("p") / F.col("q"))), 6
+            ).alias("kl_bits"),
+        )
+        .orderBy("source")
+    )
