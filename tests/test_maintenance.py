@@ -121,3 +121,67 @@ def test_compact_ivf_posting_lists_roundtrip(spark):
     q = vecs.limit(1).collect()[0]
     out = store.probe([(int(q.vec_id), list(q.v))], topk=2).collect()
     assert out[0].vec_id == q.vec_id
+
+
+# -- Z-order clustering ---------------------------------------------------
+
+
+def _file_stats(spark, table, cols):
+    """Per-file min/max of each col → average normalized range width
+    (1.0 = every file spans the whole domain, ~1/n_files = perfectly
+    clustered)."""
+    from pyspark.sql import functions as F
+
+    df = spark.table(table).withColumn("_f", F.input_file_name())
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+    per_file = df.groupBy("_f").agg(*aggs).collect()
+    dom = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    widths = {}
+    for c in cols:
+        span = float(dom[f"hi_{c}"]) - float(dom[f"lo_{c}"]) or 1.0
+        widths[c] = sum(
+            (float(r[f"hi_{c}"]) - float(r[f"lo_{c}"])) / span
+            for r in per_file
+        ) / len(per_file)
+    return widths, len(per_file)
+
+
+def test_zorder_shrinks_file_ranges_on_both_columns(spark):
+    from pyspark.sql import functions as F
+
+    from datanika_core_spark.operators.maintenance import zorder_table
+    from datanika_core_spark.operators.writers import drop_table
+    from datanika_core_spark.session import read_table
+
+    table = "t_zorder_events"
+    drop_table(spark, table)
+    try:
+        ev = read_table(
+            spark, "/root/testdata/sf0.01/events.parquet"
+        ).select("event_id", "user_id", "value")
+        # unclustered baseline: round-robin spread over 8 files
+        ev.repartition(8).write.format("parquet").saveAsTable(table)
+        before, n_before = _file_stats(spark, table, ["user_id", "value"])
+        assert n_before > 1
+
+        res = zorder_table(
+            spark, table, ["user_id", "value"],
+            target_file_bytes=40_000,  # keep several output files
+        )
+        after, n_after = _file_stats(spark, table, ["user_id", "value"])
+        assert n_after > 1
+        # round-robin files each span ~the full domain (~1.0);
+        # z-ordered files must cover strictly narrower ranges on BOTH
+        # dimensions — that narrowing IS the data-skipping win
+        assert after["user_id"] < before["user_id"] * 0.8
+        assert after["value"] < before["value"] * 0.8
+        # row content unchanged by the rewrite
+        assert spark.table(table).count() == ev.count()
+        assert res.columns == ["user_id", "value"]
+    finally:
+        drop_table(spark, table)
