@@ -174,6 +174,7 @@ def zorder_table(
     columns: list[str],
     bits: int = 16,
     target_file_bytes: int = 128 * 1024 * 1024,
+    quantize: str = "linear",
 ) -> ZorderResult:
     """Rewrite ``table`` clustered on the Z-order (Morton) curve of
     ``columns`` — multi-column data skipping for plain parquet.
@@ -185,32 +186,67 @@ def zorder_table(
     (Delta's OPTIMIZE ZORDER BY; this is the format-agnostic
     equivalent through the same staged swap as compact_table).
 
-    Columns are min-max quantized to ``bits`` bits (linear — skewed
-    columns would prefer equi-depth boundaries from
-    percentile_approx; noted, not implemented) and bit-interleaved
-    into one long, then the table is range-repartitioned + sorted by
-    that key so each output file covers a compact hyper-rectangle.
+    Quantization (``quantize``):
+    - ``"linear"``: min-max scaling to ``bits`` bits — one cheap agg;
+      right for roughly uniform columns.
+    - ``"equidepth"``: bucket boundaries from ``percentile_approx``
+      (capped at 2^min(bits,8) buckets) — a heavily skewed column
+      (zipfian ids, long-tail amounts) gets equal row mass per code
+      value instead of burning most codes on empty range, which is
+      what keeps the interleave balanced and the files rectangular.
+    The quantized codes bit-interleave into one long, then the table
+    is range-repartitioned + sorted by that key so each output file
+    covers a compact hyper-rectangle.
     """
     from datanika_core_spark.operators.writers import TableWriter
 
+    if quantize not in ("linear", "equidepth"):
+        raise ValueError(f"unknown quantize mode {quantize!r}")
     df = spark.table(table)
     files = _table_files(spark, table)
     total = sum(sz for _, sz in files)
     n_target = max(1, -(-total // target_file_bytes))
 
-    bounds = df.agg(
-        *[F.min(c).alias(f"lo_{c}") for c in columns],
-        *[F.max(c).alias(f"hi_{c}") for c in columns],
-    ).collect()[0]
-    scale = (1 << bits) - 1
     quantized = []
-    for c in columns:
-        lo, hi = float(bounds[f"lo_{c}"]), float(bounds[f"hi_{c}"])
-        span = (hi - lo) or 1.0
-        quantized.append(
-            f"cast(round((cast({c} as double) - {lo!r}d)"
-            f" / {span!r}d * {scale}) as bigint)"
+    if quantize == "equidepth":
+        eff_bits = min(bits, 8)  # sketch cost grows with bucket count
+        n_buckets = 1 << eff_bits
+        qs = ", ".join(
+            str((i + 1) / n_buckets) for i in range(n_buckets - 1)
         )
+        bnds_row = df.agg(
+            *[
+                F.expr(
+                    f"percentile_approx(cast({c} as double),"
+                    f" array({qs}), 10000)"
+                ).alias(f"b_{c}")
+                for c in columns
+            ]
+        ).collect()[0]
+        scale_fix = (1 << bits) // n_buckets  # keep bit-width parity
+        for c in columns:
+            bl = ", ".join(f"{b!r}d" for b in bnds_row[f"b_{c}"])
+            # code = #boundaries <= x (0..n_buckets-1), then spread
+            # back over the full bit range so interleaving still
+            # alternates at the same positions as linear mode
+            quantized.append(
+                f"cast(size(filter(array({bl}),"
+                f" b -> b <= cast({c} as double))) * {scale_fix}"
+                f" as bigint)"
+            )
+    else:
+        bounds = df.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in columns],
+            *[F.max(c).alias(f"hi_{c}") for c in columns],
+        ).collect()[0]
+        scale = (1 << bits) - 1
+        for c in columns:
+            lo, hi = float(bounds[f"lo_{c}"]), float(bounds[f"hi_{c}"])
+            span = (hi - lo) or 1.0
+            quantized.append(
+                f"cast(round((cast({c} as double) - {lo!r}d)"
+                f" / {span!r}d * {scale}) as bigint)"
+            )
     m = len(columns)
     # one aggregate over bit positions per column, summed
     zparts = []

@@ -185,3 +185,59 @@ def test_zorder_shrinks_file_ranges_on_both_columns(spark):
         assert res.columns == ["user_id", "value"]
     finally:
         drop_table(spark, table)
+
+
+def test_zorder_equidepth_balances_skewed_column(spark):
+    from pyspark.sql import functions as F
+
+    from datanika_core_spark.operators.maintenance import zorder_table
+    from datanika_core_spark.operators.writers import drop_table
+
+    from pyspark.sql import Window
+
+    def rank_span(table, col, n_rows):
+        """Average per-file span of `col` in RANK space (fraction of
+        the empirical CDF each file covers) — the pruning-quality
+        metric that is insensitive to the value scale."""
+        df = (
+            spark.table(table)
+            .withColumn("_f", F.input_file_name())
+            .withColumn(
+                "_r",
+                F.row_number().over(Window.orderBy(col, "k")) / n_rows,
+            )
+        )
+        per_file = (
+            df.groupBy("_f")
+            .agg((F.max("_r") - F.min("_r")).alias("span"))
+            .collect()
+        )
+        return sum(r.span for r in per_file) / len(per_file), len(per_file)
+
+    # heavily skewed key: exp(uniform) -> long right tail
+    base = spark.range(20000).select(
+        F.col("id").alias("k"),
+        F.exp(F.rand(seed=7) * 8).alias("skewed"),
+        (F.rand(seed=11) * 100).alias("other"),
+    )
+    for mode in ("linear", "equidepth"):
+        table = f"t_zorder_{mode}"
+        drop_table(spark, table)
+        base.write.format("parquet").saveAsTable(table)
+        zorder_table(
+            spark, table, ["skewed", "other"],
+            target_file_bytes=60_000, quantize=mode,
+        )
+    try:
+        span_lin, n_lin = rank_span("t_zorder_linear", "skewed", 20000)
+        span_eq, n_eq = rank_span("t_zorder_equidepth", "skewed", 20000)
+        assert n_lin > 1 and n_eq > 1
+        # linear codes collapse the exp-distributed mass onto a few
+        # low code values, so the skewed column barely clusters (each
+        # file spans a wide slice of its CDF); equidepth codes give
+        # equal mass per code and must cluster it measurably tighter
+        assert span_eq < span_lin * 0.8, (span_eq, span_lin)
+        assert spark.table("t_zorder_equidepth").count() == 20000
+    finally:
+        drop_table(spark, "t_zorder_linear")
+        drop_table(spark, "t_zorder_equidepth")
