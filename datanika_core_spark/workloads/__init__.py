@@ -99,6 +99,19 @@ CHECK_FIRST = [
     "asof_join_click_purchase", "asof_join_tolerance_session",
     "range_join_purchase_context", "knn_cosine_topk", "ann_ivf_cosine",
     "embedding_near_dup_srp",
+    # new in round 5 (oracle-paired first; the rows-only iterative ops
+    # — bpe_learned_merges, pq_reconstruction_error, ann_ivfpq_adc_topk
+    # — are deliberately unlisted so oracle-backed rows land earlier)
+    "crawl_frontier_quota", "boilerplate_passage_removal",
+    "dedup_repeated_span_fraction", "length_percentile_filter",
+    "winsorize_event_values", "mixture_resample_uniform",
+    "bigram_lm_topk", "embedding_random_projection",
+    "kfold_assignment_balanced", "events_first_seen_users",
+    "session_path_trigrams", "unpivot_event_metrics",
+    "attribution_last_touch", "attribution_linear_multitouch",
+    "rfm_segments", "assoc_rules_session_pairs",
+    "cdc_final_state_orders", "events_value_histogram",
+    "cms_heavy_hitters_eval", "source_unigram_kl",
 ]
 
 
