@@ -112,6 +112,7 @@ CHECK_FIRST = [
     "rfm_segments", "assoc_rules_session_pairs",
     "cdc_final_state_orders", "events_value_histogram",
     "cms_heavy_hitters_eval", "source_unigram_kl",
+    "phrase_search_positional",
 ]
 
 
@@ -152,6 +153,7 @@ def load_all() -> dict[str, Workload]:
         pipeline,
         retrieval,
         scoring,
+        search,
         semdedup,
         similarity,
         sketches,

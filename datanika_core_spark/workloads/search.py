@@ -1,0 +1,124 @@
+"""Positional inverted index + phrase search — the IR primitive
+underneath exact-phrase retrieval (complements the BM25/TF-IDF
+scoring in workloads/retrieval.py, which rank but cannot enforce
+adjacency).
+
+Index shape: (term, doc_id, positions array) — the classic postings
+list with positions. A phrase "a b" matches where position(b) =
+position(a) + 1, computed by intersecting the two terms' postings
+per doc and checking adjacency with a set-membership lambda.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datanika_core_spark.workloads import t, workload
+
+# the queried phrases: (left term, right term) — chosen from the
+# synthetic vocabulary so matches exist at every sf
+_PHRASES = [
+    ("fast", "merge"),
+    ("hash", "join"),
+    ("window", "sort"),
+    ("table", "scan"),
+]
+
+_PHRASE_VALUES_DUCK = ", ".join(f"('{a}', '{b}')" for a, b in _PHRASES)
+
+
+@workload(
+    "phrase_search_positional",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, t.tok, t.pos
+  FROM (
+    SELECT doc_id,
+           regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+    FROM documents
+  ), LATERAL (
+    SELECT unnest(arr) AS tok,
+           generate_subscripts(arr, 1) AS pos
+  ) AS t
+),
+postings AS (
+  SELECT tok, doc_id, list(pos ORDER BY pos) AS positions
+  FROM toks GROUP BY tok, doc_id
+),
+phrases(a, b) AS (VALUES {_PHRASE_VALUES_DUCK}),
+matches AS (
+  SELECT p.a, p.b, pa.doc_id,
+         len(list_filter(pa.positions,
+             x -> list_contains(pb.positions, x + 1))) AS n_hits
+  FROM phrases p
+  JOIN postings pa ON pa.tok = p.a
+  JOIN postings pb ON pb.tok = p.b AND pb.doc_id = pa.doc_id
+)
+SELECT a || ' ' || b AS phrase,
+       CAST(count(*) FILTER (WHERE n_hits > 0) AS BIGINT) AS n_docs,
+       CAST(sum(n_hits) AS BIGINT) AS n_occurrences
+FROM matches
+GROUP BY phrase
+ORDER BY phrase
+""",
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search over a positional inverted index: per
+    phrase, the number of matching docs and total adjacent-pair
+    occurrences. Adjacency = intersecting the left term's positions
+    with (right term's positions − 1) inside each doc.
+
+    Scale: the index build is ONE explode + groupBy(term, doc) —
+    at 100 TB this is the persisted artifact (bucketed by term), and
+    a phrase query touches only its two terms' postings (partition-
+    pruned), never the corpus. The per-doc adjacency check is an
+    array-lambda on the two (short) position lists; query fan-out is
+    |phrases| broadcast rows."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("pos0", "tok"),
+        )
+        # 1-based positions to match the oracle's generate_subscripts
+        .select("doc_id", "tok", (F.col("pos0") + 1).alias("pos"))
+    )
+    postings = toks.groupBy("tok", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+    phrases = spark.createDataFrame(_PHRASES, "a string, b string")
+    pa = postings.select(
+        F.col("tok").alias("a"), "doc_id",
+        F.col("positions").alias("pos_a"),
+    )
+    pb = postings.select(
+        F.col("tok").alias("b"), "doc_id",
+        F.col("positions").alias("pos_b"),
+    )
+    matches = (
+        F.broadcast(phrases)
+        .join(pa, "a")
+        .join(pb, ["b", "doc_id"])
+        .withColumn(
+            "n_hits",
+            F.expr(
+                "size(filter(pos_a,"
+                " x -> array_contains(pos_b, x + 1)))"
+            ),
+        )
+    )
+    return (
+        matches.groupBy(
+            F.concat(F.col("a"), F.lit(" "), F.col("b")).alias("phrase")
+        )
+        .agg(
+            F.sum((F.col("n_hits") > 0).cast("int"))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.sum("n_hits").cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy("phrase")
+    )
