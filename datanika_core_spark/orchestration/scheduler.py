@@ -175,3 +175,52 @@ class SchedulerLoop:
             s.last_fired = naive
             fired.append(s)
         return fired
+
+
+def backfill_windows(
+    cron_expr: str,
+    start: dt.datetime,
+    end: dt.datetime,
+    timezone: str = "UTC",
+    max_windows: int = 10_000,
+) -> list[dt.datetime]:
+    """Catchup planning (Airflow-style backfill): every fire time of
+    ``cron_expr`` in ``(start, end]``, as UTC datetimes — the run
+    list an operator replays after downtime, or enumerates when a
+    schedule is created with a historical start date.
+
+    The reference's scheduler (APScheduler with coalesce=True,
+    scheduler_integration.py:24-28) COALESCES missed fires into one;
+    backfill is the complementary mode for pipelines whose runs are
+    window-parameterized (incremental models, partition loads) and
+    therefore must execute once per missed window, in order.
+
+    ``max_windows`` bounds runaway ranges (a '* * * * *' cron over a
+    year is half a million windows — almost certainly a config
+    error, not an intent)."""
+    tz = ZoneInfo(timezone)
+    cron = CronExpr.parse(cron_expr)
+
+    def to_utc(t: dt.datetime) -> dt.datetime:
+        return t.replace(tzinfo=tz).astimezone(dt.timezone.utc)
+
+    def to_local(t: dt.datetime) -> dt.datetime:
+        if t.tzinfo is None:
+            t = t.replace(tzinfo=dt.timezone.utc)
+        return t.astimezone(tz).replace(tzinfo=None)
+
+    out: list[dt.datetime] = []
+    t = to_local(start)
+    end_local = to_local(end)
+    while True:
+        t = cron.next_fire(t)
+        if t > end_local:
+            break
+        out.append(to_utc(t))
+        if len(out) > max_windows:
+            raise ValidationError(
+                f"backfill of {cron_expr!r} over"
+                f" {start.isoformat()}..{end.isoformat()} exceeds"
+                f" {max_windows} windows — narrow the range"
+            )
+    return out

@@ -303,3 +303,58 @@ def test_catalog_introspect_and_sync(spark):
     assert df.count() == 1
     store.delete("t1", "cat_db", "ds")
     assert store.list() == []
+
+
+# -- backfill / catchup planning ----------------------------------------
+
+
+def test_backfill_windows_hourly():
+    import datetime as dt
+
+    from datanika_core_spark.orchestration.scheduler import (
+        backfill_windows,
+    )
+
+    runs = backfill_windows(
+        "0 * * * *",
+        dt.datetime(2024, 1, 1, 0, 30),
+        dt.datetime(2024, 1, 1, 5, 0),
+    )
+    assert [r.hour for r in runs] == [1, 2, 3, 4, 5]
+    assert all(r.minute == 0 and r.tzinfo is not None for r in runs)
+
+
+def test_backfill_windows_timezone():
+    import datetime as dt
+
+    from datanika_core_spark.orchestration.scheduler import (
+        backfill_windows,
+    )
+
+    # 09:00 New York == 14:00 UTC on a winter date
+    runs = backfill_windows(
+        "0 9 * * *",
+        dt.datetime(2024, 1, 10),
+        dt.datetime(2024, 1, 12),
+        timezone="America/New_York",
+    )
+    assert [(r.day, r.hour) for r in runs] == [(10, 14), (11, 14)]
+
+
+def test_backfill_windows_bound():
+    import datetime as dt
+
+    import pytest
+
+    from datanika_core_spark.errors import ValidationError
+    from datanika_core_spark.orchestration.scheduler import (
+        backfill_windows,
+    )
+
+    with pytest.raises(ValidationError):
+        backfill_windows(
+            "* * * * *",
+            dt.datetime(2024, 1, 1),
+            dt.datetime(2024, 3, 1),
+            max_windows=100,
+        )
