@@ -136,3 +136,59 @@ def test_ivfpq_adc_recall(spark):
     }
     recall = len(adc & exact) / len(exact)
     assert recall >= 0.7, f"recall@3 {recall:.2f}"
+
+
+# -- persisted IVF-PQ store ---------------------------------------------
+
+
+def test_ivfpq_store_roundtrip_and_incremental(spark, vecs):
+    from datanika_core_spark.operators.pq import IVFPQIndexStore
+    from datanika_core_spark.operators.writers import drop_table
+    from pyspark.sql import functions as F
+
+    table = "t_ivfpq_idx"
+    for t_ in (table, f"{table}__pq_codebook", f"{table}__coarse",
+               f"{table}__coarse__centroids"):
+        drop_table(spark, t_)
+    try:
+        store = IVFPQIndexStore(spark, table, dim=DIM, iters=2)
+        first = vecs.filter(F.col("vec_id") < 150)
+        rest = vecs
+        store.train(first)
+        n1 = store.update(first)
+        assert n1 == 150
+        # idempotent + incremental: only unseen ids are encoded
+        n2 = store.update(rest)
+        assert n2 == vecs.count() - 150
+        assert store.update(rest) == 0
+
+        # posting lists hold codes, not vectors
+        cols = set(spark.table(table).columns)
+        assert cols == {"vec_id", "codes", "cid"}
+
+        queries = [
+            (int(r.vec_id), list(r.v))
+            for r in vecs.filter(F.col("vec_id") >= 195).collect()
+        ]
+        # ADC-only probe
+        adc = store.probe(queries, topk=3, shortlist=10).collect()
+        assert {r.query_id for r in adc} == {q for q, _ in queries}
+        # refined probe must beat/equal ADC on true cosine ordering
+        refined = store.probe(
+            queries, topk=3, shortlist=10, refine_with=vecs
+        ).collect()
+        assert {r.query_id for r in refined} == {q for q, _ in queries}
+        for r in refined:
+            assert -1.0 <= r.sim <= 1.0
+        # self-match excluded? not excluded by design: the query ids
+        # exist in the index, so rank-1 should be the vector itself
+        # with sim ~1.0 — a sanity signal the pipeline is coherent
+        rank1 = {r.query_id: r for r in refined if r.rank == 1}
+        assert all(
+            r.vec_id == qid and r.sim > 0.99
+            for qid, r in rank1.items()
+        )
+    finally:
+        for t_ in (table, f"{table}__pq_codebook", f"{table}__coarse",
+                   f"{table}__coarse__centroids"):
+            drop_table(spark, t_)
