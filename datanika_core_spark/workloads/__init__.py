@@ -112,7 +112,7 @@ CHECK_FIRST = [
     "rfm_segments", "assoc_rules_session_pairs",
     "cdc_final_state_orders", "events_value_histogram",
     "cms_heavy_hitters_eval", "source_unigram_kl",
-    "phrase_search_positional",
+    "phrase_search_positional", "quota_two_dim_prefilter",
 ]
 
 

@@ -461,3 +461,90 @@ def kfold_assignment_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "fold")
     )
+
+
+# --------------------------------------------------------------------------
+# Two-dimensional token quota (per-source AND per-language budgets).
+# --------------------------------------------------------------------------
+
+_Q2_SRC = 400   # token budget per source
+_Q2_LANG = 900  # token budget per language
+
+
+@workload(
+    "quota_two_dim_prefilter",
+    oracle=f"""
+WITH lens AS (
+  SELECT doc_id, source, lang,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tokens
+  FROM documents
+),
+cums AS (
+  SELECT doc_id, source, lang, tokens,
+         sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS src_cum,
+         sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS lang_cum
+  FROM lens
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN src_cum <= {_Q2_SRC}
+                      AND lang_cum <= {_Q2_LANG}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       CAST(sum(CASE WHEN src_cum <= {_Q2_SRC}
+                      AND lang_cum <= {_Q2_LANG}
+                THEN tokens ELSE 0 END) AS BIGINT) AS admitted_tokens
+FROM cums
+GROUP BY source, lang
+ORDER BY source, lang
+""",
+)
+def quota_two_dim_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget admission under TWO simultaneous quotas: a doc
+    is admitted iff its doc_id-ordered running token total stays
+    within budget in BOTH its source ({_Q2_SRC} tokens) and its
+    language ({_Q2_LANG} tokens). The rule is the static
+    (conservative) relaxation of sequential greedy admission —
+    cumsums run over ALL docs rather than admitted-only, so the two
+    window passes stay independent and one-pass-parallel; exact
+    greedy is inherently sequential (each admission mutates both
+    counters) and is what corpus_token_quota implements for the
+    single-dimension case.
+
+    Scale: two window shuffles (source key, lang key) over
+    (doc, tokens) pairs, then a combiner agg — no iteration, no
+    driver loop; the same shape at any corpus size."""
+    lens = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "tokens"
+        ),
+    )
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lang = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = lens.withColumn(
+        "src_cum", F.sum("tokens").over(w_src)
+    ).withColumn("lang_cum", F.sum("tokens").over(w_lang))
+    admitted = (F.col("src_cum") <= _Q2_SRC) & (
+        F.col("lang_cum") <= _Q2_LANG
+    )
+    return (
+        cums.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(admitted.cast("int")).cast("bigint").alias("n_admitted"),
+            F.sum(F.when(admitted, F.col("tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("admitted_tokens"),
+        )
+        .orderBy("source", "lang")
+    )
