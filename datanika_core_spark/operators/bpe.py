@@ -125,3 +125,56 @@ def learn_merges(
         if rank % _CHECKPOINT_EVERY == 0:
             vocab = vocab.localCheckpoint(eager=True)
     return merges
+
+
+def apply_merges(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize ``docs`` with a learned merge list: each word is
+    split to characters and the merges replay IN RANK ORDER (BPE
+    inference is exactly training's rewrite sequence). Adds
+    ``bpe_tokens`` (array of subword strings per word, flattened
+    per doc) and ``n_bpe_tokens``.
+
+    Map-only: one chained regexp_replace per merge over the
+    SEP-encoded word — the whole merge table compiles into a single
+    projection, no shuffle, no Python. At inference scale this is
+    the tokenize step of every training-data pipeline; the merge
+    list is a broadcast-sized literal (30-50k entries in a real
+    tokenizer — still a map-side artifact; chain length beyond a few
+    hundred merges would switch to a trie-based Pandas UDF, noted
+    here deliberately)."""
+    words = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("ws"),
+    )
+    sym = (
+        f"transform(ws, w -> concat('{SEP}',"
+        f" concat_ws('{SEP}', split(w, '')), '{SEP}'))"
+    )
+    def _replace(pattern: str, merged: str):
+        # closure factory: F.transform reads the lambda's ARITY, so
+        # default-arg binding (lambda s, p=..., m=...) would select
+        # the 3-arg higher-order variant and fail analysis
+        return lambda s: F.regexp_replace(s, pattern, merged)
+
+    col = F.expr(sym)
+    for _, a, b, _cnt in merges:
+        pattern = re.escape(f"{SEP}{a}{SEP}{b}") + f"(?={SEP})"
+        col = F.transform(col, _replace(pattern, f"{SEP}{a}{b}"))
+    return docs.select("doc_id").join(
+        words.select(
+            "doc_id",
+            F.flatten(
+                F.transform(
+                    col,
+                    lambda s: F.split(
+                        F.regexp_replace(s, f"^{SEP}|{SEP}$", ""), SEP
+                    ),
+                )
+            ).alias("bpe_tokens"),
+        ),
+        "doc_id",
+    ).withColumn("n_bpe_tokens", F.size("bpe_tokens"))

@@ -78,3 +78,48 @@ def test_vocab_symbols_roundtrip(spark):
     assert row.sym.startswith("\x1f") and row.sym.endswith("\x1f")
     inner = row.sym.strip("\x1f").split("\x1f")
     assert all(len(s) == 1 for s in inner)
+
+
+def _python_apply(texts_by_id, merges):
+    out = {}
+    for doc_id, t in texts_by_id.items():
+        toks = []
+        for w in t.strip().lower().split():
+            if not w:
+                continue
+            syms = list(w)
+            for (_, a, b, _c) in merges:
+                res, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            toks.extend(syms)
+        out[doc_id] = toks
+    return out
+
+
+def test_apply_merges_matches_python_reference(spark):
+    from datanika_core_spark.operators.bpe import apply_merges
+
+    docs = read_table(spark, f"{SF}/documents.parquet").limit(50)
+    merges = learn_merges(docs, n_merges=8)
+    got = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in apply_merges(docs, merges).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    want = _python_apply(texts, merges)
+    assert got == want
+    # merges actually shorten the sequences
+    n_chars = sum(len(w) for t in texts.values() for w in t.lower().split())
+    n_toks = sum(len(v) for v in got.values())
+    assert n_toks < n_chars
