@@ -113,6 +113,7 @@ CHECK_FIRST = [
     "cdc_final_state_orders", "events_value_histogram",
     "cms_heavy_hitters_eval", "source_unigram_kl",
     "phrase_search_positional", "quota_two_dim_prefilter",
+    "embedding_outlier_centroid_dist", "basket_part_pairs_orders",
 ]
 
 

@@ -391,3 +391,73 @@ def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("touch")
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket pairs over the TPC-H order lines (parts co-purchased).
+# --------------------------------------------------------------------------
+
+_MB_TOPK = 25
+
+
+@workload(
+    "basket_part_pairs_orders",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS n_baskets
+  FROM items a
+  JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b,
+       CAST(n_baskets AS BIGINT) AS n_baskets,
+       ROUND(n_baskets * 1.0 / n.n, 8) AS support
+FROM pairs CROSS JOIN n_orders n
+ORDER BY n_baskets DESC, part_a, part_b
+LIMIT {_MB_TOPK}
+""",
+)
+def basket_part_pairs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining on the warehouse schema: the top part
+    pairs co-purchased within an order, with basket support — the
+    Apriori candidate-pair pass (the k=2 level that dominates the
+    lattice) expressed as a keyed self-join.
+
+    Scale: DISTINCT (order, part) collapse first, then the self-join
+    is keyed on l_orderkey — the pair explosion is bounded by
+    items-per-order², which TPC-H caps at 7 lines/order (real
+    baskets: dozens) — a per-key quadratic inside a linear shuffle,
+    never a global cross product. Pair counts aggregate with
+    combiners; top-k is a TakeOrdered with a total-order tiebreak."""
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.select("l_orderkey").distinct().count()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+    return (
+        pairs.select(
+            "part_a",
+            "part_b",
+            F.col("n_baskets").cast("bigint").alias("n_baskets"),
+            F.round(F.col("n_baskets") * F.lit(1.0) / n_orders, 8).alias(
+                "support"
+            ),
+        )
+        .orderBy(F.col("n_baskets").desc(), "part_a", "part_b")
+        .limit(_MB_TOPK)
+    )

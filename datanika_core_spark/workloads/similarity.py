@@ -1095,3 +1095,89 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-space outlier detection (centroid-distance tail).
+# --------------------------------------------------------------------------
+
+_OUT_PCT = 0.95  # tail threshold on the centroid-distance distribution
+
+
+@workload(
+    "embedding_outlier_centroid_dist",
+    oracle=f"""
+WITH vecs AS ({_O_VECTORS}),
+cent AS (SELECT vec_id AS cid, v AS cv FROM vecs
+         WHERE vec_id < {_IVF_NCENT}),
+assigned AS (
+  SELECT vec_id, label, dist, cid FROM (
+    SELECT x.vec_id, x.label, cent.cid,
+           sqrt(list_sum(list_transform(range(1, {_DIM} + 1),
+                i -> (x.v[i] - cent.cv[i]) * (x.v[i] - cent.cv[i]))))
+             AS dist,
+           row_number() OVER (PARTITION BY x.vec_id
+               ORDER BY list_sum(list_transform(range(1, {_DIM} + 1),
+                   i -> (x.v[i] - cent.cv[i]) * (x.v[i] - cent.cv[i]))),
+               cent.cid) AS rn
+    FROM vecs x CROSS JOIN cent
+  ) WHERE rn = 1
+),
+thresh AS (
+  SELECT quantile_cont(dist, {_OUT_PCT}) AS t FROM assigned
+)
+SELECT a.cid,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN a.dist > th.t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       ROUND(max(a.dist), 6) AS max_dist,
+       ROUND(max(th.t), 6) AS threshold
+FROM assigned a CROSS JOIN thresh th
+GROUP BY a.cid
+ORDER BY a.cid
+""",
+)
+def embedding_outlier_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection for curation: assign every
+    vector to its nearest (deterministic) centroid by L2, then flag
+    the global {_OUT_PCT:.0%}-tail of centroid distances — far-from-
+    every-cluster vectors are the mislabeled/garbage embeddings a
+    SemDeDup-style pipeline quarantines before indexing.
+
+    Scale: map-only assignment against broadcast centroids (same
+    skeleton as ann_ivf_cosine), one exact-percentile agg (swap to
+    percentile_approx at 100 TB — error measured in
+    tests/test_approx_sketches.py), one final per-cluster rollup."""
+    from pyspark.sql import Window
+
+    vecs = _vectors(spark, sf_dir)
+    cent = vecs.filter(F.col("vec_id") < _IVF_NCENT).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    sqd = (
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)),"
+        " 0d, (a, x) -> a + x)"
+    )
+    rn = Window.partitionBy("vec_id").orderBy(F.expr(sqd).asc(), F.col("cid"))
+    assigned = (
+        vecs.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", F.sqrt(F.expr(sqd)).alias("dist"))
+    )
+    thresh = assigned.agg(
+        F.expr(f"percentile(dist, {_OUT_PCT})").alias("t")
+    )
+    return (
+        assigned.crossJoin(F.broadcast(thresh))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum((F.col("dist") > F.col("t")).cast("int"))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.round(F.max("dist"), 6).alias("max_dist"),
+            F.round(F.max("t"), 6).alias("threshold"),
+        )
+        .orderBy("cid")
+    )
