@@ -1062,9 +1062,16 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("srank") <= _PQ_RERANK)
         .select("query_id", "neighbor_id", "adc_dist")
     )
+    # the shortlist is |queries|×R rows — broadcast it into both
+    # refine joins (left to its own devices Catalyst picked
+    # SortMergeJoin here: the shortlist's size estimate is opaque
+    # after the window)
     exact = (
-        shortlist.join(
-            q.select("query_id", F.col("qsubs").alias("qs")), "query_id"
+        F.broadcast(
+            shortlist.join(
+                q.select("query_id", F.col("qsubs").alias("qs")),
+                "query_id",
+            )
         )
         .join(
             assigned.select(
