@@ -71,6 +71,10 @@ class BloomFilterStore:
         rows = merged.collect()
         out = self.spark.createDataFrame(rows, "word bigint, bits bigint")
         out.write.format("parquet").mode("overwrite").saveAsTable(self.table)
+        # the overwrite replaces the table's files; without a refresh
+        # a later probe() in the same session can read the CACHED file
+        # listing and die with FILE_NOT_EXIST
+        self.spark.catalog.refreshTable(self.table)
 
     def probe(self, batch: DataFrame, value_col: str,
               keep_cols: list[str]) -> DataFrame:

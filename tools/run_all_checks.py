@@ -49,6 +49,8 @@ def main() -> int:
         ("type parity", [py, "tools/check_types.py"]),
         ("driver contract", [py, "tools/verify_driver_contract.py",
                              "/root/testdata/sf0.01"]),
+        ("plan signals", [py, "tools/plan_signals_all.py",
+                          "/root/testdata/sf0.01"]),
         ("bench", [py, "bench.py"]),
     ]
     results = [run(label, cmd) for label, cmd in stages]
