@@ -101,6 +101,9 @@ class IVFIndexStore:
         cdf.write.format("parquet").mode("overwrite").saveAsTable(
             self.centroids_table
         )
+        # retrain in a live session: drop the cached file listing so
+        # centroids() never reads the replaced files
+        self.spark.catalog.refreshTable(self.centroids_table)
         return cents
 
     def centroids(self) -> dict[int, list[float]]:

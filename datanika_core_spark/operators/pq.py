@@ -249,6 +249,7 @@ class IVFPQIndexStore:
         ).write.format("parquet").mode("overwrite").saveAsTable(
             self.codebook_table
         )
+        self.spark.catalog.refreshTable(self.codebook_table)
 
     def codebook(self) -> list[list[list[float]]]:
         if not self.spark.catalog.tableExists(self.codebook_table):
