@@ -96,3 +96,38 @@ def shard_manifest(spark: SparkSession, path: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    key: str,
+    n_shards: int,
+) -> ExportResult:
+    """Training-data export in the de-facto LLM interchange format:
+    hash-assigned ``shard=K/`` directories of JSON-Lines text, one
+    JSON object per row (all columns), internally ordered by the
+    deterministic interleave.
+
+    Built on the same assign_shard contract as the parquet export —
+    incremental-stable shard membership, rerun-identical bytes — but
+    serialized via ``to_json(struct(*))`` + the text writer, so
+    downstream tokenizer/dataloader stacks that stream jsonl (the
+    common case) consume it without a parquet reader. The JSON
+    encoding happens JVM-side in the write projection; no Python."""
+    cols = [c for c in df.columns if c not in ("shard", "interleave")]
+    with_shard = assign_shard(df, key, n_shards)
+    out, obs = _observe(with_shard)
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "interleave")
+        .select(
+            "shard",
+            F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"),
+        )
+        .write.format("text")
+        .mode("overwrite")
+        .partitionBy("shard")
+        .save(path)
+    )
+    return ExportResult(path, n_shards, obs.get["rows"])

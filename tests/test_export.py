@@ -58,3 +58,46 @@ def test_incremental_export_stability(spark, tmp_path):
     new_map = {r.doc_id: r.shard for r in new.collect()}
     for doc_id, shard in old_map.items():
         assert new_map[doc_id] == shard
+
+
+def test_export_jsonl_shards_roundtrip(spark, tmp_path):
+    import json
+
+    from datanika_core_spark.operators.export import export_jsonl_shards
+    from datanika_core_spark.session import read_table
+
+    docs = read_table(
+        spark, "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang")
+    out = str(tmp_path / "jsonl_out")
+    res = export_jsonl_shards(docs, out, key="doc_id", n_shards=4)
+    assert res.rows == docs.count()
+    assert res.n_shards == 4
+
+    # every line parses as JSON with exactly the exported columns,
+    # and the union of shards reproduces the input exactly
+    back = spark.read.text(out).collect()
+    objs = [json.loads(r.value) for r in back]
+    assert len(objs) == res.rows
+    assert all(set(o) <= {"doc_id", "text", "lang"} for o in objs)
+    got = {(o["doc_id"], o["text"], o["lang"]) for o in objs}
+    want = {(r.doc_id, r.text, r.lang) for r in docs.collect()}
+    assert got == want
+
+    # rerun → byte-identical shard contents (deterministic order)
+    out2 = str(tmp_path / "jsonl_out2")
+    export_jsonl_shards(docs, out2, key="doc_id", n_shards=4)
+    for shard in range(4):
+        a = sorted(
+            p.read_text()
+            for p in (tmp_path / "jsonl_out" / f"shard={shard}").glob(
+                "*.txt"
+            )
+        )
+        b = sorted(
+            p.read_text()
+            for p in (tmp_path / "jsonl_out2" / f"shard={shard}").glob(
+                "*.txt"
+            )
+        )
+        assert a == b and a
