@@ -736,3 +736,64 @@ def unpivot_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "metric")
     )
+
+
+# --------------------------------------------------------------------------
+# Order-to-ship lead-time analytics (synthetic schema: no
+# l_shipmode/l_receiptdate — lead time is o_orderdate -> l_shipdate).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "order_lead_time_profile",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       ROUND(avg(date_diff('day', o_orderdate, l_shipdate)), 4)
+         AS avg_lead_days,
+       CAST(quantile_cont(date_diff('day', o_orderdate, l_shipdate),
+            0.5) AS DOUBLE) AS p50_lead,
+       CAST(quantile_cont(date_diff('day', o_orderdate, l_shipdate),
+            0.95) AS DOUBLE) AS p95_lead,
+       CAST(sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_over_90d
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def order_lead_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment lead-time profile per order priority: mean / p50 /
+    p95 order→ship days and the >90-day tail count — the operational
+    twin of q12's delay buckets, with exact interpolated percentiles
+    (swap to percentile_approx at 100 TB; error measured in
+    tests/test_approx_sketches.py).
+
+    Scale: one fact-fact join on the order key (lineitem pre-bucketed
+    by l_orderkey makes it shuffle-free), one agg keyed by priority
+    (5 groups); datediff computes in the scan stage."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    lead = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.avg(lead), 4).alias("avg_lead_days"),
+            F.expr(
+                "cast(percentile(datediff(l_shipdate, o_orderdate),"
+                " 0.5) as double)"
+            ).alias("p50_lead"),
+            F.expr(
+                "cast(percentile(datediff(l_shipdate, o_orderdate),"
+                " 0.95) as double)"
+            ).alias("p95_lead"),
+            F.sum((lead > 90).cast("int")).cast("bigint").alias(
+                "n_over_90d"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
