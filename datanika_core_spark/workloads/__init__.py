@@ -114,7 +114,8 @@ CHECK_FIRST = [
     "cms_heavy_hitters_eval", "source_unigram_kl",
     "phrase_search_positional", "quota_two_dim_prefilter",
     "embedding_outlier_centroid_dist", "basket_part_pairs_orders",
-    "order_lead_time_profile",
+    "order_lead_time_profile", "events_day_over_day_change",
+    "corpus_gini_concentration",
 ]
 
 

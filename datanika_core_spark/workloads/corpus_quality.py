@@ -572,3 +572,72 @@ def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# Source-concentration Gini coefficient (corpus inequality measure).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "corpus_gini_concentration",
+    oracle="""
+WITH mass AS (
+  SELECT source,
+         sum(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+           AS toks
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT toks,
+         row_number() OVER (ORDER BY toks, source) AS i,
+         count(*) OVER () AS n,
+         sum(toks) OVER () AS total
+  FROM mass
+)
+SELECT CAST(max(n) AS BIGINT) AS n_sources,
+       CAST(max(total) AS BIGINT) AS total_tokens,
+       ROUND(2.0 * sum(i * toks) / (max(n) * max(total))
+             - (max(n) + 1.0) / max(n), 6) AS gini
+FROM ranked
+""",
+)
+def corpus_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of token mass across sources — the single
+    number that says whether the corpus blend is balanced (→0) or a
+    few domains dominate (→1); the alarm a data-mixing pipeline
+    watches as crawls grow unevenly (complements
+    corpus_mixture_weights, which fixes the imbalance this detects).
+
+    Scale: per-source mass is a combiner agg; the rank/total windows
+    run over |sources| rows. Deterministic tie order (toks, source)
+    keeps the rank — and hence the statistic — rerun-stable."""
+    from pyspark.sql import Window
+
+    mass = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+            ).alias("toks")
+        )
+    )
+    ranked = mass.select(
+        "toks",
+        F.row_number()
+        .over(Window.orderBy("toks", "source"))
+        .alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("toks").over(Window.partitionBy()).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_sources"),
+        F.max("total").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("toks"))
+            / (F.max("n") * F.max("total"))
+            - (F.max("n") + F.lit(1.0)) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )

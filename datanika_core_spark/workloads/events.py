@@ -770,3 +770,63 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Day-over-day change rates per event type.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "events_day_over_day_change",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day,
+         count(*) AS n, round(sum(value), 2) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+       CAST(n AS BIGINT) AS n,
+       total,
+       CAST(n - lag(n) OVER w AS BIGINT) AS n_delta,
+       ROUND((n - lag(n) OVER w) * 1.0
+             / greatest(lag(n) OVER w, 1), 6) AS n_pct_change
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+ORDER BY event_type, day
+""",
+)
+def events_day_over_day_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day deltas and percent change per event type — the
+    topline movement metric every ops dashboard leads with; first
+    days emit NULL deltas (no prior day) rather than a fake zero.
+
+    Scale: daily pre-agg first (combiner-friendly, |types|×|days|
+    rows), lag window over the TINY aggregate — never a window over
+    raw events."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lag_n = F.lag("n").over(w)
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            F.col("n").cast("bigint").alias("n"),
+            "total",
+            (F.col("n") - lag_n).cast("bigint").alias("n_delta"),
+            F.round(
+                (F.col("n") - lag_n) * F.lit(1.0)
+                / F.greatest(lag_n, F.lit(1)),
+                6,
+            ).alias("n_pct_change"),
+        )
+        .orderBy("event_type", "day")
+    )

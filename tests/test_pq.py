@@ -192,3 +192,44 @@ def test_ivfpq_store_roundtrip_and_incremental(spark, vecs):
         for t_ in (table, f"{table}__pq_codebook", f"{table}__coarse",
                    f"{table}__coarse__centroids"):
             drop_table(spark, t_)
+
+
+def test_ivfpq_probe_partition_pruned(spark, vecs):
+    """The probe's cid IN-list must reach the posting-list scan as a
+    partition filter — unprobed lists are never read (the same
+    plan assertion IVFIndexStore carries)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from datanika_core_spark.operators.pq import IVFPQIndexStore
+    from datanika_core_spark.operators.writers import drop_table
+
+    table = "t_ivfpq_prune"
+    names = [table, f"{table}__pq_codebook", f"{table}__coarse",
+             f"{table}__coarse__centroids"]
+    for t_ in names:
+        drop_table(spark, t_)
+    try:
+        store = IVFPQIndexStore(spark, table, dim=DIM, iters=1)
+        store.train(vecs)
+        store.update(vecs)
+        q = [
+            (int(r.vec_id), list(r.v))
+            for r in vecs.filter(F.col("vec_id") >= 198).collect()
+        ]
+        df = store.probe(q, topk=3, nprobe=1, shortlist=5)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        text = buf.getvalue()
+        assert "PartitionFilters" in text
+        # the partition filter must mention cid (the partition col)
+        import re
+
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
+        assert pf and "cid" in pf.group(1)
+    finally:
+        for t_ in names:
+            drop_table(spark, t_)
