@@ -267,3 +267,54 @@ def zorder_table(
     TableWriter(spark)._swap_in(clustered, table)
     after = _table_files(spark, table)
     return ZorderResult(table, columns, len(files), len(after))
+
+
+@dataclass
+class MaintenanceAdvice:
+    table: str
+    n_files: int
+    total_bytes: int
+    avg_file_bytes: int
+    recommendation: str
+    reason: str
+
+
+def advise(
+    spark: SparkSession,
+    table: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    small_file_ratio: float = 0.5,
+) -> MaintenanceAdvice:
+    """Inspect a table's file layout and recommend a maintenance
+    action — the decision rule an automated OPTIMIZE scheduler runs
+    nightly per table, here exposed so operators can see WHY:
+
+    - >50% of files under half the target size → ``compact``
+      (listing + footer overhead dominates scans);
+    - fewer, right-sized files → ``none``;
+    - a partitioned layout reports per-partition fragmentation and
+      recommends ``compact_partitions`` only when SOME partitions
+      are fragmented (whole-table rewrite would be wasteful —
+      exactly what compact_partitioned_table avoids)."""
+    files = _table_files(spark, table)
+    n = len(files)
+    total = sum(sz for _, sz in files)
+    avg = total // max(n, 1)
+    partitioned = any("=" in p.rsplit("/", 2)[-2] for p, _ in files if "/" in p)
+    small = sum(1 for _, sz in files if sz < target_file_bytes // 2)
+    if n <= 1 or small / max(n, 1) <= small_file_ratio:
+        return MaintenanceAdvice(
+            table, n, total, avg, "none",
+            f"{small}/{n} files below half target — healthy layout",
+        )
+    if partitioned:
+        return MaintenanceAdvice(
+            table, n, total, avg, "compact_partitions",
+            f"{small}/{n} files below half target in a partitioned"
+            " layout — rewrite only fragmented partitions",
+        )
+    return MaintenanceAdvice(
+        table, n, total, avg, "compact",
+        f"{small}/{n} files below half target"
+        f" ({avg} B avg vs {target_file_bytes} B target)",
+    )

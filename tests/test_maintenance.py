@@ -241,3 +241,30 @@ def test_zorder_equidepth_balances_skewed_column(spark):
     finally:
         drop_table(spark, "t_zorder_linear")
         drop_table(spark, "t_zorder_equidepth")
+
+
+def test_advise_recommends_compaction_then_none(spark):
+    from pyspark.sql import functions as F
+
+    from datanika_core_spark.operators.maintenance import (
+        advise,
+        compact_table,
+    )
+    from datanika_core_spark.operators.writers import drop_table
+
+    table = "t_advise"
+    drop_table(spark, table)
+    try:
+        spark.range(50_000).select(
+            "id", (F.rand(seed=3) * 10).alias("v")
+        ).repartition(32).write.format("parquet").saveAsTable(table)
+        before = advise(spark, table, target_file_bytes=1_000_000)
+        assert before.recommendation == "compact"
+        assert before.n_files > 1
+
+        compact_table(spark, table, target_file_bytes=1_000_000)
+        after = advise(spark, table, target_file_bytes=1_000_000)
+        assert after.recommendation == "none"
+        assert spark.table(table).count() == 50_000
+    finally:
+        drop_table(spark, table)
