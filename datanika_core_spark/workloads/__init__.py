@@ -115,7 +115,7 @@ CHECK_FIRST = [
     "phrase_search_positional", "quota_two_dim_prefilter",
     "embedding_outlier_centroid_dist", "basket_part_pairs_orders",
     "order_lead_time_profile", "events_day_over_day_change",
-    "corpus_gini_concentration",
+    "corpus_gini_concentration", "multimodal_keyframe_select",
 ]
 
 

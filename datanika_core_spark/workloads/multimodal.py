@@ -144,3 +144,76 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@workload(
+    "multimodal_keyframe_select",
+    oracle="""
+WITH frames AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(CAST(ceil(strlen(text) / 256.0) AS INT), 1)))
+           AS frame_idx,
+         text
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, frame_idx,
+         ('0x'||substring(md5(substr(text, frame_idx * 256 + 1, 256)),
+          1, 8))::BIGINT AS energy
+  FROM frames
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(min(CASE WHEN rk = 1 THEN frame_idx END) AS BIGINT)
+         AS key_frame_idx,
+       CAST(max(CASE WHEN rk = 1 THEN energy END) AS BIGINT)
+         AS key_energy
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY energy DESC, frame_idx) AS rk
+  FROM scored
+)
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def multimodal_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection skeleton: score every 256-byte frame with a
+    deterministic energy function (md5-derived here — the stand-in
+    for visual-change magnitude, same fake-decoder convention as
+    multimodal_decode_meta) and keep the argmax frame per document —
+    the representative-frame pick a video curation pipeline runs
+    before captioning/embedding.
+
+    Scale: frame explode is the only volume multiplier (bounded by
+    payload/256); scoring is a scan-stage expression on the frame
+    bytes; the argmax is one window keyed by doc. With real codecs
+    the energy function swaps to a Pandas-UDF decode — the
+    partitioning, explode shape and argmax stay identical."""
+    from pyspark.sql import Window
+
+    frames = sample_frames(
+        _media(spark, sf_dir), "content",
+        frame_bytes=256, every_n=1, id_cols=("doc_id",),
+    )
+    scored = frames.withColumn(
+        "energy",
+        F.expr("cast(conv(substring(md5(frame), 1, 8), 16, 10) as bigint)"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("energy").desc(), F.col("frame_idx")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.min(F.when(F.col("rk") == 1, F.col("frame_idx")))
+            .cast("bigint")
+            .alias("key_frame_idx"),
+            F.max(F.when(F.col("rk") == 1, F.col("energy")))
+            .cast("bigint")
+            .alias("key_energy"),
+        )
+        .orderBy("doc_id")
+    )
