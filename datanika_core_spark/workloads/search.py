@@ -122,3 +122,123 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phrase")
     )
+
+
+# --------------------------------------------------------------------------
+# K-way phrase search (3-term phrases; positions k-way intersect).
+# --------------------------------------------------------------------------
+
+_PHRASES3 = [
+    ("fast", "merge", "batch"),
+    ("hash", "value", "table"),
+    ("table", "scan", "slow"),
+]
+
+_PHRASE3_VALUES_DUCK = ", ".join(
+    f"('{a}', '{b}', '{c}')" for a, b, c in _PHRASES3
+)
+
+
+@workload(
+    "phrase_search_threeway",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, t.tok, t.pos
+  FROM (
+    SELECT doc_id,
+           regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+    FROM documents
+  ), LATERAL (
+    SELECT unnest(arr) AS tok,
+           generate_subscripts(arr, 1) AS pos
+  ) AS t
+),
+postings AS (
+  SELECT tok, doc_id, list(pos ORDER BY pos) AS positions
+  FROM toks GROUP BY tok, doc_id
+),
+phrases(a, b, c) AS (VALUES {_PHRASE3_VALUES_DUCK}),
+matches AS (
+  SELECT p.a, p.b, p.c, pa.doc_id,
+         len(list_filter(pa.positions,
+             x -> list_contains(pb.positions, x + 1)
+              AND list_contains(pc.positions, x + 2))) AS n_hits
+  FROM phrases p
+  JOIN postings pa ON pa.tok = p.a
+  JOIN postings pb ON pb.tok = p.b AND pb.doc_id = pa.doc_id
+  JOIN postings pc ON pc.tok = p.c AND pc.doc_id = pa.doc_id
+)
+SELECT a || ' ' || b || ' ' || c AS phrase,
+       CAST(count(*) FILTER (WHERE n_hits > 0) AS BIGINT) AS n_docs,
+       CAST(sum(n_hits) AS BIGINT) AS n_occurrences
+FROM matches
+GROUP BY phrase
+ORDER BY phrase
+""",
+)
+def phrase_search_threeway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-term exact-phrase search: the adjacency check becomes a
+    k-way position intersect — the left anchor's position x matches
+    iff x+1 is in term 2's postings AND x+2 is in term 3's. The
+    generalization to k terms is the same fold; candidate docs must
+    appear in ALL k postings before any position math runs (the
+    joins are the pruning).
+
+    Scale: identical index build to phrase_search_positional (shared
+    persisted artifact at scale); per-phrase cost is bounded by the
+    RAREST term's postings — the standard term-ordering optimization
+    falls out of the join ordering."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("pos0", "tok"),
+        )
+        .select("doc_id", "tok", (F.col("pos0") + 1).alias("pos"))
+    )
+    postings = toks.groupBy("tok", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+    phrases = spark.createDataFrame(
+        _PHRASES3, "a string, b string, c string"
+    )
+    pa = postings.select(
+        F.col("tok").alias("a"), "doc_id",
+        F.col("positions").alias("pos_a"),
+    )
+    pb = postings.select(
+        F.col("tok").alias("b"), "doc_id",
+        F.col("positions").alias("pos_b"),
+    )
+    pc = postings.select(
+        F.col("tok").alias("c"), "doc_id",
+        F.col("positions").alias("pos_c"),
+    )
+    matches = (
+        F.broadcast(phrases)
+        .join(pa, "a")
+        .join(pb, ["b", "doc_id"])
+        .join(pc, ["c", "doc_id"])
+        .withColumn(
+            "n_hits",
+            F.expr(
+                "size(filter(pos_a,"
+                " x -> array_contains(pos_b, x + 1)"
+                " and array_contains(pos_c, x + 2)))"
+            ),
+        )
+    )
+    return (
+        matches.groupBy(
+            F.concat_ws(" ", "a", "b", "c").alias("phrase")
+        )
+        .agg(
+            F.sum((F.col("n_hits") > 0).cast("int"))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.sum("n_hits").cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy("phrase")
+    )
