@@ -116,7 +116,7 @@ CHECK_FIRST = [
     "embedding_outlier_centroid_dist", "basket_part_pairs_orders",
     "order_lead_time_profile", "events_day_over_day_change",
     "corpus_gini_concentration", "multimodal_keyframe_select",
-    "phrase_search_threeway",
+    "phrase_search_threeway", "quota_greedy_per_source",
 ]
 
 

@@ -548,3 +548,97 @@ def quota_two_dim_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# EXACT greedy token-quota admission (sequential within each source).
+# --------------------------------------------------------------------------
+
+_QG_BUDGET = 400  # per-source token budget
+
+
+@workload(
+    "quota_greedy_per_source",
+    oracle=f"""
+WITH RECURSIVE lens AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS i
+  FROM documents
+),
+greedy AS (
+  SELECT source, i, doc_id, tokens,
+         CASE WHEN tokens <= {_QG_BUDGET} THEN tokens ELSE 0 END AS used,
+         tokens <= {_QG_BUDGET} AS admitted
+  FROM lens WHERE i = 1
+  UNION ALL
+  SELECT l.source, l.i, l.doc_id, l.tokens,
+         CASE WHEN g.used + l.tokens <= {_QG_BUDGET}
+              THEN g.used + l.tokens ELSE g.used END,
+         g.used + l.tokens <= {_QG_BUDGET}
+  FROM lens l JOIN greedy g
+    ON l.source = g.source AND l.i = g.i + 1
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_admitted,
+       CAST(max(used) AS BIGINT) AS tokens_used
+FROM greedy
+GROUP BY source
+ORDER BY source
+""",
+)
+def quota_greedy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT greedy quota admission: docs stream through each source
+    in doc_id order and one is admitted iff the tokens ADMITTED so
+    far plus its own fit the budget — the true sequential recurrence
+    (each admission mutates the counter), unlike the static cumsum
+    relaxation (quota_two_dim_prefilter / corpus_token_quota), which
+    under-admits after the first oversized doc is skipped.
+
+    This is the canonical applyInPandas case the brief calls out:
+    per-key imperative state that no window/agg composition
+    expresses. One shuffle keyed by source; each group folds in a
+    vectorized-enough pandas loop bounded by docs-per-source; the
+    oracle replays the identical recurrence as a recursive CTE.
+
+    Scale: groups are independent — 1000 executors each fold their
+    own sources; a mega-source's fold is O(its docs), the same cost
+    any sequential admission policy pays, and the admitted set is
+    deterministic so reruns agree."""
+    import pandas as pd
+
+    lens = t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "tokens"
+        ),
+    )
+
+    def admit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        used = 0
+        n_adm = 0
+        for toks in pdf["tokens"]:
+            if used + toks <= _QG_BUDGET:
+                used += toks
+                n_adm += 1
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "n_admitted": [n_adm],
+                "tokens_used": [used],
+            }
+        )
+
+    return (
+        lens.groupBy("source")
+        .applyInPandas(
+            admit,
+            "source string, n_docs bigint, n_admitted bigint,"
+            " tokens_used bigint",
+        )
+        .orderBy("source")
+    )
