@@ -117,6 +117,7 @@ CHECK_FIRST = [
     "order_lead_time_profile", "events_day_over_day_change",
     "corpus_gini_concentration", "multimodal_keyframe_select",
     "phrase_search_threeway", "quota_greedy_per_source",
+    "quality_classifier_trained",
 ]
 
 

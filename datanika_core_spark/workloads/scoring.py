@@ -450,3 +450,86 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Trained quality classifier (frozen GD-trained weights, per-source
+# scoring rollup).
+# --------------------------------------------------------------------------
+
+# trained offline with operators/logreg.py::train_logreg on the
+# sf0.001 corpus (80 full-batch GD steps, lr=1.0, labels from the
+# length+stopword rule) — frozen here so inference is a pure
+# function and the DuckDB oracle replays the identical sigmoid
+_LR_W0 = -2.866807847679   # bias
+_LR_W_LEN = 3.312776828835   # length(text)/200
+_LR_W_STOP = 0.574814691264  # stopword_count/20
+
+_F_LEN_DUCK = "strlen(text) / 200.0"
+_F_STOP_DUCK = (
+    "len(list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+    " t -> t IN ('the', 'a', 'of', 'and'))) / 20.0"
+)
+
+
+@workload(
+    "quality_classifier_trained",
+    oracle=f"""
+WITH scored AS (
+  SELECT source,
+         1.0 / (1.0 + exp(-({_LR_W0}
+            + {_LR_W_LEN} * ({_F_LEN_DUCK})
+            + {_LR_W_STOP} * ({_F_STOP_DUCK})))) AS proba
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(avg(proba), 4) AS mean_proba,
+       CAST(sum(CASE WHEN proba > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_positive
+FROM scored
+GROUP BY source
+ORDER BY source
+""",
+)
+def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring with WEIGHTS THE ENGINE TRAINED: the logistic
+    model fit by operators/logreg.py (distributed GD, NumPy-parity-
+    tested) frozen into a pure inference expression, rolled up per
+    source — closing the loop the hashed classifier
+    (quality_classifier_hashed) opens with hand-fixed weights.
+    Train-once/freeze/score-everywhere is exactly how quality models
+    deploy over a 100 TB corpus: training samples a slice, inference
+    is a scan-stage sigmoid.
+
+    Scale: map-only scoring + one combiner agg keyed by source."""
+    from datanika_core_spark.operators.logreg import predict_proba
+
+    docs = t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "source",
+        (F.length("text") / 200.0).alias("f_len"),
+        (
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"),
+                    lambda tok: tok.isin("the", "a", "of", "and"),
+                )
+            )
+            / 20.0
+        ).alias("f_stop"),
+    )
+    scored = predict_proba(
+        feats, ["f_len", "f_stop"], [_LR_W0, _LR_W_LEN, _LR_W_STOP]
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("proba"), 4).alias("mean_proba"),
+            F.sum((F.col("proba") > 0.5).cast("int"))
+            .cast("bigint")
+            .alias("n_positive"),
+        )
+        .orderBy("source")
+    )
