@@ -68,6 +68,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: bookkeeping. This list only breaks ties WITHIN each group —
 #: newest additions first.
 CHECK_FIRST = [
+    # new in round 6 (model-eval suite + analytics additions)
+    "eval_auc_quality_model", "eval_calibration_quality_model",
+    "eval_centroid_confusion", "eval_centroid_class_metrics",
+    "rfm_segment_transitions", "attribution_time_decay",
+    "ngram_novelty_rate", "events_funnel_strict_windowed",
     # new in round 3 (second half)
     "semdedup_embedding_prune", "bloom_dedup_incoming_batch",
     "quality_classifier_hashed", "sample_weighted_priority",
@@ -148,6 +153,7 @@ def load_all() -> dict[str, Workload]:
         corpus_quality,
         curation,
         elt,
+        evalmetrics,
         events,
         frontier,
         graph,

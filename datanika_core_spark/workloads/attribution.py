@@ -461,3 +461,205 @@ def basket_part_pairs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_baskets").desc(), "part_a", "part_b")
         .limit(_MB_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# RFM tier transitions between two halves of the window.
+# --------------------------------------------------------------------------
+
+_RFM_SPLIT = "2024-01-16 00:00:00"
+
+
+@workload(
+    "rfm_segment_transitions",
+    oracle=f"""
+WITH h1 AS (
+  SELECT user_id, sum(value) AS monetary
+  FROM events
+  WHERE event_type = 'purchase' AND ts < TIMESTAMP '{_RFM_SPLIT}'
+  GROUP BY user_id
+),
+h2 AS (
+  SELECT user_id, sum(value) AS monetary
+  FROM events
+  WHERE event_type = 'purchase' AND ts >= TIMESTAMP '{_RFM_SPLIT}'
+  GROUP BY user_id
+),
+t1 AS (
+  SELECT user_id,
+         'T' || CAST(ntile(3) OVER (ORDER BY monetary DESC, user_id)
+                     AS VARCHAR) AS tier
+  FROM h1
+),
+t2 AS (
+  SELECT user_id,
+         'T' || CAST(ntile(3) OVER (ORDER BY monetary DESC, user_id)
+                     AS VARCHAR) AS tier,
+         round(monetary, 2) AS monetary
+  FROM h2
+)
+SELECT coalesce(t1.tier, 'none') AS from_tier,
+       coalesce(t2.tier, 'none') AS to_tier,
+       CAST(count(*) AS BIGINT) AS n_users,
+       ROUND(sum(coalesce(t2.monetary, 0)), 2) AS revenue_h2
+FROM t1 FULL OUTER JOIN t2 ON t1.user_id = t2.user_id
+GROUP BY from_tier, to_tier
+ORDER BY from_tier, to_tier
+""",
+)
+def rfm_segment_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-tier migration: monetary tertiles (T1 = top
+    spenders) computed independently over the first and second half
+    of the window, full-outer-joined per user into a transition
+    matrix — 'none'→T? rows are newly active buyers, T?→'none' rows
+    are churn, the diagonal is tier retention. The report marketing
+    reads as upgrade/downgrade/churn flows.
+
+    Scale: two filtered per-user aggregates (one shuffle each, same
+    user_id key — bucketed layouts share it); ntile windows run over
+    USERS not events (swap for percentile_approx bucketing if the
+    user dimension itself is huge, as rfm_segments documents); the
+    transition matrix is ≤ 4×4 rows. Per-user h2 monetary is rounded
+    BEFORE the final sum so both engines sum the same 2-dp multiset."""
+    ev = t(spark, sf_dir, "events")
+    split = F.lit(_RFM_SPLIT).cast("timestamp")
+    purch = ev.filter(F.col("event_type") == "purchase")
+
+    def half(cond, with_rev: bool):
+        per_user = purch.filter(cond).groupBy("user_id").agg(
+            F.sum("value").alias("monetary")
+        )
+        tier = F.concat(
+            F.lit("T"),
+            F.ntile(3)
+            .over(Window.orderBy(F.col("monetary").desc(), F.col("user_id")))
+            .cast("string"),
+        )
+        cols = [F.col("user_id"), tier.alias("tier")]
+        if with_rev:
+            cols.append(F.round("monetary", 2).alias("monetary"))
+        return per_user.select(*cols)
+
+    t1 = half(F.col("ts") < split, with_rev=False)
+    t2 = half(F.col("ts") >= split, with_rev=True)
+    joined = t1.alias("a").join(
+        t2.alias("b"), F.col("a.user_id") == F.col("b.user_id"), "full_outer"
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("a.tier"), F.lit("none")).alias("from_tier"),
+            F.coalesce(F.col("b.tier"), F.lit("none")).alias("to_tier"),
+            F.coalesce(F.col("b.monetary"), F.lit(0.0)).alias("m2"),
+        )
+        .groupBy("from_tier", "to_tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.sum("m2"), 2).alias("revenue_h2"),
+        )
+        .orderBy("from_tier", "to_tier")
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-decay multi-touch attribution (exponential half-life credit).
+# --------------------------------------------------------------------------
+
+_TD_LOOKBACK_DAYS = 7  # touch lookback before each purchase
+_TD_HALF_LIFE_D = 1    # credit halves per full day of age
+
+
+@workload(
+    "attribution_time_decay",
+    oracle=f"""
+WITH purchases AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_id, value
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, ts AS t_ts, event_type AS touch
+  FROM events WHERE event_type <> 'purchase'
+),
+joined AS (
+  SELECT p.p_id, p.value, t.touch,
+         power(0.5, CAST(floor(date_diff('second', t.t_ts, p.p_ts)
+                               / 86400.0) AS BIGINT)) AS w
+  FROM purchases p
+  JOIN touches t
+    ON t.user_id = p.user_id
+   AND t.t_ts >= p.p_ts - INTERVAL {_TD_LOOKBACK_DAYS} DAY
+   AND t.t_ts < p.p_ts
+),
+credited AS (
+  SELECT touch,
+         value * w / sum(w) OVER (PARTITION BY p_id) AS credit
+  FROM joined
+)
+SELECT touch,
+       CAST(count(*) AS BIGINT) AS n_credits,
+       ROUND(sum(CAST(round(credit * 10000) AS BIGINT)) / 10000.0, 4)
+         AS attributed_revenue
+FROM credited
+GROUP BY touch
+ORDER BY touch
+""",
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every purchase splits its
+    revenue across the user's touches in the prior 7 days with
+    exponential decay (half-life = 1 day), so yesterday's click earns
+    half of today's — the standard position-independent decay model
+    between last-touch's winner-takes-all and linear's flat split.
+
+    Determinism across engines: the decay weight is 0.5^k for an
+    INTEGER day lag — an exact dyadic double — so per-purchase weight
+    sums are order-independent; credits then sum in integer 1e-4
+    units (same convention as attribution_linear_multitouch).
+
+    Scale: same user-keyed range join as the linear variant
+    (time-bucket-explode via operators/temporal.py::range_join when
+    the per-user pairing stops being bounded); the normalizing
+    denominator is a window over p_id — no second aggregation pass."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"), "value",
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch"),
+    )
+    day_lag = F.floor(
+        (
+            F.unix_timestamp("p_ts").cast("double")
+            - F.unix_timestamp("t_ts").cast("double")
+        )
+        / 86400.0
+    ).cast("bigint")
+    joined = purchases.join(
+        touches,
+        (purchases.user_id == touches.user_id)
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {_TD_LOOKBACK_DAYS} DAYS")
+        )
+        & (F.col("t_ts") < F.col("p_ts")),
+    ).select(
+        "p_id", "value", "touch", F.pow(F.lit(0.5), day_lag).alias("w")
+    )
+    credit = (
+        F.col("value") * F.col("w")
+        / F.sum("w").over(Window.partitionBy("p_id"))
+    )
+    return (
+        joined.withColumn("credit", credit)
+        .groupBy("touch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+            F.round(
+                F.sum(F.round(F.col("credit") * 10000).cast("bigint"))
+                / 10000.0,
+                4,
+            ).alias("attributed_revenue"),
+        )
+        .orderBy("touch")
+    )

@@ -1,0 +1,417 @@
+"""Model-evaluation metrics over corpus-scale data (beyond-reference,
+SURVEY.md §7 Phase 4): the eval half of the train-once /
+score-everywhere loop. `operators/logreg.py` trains the quality
+model and `workloads/scoring.py` freezes it for inference; this
+module measures that frozen model (ranking AUC, calibration) and
+evaluates the embedding space against its labels (nearest-centroid
+confusion + per-class precision/recall/F1).
+
+Scale shapes:
+
+- AUC here is the EXACT Mann-Whitney rank form — one global sort of
+  the scored rows (fine up to ~billions with Spark's range-partition
+  sort, and the oracle-parity point of this workload). At 100 TB the
+  standard swap is histogram AUC: bucket scores into B fixed bins,
+  one combiner agg, trapezoid over the B-row cumulative curve — same
+  number to ~1/B precision with no global sort.
+- Calibration is a map-side bin assignment + one combiner agg.
+- Nearest-centroid eval is the kmeans assignment shape: per-label
+  centroids are k×dim driver scalars (collected once, entering the
+  plan as literals = broadcast state), assignment is a map-only
+  argmin, the confusion matrix is a |labels|²-row aggregate.
+
+Determinism (cross-engine hash parity):
+- ranking uses the LINEAR logit, not the sigmoid — AUC is invariant
+  under monotone transforms, and the logit is a 3-term fixed-order
+  fp expression both engines compute bit-identically (no libm);
+- rank ties break on doc_id on both sides;
+- centroid components are rounded to 6 dp before re-entering
+  distance math (same drift absorber as kmeans_lloyd_embeddings);
+- all ratio outputs are exact-integer divisions rounded at 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datanika_core_spark.workloads import t, workload
+from datanika_core_spark.workloads.scoring import (
+    _F_LEN_DUCK,
+    _F_STOP_DUCK,
+    _LR_W0,
+    _LR_W_LEN,
+    _LR_W_STOP,
+)
+from datanika_core_spark.workloads.similarity import (
+    _DIM,
+    _O_SQD,
+    _O_VECTORS,
+    _S_SQD,
+    _vectors,
+)
+
+# -- shared: features, weak label, frozen-model logit -----------------------
+# Identical to the rule the logreg trainer was fit against
+# (tests/test_logreg.py::labeled): y = [f_len + 2*f_stop - f_digits > 1].
+
+_F_DIGITS_DUCK = "strlen(regexp_replace(text, '[^0-9]', '', 'g')) / 10.0"
+
+_O_FEATS = f"""
+  SELECT doc_id,
+         {_F_LEN_DUCK} AS f_len,
+         {_F_STOP_DUCK} AS f_stop,
+         {_F_DIGITS_DUCK} AS f_digits
+  FROM documents
+"""
+
+_O_LABELED = f"""
+  SELECT doc_id,
+         {_LR_W0} + {_LR_W_LEN} * f_len + {_LR_W_STOP} * f_stop AS z,
+         CASE WHEN f_len + 2 * f_stop - f_digits > 1.0
+              THEN 1 ELSE 0 END AS y
+  FROM ({_O_FEATS})
+"""
+
+
+def _labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, z, y): frozen-model logit + the weak training label,
+    computed with the same fixed-order fp ops as the oracle."""
+    docs = t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        (F.length("text") / 200.0).alias("f_len"),
+        (
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"),
+                    lambda tok: tok.isin("the", "a", "of", "and"),
+                )
+            )
+            / 20.0
+        ).alias("f_stop"),
+        (F.length(F.regexp_replace("text", r"[^0-9]", "")) / 10.0).alias(
+            "f_digits"
+        ),
+    )
+    return feats.select(
+        "doc_id",
+        (
+            F.lit(_LR_W0)
+            + F.lit(_LR_W_LEN) * F.col("f_len")
+            + F.lit(_LR_W_STOP) * F.col("f_stop")
+        ).alias("z"),
+        (
+            F.col("f_len") + 2 * F.col("f_stop") - F.col("f_digits")
+            > F.lit(1.0)
+        )
+        .cast("int")
+        .alias("y"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ranking AUC of the frozen quality model (exact Mann-Whitney).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "eval_auc_quality_model",
+    oracle=f"""
+WITH labeled AS ({_O_LABELED}),
+ranked AS (
+  SELECT y,
+         row_number() OVER (ORDER BY z, doc_id) AS r
+  FROM labeled
+)
+SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(sum(1 - y) AS BIGINT) AS n_neg,
+       ROUND(
+         (sum(CASE WHEN y = 1 THEN r ELSE 0 END)
+           - sum(y) * (sum(y) + 1) / 2) * 1.0
+         / (sum(y) * sum(1 - y)), 6) AS auc
+FROM ranked
+""",
+)
+def eval_auc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the engine-trained quality model against the
+    weak label it was fit on, via the Mann-Whitney rank identity
+    AUC = (Σ rank⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻). Ranks come from the
+    LINEAR logit (AUC is monotone-invariant, so no libm sigmoid can
+    drift a rank) with a doc_id tiebreak.
+
+    Scale: the only global structure is one sort for row_number —
+    Spark range-partitions it. At 100 TB swap in histogram AUC
+    (B fixed score bins + trapezoid, one combiner agg); the exact
+    rank form here is the ground truth that variant is checked
+    against. Everything after the window is integer arithmetic."""
+    labeled = _labeled(spark, sf_dir)
+    ranked = labeled.select(
+        "y", F.row_number().over(Window.orderBy("z", "doc_id")).alias("r")
+    )
+    n_pos = F.sum("y")
+    n_neg = F.sum(1 - F.col("y"))
+    rank_pos = F.sum(F.when(F.col("y") == 1, F.col("r")).otherwise(0))
+    return ranked.agg(
+        n_pos.cast("bigint").alias("n_pos"),
+        n_neg.cast("bigint").alias("n_neg"),
+        F.round(
+            (rank_pos - n_pos * (n_pos + 1) / 2)
+            * F.lit(1.0)
+            / (n_pos * n_neg),
+            6,
+        ).alias("auc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Calibration (reliability diagram) of the frozen quality model.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "eval_calibration_quality_model",
+    oracle=f"""
+WITH labeled AS ({_O_LABELED}),
+probed AS (
+  SELECT y, 1.0 / (1.0 + exp(-z)) AS proba FROM labeled
+),
+binned AS (
+  SELECT least(CAST(floor(proba * 10) AS BIGINT), 9) AS bin, y, proba
+  FROM probed
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(avg(proba), 4) AS mean_proba,
+       ROUND(sum(y) * 1.0 / count(*), 4) AS pos_rate,
+       ROUND(ROUND(avg(proba), 4) - ROUND(sum(y) * 1.0 / count(*), 4), 4)
+         AS gap
+FROM binned
+GROUP BY bin
+ORDER BY bin
+""",
+)
+def eval_calibration_quality_model(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability diagram of the frozen quality model: decile bins
+    of predicted probability vs observed positive rate; `gap` is the
+    per-bin calibration error (the bars an ECE sums |·| over,
+    computed from the already-rounded pair so cross-engine float
+    drift can't leak into the difference).
+
+    Scale: map-side sigmoid + bin assignment, ONE combiner agg over
+    10 groups — the cheapest possible eval pass, run-anywhere."""
+    labeled = _labeled(spark, sf_dir)
+    probed = labeled.select(
+        "y", (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))).alias("proba")
+    )
+    binned = probed.select(
+        F.least(F.floor(F.col("proba") * 10).cast("bigint"), F.lit(9))
+        .alias("bin"),
+        "y",
+        "proba",
+    )
+    mean_proba = F.round(F.avg("proba"), 4)
+    pos_rate = F.round(F.sum("y") * F.lit(1.0) / F.count(F.lit(1)), 4)
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            mean_proba.alias("mean_proba"),
+            pos_rate.alias("pos_rate"),
+            F.round(mean_proba - pos_rate, 4).alias("gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# Nearest-centroid classification of the embedding space vs labels.
+# --------------------------------------------------------------------------
+
+_NC_ROUND = 6
+
+
+def _nc_centroids(spark: SparkSession, sf_dir: str) -> dict[int, list[float]]:
+    """Per-label mean vectors, rounded to 6 dp — k×dim driver
+    scalars (the broadcast-state pattern; data never leaves the
+    executors, same as kmeans_lloyd_embeddings' recompute)."""
+    rows = (
+        _vectors(spark, sf_dir)
+        .select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), _NC_ROUND).alias("m"))
+        .collect()
+    )
+    cents: dict[int, dict[int, float]] = {}
+    for r in rows:
+        cents.setdefault(r.label, {})[r.pos] = r.m
+    return {
+        lbl: [by_pos[i] for i in range(len(by_pos))]
+        for lbl, by_pos in cents.items()
+    }
+
+
+def _nc_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, pred): map-only argmin over literal per-label
+    centroids, ties broken by label id — mirrors the oracle CTE
+    operation-for-operation."""
+    cents = _nc_centroids(spark, sf_dir)
+    dist_cols = F.array(*[
+        F.struct(
+            F.expr(_S_SQD.format(
+                a="v",
+                b=f"array({', '.join(repr(x) + 'd' for x in cvec)})",
+            )).alias("dist"),
+            F.lit(lbl).cast("int").alias("plbl"),
+        )
+        for lbl, cvec in sorted(cents.items())
+    ])
+    return _vectors(spark, sf_dir).select(
+        "vec_id", "label", F.array_min(dist_cols)["plbl"].alias("pred")
+    )
+
+
+_O_NC_ASSIGN = f"""
+  SELECT vec_id, label, pred FROM (
+    SELECT e.vec_id, e.label, c.label AS pred,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_O_SQD.format(a='e.v', b='c.cvec', n=_DIM)}, c.label
+           ) AS rn
+    FROM vecs e CROSS JOIN cents c
+  ) WHERE rn = 1
+"""
+
+_O_NC_PRELUDE = f"""
+WITH vecs AS ({_O_VECTORS}),
+cents AS (
+  SELECT label, list(m ORDER BY pos) AS cvec FROM (
+    SELECT label, pos, round(avg(x), {_NC_ROUND}) AS m
+    FROM (SELECT label, unnest(v) AS x,
+                 generate_subscripts(v, 1) AS pos FROM vecs)
+    GROUP BY label, pos
+  ) GROUP BY label
+),
+assigned AS ({_O_NC_ASSIGN})
+"""
+
+
+@workload(
+    "eval_centroid_confusion",
+    oracle=f"""
+{_O_NC_PRELUDE}
+SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+FROM assigned
+GROUP BY label, pred
+ORDER BY label, pred
+""",
+)
+def eval_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of a nearest-centroid classifier over the
+    embedding space: per-label mean vectors (Rocchio prototypes) as
+    the model, map-only argmin assignment, |labels|² count rollup —
+    the quickest label-quality / cluster-separability probe a
+    training pipeline runs before spending GPU time.
+
+    Scale: centroids are k×dim driver scalars entering the plan as
+    literals (broadcast state); the corpus is scanned once, never
+    shuffled; the confusion rollup aggregates ≤ k² rows."""
+    return (
+        _nc_assign(spark, sf_dir)
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("label", "pred")
+    )
+
+
+@workload(
+    "eval_centroid_class_metrics",
+    oracle=f"""
+{_O_NC_PRELUDE},
+per_true AS (SELECT label, count(*) AS n_true FROM assigned GROUP BY label),
+per_pred AS (SELECT pred, count(*) AS n_pred FROM assigned GROUP BY pred),
+tp AS (
+  SELECT label, count(*) AS n_tp FROM assigned
+  WHERE label = pred GROUP BY label
+),
+m AS (
+  SELECT t.label,
+         CAST(t.n_true AS BIGINT) AS n_true,
+         CAST(coalesce(p.n_pred, 0) AS BIGINT) AS n_pred,
+         CAST(coalesce(x.n_tp, 0) AS BIGINT) AS tp,
+         CASE WHEN coalesce(p.n_pred, 0) = 0 THEN 0.0
+              ELSE coalesce(x.n_tp, 0) * 1.0 / p.n_pred END AS prec,
+         coalesce(x.n_tp, 0) * 1.0 / t.n_true AS rec
+  FROM per_true t
+  LEFT JOIN per_pred p ON p.pred = t.label
+  LEFT JOIN tp x ON x.label = t.label
+)
+SELECT label, n_true, n_pred, tp,
+       ROUND(prec, 6) AS precision,
+       ROUND(rec, 6) AS recall,
+       ROUND(CASE WHEN prec + rec = 0 THEN 0.0
+                  ELSE 2 * prec * rec / (prec + rec) END, 6) AS f1
+FROM m
+ORDER BY label
+""",
+)
+def eval_centroid_class_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-class precision / recall / F1 of the nearest-centroid
+    classifier (macro-F1 = mean of the f1 column) — the metrics
+    table behind the confusion matrix above.
+
+    Scale: three ≤k-row aggregates off the same map-only assignment,
+    joined driver-trivially (Catalyst broadcasts all of them). All
+    ratios are exact-integer divisions; f1 composes the two divided
+    doubles with identical IEEE ops on both engines."""
+    assigned = _nc_assign(spark, sf_dir)
+    per_true = assigned.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    per_pred = assigned.groupBy(F.col("pred").alias("plbl")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    tp = (
+        assigned.filter(F.col("label") == F.col("pred"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_tp"))
+    )
+    m = (
+        per_true.join(
+            F.broadcast(per_pred),
+            per_true.label == per_pred.plbl,
+            "left",
+        )
+        .join(F.broadcast(tp.withColumnRenamed("label", "tlbl")),
+              per_true.label == F.col("tlbl"), "left")
+        .select(
+            "label",
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+            F.coalesce("n_tp", F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+    prec = F.when(F.col("n_pred") == 0, F.lit(0.0)).otherwise(
+        F.col("tp") * F.lit(1.0) / F.col("n_pred")
+    )
+    rec = F.col("tp") * F.lit(1.0) / F.col("n_true")
+    m2 = m.select(
+        "label", "n_true", "n_pred", "tp",
+        prec.alias("prec"), rec.alias("rec"),
+    )
+    return m2.select(
+        "label", "n_true", "n_pred", "tp",
+        F.round("prec", 6).alias("precision"),
+        F.round("rec", 6).alias("recall"),
+        F.round(
+            F.when(F.col("prec") + F.col("rec") == 0, F.lit(0.0)).otherwise(
+                2 * F.col("prec") * F.col("rec")
+                / (F.col("prec") + F.col("rec"))
+            ),
+            6,
+        ).alias("f1"),
+    ).orderBy("label")

@@ -830,3 +830,119 @@ def events_day_over_day_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# Strict sequential funnel with per-step conversion windows.
+# --------------------------------------------------------------------------
+
+_SF_STEP_HOURS = 24  # max gap allowed between consecutive stages
+
+
+@workload(
+    "events_funnel_strict_windowed",
+    oracle=f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL {_SF_STEP_HOURS} HOUR
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL {_SF_STEP_HOURS} HOUR
+  GROUP BY e.user_id
+),
+chain AS (
+  SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+  FROM s1
+  LEFT JOIN s2 ON s2.user_id = s1.user_id
+  LEFT JOIN s3 ON s3.user_id = s1.user_id
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS stage_view,
+  CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS stage_click,
+  CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS stage_purchase,
+  ROUND(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+          / count(*), 6) AS conversion,
+  ROUND(avg(CASE WHEN t3 IS NOT NULL
+                 THEN date_diff('second', t1, t3) END) / 60.0, 4)
+    AS avg_mins_to_convert
+FROM chain
+""",
+)
+def events_funnel_strict_windowed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Strict sequential funnel view → click → purchase where each
+    stage must land within 24 h of the PREVIOUS stage's qualifying
+    event (t2 = first click after t1 within the window; t3 = first
+    purchase after that t2) — the time-boxed semantics product
+    funnels actually use, vs events_funnel_conversion's
+    global-first-occurrence ordering. Reports stage survivors,
+    conversion rate, and mean minutes from first view to conversion.
+
+    Scale: three filtered per-user aggregates, every shuffle keyed
+    on user_id (one bucketed layout serves all of them plus the
+    sessionize/attribution family); the stage joins are per-user
+    equi-joins with the window predicate as a residual filter —
+    never a time-range cross product. Latencies average in exact
+    integer seconds, divided and rounded identically on both sides."""
+    ev = t(spark, sf_dir, "events")
+    step = F.expr(f"INTERVAL {_SF_STEP_HOURS} HOURS")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1"))
+                & (F.col("ts") <= F.col("t1") + step))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2"))
+                & (F.col("ts") <= F.col("t2") + step))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    chain = s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+    converted = F.col("t3").isNotNull()
+    secs = (
+        F.unix_timestamp("t3").cast("double")
+        - F.unix_timestamp("t1").cast("double")
+    )
+    return chain.agg(
+        F.count(F.lit(1)).cast("bigint").alias("stage_view"),
+        F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("stage_click"),
+        F.sum(F.when(converted, 1).otherwise(0))
+        .cast("bigint")
+        .alias("stage_purchase"),
+        F.round(
+            F.sum(F.when(converted, 1).otherwise(0))
+            * F.lit(1.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("conversion"),
+        F.round(
+            F.avg(F.when(converted, secs)) / 60.0, 4
+        ).alias("avg_mins_to_convert"),
+    )

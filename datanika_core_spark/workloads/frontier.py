@@ -636,3 +636,137 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank int, left string, right string, merged string,"
         " pair_count bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-doc n-gram novelty rate (corpus freshness curve).
+# --------------------------------------------------------------------------
+
+from datanika_core_spark.workloads.contamination import (  # noqa: E402
+    _shingle8_duck,
+    _shingle8_spark,
+)
+
+_NOV_S_TOKS = r"split(lower(trim(text)), '\\s+')"
+
+
+@workload(
+    "ngram_novelty_rate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         {_shingle8_duck(_O_TOKS)} AS grams
+  FROM (SELECT doc_id, source, lower(trim(text)) AS text FROM documents)
+),
+exploded AS (
+  SELECT doc_id, source, unnest(grams) AS gram FROM toks
+),
+first_doc AS (
+  SELECT gram, min(doc_id) AS first_id FROM exploded GROUP BY gram
+),
+per_doc AS (
+  SELECT e.doc_id, e.source,
+         count(*) AS n_grams,
+         sum(CASE WHEN f.first_id = e.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM exploded e JOIN first_doc f ON f.gram = e.gram
+  GROUP BY e.doc_id, e.source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_grams) AS BIGINT) AS total_grams,
+       CAST(sum(n_novel) AS BIGINT) AS novel_grams,
+       ROUND(sum(n_novel) * 1.0 / sum(n_grams), 6) AS pooled_novelty,
+       ROUND(avg(n_novel * 1.0 / n_grams), 6) AS mean_doc_novelty
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty: the fraction of a doc's distinct
+    8-grams not seen in any earlier (lower doc_id) document —
+    ingest-order novelty, the curve that flattens as a crawl
+    saturates and the signal behind 'this source is mostly re-crawl'
+    decisions. A gram's first document claims it; docs shorter than
+    8 tokens carry no grams and drop out.
+
+    Scale: explode → one groupBy(gram) for first-claims (map-side
+    combine on a high-cardinality but uniformly-hashed key), join
+    back on the same gram key (co-partitioned, no extra shuffle),
+    then two small rollups. Gram strings would be xxhash64'd at
+    100 TB so the shuffle carries 8-byte keys — md5-free here only
+    because the oracle needs the literal string."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.lower(F.trim(F.col("text"))).alias("text")
+    )
+    exploded = (
+        docs.select(
+            "doc_id", "source",
+            F.explode(F.expr(_shingle8_spark(_NOV_S_TOKS))).alias("gram"),
+        )
+    )
+    first_doc = exploded.groupBy("gram").agg(
+        F.min("doc_id").alias("first_id")
+    )
+    per_doc = (
+        exploded.join(first_doc, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_id") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("total_grams"),
+            F.sum("n_novel").cast("bigint").alias("novel_grams"),
+            F.round(
+                F.sum("n_novel") * F.lit(1.0) / F.sum("n_grams"), 6
+            ).alias("pooled_novelty"),
+            F.round(
+                F.avg(F.col("n_novel") * F.lit(1.0) / F.col("n_grams")), 6
+            ).alias("mean_doc_novelty"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM tokenizer vocabulary (SentencePiece counterpart to BPE).
+# --------------------------------------------------------------------------
+
+_ULM_TOPK = 40
+
+
+@workload(
+    "unigram_lm_vocab",
+    # no oracle: Viterbi-EM is a driver loop with per-word dynamic
+    # programming — not SQL-expressible; verified against an
+    # independent pure-Python reference (tests/test_unigram_lm.py);
+    # the driver records a rows-only check.
+)
+def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top multi-character pieces of a unigram-LM tokenizer (Kudo
+    2018 / SentencePiece `unigram`) trained on the corpus by
+    Viterbi-EM — rank, piece, and probability. Completes the
+    tokenizer-training family: BPE learns merges greedily,
+    unigram-LM learns a probabilistic piece vocabulary and prunes it.
+    See operators/unigram_lm.py for the scale analysis (corpus
+    scanned once into a word vocab; EM iterates on the vocab with
+    broadcast piece state)."""
+    from datanika_core_spark.operators.unigram_lm import train_unigram
+
+    docs = t(spark, sf_dir, "documents")
+    probs = train_unigram(docs, vocab_size=300, iters=2, max_seed=1200)
+    top = sorted(
+        ((p, q) for p, q in probs.items() if len(p) > 1),
+        key=lambda pq: (-pq[1], pq[0]),
+    )[:_ULM_TOPK]
+    return spark.createDataFrame(
+        [(i + 1, p, round(q, 10)) for i, (p, q) in enumerate(top)],
+        "rank int, piece string, prob double",
+    )

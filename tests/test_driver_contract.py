@@ -80,6 +80,8 @@ ROWS_ONLY_OK = {
     "bpe_learned_merges",       # pure-Python BPE parity, tests/test_bpe.py
     "pq_reconstruction_error",  # NumPy PQ parity, tests/test_pq.py
     "ann_ivfpq_adc_topk",       # recall vs exact twin, tests/test_pq.py
+    "unigram_lm_vocab",         # pure-Python Viterbi-EM parity,
+                                # tests/test_unigram_lm.py
 }
 
 
