@@ -73,6 +73,9 @@ CHECK_FIRST = [
     "eval_centroid_confusion", "eval_centroid_class_metrics",
     "rfm_segment_transitions", "attribution_time_decay",
     "ngram_novelty_rate", "events_funnel_strict_windowed",
+    "eval_auc_histogram", "phrase_search_kway",
+    "corr_spearman_length_stopwords", "chi2_lang_source_independence",
+    "psi_event_value_drift",
     # new in round 3 (second half)
     "semdedup_embedding_prune", "bloom_dedup_incoming_batch",
     "quality_classifier_hashed", "sample_weighted_priority",
@@ -168,6 +171,7 @@ def load_all() -> dict[str, Workload]:
         semdedup,
         similarity,
         sketches,
+        stats,
         temporal,
         text_dedup,
         tpch_extra,

@@ -415,3 +415,121 @@ def eval_centroid_class_metrics(
             6,
         ).alias("f1"),
     ).orderBy("label")
+
+
+# --------------------------------------------------------------------------
+# Histogram AUC — the no-global-sort variant, with measured error.
+# --------------------------------------------------------------------------
+
+_HB = 64  # fixed score bins
+
+
+@workload(
+    "eval_auc_histogram",
+    oracle=f"""
+WITH labeled AS ({_O_LABELED}),
+bounds AS (SELECT min(z) AS lo, max(z) AS hi FROM labeled),
+binned AS (
+  SELECT least(CAST(floor((z - b.lo) * {_HB} / (b.hi - b.lo)) AS BIGINT),
+               {_HB - 1}) AS bin,
+         y
+  FROM labeled CROSS JOIN bounds b
+),
+hist AS (
+  SELECT bin,
+         sum(y) AS pos,
+         sum(1 - y) AS neg
+  FROM binned GROUP BY bin
+),
+cum AS (
+  SELECT pos, neg,
+         coalesce(sum(neg) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cumneg
+  FROM hist
+),
+h AS (
+  SELECT sum(pos * (cumneg + neg / 2.0)) / (sum(pos) * sum(neg))
+           AS auc_hist
+  FROM cum
+),
+ranked AS (
+  SELECT y, row_number() OVER (ORDER BY z, doc_id) AS r FROM labeled
+),
+x AS (
+  SELECT (sum(CASE WHEN y = 1 THEN r ELSE 0 END)
+           - sum(y) * (sum(y) + 1) / 2) * 1.0
+         / (sum(y) * sum(1 - y)) AS auc_exact
+  FROM ranked
+)
+SELECT CAST({_HB} AS BIGINT) AS n_bins,
+       ROUND(h.auc_hist, 6) AS auc_hist,
+       ROUND(x.auc_exact, 6) AS auc_exact,
+       ROUND(abs(h.auc_hist - x.auc_exact), 6) AS abs_err
+FROM h CROSS JOIN x
+""",
+)
+def eval_auc_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram AUC — the 100 TB form of the ROC area: bucket the
+    scores into {n} fixed bins (ONE combiner aggregation, no global
+    sort), then the tie-corrected rank identity over the bin
+    cumulative curve: AUC ≈ Σ_b pos_b·(cumneg_<b + neg_b/2) / (P·N).
+    The same row also carries the EXACT Mann-Whitney AUC and the
+    absolute approximation error, so the bin-count knob is
+    self-measuring (same pattern as the HLL / quantile-sketch and
+    LSH-recall evaluations: every approximation ships with its
+    measured error).
+
+    Scale: bounds are one min/max agg; the histogram is a {n}-group
+    combiner agg; the cumulative step runs over {n} rows on the
+    driver-side partition. The exact branch (global sort) exists
+    here only to measure the approximation — drop it at scale.
+    Arithmetic is integer counts and dyadic halves → bit-identical
+    across engines before the 6-dp rounding.""".replace("{n}", str(_HB))
+    labeled = _labeled(spark, sf_dir)
+    lo, hi = labeled.agg(F.min("z"), F.max("z")).first()
+    binned = labeled.select(
+        F.least(
+            F.floor((F.col("z") - F.lit(lo)) * _HB / F.lit(hi - lo))
+            .cast("bigint"),
+            F.lit(_HB - 1),
+        ).alias("bin"),
+        "y",
+    )
+    hist = binned.groupBy("bin").agg(
+        F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg")
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.select(
+        "pos", "neg",
+        F.coalesce(F.sum("neg").over(wcum), F.lit(0)).alias("cumneg"),
+    )
+    h = cum.agg(
+        (
+            F.sum(F.col("pos") * (F.col("cumneg") + F.col("neg") / 2.0))
+            / (F.sum("pos") * F.sum("neg"))
+        ).alias("auc_hist")
+    )
+    ranked = labeled.select(
+        "y", F.row_number().over(Window.orderBy("z", "doc_id")).alias("r")
+    )
+    n_pos = F.sum("y")
+    x = ranked.agg(
+        (
+            (
+                F.sum(F.when(F.col("y") == 1, F.col("r")).otherwise(0))
+                - n_pos * (n_pos + 1) / 2
+            )
+            * F.lit(1.0)
+            / (n_pos * F.sum(1 - F.col("y")))
+        ).alias("auc_exact")
+    )
+    return h.crossJoin(x).select(
+        F.lit(_HB).cast("bigint").alias("n_bins"),
+        F.round("auc_hist", 6).alias("auc_hist"),
+        F.round("auc_exact", 6).alias("auc_exact"),
+        F.round(F.abs(F.col("auc_hist") - F.col("auc_exact")), 6)
+        .alias("abs_err"),
+    )

@@ -242,3 +242,131 @@ def phrase_search_threeway(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phrase")
     )
+
+
+# --------------------------------------------------------------------------
+# Generic k-way phrase search (parameterized fold; k=4 fixture).
+# --------------------------------------------------------------------------
+
+_PHRASES4 = [
+    ("filter", "value", "small", "value"),
+    ("slow", "small", "scan", "key"),
+    ("value", "slow", "hash", "data"),
+]
+_K4 = 4
+
+_T4_COLS = [f"t{i}" for i in range(_K4)]
+
+_PHRASE4_VALUES_DUCK = ", ".join(
+    "(" + ", ".join(f"'{w}'" for w in ph) + ")" for ph in _PHRASES4
+)
+
+# adjacency condition folded over terms 1..k-1 (term 0 anchors)
+_COND4_DUCK = " AND ".join(
+    f"list_contains(p{i}.positions, x + {i})" for i in range(1, _K4)
+)
+_JOINS4_DUCK = "\n".join(
+    f"  JOIN postings p{i} ON p{i}.tok = p.t{i}"
+    f" AND p{i}.doc_id = p0.doc_id"
+    for i in range(1, _K4)
+)
+_PHRASE4_CONCAT_DUCK = " || ' ' || ".join(f"p.t{i}" for i in range(_K4))
+
+
+@workload(
+    "phrase_search_kway",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, t.tok, t.pos
+  FROM (
+    SELECT doc_id,
+           regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+    FROM documents
+  ), LATERAL (
+    SELECT unnest(arr) AS tok,
+           generate_subscripts(arr, 1) AS pos
+  ) AS t
+),
+postings AS (
+  SELECT tok, doc_id, list(pos ORDER BY pos) AS positions
+  FROM toks GROUP BY tok, doc_id
+),
+phrases({', '.join(_T4_COLS)}) AS (VALUES {_PHRASE4_VALUES_DUCK}),
+matches AS (
+  SELECT {_PHRASE4_CONCAT_DUCK} AS phrase, p0.doc_id,
+         len(list_filter(p0.positions, x -> {_COND4_DUCK})) AS n_hits
+  FROM phrases p
+  JOIN postings p0 ON p0.tok = p.t0
+{_JOINS4_DUCK}
+)
+SELECT phrase,
+       CAST(count(*) FILTER (WHERE n_hits > 0) AS BIGINT) AS n_docs,
+       CAST(sum(n_hits) AS BIGINT) AS n_occurrences
+FROM matches
+GROUP BY phrase
+ORDER BY phrase
+""",
+)
+def phrase_search_kway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search for ARBITRARY phrase length, built as a
+    programmatic fold over the terms: term 0's postings anchor, each
+    further term i joins the same positional index on (term, doc)
+    and contributes an `x + i ∈ positions_i` conjunct to the
+    position-intersect lambda. The 2- and 3-way workloads are this
+    fold at fixed k; here k=4, and nothing in the plan shape depends
+    on k except the join count.
+
+    Scale: one shared positional index (the persisted artifact);
+    per-phrase cost stays bounded by the rarest term's postings —
+    candidate docs must survive ALL k equi-joins before any position
+    math runs. Phrase list broadcasts; k-1 co-keyed joins on
+    (term, doc_id) follow the first term's partitioning."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("pos0", "tok"),
+        )
+        .select("doc_id", "tok", (F.col("pos0") + 1).alias("pos"))
+    )
+    postings = toks.groupBy("tok", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+    phrases = spark.createDataFrame(
+        _PHRASES4, ", ".join(f"{c} string" for c in _T4_COLS)
+    )
+    out = F.broadcast(phrases).join(
+        postings.select(
+            F.col("tok").alias("t0"), "doc_id",
+            F.col("positions").alias("pos_0"),
+        ),
+        "t0",
+    )
+    for i in range(1, _K4):
+        out = out.join(
+            postings.select(
+                F.col("tok").alias(f"t{i}"), "doc_id",
+                F.col("positions").alias(f"pos_{i}"),
+            ),
+            [f"t{i}", "doc_id"],
+        )
+    cond = " and ".join(
+        f"array_contains(pos_{i}, x + {i})" for i in range(1, _K4)
+    )
+    matches = out.withColumn(
+        "n_hits", F.expr(f"size(filter(pos_0, x -> {cond}))")
+    )
+    return (
+        matches.groupBy(
+            F.concat_ws(" ", *_T4_COLS).alias("phrase")
+        )
+        .agg(
+            F.sum((F.col("n_hits") > 0).cast("int"))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.sum("n_hits").cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy("phrase")
+    )

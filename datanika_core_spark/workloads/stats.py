@@ -1,0 +1,267 @@
+"""Statistical diagnostics over corpus and event data
+(beyond-reference, SURVEY.md §7 Phase 4): rank correlation,
+contingency-table independence, and population-stability drift — the
+hypothesis-test / monitoring layer a data platform runs ON the data
+the ELT layer lands (complements the KL-divergence and z-score/MAD
+anomaly workloads).
+
+Determinism conventions (cross-engine hash parity):
+- Spearman runs on ROW-NUMBER ranks with a doc_id tiebreak (the
+  deterministic tie-broken variant; the classic midrank form differs
+  only when ties exist, and the tiebreak is stated in the output
+  contract) — the whole statistic is integer arithmetic until one
+  final division.
+- chi² and PSI sum their per-cell terms in integer 1e-8 units
+  (`sum(round(term * 1e8))`), the same order-independent summation
+  convention as the attribution credits — double addition order can
+  never flip a bit of the output.
+- PSI bin boundaries are exact h1 deciles rounded to 6 dp before any
+  comparison, so both engines bin against identical literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datanika_core_spark.workloads import t, workload
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation: doc length vs stopword count.
+# --------------------------------------------------------------------------
+
+_SP_STOP = ("size(filter(split(lower(trim(text)), '\\\\s+'),"
+            " x -> x IN ('the', 'a', 'of', 'and')))")
+_SP_STOP_DUCK = ("len(list_filter(regexp_split_to_array(lower(trim(text)),"
+                 " '\\s+'), x -> x IN ('the', 'a', 'of', 'and')))")
+
+
+@workload(
+    "corr_spearman_length_stopwords",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, n_chars AS x, {_SP_STOP_DUCK} AS y FROM documents
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY x, doc_id) AS rx,
+         row_number() OVER (ORDER BY y, doc_id) AS ry
+  FROM base
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       ROUND(1 - 6.0 * sum((rx - ry) * (rx - ry))
+               / (count(*) * (count(*) * count(*) - 1)), 6) AS spearman
+FROM ranked
+""",
+)
+def corr_spearman_length_stopwords(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation between document length and
+    stopword count — the monotone-association check behind 'is this
+    quality feature just length in disguise?'. Tie-broken variant:
+    ranks are row_number over (value, doc_id), so the statistic is
+    exact integer arithmetic (ρ = 1 − 6Σd²/(n(n²−1))) until one
+    final division.
+
+    Scale: two global rank sorts (range-partitioned). At 100 TB
+    swap ranks for B-bucket histogram CDFs exactly like
+    eval_auc_histogram — rank statistics degrade gracefully to
+    binned forms; this exact form is their ground truth."""
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("x"), F.expr(_SP_STOP).alias("y")
+    )
+    ranked = base.select(
+        F.row_number().over(Window.orderBy("x", "doc_id")).alias("rx"),
+        F.row_number().over(Window.orderBy("y", "doc_id")).alias("ry"),
+    )
+    n = F.count(F.lit(1))
+    d2 = F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+    return ranked.agg(
+        n.cast("bigint").alias("n"),
+        F.round(1 - 6.0 * d2 / (n * (n * n - 1)), 6).alias("spearman"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Chi-squared independence: language × source contingency.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "chi2_lang_source_independence",
+    oracle="""
+WITH obs AS (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+),
+lt AS (SELECT lang, sum(o) AS row_tot FROM obs GROUP BY lang),
+st AS (SELECT source, sum(o) AS col_tot FROM obs GROUP BY source),
+n AS (SELECT sum(o) AS total FROM obs),
+cells AS (
+  SELECT lt.lang, st.source,
+         coalesce(obs.o, 0) AS o,
+         lt.row_tot * st.col_tot * 1.0 / n.total AS e
+  FROM lt CROSS JOIN st CROSS JOIN n
+  LEFT JOIN obs ON obs.lang = lt.lang AND obs.source = st.source
+)
+SELECT CAST((SELECT count(*) FROM lt) AS BIGINT) AS n_langs,
+       CAST((SELECT count(*) FROM st) AS BIGINT) AS n_sources,
+       CAST(((SELECT count(*) FROM lt) - 1)
+          * ((SELECT count(*) FROM st) - 1) AS BIGINT) AS dof,
+       ROUND(sum(CAST(round((o - e) * (o - e) / e * 100000000) AS BIGINT))
+             / 100000000.0, 4) AS chi2
+FROM cells
+""",
+)
+def chi2_lang_source_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson chi-squared test of independence on the language ×
+    source contingency table (χ² = Σ (O−E)²/E over ALL cells,
+    including structural zeros) — 'does this source have the same
+    language mix as the rest of the corpus?', the categorical twin
+    of the per-source unigram-KL workload. Reports the statistic and
+    its degrees of freedom; the per-cell terms sum in integer 1e-8
+    units so double addition order cannot flip a bit.
+
+    Scale: one groupBy(lang, source) over the corpus; everything
+    after runs on the |langs|×|sources| marginal tables (broadcast
+    cross join of two tiny frames — the only sanctioned cross
+    product in the repo, k² rows by construction)."""
+    docs = t(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    lt = obs.groupBy("lang").agg(F.sum("o").alias("row_tot"))
+    st = obs.groupBy("source").agg(F.sum("o").alias("col_tot"))
+    total = obs.agg(F.sum("o")).first()[0]
+    n_langs = lt.count()
+    n_sources = st.count()
+    cells = (
+        lt.crossJoin(F.broadcast(st))
+        .join(obs, ["lang", "source"], "left")
+        .select(
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (
+                F.col("row_tot") * F.col("col_tot") * F.lit(1.0)
+                / F.lit(total)
+            ).alias("e"),
+        )
+    )
+    term = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    return cells.agg(
+        F.lit(n_langs).cast("bigint").alias("n_langs"),
+        F.lit(n_sources).cast("bigint").alias("n_sources"),
+        F.lit((n_langs - 1) * (n_sources - 1)).cast("bigint").alias("dof"),
+        F.round(
+            F.sum(F.round(term * 100000000).cast("bigint")) / 100000000.0,
+            4,
+        ).alias("chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Population Stability Index: event-value drift between window halves.
+# --------------------------------------------------------------------------
+
+_PSI_SPLIT = "2024-01-16 00:00:00"
+_PSI_ROUND = 6  # boundary rounding (dp) before bin assignment
+
+
+@workload(
+    "psi_event_value_drift",
+    oracle=f"""
+WITH h1 AS (
+  SELECT value AS v FROM events WHERE ts < TIMESTAMP '{_PSI_SPLIT}'
+),
+h2 AS (
+  SELECT value AS v FROM events WHERE ts >= TIMESTAMP '{_PSI_SPLIT}'
+),
+bounds AS (
+  SELECT list_transform(
+           quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+           b -> round(b, {_PSI_ROUND})) AS bs
+  FROM h1
+),
+b1 AS (
+  SELECT len(list_filter(b.bs, x -> v > x)) AS bin, count(*) AS c
+  FROM h1 CROSS JOIN bounds b GROUP BY bin
+),
+b2 AS (
+  SELECT len(list_filter(b.bs, x -> v > x)) AS bin, count(*) AS c
+  FROM h2 CROSS JOIN bounds b GROUP BY bin
+),
+n1 AS (SELECT sum(c) AS n FROM b1),
+n2 AS (SELECT sum(c) AS n FROM b2),
+bins AS (SELECT unnest(range(0, 10)) AS bin),
+terms AS (
+  SELECT bins.bin,
+         (coalesce(b1.c, 0) + 0.5) / (n1.n + 5.0) AS p1,
+         (coalesce(b2.c, 0) + 0.5) / (n2.n + 5.0) AS p2
+  FROM bins
+  LEFT JOIN b1 ON b1.bin = bins.bin
+  LEFT JOIN b2 ON b2.bin = bins.bin
+  CROSS JOIN n1 CROSS JOIN n2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       ROUND(sum(CAST(round((p2 - p1) * ln(p2 / p1) * 100000000) AS BIGINT))
+             / 100000000.0, 6) AS psi
+FROM terms
+""",
+)
+def psi_event_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event `value` distribution
+    between the first and second half of the window: decile bins of
+    the FIRST half (the reference period) score how far the second
+    half drifted — the monitoring metric scorecards alarm on
+    (PSI < 0.1 stable, 0.1–0.25 shifting, > 0.25 drifted).
+    Laplace-smoothed (+0.5/bin) so empty bins can't produce ±inf.
+
+    Scale: boundaries are nine exact deciles of the reference half
+    (percentile_approx at real scale — the same trade documented for
+    the percentile filters), rounded to 6 dp and entering both
+    engines' plans as literals; each half then bins map-side and
+    aggregates to 10 rows. Terms sum in integer 1e-8 units."""
+    ev = t(spark, sf_dir, "events")
+    split = F.lit(_PSI_SPLIT).cast("timestamp")
+    h1 = ev.filter(F.col("ts") < split).select(F.col("value").alias("v"))
+    h2 = ev.filter(F.col("ts") >= split).select(F.col("value").alias("v"))
+    qs = [round(b, _PSI_ROUND) for b in h1.agg(
+        F.expr(
+            "percentile(v, array(0.1, 0.2, 0.3, 0.4, 0.5,"
+            " 0.6, 0.7, 0.8, 0.9))"
+        )
+    ).first()[0]]
+    bs = F.array(*[F.lit(float(b)) for b in qs])
+
+    def binned(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.size(F.filter(bs, lambda x: F.col("v") > x)).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    b1 = binned(h1)
+    b2 = binned(h2)
+    n1 = h1.count()
+    n2 = h2.count()
+    bins = spark.range(0, 10).select(F.col("id").cast("int").alias("bin"))
+    terms = (
+        bins.join(F.broadcast(b1), "bin", "left")
+        .withColumnRenamed("c", "c1")
+        .join(F.broadcast(b2), "bin", "left")
+        .withColumnRenamed("c", "c2")
+        .select(
+            ((F.coalesce("c1", F.lit(0)) + 0.5) / F.lit(n1 + 5.0))
+            .alias("p1"),
+            ((F.coalesce("c2", F.lit(0)) + 0.5) / F.lit(n2 + 5.0))
+            .alias("p2"),
+        )
+    )
+    term = (F.col("p2") - F.col("p1")) * F.log(F.col("p2") / F.col("p1"))
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.round(
+            F.sum(F.round(term * 100000000).cast("bigint")) / 100000000.0,
+            6,
+        ).alias("psi"),
+    )
