@@ -75,7 +75,8 @@ CHECK_FIRST = [
     "ngram_novelty_rate", "events_funnel_strict_windowed",
     "eval_auc_histogram", "phrase_search_kway",
     "corr_spearman_length_stopwords", "chi2_lang_source_independence",
-    "psi_event_value_drift",
+    "psi_event_value_drift", "hybrid_search_rrf",
+    "ann_truncated_dim_recall",
     # new in round 3 (second half)
     "semdedup_embedding_prune", "bloom_dedup_incoming_batch",
     "quality_classifier_hashed", "sample_weighted_priority",

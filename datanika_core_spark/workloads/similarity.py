@@ -1188,3 +1188,116 @@ def embedding_outlier_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("cid")
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka-style truncated-dimension recall (prefix-dim ANN quality).
+# --------------------------------------------------------------------------
+
+_TR_DIM = 16  # prefix dimensions kept by the truncated variant
+
+
+def _s_cos_pfx(a: str, b: str, n: int) -> str:
+    sa, sb = f"slice({a}, 1, {n})", f"slice({b}, 1, {n})"
+    return (f"{_S_DOT.format(a=sa, b=sb)} / "
+            f"(sqrt({_S_DOT.format(a=sa, b=sa)}) * "
+            f"sqrt({_S_DOT.format(a=sb, b=sb)}))")
+
+
+def _o_cos_pfx(a: str, b: str, n: int) -> str:
+    return (f"{_O_DOT.format(a=a, b=b, n=n)} / "
+            f"(sqrt({_O_DOT.format(a=a, b=a, n=n)}) * "
+            f"sqrt({_O_DOT.format(a=b, b=b, n=n)}))")
+
+
+@workload(
+    "ann_truncated_dim_recall",
+    oracle=f"""
+WITH vecs AS ({_O_VECTORS}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs
+      WHERE vec_id < {_KNN_NQ}),
+full_rank AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_o_cos('q.qv', 'c.v')} DESC, c.vec_id) AS rnk
+    FROM q JOIN vecs c ON c.vec_id <> q.query_id
+  ) WHERE rnk <= {_KNN_K}
+),
+trunc_rank AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_o_cos_pfx('q.qv', 'c.v', _TR_DIM)} DESC,
+                        c.vec_id) AS rnk
+    FROM q JOIN vecs c ON c.vec_id <> q.query_id
+  ) WHERE rnk <= {_KNN_K}
+)
+SELECT f.query_id,
+       CAST(count(t.neighbor_id) AS BIGINT) AS n_match,
+       ROUND(count(t.neighbor_id) * 1.0 / {_KNN_K}, 4) AS recall
+FROM full_rank f
+LEFT JOIN trunc_rank t
+  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+ORDER BY f.query_id
+""",
+)
+def ann_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of PREFIX-TRUNCATED cosine search ({tr} of {d} dims)
+    against the full-dimension exact top-k — the quality gate for
+    Matryoshka-style dimension reduction, where cheap first-pass
+    retrieval runs on a vector prefix and the saved dims pay for a
+    bigger candidate pool. Complements the random-projection (JL)
+    and int8-quantization audits: truncation is the third standard
+    compression axis, and like the others it ships with its measured
+    quality.
+
+    Scale: both branches are the exact-KNN shape (broadcast queries
+    × corpus scan, per-query TakeOrdered); the truncated branch
+    reads the same column and slices in-expression — on a columnar
+    store with sub-vector layout it would scan {tr}/{d} of the
+    bytes.""".replace("{tr}", str(_TR_DIM)).replace("{d}", str(_DIM))
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = F.broadcast(q).join(
+        vecs.select(F.col("vec_id").alias("neighbor_id"), "v"),
+        F.col("neighbor_id") != F.col("query_id"),
+    )
+
+    def topk(score_expr: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.expr(score_expr).desc(), F.col("neighbor_id")
+        )
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _KNN_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full_rank = topk(_s_cos("qv", "v"))
+    # fresh aliases: both rank frames share the `pairs` lineage, so a
+    # direct column-object join would be ambiguous self-join territory
+    trunc_rank = topk(_s_cos_pfx("qv", "v", _TR_DIM)).select(
+        F.col("query_id").alias("t_qid"),
+        F.col("neighbor_id").alias("t_neighbor"),
+    )
+    return (
+        full_rank.join(
+            trunc_rank,
+            (F.col("query_id") == F.col("t_qid"))
+            & (F.col("neighbor_id") == F.col("t_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("t_neighbor").cast("bigint").alias("n_match"),
+            F.round(F.count("t_neighbor") * F.lit(1.0) / _KNN_K, 4)
+            .alias("recall"),
+        )
+        .orderBy("query_id")
+    )
