@@ -76,7 +76,8 @@ CHECK_FIRST = [
     "eval_auc_histogram", "phrase_search_kway",
     "corr_spearman_length_stopwords", "chi2_lang_source_independence",
     "psi_event_value_drift", "hybrid_search_rrf",
-    "ann_truncated_dim_recall",
+    "ann_truncated_dim_recall", "zipf_slope_terms",
+    "eval_ndcg_truncated_ranking",
     # new in round 3 (second half)
     "semdedup_embedding_prune", "bloom_dedup_incoming_batch",
     "quality_classifier_hashed", "sample_weighted_priority",

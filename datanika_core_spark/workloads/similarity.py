@@ -1301,3 +1301,120 @@ def ann_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# NDCG@k of the truncated-dimension ranking (graded-relevance view).
+# --------------------------------------------------------------------------
+
+# IDCG@k for relevances (k, k-1, ..., 1) — a literal constant both
+# engines receive pre-computed (python floats are IEEE doubles).
+_NDCG_IDCG = sum(
+    (_KNN_K - i + 1) / __import__("math").log2(i + 1)
+    for i in range(1, _KNN_K + 1)
+)
+
+
+@workload(
+    "eval_ndcg_truncated_ranking",
+    oracle=f"""
+WITH vecs AS ({_O_VECTORS}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs
+      WHERE vec_id < {_KNN_NQ}),
+full_rank AS (
+  SELECT query_id, neighbor_id, rnk FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_o_cos('q.qv', 'c.v')} DESC, c.vec_id) AS rnk
+    FROM q JOIN vecs c ON c.vec_id <> q.query_id
+  ) WHERE rnk <= {_KNN_K}
+),
+trunc_rank AS (
+  SELECT query_id, neighbor_id, rnk AS pos FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_o_cos_pfx('q.qv', 'c.v', _TR_DIM)} DESC,
+                        c.vec_id) AS rnk
+    FROM q JOIN vecs c ON c.vec_id <> q.query_id
+  ) WHERE rnk <= {_KNN_K}
+),
+gains AS (
+  SELECT t.query_id,
+         coalesce({_KNN_K} - f.rnk + 1, 0) / log2(t.pos + 1) AS g
+  FROM trunc_rank t
+  LEFT JOIN full_rank f
+    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+)
+SELECT query_id,
+       ROUND(sum(CAST(round(g * 100000000) AS BIGINT)) / 100000000.0
+             / {_NDCG_IDCG!r}, 6) AS ndcg
+FROM gains
+GROUP BY query_id
+ORDER BY query_id
+""",
+)
+def eval_ndcg_truncated_ranking(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NDCG@k of the truncated-dimension ranking against the
+    full-dimension order as graded relevance (full rank 1 → gain k,
+    rank k → gain 1, outside → 0) — the position-sensitive companion
+    to ann_truncated_dim_recall: recall says WHETHER the right
+    neighbors survive truncation, NDCG says whether they stay in
+    ORDER. IDCG is a literal constant; per-query gains sum in
+    integer 1e-8 units.
+
+    Scale: identical twin-scan shape to the recall audit; the gain
+    join runs on two ≤(queries×k)-row lists."""
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = F.broadcast(q).join(
+        vecs.select(F.col("vec_id").alias("neighbor_id"), "v"),
+        F.col("neighbor_id") != F.col("query_id"),
+    )
+    from pyspark.sql import Window as _W
+
+    def ranked(score_expr: str) -> DataFrame:
+        w = _W.partitionBy("query_id").orderBy(
+            F.expr(score_expr).desc(), F.col("neighbor_id")
+        )
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _KNN_K)
+            .select("query_id", "neighbor_id", "rnk")
+        )
+
+    full_rank = ranked(_s_cos("qv", "v")).select(
+        F.col("query_id").alias("f_qid"),
+        F.col("neighbor_id").alias("f_nid"),
+        F.col("rnk").alias("f_rnk"),
+    )
+    trunc = ranked(_s_cos_pfx("qv", "v", _TR_DIM)).select(
+        "query_id", "neighbor_id", F.col("rnk").alias("pos")
+    )
+    gains = trunc.join(
+        full_rank,
+        (F.col("query_id") == F.col("f_qid"))
+        & (F.col("neighbor_id") == F.col("f_nid")),
+        "left",
+    ).select(
+        "query_id",
+        (
+            F.coalesce(_KNN_K - F.col("f_rnk") + 1, F.lit(0))
+            / F.log2(F.col("pos") + 1)
+        ).alias("g"),
+    )
+    return (
+        gains.groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("g") * 100000000).cast("bigint"))
+                / 100000000.0
+                / F.lit(_NDCG_IDCG),
+                6,
+            ).alias("ndcg")
+        )
+        .orderBy("query_id")
+    )

@@ -265,3 +265,99 @@ def psi_event_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf slope of the term-frequency distribution.
+# --------------------------------------------------------------------------
+
+_ZIPF_V = 500  # top-V terms entering the fit
+
+
+@workload(
+    "zipf_slope_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+freq AS (
+  SELECT tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY tok
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY c DESC, tok) AS r, c
+  FROM freq
+  QUALIFY r <= {_ZIPF_V}
+),
+pts AS (SELECT ln(r) AS x, ln(c) AS y FROM ranked),
+sums AS (
+  SELECT count(*) AS n,
+         sum(CAST(round(x * 100000000) AS BIGINT)) / 100000000.0 AS sx,
+         sum(CAST(round(y * 100000000) AS BIGINT)) / 100000000.0 AS sy,
+         sum(CAST(round(x * x * 100000000) AS BIGINT)) / 100000000.0 AS sxx,
+         sum(CAST(round(x * y * 100000000) AS BIGINT)) / 100000000.0 AS sxy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept
+FROM sums
+""",
+)
+def zipf_slope_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus: OLS slope of ln(freq) on
+    ln(rank) over the top-{v} terms — natural text sits near −1, and
+    a flat slope flags synthetic/templated corpora (the same
+    'does this look like language?' screen the Gopher-rule and
+    entropy filters approach from other angles).
+
+    Scale: term counting is one combiner-friendly groupBy; the
+    top-{v} cut is a TakeOrdered; the regression consumes {v} points
+    via closed-form sums accumulated in integer 1e-8 units (addition
+    order can't flip a bit), so no ML library and no driver math
+    beyond the final two divisions.""".replace("{v}", str(_ZIPF_V))
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    ranked = (
+        freq.select(
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), F.col("tok")))
+            .alias("r"),
+            "c",
+        )
+        .filter(F.col("r") <= _ZIPF_V)
+    )
+    pts = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+
+    def isum(e):
+        return F.sum(F.round(e * 100000000).cast("bigint")) / 100000000.0
+
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        isum(F.col("x")).alias("sx"),
+        isum(F.col("y")).alias("sy"),
+        isum(F.col("x") * F.col("x")).alias("sxx"),
+        isum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+        .alias("intercept"),
+    )
