@@ -77,7 +77,9 @@ CHECK_FIRST = [
     "corr_spearman_length_stopwords", "chi2_lang_source_independence",
     "psi_event_value_drift", "hybrid_search_rrf",
     "ann_truncated_dim_recall", "zipf_slope_terms",
-    "eval_ndcg_truncated_ranking",
+    "eval_ndcg_truncated_ranking", "cohort_ltv_orders",
+    "abc_part_classification", "window_function_battery",
+    "setops_all_variants",
     # new in round 3 (second half)
     "semdedup_embedding_prune", "bloom_dedup_incoming_batch",
     "quality_classifier_hashed", "sample_weighted_priority",

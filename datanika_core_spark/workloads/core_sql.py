@@ -797,3 +797,283 @@ def order_lead_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV triangle over orders (first-order-year cohorts).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "cohort_ltv_orders",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey, min(year(o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey
+),
+cells AS (
+  SELECT f.cohort,
+         year(o.o_orderdate) - f.cohort AS age,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+  GROUP BY f.cohort, age
+)
+SELECT CAST(cohort AS BIGINT) AS cohort, CAST(age AS BIGINT) AS age,
+       n_orders, ROUND(revenue, 2) AS revenue,
+       ROUND(sum(revenue) OVER (PARTITION BY cohort ORDER BY age
+             ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue
+FROM cells
+ORDER BY cohort, age
+""",
+)
+def cohort_ltv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value triangle on the warehouse schema:
+    customers cohorted by first-order YEAR, revenue accumulated by
+    years-since-first — the finance view of retention (the events
+    cohort workload is its activity-count twin). Cumulative revenue
+    sums the already-rounded cohort cells in deterministic age
+    order, so both engines accumulate the identical sequence.
+
+    Scale: one per-customer min (shuffle on custkey), one join back
+    on the same key (co-partitioned), one cohort×age rollup (≤
+    years² cells) + a window over those cells. The orders fact is
+    touched twice on the same key — a bucketed layout makes the
+    second pass shuffle-free."""
+    orders = t(spark, sf_dir, "orders")
+    firsts = (
+        orders.groupBy("o_custkey")
+        .agg(F.min(F.year("o_orderdate")).alias("cohort"))
+    )
+    cells = (
+        orders.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort",
+            (F.year("o_orderdate") - F.col("cohort")).alias("age"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                / 100.0
+            ).alias("revenue"),
+        )
+    )
+    wcum = (
+        W.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        cells.withColumn(
+            "cum_revenue", F.round(F.sum("revenue").over(wcum), 2)
+        )
+        .withColumn("revenue", F.round("revenue", 2))
+        .select(
+            F.col("cohort").cast("bigint").alias("cohort"),
+            F.col("age").cast("bigint").alias("age"),
+            "n_orders", "revenue", "cum_revenue",
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+# --------------------------------------------------------------------------
+# ABC inventory classification (cumulative revenue share).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "abc_part_classification",
+    oracle="""
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS rev_c
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT sum(rev_c) AS total FROM per_part),
+ranked AS (
+  SELECT l_partkey, rev_c,
+         sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING) * 1.0 / t.total
+           AS cum_share
+  FROM per_part CROSS JOIN tot t
+),
+classed AS (
+  SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+              WHEN cum_share <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         rev_c
+  FROM ranked
+)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       ROUND(sum(rev_c) / 100.0, 2) AS revenue
+FROM classed
+GROUP BY abc_class
+ORDER BY abc_class
+""",
+)
+def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory analysis: parts ranked by revenue, classified by
+    cumulative revenue share (A ≤ 80 %, B ≤ 95 %, C = tail) — the
+    Pareto cut purchasing teams run weekly. Per-part revenue is
+    rounded BEFORE the cumulative window, and the running sum
+    accumulates in the identical (rev desc, partkey) order on both
+    engines, so the class boundaries cannot drift.
+
+    Scale: one groupBy(partkey) with map-side combine; the
+    cumulative share needs a global order over PARTS (dimension-
+    sized, not fact-sized). At true scale, bucket the cumulative
+    step by revenue-range: partial sums per range + a driver prefix
+    over ranges — the classic distributed prefix-sum decomposition."""
+    li = t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).alias("rev_c")
+    )
+    total = per_part.agg(F.sum("rev_c")).first()[0]
+    wcum = W.orderBy(F.col("rev_c").desc(), F.col("l_partkey")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    classed = per_part.select(
+        "rev_c",
+        (F.sum("rev_c").over(wcum) * F.lit(1.0) / F.lit(total)).alias(
+            "cum_share"
+        ),
+    ).select(
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev_c",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(F.sum("rev_c") / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window-function battery (the full §2B window surface in one query).
+# --------------------------------------------------------------------------
+
+_WB_DAY = "2024-01-05"
+
+
+@workload(
+    "window_function_battery",
+    oracle=f"""
+SELECT event_id,
+       event_type,
+       ROUND(lag(value) OVER w, 2) AS prev_value,
+       ROUND(lead(value) OVER w, 2) AS next_value,
+       ROUND(first_value(value) OVER w, 2) AS first_of_type,
+       ROUND(nth_value(value, 3) OVER w, 2) AS third_of_type,
+       CAST(dense_rank() OVER (PARTITION BY event_type
+            ORDER BY user_id) AS BIGINT) AS user_dense_rank,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM events
+WHERE ts >= TIMESTAMP '{_WB_DAY} 00:00:00'
+  AND ts < TIMESTAMP '{_WB_DAY} 00:00:00' + INTERVAL 1 DAY
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+ORDER BY event_id
+""",
+)
+def window_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full delegated window-function surface (SURVEY.md §2B) in
+    one query: lag/lead, first/nth value, dense_rank, percent_rank,
+    cume_dist and ntile over a per-type time-ordered frame, on one
+    day of events. percent_rank/cume_dist are exact integer-rank
+    ratios — deterministic; every value column rounds at 2–6 dp.
+
+    Scale: ONE shuffle keyed by event_type with the day filter
+    pushed to the parquet scan; all ten functions share the same
+    window frame, so Catalyst evaluates them in a single Window
+    operator pass."""
+    ev = t(spark, sf_dir, "events")
+    day = F.lit(f"{_WB_DAY} 00:00:00").cast("timestamp")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    wq = w  # same spec; named for readability
+    filtered = ev.filter(
+        (F.col("ts") >= day)
+        & (F.col("ts") < day + F.expr("INTERVAL 1 DAY"))
+    )
+    return filtered.select(
+        "event_id",
+        "event_type",
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+        F.round(F.lead("value").over(w), 2).alias("next_value"),
+        F.round(F.first("value").over(w), 2).alias("first_of_type"),
+        F.round(F.nth_value("value", 3).over(w), 2).alias("third_of_type"),
+        F.dense_rank()
+        .over(W.partitionBy("event_type").orderBy("user_id"))
+        .cast("bigint")
+        .alias("user_dense_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(wq).cast("bigint").alias("quartile"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Multiset set operations (INTERSECT ALL / EXCEPT ALL).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "setops_all_variants",
+    oracle="""
+WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity > 25),
+     b AS (SELECT l_partkey FROM lineitem WHERE l_discount > 0.05)
+SELECT 'except_all_ab' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+UNION ALL
+SELECT 'except_all_ba' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT * FROM b EXCEPT ALL SELECT * FROM a)
+UNION ALL
+SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+UNION ALL
+SELECT 'union_all' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT * FROM a UNION ALL SELECT * FROM b)
+ORDER BY op
+""",
+)
+def setops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) semantics of the set-operation surface:
+    INTERSECT ALL / EXCEPT ALL preserve duplicate multiplicities
+    (min / truncated-difference of per-value counts) — the variants
+    the DISTINCT-flavored cohort workload doesn't exercise, and a
+    place engines differ subtly enough that the counts themselves
+    are the test.
+
+    Scale: each variant is one hash shuffle on the value (Spark
+    plans INTERSECT/EXCEPT ALL as count-aggregated joins under the
+    hood); the four branches share the two filtered scans."""
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25).select("l_partkey")
+    b = li.filter(F.col("l_discount") > 0.05).select("l_partkey")
+    rows = [
+        ("except_all_ab", a.exceptAll(b)),
+        ("except_all_ba", b.exceptAll(a)),
+        ("intersect_all", a.intersectAll(b)),
+        ("union_all", a.unionAll(b)),
+    ]
+    out = None
+    for op, df in rows:
+        piece = df.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out.orderBy("op")
