@@ -195,6 +195,7 @@ from datanika_core_spark.workloads.similarity import (  # noqa: E402
 
 @workload(
     "hybrid_search_rrf",
+    headline=True,
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, {_O_TOKS} AS toks,
