@@ -1077,3 +1077,58 @@ def setops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = piece if out is None else out.unionByName(piece)
     return out.orderBy("op")
+
+
+# --------------------------------------------------------------------------
+# Correlated LATERAL join (top-N-per-row subquery in the FROM clause).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "lateral_topk_per_group",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) o
+WHERE c.c_mktsegment = 'BUILDING'
+ORDER BY c.c_custkey, totalprice DESC, o.o_orderkey
+""",
+)
+def lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery in the FROM clause — top-2 orders
+    per BUILDING customer — exercised through Spark SQL's
+    LateralJoin operator (§2B surface the DataFrame API has no
+    direct spelling for; the window-rank formulation is its
+    planning twin and the optimizer rewrites LATERAL + LIMIT into
+    exactly that ranked shape).
+
+    Scale: Catalyst decorrelates the lateral into a ranked join on
+    o_custkey — one shuffle keyed by customer, the same key the
+    cohort/RFM family already buckets on."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    # createOrReplaceTempView: re-registered with THIS sf_dir's frame
+    # on every call, so a rerun against a different sf_dir in the same
+    # session cannot leak the previous registration
+    cust.createOrReplaceTempView("__lat_customer")
+    orders.createOrReplaceTempView("__lat_orders")
+    return spark.sql("""
+            SELECT c.c_custkey, o.o_orderkey,
+                   round(o.o_totalprice, 2) AS totalprice
+            FROM __lat_customer c,
+            LATERAL (
+              SELECT o_orderkey, o_totalprice
+              FROM __lat_orders
+              WHERE o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey
+              LIMIT 2
+            ) o
+            WHERE c.c_mktsegment = 'BUILDING'
+            ORDER BY c.c_custkey, totalprice DESC, o.o_orderkey
+        """)
