@@ -217,3 +217,95 @@ def multimodal_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Byte-budget shard packing of binary payloads (sequential cut).
+# --------------------------------------------------------------------------
+
+_SHARD_BYTES = 2048  # shard byte budget
+
+
+@workload(
+    "multimodal_shard_budget",
+    oracle=f"""
+WITH RECURSIVE lens AS (
+  SELECT doc_id, source, strlen(text) AS b,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS i
+  FROM documents
+),
+packed AS (
+  SELECT source, i, b, 1 AS shard_no, b AS cur
+  FROM lens WHERE i = 1
+  UNION ALL
+  SELECT l.source, l.i, l.b,
+         CASE WHEN p.cur + l.b <= {_SHARD_BYTES}
+              THEN p.shard_no ELSE p.shard_no + 1 END,
+         CASE WHEN p.cur + l.b <= {_SHARD_BYTES}
+              THEN p.cur + l.b ELSE l.b END
+  FROM lens l JOIN packed p
+    ON l.source = p.source AND l.i = p.i + 1
+)
+SELECT source, CAST(shard_no AS BIGINT) AS shard_no,
+       CAST(count(*) AS BIGINT) AS n_blobs,
+       CAST(sum(b) AS BIGINT) AS shard_bytes
+FROM packed
+GROUP BY source, shard_no
+ORDER BY source, shard_no
+""",
+)
+def multimodal_shard_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budget shard packing of binary payloads: blobs stream
+    through each source in doc_id order and a shard is cut whenever
+    the next blob would overflow the byte budget (an oversized blob
+    opens its own shard) — how training shards (webdataset tars,
+    tfrecord files) are actually laid out, where shard boundaries
+    depend on every previous blob, not on a static cumsum.
+
+    Like quota_greedy_per_source this is the applyInPandas
+    per-key-state shape: the recurrence (shard counter + running
+    bytes) is not window-expressible, groups fold independently per
+    source across executors, and the DuckDB oracle replays the
+    identical recurrence as a recursive CTE.
+
+    Scale: ONE shuffle keyed by source; per-group cost is the
+    sequential fold any shard writer pays. The hash-sharded exporter
+    (operators/export.py) is the order-free alternative when shard
+    ASSIGNMENT stability matters more than byte balance; this one
+    guarantees the byte bound."""
+    import pandas as pd
+
+    lens = _media(spark, sf_dir).select(
+        "doc_id", "source", F.octet_length("content").alias("b")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        shard, cur = 1, 0
+        shards: dict[int, list[int]] = {}
+        for b in pdf["b"]:
+            if cur > 0 and cur + b > _SHARD_BYTES:
+                shard += 1
+                cur = 0
+            cur += int(b)
+            agg = shards.setdefault(shard, [0, 0])
+            agg[0] += 1
+            agg[1] += int(b)
+        return pd.DataFrame(
+            {
+                "source": pdf["source"].iloc[0],
+                "shard_no": list(shards.keys()),
+                "n_blobs": [v[0] for v in shards.values()],
+                "shard_bytes": [v[1] for v in shards.values()],
+            }
+        )
+
+    return (
+        lens.groupBy("source")
+        .applyInPandas(
+            pack,
+            "source string, shard_no bigint, n_blobs bigint,"
+            " shard_bytes bigint",
+        )
+        .orderBy("source", "shard_no")
+    )
