@@ -946,3 +946,112 @@ def events_funnel_strict_windowed(
             F.avg(F.when(converted, secs)) / 60.0, 4
         ).alias("avg_mins_to_convert"),
     )
+
+
+# --------------------------------------------------------------------------
+# Concurrent-session sweep line (interval overlap counting).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "events_concurrent_sessions",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL {_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, session_no, min(ts) AS s, max(ts) AS e
+  FROM numbered
+  GROUP BY user_id, session_no
+),
+bounds AS (
+  SELECT s AS ts, 1 AS delta, user_id, session_no FROM sessions
+  UNION ALL
+  SELECT e AS ts, -1 AS delta, user_id, session_no FROM sessions
+),
+swept AS (
+  SELECT ts,
+         sum(delta) OVER (ORDER BY ts, delta, user_id, session_no
+                          ROWS UNBOUNDED PRECEDING) AS concurrent
+  FROM bounds
+)
+SELECT date_trunc('hour', ts) AS hour,
+       CAST(max(concurrent) AS BIGINT) AS max_concurrent,
+       CAST(count(*) AS BIGINT) AS n_boundaries
+FROM swept
+GROUP BY hour
+ORDER BY hour
+""",
+)
+def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak session concurrency by hour via the sweep line: sessions
+    (30-min gap) emit +1 at start and −1 at end, a running sum over
+    the globally ordered boundary stream IS the live-session count,
+    and each hour reports its maximum — 'how many users were on at
+    once', the capacity metric interval self-joins get quadratically
+    wrong. Boundary ties order (ts, delta, user, session): an end
+    closing at the same instant another session starts counts down
+    first — stated, so both engines sweep identically.
+
+    Scale: sessionization shuffles once on user_id (the shared key);
+    the boundary stream is 2×sessions rows — tiny next to events.
+    The global running sum range-partitions by time with per-range
+    carry-in offsets (the distributed prefix-sum decomposition
+    noted for ABC classification); hourly maxima then aggregate
+    map-side."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lag_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        lag_ts.isNull()
+        | (F.col("ts") > lag_ts + F.expr(f"INTERVAL {_GAP_MIN} MINUTES")),
+        1,
+    ).otherwise(0)
+    sessions = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("new_session", new_s)
+        .withColumn("session_no", F.sum("new_session").over(wcum))
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    bounds = sessions.select(
+        F.col("s").alias("ts"), F.lit(1).alias("delta"),
+        "user_id", "session_no",
+    ).unionByName(
+        sessions.select(
+            F.col("e").alias("ts"), F.lit(-1).alias("delta"),
+            "user_id", "session_no",
+        )
+    )
+    wsweep = Window.orderBy("ts", "delta", "user_id", "session_no").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = bounds.select(
+        "ts", F.sum("delta").over(wsweep).alias("concurrent")
+    )
+    return (
+        swept.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.max("concurrent").cast("bigint").alias("max_concurrent"),
+            F.count(F.lit(1)).cast("bigint").alias("n_boundaries"),
+        )
+        .orderBy("hour")
+    )
