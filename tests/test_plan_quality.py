@@ -27,7 +27,10 @@ BNL_ALLOWED = {"knn_cosine_topk", "bm25_topk_docs",
                # 1-row corpus-size frame (N) broadcast into the scan
                "tfidf_topk_terms",
                # 1-row dangling-mass frame cross-joined per iteration
-               "pagerank_event_transitions"}
+               "pagerank_event_transitions",
+               # 1-row BM25 stats broadcast + a non-equi query-vs-self
+               # guard on the tiny semantic branch
+               "hybrid_search_rrf"}
 
 # queries whose plan must contain dimension broadcasts
 MUST_BROADCAST = {
