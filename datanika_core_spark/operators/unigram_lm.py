@@ -232,14 +232,24 @@ def tokenize(
     """Viterbi-encode documents with a trained piece table:
     (doc_id, piece, pos, logp) rows. Map-only (Arrow-batched); the
     piece table rides along as broadcast state."""
+    import re
+
     logp = {p: math.log(q) for p, q in probs.items() if q > 0.0}
+    # ASCII-whitespace split matching build_word_vocab's Spark-side
+    # Java regex \s+ (Python str.split()/\s would also break on
+    # Unicode whitespace like  , so train/encode would disagree)
+    ws = re.compile(r"[ \t\n\r\f\v]+")
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_id, out_piece, out_pos, out_lp = [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                if text is None:
+                    continue
                 pos = 0
-                for word in str(text).lower().strip().split():
+                for word in ws.split(str(text).lower().strip()):
+                    if not word:
+                        continue
                     for piece in _viterbi(word, logp):
                         out_id.append(int(doc_id))
                         out_piece.append(piece)

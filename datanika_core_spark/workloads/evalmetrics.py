@@ -42,6 +42,7 @@ from datanika_core_spark.workloads.scoring import (
     _LR_W0,
     _LR_W_LEN,
     _LR_W_STOP,
+    quality_features,
 )
 from datanika_core_spark.workloads.similarity import (
     _DIM,
@@ -78,22 +79,7 @@ def _labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, z, y): frozen-model logit + the weak training label,
     computed with the same fixed-order fp ops as the oracle."""
     docs = t(spark, sf_dir, "documents")
-    feats = docs.select(
-        "doc_id",
-        (F.length("text") / 200.0).alias("f_len"),
-        (
-            F.size(
-                F.filter(
-                    F.split(F.lower("text"), r"\s+"),
-                    lambda tok: tok.isin("the", "a", "of", "and"),
-                )
-            )
-            / 20.0
-        ).alias("f_stop"),
-        (F.length(F.regexp_replace("text", r"[^0-9]", "")) / 10.0).alias(
-            "f_digits"
-        ),
-    )
+    feats = quality_features(docs, "doc_id")
     return feats.select(
         "doc_id",
         (
@@ -368,7 +354,10 @@ def eval_centroid_class_metrics(
     joined driver-trivially (Catalyst broadcasts all of them). All
     ratios are exact-integer divisions; f1 composes the two divided
     doubles with identical IEEE ops on both engines."""
-    assigned = _nc_assign(spark, sf_dir)
+    # cache: the three marginal aggregates below all branch off this
+    # map-only scan; uncached, each branch re-runs the argmin over the
+    # whole embeddings table
+    assigned = _nc_assign(spark, sf_dir).cache()
     per_true = assigned.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_true")
     )

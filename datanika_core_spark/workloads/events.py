@@ -981,16 +981,38 @@ bounds AS (
   SELECT e AS ts, -1 AS delta, user_id, session_no FROM sessions
 ),
 swept AS (
-  SELECT ts,
+  SELECT ts, delta,
          sum(delta) OVER (ORDER BY ts, delta, user_id, session_no
                           ROWS UNBOUNDED PRECEDING) AS concurrent
   FROM bounds
+),
+hour_stats AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         sum(delta) AS hour_delta,
+         max(concurrent) AS max_in_hour,
+         count(*) AS n_boundaries
+  FROM swept
+  GROUP BY hour
+),
+grid AS (
+  SELECT unnest(generate_series(min(hour), max(hour),
+                                INTERVAL 1 HOUR)) AS hour
+  FROM hour_stats
+),
+levels AS (
+  SELECT g.hour,
+         coalesce(h.max_in_hour, 0) AS max_in_hour,
+         coalesce(h.n_boundaries, 0) AS n_boundaries,
+         sum(coalesce(h.hour_delta, 0)) OVER (ORDER BY g.hour
+             ROWS UNBOUNDED PRECEDING) - coalesce(h.hour_delta, 0)
+           AS entry_level
+  FROM grid g LEFT JOIN hour_stats h ON h.hour = g.hour
 )
-SELECT date_trunc('hour', ts) AS hour,
-       CAST(max(concurrent) AS BIGINT) AS max_concurrent,
-       CAST(count(*) AS BIGINT) AS n_boundaries
-FROM swept
-GROUP BY hour
+SELECT hour,
+       CAST(greatest(entry_level, max_in_hour) AS BIGINT)
+         AS max_concurrent,
+       CAST(n_boundaries AS BIGINT) AS n_boundaries
+FROM levels
 ORDER BY hour
 """,
 )
@@ -998,11 +1020,15 @@ def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak session concurrency by hour via the sweep line: sessions
     (30-min gap) emit +1 at start and −1 at end, a running sum over
     the globally ordered boundary stream IS the live-session count,
-    and each hour reports its maximum — 'how many users were on at
-    once', the capacity metric interval self-joins get quadratically
-    wrong. Boundary ties order (ts, delta, user, session): an end
-    closing at the same instant another session starts counts down
-    first — stated, so both engines sweep identically.
+    and every hour on a DENSE grid reports its true maximum —
+    max(level carried in at hour entry, boundary maxima within the
+    hour) — so a session spanning a quiet hour still counts there.
+    'How many users were on at once', the capacity metric interval
+    self-joins get quadratically wrong. Boundary ties order
+    (ts, delta, user, session): an end closing at the same instant
+    another session starts counts down first — stated, so both
+    engines sweep identically. Carry-in levels are per-hour delta
+    sums prefix-summed over the grid — pure integer arithmetic.
 
     Scale: sessionization shuffles once on user_id (the shared key);
     the boundary stream is 2×sessions rows — tiny next to events.
@@ -1045,13 +1071,43 @@ def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     swept = bounds.select(
-        "ts", F.sum("delta").over(wsweep).alias("concurrent")
+        "ts", "delta", F.sum("delta").over(wsweep).alias("concurrent")
     )
-    return (
+    hour_stats = (
         swept.groupBy(F.date_trunc("hour", "ts").alias("hour"))
         .agg(
-            F.max("concurrent").cast("bigint").alias("max_concurrent"),
-            F.count(F.lit(1)).cast("bigint").alias("n_boundaries"),
+            F.sum("delta").alias("hour_delta"),
+            F.max("concurrent").alias("max_in_hour"),
+            F.count(F.lit(1)).alias("n_boundaries"),
         )
-        .orderBy("hour")
+        .cache()  # grid bounds + join both read it; one sweep pass
     )
+    grid = hour_stats.agg(
+        F.min("hour").alias("mn"), F.max("hour").alias("mx")
+    ).select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    wgrid = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    levels = (
+        grid.join(hour_stats, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce("max_in_hour", F.lit(0)).alias("max_in_hour"),
+            F.coalesce("n_boundaries", F.lit(0)).alias("n_boundaries"),
+            (
+                F.sum(F.coalesce("hour_delta", F.lit(0))).over(wgrid)
+                - F.coalesce("hour_delta", F.lit(0))
+            ).alias("entry_level"),
+        )
+    )
+    return levels.select(
+        "hour",
+        F.greatest("entry_level", "max_in_hour")
+        .cast("bigint")
+        .alias("max_concurrent"),
+        F.col("n_boundaries").cast("bigint").alias("n_boundaries"),
+    ).orderBy("hour")

@@ -336,13 +336,17 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_sem",
         )
     )
+    # order by the ROUNDED score: the oracle's `ORDER BY rrf` resolves
+    # to its rounded output alias, so Spark must rank the same 6-dp
+    # value or a rounding-induced tie sorts differently at the LIMIT
+    # boundary
     return (
-        fused.orderBy(F.col("rrf").desc(), "doc_id")
-        .limit(_RRF_TOPK)
-        .select(
+        fused.select(
             "doc_id",
             F.round("rrf", 6).alias("rrf"),
             F.coalesce("r_lex", F.lit(0)).cast("bigint").alias("r_lex"),
             F.coalesce("r_sem", F.lit(0)).cast("bigint").alias("r_sem"),
         )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(_RRF_TOPK)
     )

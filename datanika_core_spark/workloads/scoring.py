@@ -472,6 +472,32 @@ _F_STOP_DUCK = (
 )
 
 
+def quality_features(docs: DataFrame, *keep: str) -> DataFrame:
+    """The ONE Spark-side definition of the quality-model feature
+    space (f_len, f_stop, f_digits) the frozen _LR_* weights were
+    trained on — shared by the inference workload here and every
+    eval metric in workloads/evalmetrics.py, so the features can
+    never drift apart from the model between modules. Mirrors
+    _F_LEN_DUCK/_F_STOP_DUCK (+ the digits fragment in evalmetrics)
+    operation-for-operation."""
+    return docs.select(
+        *keep,
+        (F.length("text") / 200.0).alias("f_len"),
+        (
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"),
+                    lambda tok: tok.isin("the", "a", "of", "and"),
+                )
+            )
+            / 20.0
+        ).alias("f_stop"),
+        (F.length(F.regexp_replace("text", r"[^0-9]", "")) / 10.0).alias(
+            "f_digits"
+        ),
+    )
+
+
 @workload(
     "quality_classifier_trained",
     oracle=f"""
@@ -506,19 +532,7 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datanika_core_spark.operators.logreg import predict_proba
 
     docs = t(spark, sf_dir, "documents")
-    feats = docs.select(
-        "source",
-        (F.length("text") / 200.0).alias("f_len"),
-        (
-            F.size(
-                F.filter(
-                    F.split(F.lower("text"), r"\s+"),
-                    lambda tok: tok.isin("the", "a", "of", "and"),
-                )
-            )
-            / 20.0
-        ).alias("f_stop"),
-    )
+    feats = quality_features(docs, "source")
     scored = predict_proba(
         feats, ["f_len", "f_stop"], [_LR_W0, _LR_W_LEN, _LR_W_STOP]
     )

@@ -128,7 +128,15 @@ def chi2_lang_source_independence(
     cross join of two tiny frames — the only sanctioned cross
     product in the repo, k² rows by construction)."""
     docs = t(spark, sf_dir, "documents")
-    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    # cache the tiny contingency table: every driver action and every
+    # branch of the final plan would otherwise re-run the corpus
+    # groupBy (Spark does not reuse un-exchanged subplans) — with the
+    # cache the corpus is scanned exactly once, as the docstring says
+    obs = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .cache()
+    )
     lt = obs.groupBy("lang").agg(F.sum("o").alias("row_tot"))
     st = obs.groupBy("source").agg(F.sum("o").alias("col_tot"))
     total = obs.agg(F.sum("o")).first()[0]
@@ -240,10 +248,13 @@ def psi_event_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("c"))
         )
 
-    b1 = binned(h1)
-    b2 = binned(h2)
-    n1 = h1.count()
-    n2 = h2.count()
+    # cache the 10-row bin tables: the totals and the final join
+    # branches then reuse them instead of re-scanning events (3 event
+    # scans total: the decile sketch + one per half)
+    b1 = binned(h1).cache()
+    b2 = binned(h2).cache()
+    n1 = b1.agg(F.sum("c")).first()[0]
+    n2 = b2.agg(F.sum("c")).first()[0]
     bins = spark.range(0, 10).select(F.col("id").cast("int").alias("bin"))
     terms = (
         bins.join(F.broadcast(b1), "bin", "left")
