@@ -1,0 +1,258 @@
+"""End-to-end ELT scenario: the reference's daily loop stitched
+across modules — incremental cursor ingest (merge disposition) →
+model DAG build (staging view, incremental merge model, rollup) →
+data tests → SCD2 snapshot → catalog sync → run ledger + dependency
+gate + cron fire. Piecewise behavior is covered elsewhere; this file
+guards the SEAMS (cursor state feeding the second extraction,
+is_incremental() reading {{ this }} after the first build, snapshot
+closing rows the ingest just merged, catalog reflecting the final
+tables, the gate reading the ledger the runs wrote)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from datanika_core_spark.ingest import IngestionJob
+from datanika_core_spark.operators.incremental import CursorStateStore
+from datanika_core_spark.operators.scd2 import SnapshotConfig
+from datanika_core_spark.operators.writers import drop_table
+from datanika_core_spark.orchestration.catalog_meta import CatalogStore
+from datanika_core_spark.orchestration.dependencies import (
+    DependencyGraph,
+    Edge,
+)
+from datanika_core_spark.orchestration.runs import RunLedger
+from datanika_core_spark.orchestration.scheduler import (
+    Schedule,
+    SchedulerLoop,
+)
+from datanika_core_spark.plans.models import (
+    ColumnTest,
+    IncrementalConfig,
+    Model,
+    ModelRegistry,
+    SnapshotDef,
+)
+from datanika_core_spark.plans.runner import ModelRunner
+from datanika_core_spark.session import EngineSession
+from datanika_core_spark.sources.base import TableBatch
+from datanika_core_spark.specs import UploadSpec
+
+
+class _ListSource:
+    def __init__(self, *batches: TableBatch):
+        self._batches = list(batches)
+
+    def tables(self):
+        yield from self._batches
+
+
+def _purchases(spark, rows):
+    return spark.createDataFrame(
+        rows, "id int, user_id int, status string, amount double,"
+        " updated string"
+    ).selectExpr(
+        "id", "user_id", "status", "amount",
+        "cast(updated as timestamp_ntz) AS updated",
+    )
+
+
+DAY1 = [
+    (1, 10, "open", 50.0, "2024-03-01 08:00:00"),
+    (2, 10, "open", 70.0, "2024-03-01 09:00:00"),
+    (3, 11, "paid", 20.0, "2024-03-01 10:00:00"),
+]
+# day 2: row 2 flips to paid (newer cursor), rows 4-5 are new
+DAY2_CHANGES = [
+    (2, 10, "paid", 70.0, "2024-03-02 07:00:00"),
+    (4, 12, "open", 90.0, "2024-03-02 08:00:00"),
+    (5, 11, "paid", 40.0, "2024-03-02 09:00:00"),
+]
+
+SPEC = {
+    "mode": "single_table",
+    "table": "purchases",
+    "write_disposition": "merge",
+    "primary_key": "id",
+    "incremental": {"cursor_path": "updated"},
+}
+
+
+@pytest.fixture(scope="module")
+def scenario(spark, tmp_path_factory):
+    """Run the whole two-day loop once; tests assert on the result."""
+    tmp = tmp_path_factory.mktemp("elt_scenario")
+    engine = EngineSession(spark)
+    engine.drop_database("shop_land")
+    for tbl in ("analytics_scn.stg_purchases",
+                "analytics_scn.user_revenue",
+                "analytics_scn.revenue_by_status",
+                "snapshots.purchases_snap",
+                "snapshots.purchases_snap__stage"):
+        drop_table(spark, tbl)
+    spark.sql("CREATE DATABASE IF NOT EXISTS analytics_scn")
+
+    state = CursorStateStore(str(tmp / "cursors.json"))
+    job = IngestionJob(engine, state)
+    spec = UploadSpec.from_config("Shop Land", SPEC)
+
+    ledger = RunLedger()
+    deps = DependencyGraph()
+    deps.add(Edge("upload", "shop_land", "transformation", "user_revenue",
+                  timeframe_value=24, timeframe_unit="hours"))
+    loop = SchedulerLoop()
+    loop.add(Schedule.create("upload", "shop_land", "0 6 * * *"))
+
+    registry = ModelRegistry()
+    registry.add_source("land", "purchases", "shop_land.purchases")
+    registry.add(Model(
+        "stg_purchases",
+        "SELECT id, user_id, status, amount, updated"
+        " FROM {{ source('land', 'purchases') }}",
+        materialization="view", schema="analytics_scn",
+    ))
+    registry.add(Model(
+        "user_revenue",
+        """
+        SELECT id, user_id, amount, updated
+        FROM {{ ref('stg_purchases') }}
+        {% if is_incremental() %}
+        WHERE updated > (SELECT max(updated) FROM {{ this }})
+        {% endif %}
+        """,
+        materialization="incremental", schema="analytics_scn",
+        incremental=IncrementalConfig(strategy="merge", unique_key="id"),
+        tests=[ColumnTest("id", "not_null"),
+               ColumnTest("id", "unique")],
+    ))
+    registry.add(Model(
+        "revenue_by_status",
+        "SELECT status, count(*) AS n, round(sum(amount), 2) AS revenue"
+        " FROM {{ ref('stg_purchases') }} GROUP BY status",
+        materialization="table", schema="analytics_scn",
+    ))
+    registry.add_snapshot(SnapshotDef(
+        name="purchases_snap",
+        sql_body="SELECT * FROM {{ source('land', 'purchases') }}",
+        config=SnapshotConfig(unique_key="id", strategy="timestamp",
+                              updated_at="updated"),
+    ))
+    runner = ModelRunner(spark, registry)
+
+    def one_day(source_rows):
+        run = ledger.create("upload", "shop_land")
+        ledger.start(run.run_id)
+        res = job.run(
+            spec, _ListSource(TableBatch("purchases",
+                                         _purchases(spark, source_rows)))
+        )
+        ledger.complete(run.run_id, rows_loaded=res.rows_loaded)
+        build = runner.invoke("build")
+        tests = runner.invoke("test")
+        snap = runner.invoke("snapshot")
+        return res, build, tests, snap
+
+    # day 1: cursor state empty -> everything extracts
+    d1 = one_day(DAY1)
+    # day 2: the "source table" now holds day1 + day2 rows; the cursor
+    # must prune extraction to the three rows past the high-water mark
+    d2 = one_day(DAY1 + DAY2_CHANGES)
+
+    catalog = CatalogStore()
+    catalog.sync_from_database(spark, "shop_land", dataset="shop_land",
+                               connection="warehouse")
+    return {
+        "engine": engine, "state": state, "ledger": ledger,
+        "deps": deps, "loop": loop, "catalog": catalog,
+        "d1": d1, "d2": d2, "spark": spark,
+    }
+
+
+def test_ingest_cursor_prunes_second_extraction(scenario):
+    d1_res, *_ = scenario["d1"]
+    d2_res, *_ = scenario["d2"]
+    assert d1_res.rows_loaded == 3
+    # day 2 re-presents all 6 source rows; only the 3 past the cursor load
+    assert d2_res.rows_loaded == 3
+    spark = scenario["spark"]
+    tbl = spark.table("shop_land.purchases")
+    assert tbl.count() == 5  # merge on id: row 2 upserted, not duplicated
+    assert tbl.filter("id = 2").first().status == "paid"
+
+
+def test_cursor_state_advances(scenario):
+    val = scenario["state"].get("shop_land", "purchases")
+    assert val is not None and "2024-03-02 09:00:00" in str(val)
+
+
+def test_incremental_model_merges_only_new_rows(scenario):
+    spark = scenario["spark"]
+    ur = spark.table("analytics_scn.user_revenue")
+    assert ur.count() == 5
+    assert ur.filter("id = 2").first().amount == 70.0
+    # second build ran in incremental mode and touched only the delta:
+    # the runner logs per-node rows_affected
+    _, build2, _, _ = scenario["d2"]
+    line = next(l for l in build2.logs if " user_revenue " in l)
+    assert "(3 rows)" in line, f"is_incremental() must prune: {line}"
+
+
+def test_model_tests_green(scenario):
+    _, _, tests2, _ = scenario["d2"]
+    assert tests2.tests_passed
+
+
+def test_rollup_reflects_final_state(scenario):
+    spark = scenario["spark"]
+    got = {
+        r.status: (r.n, r.revenue)
+        for r in spark.table("analytics_scn.revenue_by_status").collect()
+    }
+    assert got == {"open": (2, 140.0), "paid": (3, 130.0)}
+
+
+def test_snapshot_closed_the_flipped_row(scenario):
+    spark = scenario["spark"]
+    hist = spark.table("snapshots.purchases_snap")
+    # 3 initial versions + row 2's new version + rows 4, 5
+    assert hist.count() == 6
+    row2 = hist.filter("id = 2").orderBy("dbt_valid_from").collect()
+    assert len(row2) == 2
+    assert row2[0].dbt_valid_to is not None  # closed
+    assert row2[1].dbt_valid_to is None      # current
+    assert row2[1].status == "paid"
+
+
+def test_catalog_sees_ingested_table(scenario):
+    entry = scenario["catalog"].get("purchases", "shop_land", "shop_land")
+    assert {c.name for c in entry.columns} >= {
+        "id", "user_id", "status", "amount", "updated"
+    }
+
+
+def test_gate_and_schedule_read_the_ledger(scenario):
+    ledger, deps, loop = (
+        scenario["ledger"], scenario["deps"], scenario["loop"]
+    )
+    last = ledger.last_success("upload", "shop_land")
+    assert last is not None
+    # inside the 24-hour window -> gate opens
+    ok = deps.check_gate(
+        ledger, "transformation", "user_revenue",
+        now=last.finished_at + dt.timedelta(hours=1),
+    )
+    assert ok.satisfied
+    # 3 days later with no fresh upload run -> gate blocks
+    stale = deps.check_gate(
+        ledger, "transformation", "user_revenue",
+        now=last.finished_at + dt.timedelta(days=3),
+    )
+    assert not stale.satisfied
+    # the upload's 06:00 cron fires exactly at its minute
+    fire = loop.due(dt.datetime(2024, 3, 3, 6, 0,
+                                tzinfo=dt.timezone.utc))
+    assert [s.target_id for s in fire] == ["shop_land"]
+    assert loop.due(dt.datetime(2024, 3, 3, 6, 1,
+                                tzinfo=dt.timezone.utc)) == []
