@@ -318,3 +318,48 @@ def advise(
         f"{small}/{n} files below half target"
         f" ({avg} B avg vs {target_file_bytes} B target)",
     )
+
+
+# --------------------------------------------------------------------------
+# Shuffle sizing advisor.
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class ShuffleAdvice:
+    input_bytes: int
+    target_partition_bytes: int
+    recommended_partitions: int
+    cores: int
+    note: str
+
+
+def advise_shuffle_partitions(
+    spark: SparkSession,
+    table: str,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    expansion: float = 1.0,
+) -> ShuffleAdvice:
+    """Recommend ``spark.sql.shuffle.partitions`` for jobs whose wide
+    stages are dominated by ``table``: ceil(bytes × expansion /
+    target), rounded UP to a multiple of the executor core count so
+    every wave is full, floored at the core count itself.
+    ``expansion`` scales for operators that inflate the shuffled
+    volume past the input (explodes: >1) or collapse it (pre-agg:
+    <1). With AQE on, this sets the UPPER bound AQE coalesces down
+    from — the reason the advisory still matters in the AQE era is
+    that AQE never splits partitions it didn't create.
+
+    Driver-only metadata math (a file listing); no job runs."""
+    files = _table_files(spark, table)
+    total = sum(b for _, b in files)
+    cores = spark.sparkContext.defaultParallelism
+    want = max(1, -(-int(total * expansion) // target_partition_bytes))
+    rec = max(cores, -(-want // cores) * cores)
+    note = (
+        f"{len(files)} files, {total/1e6:.1f} MB input x "
+        f"{expansion:g} expansion -> {want} partitions of "
+        f"<= {target_partition_bytes/1e6:.0f} MB, rounded to full "
+        f"waves of {cores} cores"
+    )
+    return ShuffleAdvice(total, target_partition_bytes, rec, cores, note)

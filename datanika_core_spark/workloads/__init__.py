@@ -80,7 +80,7 @@ CHECK_FIRST = [
     "eval_ndcg_truncated_ranking", "cohort_ltv_orders",
     "abc_part_classification", "window_function_battery",
     "lateral_topk_per_group", "multimodal_shard_budget",
-    "events_concurrent_sessions",
+    "events_concurrent_sessions", "privacy_k_anonymity",
     "setops_all_variants",
     # new in round 3 (second half)
     "semdedup_embedding_prune", "bloom_dedup_incoming_batch",

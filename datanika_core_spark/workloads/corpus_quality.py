@@ -641,3 +641,70 @@ def corpus_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers.
+# --------------------------------------------------------------------------
+
+_KA_K = 5  # minimum acceptable equivalence-class size
+
+
+@workload(
+    "privacy_k_anonymity",
+    oracle=f"""
+WITH classes AS (
+  SELECT event_type,
+         date_trunc('day', ts) AS day,
+         CAST(floor(value / 50) AS BIGINT) AS value_band,
+         count(*) AS class_size
+  FROM events
+  GROUP BY event_type, day, value_band
+)
+SELECT CAST({_KA_K} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(class_size) AS BIGINT) AS min_class_size,
+       CAST(sum(CASE WHEN class_size < {_KA_K} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_violating_classes,
+       CAST(sum(CASE WHEN class_size < {_KA_K} THEN class_size ELSE 0 END)
+         AS BIGINT) AS rows_at_risk,
+       ROUND(sum(CASE WHEN class_size < {_KA_K} THEN class_size ELSE 0 END)
+             * 1.0 / sum(class_size), 6) AS at_risk_frac
+FROM classes
+""",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: group the release candidate by its
+    quasi-identifier tuple (event type, day, 50-unit value band) and
+    report how many equivalence classes fall below k=5 members and
+    what fraction of rows they expose — the re-identification gate a
+    dataset passes before leaving the platform (the PII regex scrub
+    above removes direct identifiers; this measures the INDIRECT
+    ones). rows_at_risk > 0 means suppress or generalize those
+    classes before release.
+
+    Scale: one combiner-friendly groupBy on the QI tuple + a 1-row
+    rollup — runs at any corpus size; the QI choice is the knob, the
+    plan shape never changes."""
+    ev = t(spark, sf_dir, "events")
+    classes = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.floor(F.col("value") / 50).cast("bigint").alias("value_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    viol = F.when(F.col("class_size") < _KA_K, F.col("class_size")).otherwise(0)
+    return classes.agg(
+        F.lit(_KA_K).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("class_size").cast("bigint").alias("min_class_size"),
+        F.sum((F.col("class_size") < _KA_K).cast("int"))
+        .cast("bigint")
+        .alias("n_violating_classes"),
+        F.sum(viol).cast("bigint").alias("rows_at_risk"),
+        F.round(
+            F.sum(viol) * F.lit(1.0) / F.sum("class_size"), 6
+        ).alias("at_risk_frac"),
+    )

@@ -268,3 +268,35 @@ def test_advise_recommends_compaction_then_none(spark):
         assert spark.table(table).count() == 50_000
     finally:
         drop_table(spark, table)
+
+
+def test_advise_shuffle_partitions(spark):
+    from datanika_core_spark.operators.maintenance import (
+        advise_shuffle_partitions,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS maint")
+    drop_table(spark, "maint.shuffle_t")
+    spark.range(0, 10000).selectExpr("id", "id * 2 AS v") \
+        .write.mode("overwrite").saveAsTable("maint.shuffle_t")
+    cores = spark.sparkContext.defaultParallelism
+
+    # tiny table -> floor at one full wave
+    a = advise_shuffle_partitions(spark, "maint.shuffle_t")
+    assert a.recommended_partitions == cores
+    assert a.input_bytes > 0
+
+    # force a small target so the recommendation exceeds a wave, and
+    # check full-wave rounding
+    b = advise_shuffle_partitions(
+        spark, "maint.shuffle_t", target_partition_bytes=1024
+    )
+    assert b.recommended_partitions % cores == 0
+    assert b.recommended_partitions * 1024 >= b.input_bytes
+
+    # expansion scales the estimate monotonically
+    c = advise_shuffle_partitions(
+        spark, "maint.shuffle_t", target_partition_bytes=1024,
+        expansion=4.0,
+    )
+    assert c.recommended_partitions >= b.recommended_partitions
