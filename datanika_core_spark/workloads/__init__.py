@@ -81,6 +81,8 @@ CHECK_FIRST = [
     "abc_part_classification", "window_function_battery",
     "lateral_topk_per_group", "multimodal_shard_budget",
     "events_concurrent_sessions", "privacy_k_anonymity",
+    "events_ewma_daily", "events_seasonal_naive_backtest",
+    "events_cusum_changepoint",
     "setops_all_variants",
     # new in round 3 (second half)
     "semdedup_embedding_prune", "bloom_dedup_incoming_batch",
@@ -180,6 +182,7 @@ def load_all() -> dict[str, Workload]:
         stats,
         temporal,
         text_dedup,
+        timeseries,
         tpch_extra,
     )
 

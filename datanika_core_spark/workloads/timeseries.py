@@ -1,0 +1,312 @@
+"""Time-series monitoring over the event stream: EWMA smoothing,
+seasonal-naive forecast backtesting, and CUSUM changepoint detection
+(beyond-reference, SURVEY.md §7 Phase 4) — the daily-metric watchdog
+layer downstream of the ELT rollups, complementing the point-anomaly
+workloads (z-score / MAD) with trend, seasonality and level-shift
+views.
+
+All three run on the DAILY pre-aggregate (|types| × |days| rows —
+tiny regardless of corpus size), so the only event-scale work is one
+combiner groupBy; that is the scale story and it never changes.
+
+Determinism:
+- daily values aggregate in integer cents;
+- EWMA uses α = 1/2, so every weight 0.5^k is an exact dyadic
+  double and per-day weighted sums accumulate in integer 1e-6
+  units — bit-identical across engines;
+- CUSUM is computed in cent·n units (n·x_j − Σx), which keeps the
+  entire statistic in BIGINT arithmetic until the final display
+  division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datanika_core_spark.workloads import t, workload
+
+# shared daily pre-aggregate: value cents per (event_type, day)
+_O_DAILY = """
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events
+  GROUP BY event_type, day
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# EWMA (α = 1/2) over the daily series.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "events_ewma_daily",
+    oracle=f"""
+WITH daily AS ({_O_DAILY}),
+idx AS (
+  SELECT event_type, day, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+           AS tt
+  FROM daily
+),
+terms AS (
+  SELECT cur.event_type, cur.day, cur.cents, cur.tt,
+         prev.cents * CASE WHEN prev.tt = 0
+                           THEN power(0.5, cur.tt)
+                           ELSE power(0.5, cur.tt - prev.tt + 1) END
+           AS w_cents
+  FROM idx cur
+  JOIN idx prev
+    ON prev.event_type = cur.event_type AND prev.tt <= cur.tt
+)
+SELECT event_type, day,
+       ROUND(max(cents) / 100.0, 2) AS value,
+       ROUND(sum(CAST(round(w_cents * 10000) AS BIGINT))
+             / 10000.0 / 100.0, 4) AS ewma
+FROM terms
+GROUP BY event_type, day
+ORDER BY event_type, day
+""",
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = ½) of daily value
+    per event type — the smoothing baseline dashboards draw and
+    alert thresholds reference. α = ½ makes every weight an exact
+    power of two, so the closed form s_t = Σ_j w(j,t)·x_j (w = 0.5^
+    (t−j+1), seed day keeping 0.5^t) reproduces the recurrence
+    bit-exactly on both engines; weighted terms sum in integer 1e-6
+    units.
+
+    Scale: the event-scale work is ONE combiner groupBy to the
+    daily grid; the triangular self-join runs on |types|×|days|²
+    rows — thousands, at any corpus size. Streaming twin: the same
+    recurrence is one ValueState per type."""
+    daily = _daily(spark, sf_dir)
+    idx = daily.withColumn(
+        "tt",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("day")
+        )
+        - 1,
+    )
+    cur = idx.select(
+        "event_type", "day", "cents", F.col("tt").alias("t_cur")
+    )
+    prev = idx.select(
+        F.col("event_type").alias("p_type"),
+        F.col("cents").alias("p_cents"),
+        F.col("tt").alias("t_prev"),
+    )
+    w = F.when(
+        F.col("t_prev") == 0, F.pow(F.lit(0.5), F.col("t_cur"))
+    ).otherwise(F.pow(F.lit(0.5), F.col("t_cur") - F.col("t_prev") + 1))
+    terms = (
+        cur.join(
+            prev,
+            (F.col("p_type") == F.col("event_type"))
+            & (F.col("t_prev") <= F.col("t_cur")),
+        )
+        .select(
+            "event_type", "day", "cents",
+            (F.col("p_cents") * w).alias("w_cents"),
+        )
+    )
+    return (
+        terms.groupBy("event_type", "day")
+        .agg(
+            F.round(F.max("cents") / 100.0, 2).alias("value"),
+            F.round(
+                F.sum(F.round(F.col("w_cents") * 10000).cast("bigint"))
+                / 10000.0
+                / 100.0,
+                4,
+            ).alias("ewma"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (weekly seasonality).
+# --------------------------------------------------------------------------
+
+_SN_LAG = 7  # weekly seasonal period, days
+
+
+@workload(
+    "events_seasonal_naive_backtest",
+    oracle=f"""
+WITH daily AS ({_O_DAILY}),
+with_forecast AS (
+  SELECT event_type, day, cents,
+         lag(cents, {_SN_LAG}) OVER (PARTITION BY event_type
+                                     ORDER BY day) AS forecast
+  FROM daily
+)
+SELECT event_type,
+       CAST(count(forecast) AS BIGINT) AS n_scored,
+       ROUND(sum(abs(cents - forecast)) / count(forecast) / 100.0, 4)
+         AS mae,
+       ROUND(sum(CAST(round(abs(cents - forecast) * 1.0 / cents
+                            * 1000000) AS BIGINT))
+             / count(forecast) / 1000000.0, 6) AS mape,
+       ROUND(sum(cents - forecast) / count(forecast) / 100.0, 4) AS bias
+FROM with_forecast
+WHERE forecast IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_seasonal_naive_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (ŷ_t = y_{t−7}) per
+    event type: MAE, MAPE and signed bias over every scorable day —
+    the baseline any real forecasting model must beat, and the
+    standing data-quality alarm ('today looks nothing like last
+    Tuesday'). Errors stay in integer cents; the MAPE ratio per day
+    is snapped to 1e-6 units before summing.
+
+    Scale: one combiner groupBy to the daily grid + a lag window
+    over |types|×|days| rows."""
+    daily = _daily(spark, sf_dir)
+    forecast = F.lag("cents", _SN_LAG).over(
+        Window.partitionBy("event_type").orderBy("day")
+    )
+    wf = daily.withColumn("forecast", forecast).filter(
+        F.col("forecast").isNotNull()
+    )
+    n = F.count("forecast")
+    return (
+        wf.groupBy("event_type")
+        .agg(
+            n.cast("bigint").alias("n_scored"),
+            F.round(
+                F.sum(F.abs(F.col("cents") - F.col("forecast"))) / n
+                / 100.0,
+                4,
+            ).alias("mae"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.abs(F.col("cents") - F.col("forecast"))
+                        * F.lit(1.0)
+                        / F.col("cents")
+                        * 1000000
+                    ).cast("bigint")
+                )
+                / n
+                / 1000000.0,
+                6,
+            ).alias("mape"),
+            F.round(
+                F.sum(F.col("cents") - F.col("forecast")) / n / 100.0, 4
+            ).alias("bias"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint detection (level shift) per event type.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "events_cusum_changepoint",
+    oracle=f"""
+WITH daily AS ({_O_DAILY}),
+tot AS (
+  SELECT event_type, sum(cents) AS total, count(*) AS n
+  FROM daily GROUP BY event_type
+),
+cusum AS (
+  SELECT d.event_type, d.day,
+         sum(t.n * d.cents - t.total)
+           OVER (PARTITION BY d.event_type ORDER BY d.day
+                 ROWS UNBOUNDED PRECEDING) AS c,
+         t.n, t.total
+  FROM daily d JOIN tot t ON t.event_type = d.event_type
+),
+peaks AS (
+  SELECT event_type, day, c, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(c) DESC, day) AS rn
+  FROM cusum
+)
+SELECT event_type,
+       day AS changepoint_day,
+       ROUND(abs(c) * 1.0 / n / 100.0, 2) AS max_cusum_dev,
+       CAST(CASE WHEN c > 0 THEN 1 WHEN c < 0 THEN -1 ELSE 0 END
+         AS BIGINT) AS shift_sign
+FROM peaks WHERE rn = 1
+ORDER BY event_type
+""",
+)
+def events_cusum_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUSUM level-shift detection: per event type, the cumulative
+    sum of deviations from the series mean peaks at the most likely
+    changepoint (the day the level shifted), with the deviation
+    magnitude and direction. Computed in cent·n integer units
+    (n·x_t − Σx per day, prefix-summed) so the whole statistic is
+    exact BIGINT arithmetic until the display division — zero float
+    drift to argmax over.
+
+    Scale: one combiner groupBy to the daily grid; the prefix sum
+    and argmax run on |types|×|days| rows."""
+    daily = _daily(spark, sf_dir)
+    tot = daily.groupBy(F.col("event_type").alias("t_type")).agg(
+        F.sum("cents").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = (
+        daily.join(
+            F.broadcast(tot), F.col("event_type") == F.col("t_type")
+        )
+        .withColumn(
+            "c",
+            F.sum(
+                F.col("n") * F.col("cents") - F.col("total")
+            ).over(wcum),
+        )
+    )
+    peaks = cusum.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs(F.col("c")).desc(), F.col("day")
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    return peaks.select(
+        "event_type",
+        F.col("day").alias("changepoint_day"),
+        F.round(F.abs(F.col("c")) * F.lit(1.0) / F.col("n") / 100.0, 2)
+        .alias("max_cusum_dev"),
+        F.when(F.col("c") > 0, 1)
+        .when(F.col("c") < 0, -1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("shift_sign"),
+    ).orderBy("event_type")
