@@ -294,3 +294,61 @@ def streaming_seen_dedup(
         outputMode="Append",
         timeMode="ProcessingTime",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming EWMA (α = 1/2): per-key smoothed metric with ValueState.
+# --------------------------------------------------------------------------
+
+
+def streaming_ewma(
+    sdf: DataFrame,
+    key: str = "event_type",
+    order_col: str = "day",
+    value_col: str = "cents",
+) -> DataFrame:
+    """Streaming twin of ``events_ewma_daily``: per key, the α = ½
+    recurrence s_t = (x_t + s_{t-1}) / 2 carried across micro-batches
+    in ONE scalar of state per key — the canonical 'tiny state, long
+    stream' shape (the batch twin recomputes the closed form; the
+    stream pays O(1) per arrival). α = ½ keeps every state value an
+    exact dyadic double, so batch/stream parity is arithmetic, not
+    approximate. Rows within a batch apply in ``order_col`` order;
+    emits (key, order, value, ewma) per input row."""
+    out_schema = StructType.fromDDL(
+        f"{key} string, {order_col} date, value double, ewma double"
+    )
+    state_schema = StructType.fromDDL("s double, seeded boolean")
+
+    def _ewma(
+        key_tuple: Any,
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        s, seeded = state.get if state.exists else (0.0, False)
+        rows = pd.concat(list(batches), ignore_index=True)
+        if not len(rows):
+            return
+        rows = rows.sort_values(order_col)
+        out_ord, out_val, out_ewma = [], [], []
+        for _, r in rows.iterrows():
+            x = float(r[value_col])
+            s = x if not seeded else (x + s) / 2.0
+            seeded = True
+            out_ord.append(r[order_col])
+            out_val.append(x / 100.0)
+            out_ewma.append(s / 100.0)
+        state.update((s, seeded))
+        yield pd.DataFrame({
+            key: key_tuple[0],
+            order_col: out_ord,
+            "value": out_val,
+            "ewma": out_ewma,
+        })
+
+    return sdf.groupBy(key).applyInPandasWithState(
+        _ewma, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )
