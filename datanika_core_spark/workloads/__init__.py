@@ -82,7 +82,7 @@ CHECK_FIRST = [
     "lateral_topk_per_group", "multimodal_shard_budget",
     "events_concurrent_sessions", "privacy_k_anonymity",
     "events_ewma_daily", "events_seasonal_naive_backtest",
-    "events_cusum_changepoint",
+    "events_cusum_changepoint", "events_seasonality_strength",
     "setops_all_variants",
     # new in round 3 (second half)
     "semdedup_embedding_prune", "bloom_dedup_incoming_batch",

@@ -310,3 +310,126 @@ def events_cusum_changepoint(
         .cast("bigint")
         .alias("shift_sign"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Weekday seasonality strength (variance decomposition).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "events_seasonality_strength",
+    oracle=f"""
+WITH daily AS ({_O_DAILY}),
+keyed AS (
+  SELECT event_type, cents, dayofweek(day) AS wd FROM daily
+),
+wk AS (
+  SELECT event_type, wd,
+         sum(cents) AS s_w, count(*) AS n_w
+  FROM keyed GROUP BY event_type, wd
+),
+tot AS (
+  SELECT event_type, sum(s_w) AS s, sum(n_w) AS n,
+         CAST(count(*) AS BIGINT) AS n_weekdays
+  FROM wk GROUP BY event_type
+),
+parts AS (
+  SELECT w.event_type, t.n, t.n_weekdays,
+         -- SS_between in exact integer units: n * n_w * (mean_w - mean)^2
+         -- = (n * s_w - n_w * s)^2 / (n * n_w)  — snapped at 1e-4
+         CAST(round(
+           (t.n * w.s_w - w.n_w * t.s) * 1.0 * (t.n * w.s_w - w.n_w * t.s)
+           / (t.n * w.n_w) * 0.0001) AS BIGINT) AS ssb_u
+  FROM wk w JOIN tot t ON t.event_type = w.event_type
+),
+sst AS (
+  SELECT k.event_type,
+         CAST(round(
+           (t.n * k.cents - t.s) * 1.0 * (t.n * k.cents - t.s) / t.n
+           * 0.0001) AS BIGINT) AS sst_u
+  FROM keyed k JOIN tot t ON t.event_type = k.event_type
+)
+SELECT b.event_type,
+       b.n_weekdays,
+       ROUND(b.ssb * 1.0 / st.sst, 6) AS seasonal_strength
+FROM (SELECT event_type, max(n_weekdays) AS n_weekdays,
+             sum(ssb_u) AS ssb
+      FROM parts GROUP BY event_type) b
+JOIN (SELECT event_type, sum(sst_u) AS sst
+      FROM sst GROUP BY event_type) st
+  ON st.event_type = b.event_type
+ORDER BY b.event_type
+""",
+)
+def events_seasonality_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekday seasonality strength per event type: the fraction of
+    daily-value variance explained by weekday membership (one-way
+    variance decomposition SS_between/SS_total over weekday groups)
+    — ~0 means no weekly pattern, near 1 means the weekday alone
+    predicts the day's volume; the knob that decides whether the
+    seasonal-naive backtest above is even the right baseline.
+
+    Exactness: both sums of squares are computed from integer cent
+    aggregates in n-scaled form ((n·s_w − n_w·s)²/(n·n_w) and
+    (n·x − s)²/n), snapped at 1e-4 units before summation — identical
+    on both engines to the last bit.
+
+    Scale: one combiner groupBy to the daily grid; everything after
+    runs on |types|×7 and |types|×|days| rows."""
+    daily = _daily(spark, sf_dir)
+    keyed = daily.select(
+        "event_type", "cents", F.dayofweek("day").alias("wd")
+    )
+    wk = keyed.groupBy("event_type", "wd").agg(
+        F.sum("cents").alias("s_w"), F.count(F.lit(1)).alias("n_w")
+    )
+    tot = wk.groupBy(F.col("event_type").alias("t_type")).agg(
+        F.sum("s_w").alias("s"),
+        F.sum("n_w").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_weekdays"),
+    )
+    dev_b = F.col("n") * F.col("s_w") - F.col("n_w") * F.col("s")
+    ssb = (
+        wk.join(F.broadcast(tot), F.col("event_type") == F.col("t_type"))
+        .select(
+            "event_type", "n_weekdays",
+            F.round(
+                dev_b * F.lit(1.0) * dev_b
+                / (F.col("n") * F.col("n_w"))
+                * 0.0001
+            )
+            .cast("bigint")
+            .alias("ssb_u"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n_weekdays").alias("n_weekdays"),
+            F.sum("ssb_u").alias("ssb"),
+        )
+    )
+    dev_t = F.col("n") * F.col("cents") - F.col("s")
+    sst = (
+        keyed.join(F.broadcast(tot), F.col("event_type") == F.col("t_type"))
+        .select(
+            "event_type",
+            F.round(dev_t * F.lit(1.0) * dev_t / F.col("n") * 0.0001)
+            .cast("bigint")
+            .alias("sst_u"),
+        )
+        .groupBy(F.col("event_type").alias("s_type"))
+        .agg(F.sum("sst_u").alias("sst"))
+    )
+    return (
+        ssb.join(sst, F.col("event_type") == F.col("s_type"))
+        .select(
+            "event_type",
+            "n_weekdays",
+            F.round(
+                F.col("ssb") * F.lit(1.0) / F.col("sst"), 6
+            ).alias("seasonal_strength"),
+        )
+        .orderBy("event_type")
+    )
