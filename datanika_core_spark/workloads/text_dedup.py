@@ -477,10 +477,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(_with_toks(_corpus_neardup(spark, sf_dir)))
 
 
-def minhash_pairs(corpus: DataFrame) -> DataFrame:
-    """The pair pipeline on an arbitrary ``(doc_id, toks)`` corpus —
-    callers that already hold (and may have cached) the corpus reuse
-    it instead of re-deriving it (workloads/pipeline.py)."""
+def minhash_candidates(corpus: DataFrame) -> DataFrame:
+    """The banding pipeline on an arbitrary ``(doc_id, toks)`` corpus,
+    returning EVERY band-collision candidate with its exact Jaccard
+    (column ``j``, unrounded) — callers that already hold (and may
+    have cached) the corpus reuse it instead of re-deriving it
+    (workloads/pipeline.py filters at 0.7 via minhash_pairs; the
+    threshold-sweep eval reads the raw candidates)."""
     # Filter on the CHEAP precondition (>=3 tokens ⟺ >=1 shingle)
     # BEFORE building shingles: a filter on size(shingles) gets
     # predicate-pushed below the projection, inlining the whole
@@ -533,9 +536,17 @@ def minhash_pairs(corpus: DataFrame) -> DataFrame:
         F.size("sh_a").alias("la"), F.size("sh_b").alias("lb"),
     )
     jac = F.col("inter") * 1.0 / (F.col("la") + F.col("lb") - F.col("inter"))
+    return verified.select("doc_a", "doc_b", jac.alias("j"))
+
+
+def minhash_pairs(corpus: DataFrame) -> DataFrame:
+    """Banding candidates exact-verified at the 0.7 threshold —
+    the dedup operator's pair output (see minhash_candidates for the
+    unfiltered candidate set the threshold-sweep evaluation reads)."""
     return (
-        verified.filter(jac >= 0.7)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        minhash_candidates(corpus)
+        .filter(F.col("j") >= 0.7)
+        .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -869,4 +880,129 @@ def text_langid_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("margin"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH banding threshold sweep: precision/recall across thresholds.
+# --------------------------------------------------------------------------
+
+_SWEEP_TS = (0.5, 0.6, 0.7, 0.8)
+
+
+@workload(
+    "dedup_lsh_threshold_sweep",
+    oracle=f"""
+WITH {O_MINHASH_PAIRS_CTES},
+cand_j AS (
+  SELECT doc_a, doc_b,
+         inter * 1.0 / (la + lb - inter) AS j
+  FROM (
+    SELECT doc_a, doc_b, len(list_intersect(x.shingles, y.shingles)) AS inter,
+           len(x.shingles) AS la, len(y.shingles) AS lb
+    FROM cand JOIN sigs x ON x.doc_id = doc_a JOIN sigs y ON y.doc_id = doc_b
+  )
+),
+ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shingled
+       WHERE len(shingles) > 0),
+szs AS (SELECT doc_id, len(shingles) AS sz FROM shingled),
+truth_j AS (
+  SELECT inter * 1.0 / (sa.sz + sb.sz - inter) AS j
+  FROM (
+    SELECT a.doc_id AS ta, b.doc_id AS tb, count(*) AS inter
+    FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) c
+  JOIN szs sa ON sa.doc_id = c.ta
+  JOIN szs sb ON sb.doc_id = c.tb
+),
+ts(t) AS (VALUES {', '.join(f'({t})' for t in _SWEEP_TS)}),
+swept AS (
+  SELECT ts.t,
+         (SELECT count(*) FROM truth_j WHERE j >= ts.t) AS n_truth,
+         (SELECT count(*) FROM cand_j) AS n_cand,
+         (SELECT count(*) FROM cand_j WHERE j >= ts.t) AS n_hit
+  FROM ts
+)
+SELECT CAST(t AS DOUBLE) AS threshold,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       ROUND(n_hit * 1.0 / n_cand, 6) AS precision,
+       ROUND(n_hit * 1.0 / n_truth, 6) AS recall
+FROM swept
+ORDER BY threshold
+""",
+)
+def dedup_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH tuning curve: banding candidate precision AND recall
+    against the exact inverted-index ground truth at similarity
+    thresholds {0.5, 0.6, 0.7, 0.8} — the table that justifies the
+    (B=4, R=4) banding choice (its S-curve midpoint ≈ 0.71): recall
+    climbs with the threshold while precision falls, and the
+    operating point is wherever both clear the pipeline's bar. The
+    single-threshold recall eval alerts on regressions; this sweep
+    is what RETUNES the bands after a corpus shift.
+
+    Scale: the candidate and truth pair sets are computed ONCE
+    (banding equi-join + inverted shingle index — the same eval-on-
+    a-sample economics as dedup_lsh_recall_eval); the sweep itself
+    is a broadcast 4-row threshold frame crossed against two small
+    pair-score tables."""
+    corpus = _with_toks(_corpus_neardup(spark, sf_dir))
+    cand_j = minhash_candidates(corpus).select("j").cache()
+    sh = corpus.withColumn("shingles", F.expr(_SHINGLES_EXPR)).select(
+        "doc_id", "shingles"
+    ).cache()
+    ex = sh.filter(F.size("shingles") > 0).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    szs = sh.select("doc_id", F.size("shingles").alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ta"),
+                 F.col("b.doc_id").alias("tb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = szs.select(F.col("doc_id").alias("ta"), F.col("sz").alias("sza"))
+    sb = szs.select(F.col("doc_id").alias("tb"), F.col("sz").alias("szb"))
+    truth_j = (
+        common.join(sa, "ta").join(sb, "tb")
+        .select(
+            (
+                F.col("inter") * 1.0
+                / (F.col("sza") + F.col("szb") - F.col("inter"))
+            ).alias("j")
+        )
+        .cache()
+    )
+    ts = spark.createDataFrame([(t,) for t in _SWEEP_TS], "t double")
+    truth_per_t = (
+        F.broadcast(ts).crossJoin(truth_j)
+        .groupBy("t")
+        .agg(F.sum((F.col("j") >= F.col("t")).cast("int")).alias("n_truth"))
+    )
+    cand_per_t = (
+        F.broadcast(ts).crossJoin(cand_j)
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.sum((F.col("j") >= F.col("t")).cast("int")).alias("n_hit"),
+        )
+    )
+    return (
+        truth_per_t.join(cand_per_t, "t")
+        .select(
+            F.col("t").alias("threshold"),
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.col("n_cand").cast("bigint").alias("n_cand"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.round(F.col("n_hit") * 1.0 / F.col("n_cand"), 6)
+            .alias("precision"),
+            F.round(F.col("n_hit") * 1.0 / F.col("n_truth"), 6)
+            .alias("recall"),
+        )
+        .orderBy("threshold")
     )
