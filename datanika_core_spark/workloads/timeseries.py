@@ -433,3 +433,99 @@ def events_seasonality_strength(
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Holt linear-trend smoothing (two-state recurrence).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "events_holt_linear",
+    oracle=f"""
+WITH RECURSIVE daily AS ({_O_DAILY}),
+idx AS (
+  SELECT event_type, day, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+),
+holt AS (
+  SELECT event_type, day, i, cents,
+         CAST(cents AS DOUBLE) AS l,
+         CAST(0 AS DOUBLE) AS b
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT n.event_type, n.day, n.i, n.cents,
+         0.5 * n.cents + 0.5 * (h.l + h.b),
+         0.5 * ((0.5 * n.cents + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b
+  FROM idx n JOIN holt h
+    ON n.event_type = h.event_type AND n.i = h.i + 1
+)
+SELECT event_type, day,
+       ROUND(cents / 100.0, 2) AS value,
+       ROUND(l / 100.0, 4) AS level,
+       ROUND(b / 100.0, 4) AS trend,
+       ROUND((l + b) / 100.0, 4) AS forecast_next
+FROM holt
+ORDER BY event_type, day
+""",
+)
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing (α = β = ½) of the daily series:
+    level l_t = ½x_t + ½(l+b), trend b_t = ½(l_t−l) + ½b, one-step
+    forecast l_t + b_t — EWMA's big sibling that follows drifting
+    levels instead of lagging them. TWO coupled state scalars make
+    the recurrence genuinely sequential (no closed-form single
+    window), so this is the applyInPandas per-key-state shape with a
+    recursive-CTE oracle replaying the IDENTICAL operation order —
+    both engines walk the same IEEE sequence, so outputs agree
+    bit-for-bit before rounding.
+
+    Scale: corpus work is the one daily groupBy; each type's fold is
+    |days| sequential steps, types fold independently across
+    executors. Streaming form: the same two scalars in ValueState
+    (exactly like streaming_ewma)."""
+    import pandas as pd
+
+    daily = _daily(spark, sf_dir)
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        out_day, out_val, out_l, out_b, out_f = [], [], [], [], []
+        l = b = None
+        for _, r in pdf.iterrows():
+            x = float(r["cents"])
+            if l is None:
+                l, b = x, 0.0
+            else:
+                l_new = 0.5 * x + 0.5 * (l + b)
+                b = 0.5 * (l_new - l) + 0.5 * b
+                l = l_new
+            out_day.append(r["day"])
+            # NO rounding here: Python round() is half-even, SQL ROUND
+            # is half-away — emit raw doubles, round in Spark below
+            out_val.append(x)
+            out_l.append(l)
+            out_b.append(b)
+            out_f.append(l + b)
+        return pd.DataFrame({
+            "event_type": pdf["event_type"].iloc[0],
+            "day": out_day,
+            "value": out_val,
+            "level": out_l,
+            "trend": out_b,
+            "forecast_next": out_f,
+        })
+
+    raw = daily.groupBy("event_type").applyInPandas(
+        holt,
+        "event_type string, day date, value double, level double,"
+        " trend double, forecast_next double",
+    )
+    return raw.select(
+        "event_type", "day",
+        F.round(F.col("value") / 100.0, 2).alias("value"),
+        F.round(F.col("level") / 100.0, 4).alias("level"),
+        F.round(F.col("trend") / 100.0, 4).alias("trend"),
+        F.round(F.col("forecast_next") / 100.0, 4).alias("forecast_next"),
+    ).orderBy("event_type", "day")
