@@ -1418,3 +1418,107 @@ def eval_ndcg_truncated_ranking(
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF cell label purity (cluster-quality eval on the ANN layout).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "ann_ivf_cell_purity",
+    oracle=f"""
+WITH vecs AS ({_O_VECTORS}),
+cent AS (SELECT vec_id AS cid, v AS cv FROM vecs
+         WHERE vec_id < {_IVF_NCENT}),
+assigned AS (
+  SELECT vec_id, label, cid FROM (
+    SELECT x.vec_id, x.label, cent.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+               ORDER BY {_o_cos('x.v', 'cent.cv')} DESC, cent.cid) AS rn
+    FROM vecs x CROSS JOIN cent
+  ) WHERE rn = 1
+),
+cells AS (
+  SELECT cid, label, count(*) AS n FROM assigned GROUP BY cid, label
+),
+tops AS (
+  SELECT cid, label AS majority_label, n AS n_majority FROM (
+    SELECT cid, label, n,
+           row_number() OVER (PARTITION BY cid
+                              ORDER BY n DESC, label) AS rn
+    FROM cells
+  ) WHERE rn = 1
+),
+sizes AS (SELECT cid, sum(n) AS n_vecs FROM cells GROUP BY cid)
+SELECT s.cid,
+       CAST(s.n_vecs AS BIGINT) AS n_vecs,
+       CAST(t.majority_label AS BIGINT) AS majority_label,
+       CAST(t.n_majority AS BIGINT) AS n_majority,
+       ROUND(t.n_majority * 1.0 / s.n_vecs, 6) AS purity
+FROM sizes s JOIN tops t ON t.cid = s.cid
+ORDER BY s.cid
+""",
+)
+def ann_ivf_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity of the IVF coarse cells: per cell, the majority
+    label's share of members — the cluster-quality probe that tells
+    you whether the ANN layout respects the semantic structure (pure
+    cells mean nprobe=1 finds same-label neighbors; muddy cells mean
+    raise nprobe or retrain the quantizer). The nearest-centroid
+    eval scores the LABELS given perfect prototypes; this scores the
+    INDEX's own partitioning.
+
+    Scale: the same map-only assignment as every IVF workload
+    (broadcast centroids), then two ≤|cells|·|labels|-row aggregates
+    and a per-cell argmax — nothing scales with the corpus except
+    the one assignment scan."""
+    from pyspark.sql import Window
+
+    vecs = _vectors(spark, sf_dir)
+    cent = vecs.filter(F.col("vec_id") < _IVF_NCENT).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    rn = Window.partitionBy("vec_id").orderBy(
+        F.expr(_s_cos("v", "cv")).desc(), F.col("cid")
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "cid")
+    )
+    cells = assigned.groupBy("cid", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tops = (
+        cells.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cid").orderBy(
+                    F.col("n").desc(), F.col("label")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cid",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    sizes = cells.groupBy(F.col("cid").alias("s_cid")).agg(
+        F.sum("n").alias("n_vecs")
+    )
+    return (
+        sizes.join(tops, F.col("s_cid") == F.col("cid"))
+        .select(
+            "cid",
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.col("majority_label").cast("bigint").alias("majority_label"),
+            F.col("n_majority").cast("bigint").alias("n_majority"),
+            F.round(F.col("n_majority") * 1.0 / F.col("n_vecs"), 6)
+            .alias("purity"),
+        )
+        .orderBy("cid")
+    )
