@@ -84,7 +84,7 @@ CHECK_FIRST = [
     "events_ewma_daily", "events_seasonal_naive_backtest",
     "events_cusum_changepoint", "events_seasonality_strength",
     "dedup_lsh_threshold_sweep", "events_holt_linear",
-    "ann_ivf_cell_purity",
+    "ann_ivf_cell_purity", "corr_spearman_histogram",
     "setops_all_variants",
     # new in round 3 (second half)
     "semdedup_embedding_prune", "bloom_dedup_incoming_batch",

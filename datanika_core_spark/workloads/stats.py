@@ -372,3 +372,183 @@ def zipf_slope_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
         .alias("intercept"),
     )
+
+
+# --------------------------------------------------------------------------
+# Histogram Spearman — the no-global-sort variant, with measured error.
+# --------------------------------------------------------------------------
+
+_SPH_B = 64  # fixed bins per variable
+
+
+@workload(
+    "corr_spearman_histogram",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, n_chars AS x, {_SP_STOP_DUCK} AS y FROM documents
+),
+bounds AS (
+  SELECT min(x) AS xlo, max(x) AS xhi, min(y) AS ylo, max(y) AS yhi
+  FROM base
+),
+binned AS (
+  SELECT doc_id,
+         least(CAST(floor((x - b.xlo) * {_SPH_B} * 1.0
+                          / (b.xhi - b.xlo)) AS BIGINT),
+               {_SPH_B - 1}) AS bx,
+         least(CAST(floor((y - b.ylo) * {_SPH_B} * 1.0
+                          / (b.yhi - b.ylo)) AS BIGINT),
+               {_SPH_B - 1}) AS by
+  FROM base CROSS JOIN bounds b
+),
+xhist AS (SELECT bx, count(*) AS c FROM binned GROUP BY bx),
+yhist AS (SELECT by, count(*) AS c FROM binned GROUP BY by),
+xrank AS (
+  SELECT bx,
+         coalesce(sum(c) OVER (ORDER BY bx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (c + 1) / 2.0 AS r
+  FROM xhist
+),
+yrank AS (
+  SELECT by,
+         coalesce(sum(c) OVER (ORDER BY by
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (c + 1) / 2.0 AS r
+  FROM yhist
+),
+ranked AS (
+  SELECT xr.r AS rx, yr.r AS ry
+  FROM binned b
+  JOIN xrank xr ON xr.bx = b.bx
+  JOIN yrank yr ON yr.by = b.by
+),
+sums AS (
+  SELECT count(*) AS n,
+         sum(CAST(round(rx * 100) AS BIGINT)) / 100.0 AS sx,
+         sum(CAST(round(ry * 100) AS BIGINT)) / 100.0 AS sy,
+         sum(CAST(round(rx * rx * 100) AS BIGINT)) / 100.0 AS sxx,
+         sum(CAST(round(ry * ry * 100) AS BIGINT)) / 100.0 AS syy,
+         sum(CAST(round(rx * ry * 100) AS BIGINT)) / 100.0 AS sxy
+  FROM ranked
+),
+approx AS (
+  SELECT (n * sxy - sx * sy)
+         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rho_hist
+  FROM sums
+),
+exact_ranked AS (
+  SELECT row_number() OVER (ORDER BY x, doc_id) AS rx,
+         row_number() OVER (ORDER BY y, doc_id) AS ry
+  FROM base
+),
+exact AS (
+  SELECT 1 - 6.0 * sum((rx - ry) * (rx - ry))
+           / (count(*) * (count(*) * count(*) - 1)) AS rho_exact
+  FROM exact_ranked
+)
+SELECT CAST({_SPH_B} AS BIGINT) AS n_bins,
+       ROUND(a.rho_hist, 6) AS rho_hist,
+       ROUND(e.rho_exact, 6) AS rho_exact,
+       ROUND(abs(a.rho_hist - e.rho_exact), 6) AS abs_err
+FROM approx a CROSS JOIN exact e
+""",
+)
+def corr_spearman_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram Spearman — the no-global-sort form the exact
+    workload documents as its 100 TB swap: each variable buckets
+    into {b} fixed bins, every row takes its bin's MIDRANK from the
+    bin-count CDF, and Pearson over midranks approximates ρ; the
+    same row carries the exact rank statistic and the absolute
+    error, so the bin count is self-measuring (the
+    eval_auc_histogram pattern applied to correlation).
+
+    Scale: bounds are one min/max agg; two {b}-row histograms with
+    cumulative midranks; rank assignment is a broadcast join back —
+    no global sort anywhere in the approximate path. Midranks snap
+    at 1e-2 units (they are integers or .5 exactly), products at
+    1e-2 — every sum is order-independent.""".replace(
+        "{b}", str(_SPH_B)
+    )
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("x"), F.expr(_SP_STOP).alias("y")
+    )
+    xlo, xhi, ylo, yhi = base.agg(
+        F.min("x"), F.max("x"), F.min("y"), F.max("y")
+    ).first()
+
+    def bin_col(c, lo, hi):
+        return F.least(
+            F.floor((F.col(c) - F.lit(lo)) * _SPH_B * F.lit(1.0)
+                    / F.lit(hi - lo)).cast("bigint"),
+            F.lit(_SPH_B - 1),
+        )
+
+    binned = base.select(
+        "doc_id",
+        bin_col("x", xlo, xhi).alias("bx"),
+        bin_col("y", ylo, yhi).alias("by"),
+    ).cache()
+    wb = Window.orderBy("bx").rowsBetween(Window.unboundedPreceding, -1)
+    xrank = (
+        binned.groupBy("bx").agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "bx",
+            (F.coalesce(F.sum("c").over(wb), F.lit(0))
+             + (F.col("c") + 1) / 2.0).alias("rx_mid"),
+        )
+    )
+    wy = Window.orderBy("by").rowsBetween(Window.unboundedPreceding, -1)
+    yrank = (
+        binned.groupBy("by").agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "by",
+            (F.coalesce(F.sum("c").over(wy), F.lit(0))
+             + (F.col("c") + 1) / 2.0).alias("ry_mid"),
+        )
+    )
+    ranked = (
+        binned.join(F.broadcast(xrank), "bx")
+        .join(F.broadcast(yrank), "by")
+        .select(F.col("rx_mid").alias("rx"), F.col("ry_mid").alias("ry"))
+    )
+
+    def snap(e):
+        return F.sum(F.round(e * 100).cast("bigint")) / 100.0
+
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        snap(F.col("rx")).alias("sx"),
+        snap(F.col("ry")).alias("sy"),
+        snap(F.col("rx") * F.col("rx")).alias("sxx"),
+        snap(F.col("ry") * F.col("ry")).alias("syy"),
+        snap(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    rho_hist = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+    )
+    approx = sums.select(rho_hist.alias("rho_hist"))
+    exact_ranked = base.select(
+        F.row_number().over(Window.orderBy("x", "doc_id")).alias("rx"),
+        F.row_number().over(Window.orderBy("y", "doc_id")).alias("ry"),
+    )
+    n = F.count(F.lit(1))
+    exact = exact_ranked.agg(
+        (
+            1
+            - 6.0
+            * F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+            / (n * (n * n - 1))
+        ).alias("rho_exact")
+    )
+    return approx.crossJoin(exact).select(
+        F.lit(_SPH_B).cast("bigint").alias("n_bins"),
+        F.round("rho_hist", 6).alias("rho_hist"),
+        F.round("rho_exact", 6).alias("rho_exact"),
+        F.round(F.abs(F.col("rho_hist") - F.col("rho_exact")), 6)
+        .alias("abs_err"),
+    )
