@@ -13,6 +13,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from datanika_core_spark.ingest import IngestionJob
 from datanika_core_spark.operators.incremental import CursorStateStore
@@ -256,3 +257,74 @@ def test_gate_and_schedule_read_the_ledger(scenario):
     assert [s.target_id for s in fire] == ["shop_land"]
     assert loop.due(dt.datetime(2024, 3, 3, 6, 1,
                                 tzinfo=dt.timezone.utc)) == []
+
+
+# -- day 3: schema drift through the whole loop -----------------------------
+
+DAY3_CHANGES = [
+    # a new `channel` column appears at the source
+    (6, 13, "open", 30.0, "2024-03-03 08:00:00", "web"),
+    (7, 10, "paid", 60.0, "2024-03-03 09:00:00", "app"),
+]
+
+
+def test_day3_schema_drift_append_new_columns(scenario):
+    """The new source column must flow: ingest evolves the landing
+    table (contract default), and the incremental model with
+    on_schema_change=append_new_columns ADDs the column while old
+    rows backfill NULL — the canonical mid-stream drift event."""
+    spark = scenario["spark"]
+    state = scenario["state"]
+    engine = scenario["engine"]
+
+    base = _purchases(spark, DAY1 + DAY2_CHANGES).withColumn(
+        "channel", F.lit(None).cast("string")
+    )
+    extra = spark.createDataFrame(
+        DAY3_CHANGES,
+        "id int, user_id int, status string, amount double,"
+        " updated string, channel string",
+    ).selectExpr(
+        "id", "user_id", "status", "amount",
+        "cast(updated as timestamp_ntz) AS updated", "channel",
+    )
+    source_now = base.unionByName(extra)
+
+    job = IngestionJob(engine, state)
+    spec = UploadSpec.from_config("Shop Land", SPEC)
+    res = job.run(spec, _ListSource(TableBatch("purchases", source_now)))
+    # cursor prunes to the two day-3 rows
+    assert res.rows_loaded == 2
+    landed = spark.table("shop_land.purchases")
+    assert "channel" in landed.columns  # contract evolved the table
+    assert landed.count() == 7
+    assert landed.filter("channel IS NOT NULL").count() == 2
+
+    # rebuild with a model that now selects the new column and asks
+    # for append_new_columns
+    registry = ModelRegistry()
+    registry.add_source("land", "purchases", "shop_land.purchases")
+    registry.add(Model(
+        "user_revenue",
+        """
+        SELECT id, user_id, amount, updated, channel
+        FROM {{ source('land', 'purchases') }}
+        {% if is_incremental() %}
+        WHERE updated > (SELECT max(updated) FROM {{ this }})
+        {% endif %}
+        """,
+        materialization="incremental", schema="analytics_scn",
+        incremental=IncrementalConfig(
+            strategy="merge", unique_key="id",
+            on_schema_change="append_new_columns",
+        ),
+    ))
+    report = ModelRunner(spark, registry).invoke("build")
+    line = next(l for l in report.logs if " user_revenue " in l)
+    assert "(2 rows)" in line, line
+    ur = spark.table("analytics_scn.user_revenue")
+    assert "channel" in ur.columns
+    assert ur.count() == 7
+    # old rows NULL-backfilled, new rows carry the value
+    assert ur.filter("channel IS NOT NULL").count() == 2
+    assert ur.filter("id = 6").first().channel == "web"
