@@ -953,10 +953,8 @@ def events_funnel_strict_windowed(
 # --------------------------------------------------------------------------
 
 
-@workload(
-    "events_concurrent_sessions",
-    oracle=f"""
-WITH ordered AS (
+# Shared oracle CTE chain: sessionize → ±1 boundaries → global sweep.
+_O_SWEPT = f"""ordered AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR ts > lag(ts) OVER w + INTERVAL {_GAP_MIN} MINUTE
@@ -981,11 +979,63 @@ bounds AS (
   SELECT e AS ts, -1 AS delta, user_id, session_no FROM sessions
 ),
 swept AS (
-  SELECT ts, delta,
+  SELECT ts, delta, user_id, session_no,
          sum(delta) OVER (ORDER BY ts, delta, user_id, session_no
                           ROWS UNBOUNDED PRECEDING) AS concurrent
   FROM bounds
-),
+)"""
+
+
+def _swept_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared sweep line: sessionize (30-min gap), emit ±1 at session
+    start/end, running-sum over the global boundary order
+    (ts, delta, user_id, session_no) → the live-session level after
+    each boundary. Used by the hourly-max and the time-weighted
+    percentile workloads."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lag_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        lag_ts.isNull()
+        | (F.col("ts") > lag_ts + F.expr(f"INTERVAL {_GAP_MIN} MINUTES")),
+        1,
+    ).otherwise(0)
+    sessions = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("new_session", new_s)
+        .withColumn("session_no", F.sum("new_session").over(wcum))
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    bounds = sessions.select(
+        F.col("s").alias("ts"), F.lit(1).alias("delta"),
+        "user_id", "session_no",
+    ).unionByName(
+        sessions.select(
+            F.col("e").alias("ts"), F.lit(-1).alias("delta"),
+            "user_id", "session_no",
+        )
+    )
+    wsweep = Window.orderBy("ts", "delta", "user_id", "session_no").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return bounds.select(
+        "ts", "delta", "user_id", "session_no",
+        F.sum("delta").over(wsweep).alias("concurrent"),
+    )
+
+
+@workload(
+    "events_concurrent_sessions",
+    oracle=f"""
+WITH {_O_SWEPT},
 hour_stats AS (
   SELECT date_trunc('hour', ts) AS hour,
          sum(delta) AS hour_delta,
@@ -1038,40 +1088,8 @@ def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side."""
     from pyspark.sql import Window
 
-    ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wcum = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    lag_ts = F.lag("ts").over(w)
-    new_s = F.when(
-        lag_ts.isNull()
-        | (F.col("ts") > lag_ts + F.expr(f"INTERVAL {_GAP_MIN} MINUTES")),
-        1,
-    ).otherwise(0)
-    sessions = (
-        ev.select("user_id", "ts", "event_id")
-        .withColumn("new_session", new_s)
-        .withColumn("session_no", F.sum("new_session").over(wcum))
-        .groupBy("user_id", "session_no")
-        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
-    )
-    bounds = sessions.select(
-        F.col("s").alias("ts"), F.lit(1).alias("delta"),
-        "user_id", "session_no",
-    ).unionByName(
-        sessions.select(
-            F.col("e").alias("ts"), F.lit(-1).alias("delta"),
-            "user_id", "session_no",
-        )
-    )
-    wsweep = Window.orderBy("ts", "delta", "user_id", "session_no").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    swept = bounds.select(
-        "ts", "delta", F.sum("delta").over(wsweep).alias("concurrent")
+    swept = _swept_boundaries(spark, sf_dir).select(
+        "ts", "delta", "concurrent"
     )
     hour_stats = (
         swept.groupBy(F.date_trunc("hour", "ts").alias("hour"))
@@ -1111,3 +1129,101 @@ def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_concurrent"),
         F.col("n_boundaries").cast("bigint").alias("n_boundaries"),
     ).orderBy("hour")
+
+
+# --------------------------------------------------------------------------
+# Time-weighted concurrency percentiles (duration-weighted level CDF).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "events_concurrency_time_weighted",
+    oracle=f"""
+WITH {_O_SWEPT},
+durs AS (
+  SELECT concurrent AS level,
+         lead(epoch_us(ts)) OVER (ORDER BY ts, delta, user_id, session_no)
+           - epoch_us(ts) AS us
+  FROM swept
+),
+lev AS (
+  SELECT level, sum(us) AS us
+  FROM durs WHERE us IS NOT NULL GROUP BY level
+),
+cdf AS (
+  SELECT level, us,
+         sum(us) OVER (ORDER BY level ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(us) OVER () AS total
+  FROM lev
+),
+pick AS (
+  SELECT p.pct, c.level, c.cum, c.total,
+         row_number() OVER (PARTITION BY p.pct ORDER BY c.level) AS rn
+  FROM (VALUES (50), (95), (99)) p(pct)
+  JOIN cdf c ON c.cum * 100 >= p.pct * c.total
+)
+SELECT CAST(pct AS BIGINT) AS pct,
+       CAST(level AS BIGINT) AS level,
+       ROUND(cum * 1.0 / total, 6) AS cdf_share
+FROM pick WHERE rn = 1
+ORDER BY pct
+""",
+)
+def events_concurrency_time_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-weighted concurrency percentiles: how many sessions are
+    live at the p50 / p95 / p99 *moment* — each sweep level is
+    weighted by how long it persisted (lead(ts) − ts on the boundary
+    stream, integer microseconds), and the percentile is the
+    smallest level whose duration-weighted CDF reaches the target.
+    This is the capacity-planning complement to the hourly-max view:
+    a max counts one spike, the time-weighted p95 says what the
+    system actually sustains. All arithmetic is integer (epoch_us
+    durations, cum·100 ≥ pct·total threshold test) until the final
+    reported CDF share.
+
+    Scale: identical sweep skeleton to events_concurrent_sessions
+    (one user_id shuffle, boundary stream ≈ 2×sessions rows); the
+    CDF runs on |distinct levels| rows and the percentile probe is a
+    broadcast of three constants. Ties at equal ts yield
+    zero-duration rows that carry no weight — stated, so both
+    engines agree."""
+    from pyspark.sql import Window
+
+    swept = _swept_boundaries(spark, sf_dir)
+    wlead = Window.orderBy("ts", "delta", "user_id", "session_no")
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    durs = swept.select(
+        F.col("concurrent").alias("level"),
+        (F.lead(ep).over(wlead) - ep).alias("us"),
+    )
+    lev = (
+        durs.where(F.col("us").isNotNull())
+        .groupBy("level")
+        .agg(F.sum("us").alias("us"))
+    )
+    wcdf = Window.orderBy("level").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy(F.lit(1))
+    cdf = lev.select(
+        "level",
+        F.sum("us").over(wcdf).alias("cum"),
+        F.sum("us").over(wall).alias("total"),
+    )
+    pcts = spark.createDataFrame([(50,), (95,), (99,)], "pct int")
+    wpick = Window.partitionBy("pct").orderBy("level")
+    pick = (
+        cdf.join(
+            F.broadcast(pcts),
+            F.col("cum") * 100 >= F.col("pct") * F.col("total"),
+        )
+        .withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") == 1)
+    )
+    return pick.select(
+        F.col("pct").cast("bigint").alias("pct"),
+        F.col("level").cast("bigint").alias("level"),
+        F.round(F.col("cum") * 1.0 / F.col("total"), 6).alias("cdf_share"),
+    ).orderBy("pct")

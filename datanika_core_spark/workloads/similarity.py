@@ -1522,3 +1522,117 @@ def ann_ivf_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+@workload(
+    "ann_ivf_retrain_advisor",
+    oracle=f"""
+WITH vecs AS ({_O_VECTORS}),
+cent AS (SELECT vec_id AS cid, v AS cv FROM vecs
+         WHERE vec_id < {_IVF_NCENT}),
+split AS (SELECT max(vec_id) AS max_id FROM vecs),
+assigned AS (
+  SELECT vec_id, label, cid,
+         CASE WHEN vec_id * 2 <= (SELECT max_id FROM split)
+              THEN 0 ELSE 1 END AS cohort
+  FROM (
+    SELECT x.vec_id, x.label, cent.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+               ORDER BY {_o_cos('x.v', 'cent.cv')} DESC, cent.cid) AS rn
+    FROM vecs x CROSS JOIN cent
+  ) WHERE rn = 1
+),
+cells AS (
+  SELECT cohort, cid, label, count(*) AS n
+  FROM assigned GROUP BY cohort, cid, label
+),
+purity AS (
+  SELECT cohort, cid,
+         sum(n) AS n_vecs,
+         max(n) AS n_majority
+  FROM cells GROUP BY cohort, cid
+)
+SELECT r.cid,
+       CAST(r.n_vecs AS BIGINT) AS n_ref,
+       CAST(c.n_vecs AS BIGINT) AS n_cur,
+       ROUND(r.n_majority * 1.0 / r.n_vecs, 6) AS purity_ref,
+       ROUND(c.n_majority * 1.0 / c.n_vecs, 6) AS purity_cur,
+       ROUND(c.n_majority * 1.0 / c.n_vecs
+             - r.n_majority * 1.0 / r.n_vecs, 6) AS drift,
+       (r.n_majority * 1.0 / r.n_vecs
+        - c.n_majority * 1.0 / c.n_vecs) > 0.10 AS retrain
+FROM purity r JOIN purity c
+  ON r.cid = c.cid AND r.cohort = 0 AND c.cohort = 1
+ORDER BY r.cid
+""",
+)
+def ann_ivf_retrain_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quantizer retrain trigger keyed on cell-purity drift: the
+    corpus is split into a reference cohort (first half by vec_id —
+    the vectors the quantizer was 'trained' on) and a current cohort
+    (the later ingest), each cohort's cells score their majority-label
+    share, and a cell whose purity dropped more than 10 points flags
+    `retrain` — the monitoring loop that tells an ANN index its
+    coarse centroids have gone stale as the embedding distribution
+    shifts. Majority share per (cohort, cell) is max(n)/sum(n) over
+    the label histogram — no argmax window needed since only the
+    share (not which label) drives the trigger.
+
+    Scale: one broadcast-centroid assignment scan over the corpus
+    (the standard IVF map-only shape); everything downstream runs on
+    |cohorts|x|cells|x|labels| rows. In production the reference
+    cohort's purity table is persisted at train time, so the nightly
+    check scans only the new ingest."""
+    from pyspark.sql import Window
+
+    vecs = _vectors(spark, sf_dir)
+    cent = vecs.filter(F.col("vec_id") < _IVF_NCENT).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    rn = Window.partitionBy("vec_id").orderBy(
+        F.expr(_s_cos("v", "cv")).desc(), F.col("cid")
+    )
+    max_id = vecs.agg(F.max("vec_id").alias("max_id"))
+    assigned = (
+        vecs.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .crossJoin(F.broadcast(max_id))
+        .select(
+            "vec_id", "label", "cid",
+            F.when(
+                F.col("vec_id") * 2 <= F.col("max_id"), 0
+            ).otherwise(1).alias("cohort"),
+        )
+    )
+    cells = assigned.groupBy("cohort", "cid", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    purity = cells.groupBy("cohort", "cid").agg(
+        F.sum("n").alias("n_vecs"), F.max("n").alias("n_majority")
+    )
+    ref = purity.filter(F.col("cohort") == 0).select(
+        F.col("cid").alias("r_cid"),
+        F.col("n_vecs").alias("rn_vecs"),
+        F.col("n_majority").alias("rn_majority"),
+    )
+    cur = purity.filter(F.col("cohort") == 1).select(
+        F.col("cid").alias("c_cid"),
+        F.col("n_vecs").alias("cn_vecs"),
+        F.col("n_majority").alias("cn_majority"),
+    )
+    p_ref = F.col("rn_majority") * 1.0 / F.col("rn_vecs")
+    p_cur = F.col("cn_majority") * 1.0 / F.col("cn_vecs")
+    return (
+        ref.join(cur, F.col("r_cid") == F.col("c_cid"))
+        .select(
+            F.col("r_cid").alias("cid"),
+            F.col("rn_vecs").cast("bigint").alias("n_ref"),
+            F.col("cn_vecs").cast("bigint").alias("n_cur"),
+            F.round(p_ref, 6).alias("purity_ref"),
+            F.round(p_cur, 6).alias("purity_cur"),
+            F.round(p_cur - p_ref, 6).alias("drift"),
+            ((p_ref - p_cur) > 0.10).alias("retrain"),
+        )
+        .orderBy("cid")
+    )

@@ -529,3 +529,127 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("trend") / 100.0, 4).alias("trend"),
         F.round(F.col("forecast_next") / 100.0, 4).alias("forecast_next"),
     ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------------
+# Holt-Winters additive weekly smoothing (three-state recurrence).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "events_holt_winters_weekly",
+    oracle=f"""
+WITH RECURSIVE daily AS ({_O_DAILY}),
+idx AS (
+  SELECT event_type, day, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+),
+init AS (
+  SELECT event_type,
+         sum(cents) / 7.0 AS l0,
+         list(CAST(cents AS DOUBLE) ORDER BY day) AS w1
+  FROM idx WHERE i <= 7 GROUP BY event_type
+),
+hw AS (
+  SELECT event_type, 7 AS i, CAST(NULL AS DATE) AS day,
+         CAST(NULL AS BIGINT) AS cents, l0 AS l, CAST(0 AS DOUBLE) AS b,
+         list_transform(w1, x -> x - l0) AS s
+  FROM init
+  UNION ALL
+  SELECT n.event_type, n.i, n.day, n.cents,
+         0.5 * (n.cents - h.s[1]) + 0.5 * (h.l + h.b),
+         0.5 * ((0.5 * (n.cents - h.s[1]) + 0.5 * (h.l + h.b)) - h.l)
+           + 0.5 * h.b,
+         list_append(h.s[2:7],
+           0.5 * (n.cents
+                  - (0.5 * (n.cents - h.s[1]) + 0.5 * (h.l + h.b)))
+             + 0.5 * h.s[1])
+  FROM idx n JOIN hw h
+    ON n.event_type = h.event_type AND n.i = h.i + 1
+)
+SELECT event_type, day,
+       ROUND(cents / 100.0, 2) AS value,
+       ROUND(l / 100.0, 4) AS level,
+       ROUND(b / 100.0, 4) AS trend,
+       ROUND(s[7] / 100.0, 4) AS seasonal,
+       ROUND((l + b + s[1]) / 100.0, 4) AS forecast_next
+FROM hw WHERE i > 7
+ORDER BY event_type, day
+""",
+)
+def events_holt_winters_weekly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt-Winters additive smoothing with weekly seasonality
+    (α = β = γ = ½, m = 7) of the daily series — the third state on
+    top of Holt's level+trend: l_t = ½(x_t − s_{t−7}) + ½(l+b),
+    b_t = ½(l_t − l) + ½b, s_t = ½(x_t − l_t) + ½s_{t−7}, one-step
+    forecast l_t + b_t + s_{t−6}. Initialization is the classical
+    simple scheme: l₇ = mean(week 1), b₇ = 0, s_i = x_i − l₇ for the
+    first seven days; output starts at day 8 (the burn-in week only
+    seeds state). The seasonal register is a 7-slot ring, which the
+    oracle replays as a LIST carried through a recursive CTE
+    (slice + append per step) — both engines walk the identical IEEE
+    operation sequence, so values agree bit-for-bit before rounding.
+
+    Scale: identical to events_holt_linear — one combiner groupBy to
+    the |types|×|days| grid, then an applyInPandas fold per type;
+    types fold independently across executors, and the per-key state
+    is three scalars + seven floats (a streaming ValueState fits it
+    the same way)."""
+    import pandas as pd
+
+    daily = _daily(spark, sf_dir)
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        if len(pdf) < 8:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=str),
+                "day": pd.Series([], dtype="datetime64[ns]"),
+                "value": pd.Series([], dtype=float),
+                "level": pd.Series([], dtype=float),
+                "trend": pd.Series([], dtype=float),
+                "seasonal": pd.Series([], dtype=float),
+                "forecast_next": pd.Series([], dtype=float),
+            })
+        xs = [float(v) for v in pdf["cents"]]
+        l = sum(pdf["cents"].iloc[:7].tolist()) / 7.0
+        b = 0.0
+        s = [x - l for x in xs[:7]]  # ring: s[0] is the t-7 slot
+        rows = []
+        for k in range(7, len(xs)):
+            x = xs[k]
+            l_new = 0.5 * (x - s[0]) + 0.5 * (l + b)
+            b = 0.5 * (l_new - l) + 0.5 * b
+            l = l_new
+            s_new = 0.5 * (x - l_new) + 0.5 * s[0]
+            s = s[1:] + [s_new]
+            # NO rounding here (half-even vs half-away); Spark rounds
+            rows.append((
+                pdf["day"].iloc[k], x, l, b, s_new, l + b + s[0],
+            ))
+        return pd.DataFrame({
+            "event_type": pdf["event_type"].iloc[0],
+            "day": [r[0] for r in rows],
+            "value": [r[1] for r in rows],
+            "level": [r[2] for r in rows],
+            "trend": [r[3] for r in rows],
+            "seasonal": [r[4] for r in rows],
+            "forecast_next": [r[5] for r in rows],
+        })
+
+    raw = daily.groupBy("event_type").applyInPandas(
+        hw,
+        "event_type string, day date, value double, level double,"
+        " trend double, seasonal double, forecast_next double",
+    )
+    return raw.select(
+        "event_type", "day",
+        F.round(F.col("value") / 100.0, 2).alias("value"),
+        F.round(F.col("level") / 100.0, 4).alias("level"),
+        F.round(F.col("trend") / 100.0, 4).alias("trend"),
+        F.round(F.col("seasonal") / 100.0, 4).alias("seasonal"),
+        F.round(F.col("forecast_next") / 100.0, 4).alias("forecast_next"),
+    ).orderBy("event_type", "day")
