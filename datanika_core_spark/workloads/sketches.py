@@ -245,3 +245,101 @@ def cms_heavy_hitters_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_cnt").desc(), "tok")
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch with measured error.
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SCALE = float(1 << 60)  # hash domain: 15 hex digits = 60 bits
+
+
+@workload(
+    "distinct_kmv_estimate",
+    oracle=rf"""
+WITH toks AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+           AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT DISTINCT ('0x'||substring(md5(tok),1,15))::BIGINT AS h
+  FROM toks WHERE tok <> ''
+),
+exact AS (
+  SELECT count(*) AS n_exact FROM toks WHERE tok <> ''
+),
+kth AS (
+  SELECT max(h) AS hk FROM (
+    SELECT h FROM hashed ORDER BY h LIMIT {_KMV_K}
+  )
+),
+est AS (
+  SELECT CAST(round(({_KMV_K} - 1) * {_KMV_SCALE!r} / hk) AS BIGINT)
+           AS n_est
+  FROM kth
+)
+SELECT CAST({_KMV_K} AS BIGINT) AS k,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       n_est,
+       ROUND(abs(n_est - n_exact) * 1.0 / n_exact, 6) AS rel_err
+FROM exact, est
+""",
+)
+def distinct_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) cardinality sketch over the corpus
+    vocabulary, scored against the exact distinct count it
+    approximates: hash every token to 60 uniform bits (the repo's
+    engine-portable md5 convention), keep the k = 64 smallest
+    distinct hash values, and estimate |V| ≈ (k−1)·2⁶⁰/h₍ₖ₎ — the
+    classic order-statistics estimator (Bar-Yossef et al. 2002,
+    Beyer et al. 2007). Both engines compute the identical hashes,
+    so the estimate AND its relative error are deterministic — the
+    sketch's accuracy is part of the checked result, the same
+    self-measurement convention as the CMS and histogram-AUC
+    workloads.
+
+    Scale: this is the distinct-count shape that replaces a global
+    COUNT(DISTINCT) shuffle at 100 TB — k-smallest is
+    TakeOrdered(k): each task forwards at most k candidate hashes,
+    so the merge is k·partitions rows regardless of corpus size
+    (the exact branch here exists only to measure the error; a
+    production pipeline runs the sketch alone). Duplicate hashes
+    collapse before the take so a hot token can't occupy two of the
+    k slots."""
+    docs = t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    hashed = toks.select(
+        F.expr(_cms_spark_hash("tok")).alias("h")
+    ).distinct()
+    exact = toks.agg(F.count(F.lit(1)).alias("n_exact"))
+    kth = (
+        hashed.orderBy("h")
+        .limit(_KMV_K)
+        .agg(F.max("h").alias("hk"))
+    )
+    est = kth.select(
+        F.round(F.lit(_KMV_K - 1) * F.lit(_KMV_SCALE) / F.col("hk"))
+        .cast("bigint")
+        .alias("n_est")
+    )
+    return exact.crossJoin(est).select(
+        F.lit(_KMV_K).cast("bigint").alias("k"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        "n_est",
+        F.round(
+            F.abs(F.col("n_est") - F.col("n_exact"))
+            * 1.0
+            / F.col("n_exact"),
+            6,
+        ).alias("rel_err"),
+    )
