@@ -248,3 +248,131 @@ def markov_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "rank_within_src")
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting with degree-ordered orientation (co-order part graph).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "graph_triangle_count",
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+  FROM edges e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+wedges AS (
+  SELECT o1.src,
+         least(o1.dst, o2.dst) AS a,
+         greatest(o1.dst, o2.dst) AS b
+  FROM oriented o1 JOIN oriented o2
+    ON o1.src = o2.src AND o1.dst < o2.dst
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM wedges w JOIN edges e ON e.u = w.a AND e.v = w.b
+),
+open_triads AS (
+  SELECT sum(d * (d - 1) / 2) AS n_wedges FROM deg
+)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST(t.n_triangles AS BIGINT) AS n_triangles,
+       CAST(o.n_wedges AS BIGINT) AS n_wedges,
+       ROUND(3.0 * t.n_triangles / o.n_wedges, 6) AS transitivity
+FROM tri t, open_triads o
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global transitivity on the co-purchase
+    part graph (parts are adjacent iff some order contains both).
+    The scale-critical trick is DEGREE-ORDERED ORIENTATION: every
+    undirected edge points from its lower-(degree, id) endpoint to
+    the higher one, so wedges are enumerated only at each triangle's
+    lowest-degree apex — the hub that co-occurs with everything
+    generates O(sqrt(m)) wedges instead of O(d²), which is the
+    difference between feasible and quadratic on a power-law graph
+    (Suri & Vassilvitskii 2011's MapReduce formulation). Each
+    triangle is counted exactly once (its unique orientation-minimal
+    apex); closure checks hit the canonical undirected edge list.
+    Transitivity = 3·triangles / Σ C(d,2), integer until the final
+    ratio.
+
+    Scale: the bipartite projection (lineitem self-join on orderkey)
+    shuffles on the natural key orders already cluster by; degrees
+    attach via two joins on node id; the wedge→closure join is the
+    inherent heavy step and is exactly what the orientation bounds.
+    All joins are equi-joins — no cartesian anywhere."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u_n"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v_n"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, F.col("u") == F.col("u_n"))
+        .join(dv, F.col("v") == F.col("v_n"))
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    o1 = oriented.select("src", F.col("dst").alias("d1"))
+    o2 = oriented.select(F.col("src").alias("src2"), F.col("dst").alias("d2"))
+    wedges = (
+        o1.join(o2, (F.col("src") == F.col("src2")) & (F.col("d1") < F.col("d2")))
+        .select(
+            F.least("d1", "d2").alias("a"),
+            F.greatest("d1", "d2").alias("b"),
+        )
+    )
+    tri = wedges.join(
+        edges, (F.col("a") == F.col("u")) & (F.col("b") == F.col("v"))
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    open_triads = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges")
+    )
+    counts = edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return (
+        counts.crossJoin(tri)
+        .crossJoin(open_triads)
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+            "n_wedges",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("transitivity"),
+        )
+    )
