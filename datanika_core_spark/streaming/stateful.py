@@ -352,3 +352,71 @@ def streaming_ewma(
         _ewma, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming Holt linear smoothing: per-key (level, trend) ValueState.
+# --------------------------------------------------------------------------
+
+
+def streaming_holt(
+    sdf: DataFrame,
+    key: str = "event_type",
+    order_col: str = "day",
+    value_col: str = "cents",
+) -> DataFrame:
+    """Streaming twin of ``events_holt_linear``: the two coupled state
+    scalars (level, trend) carried across micro-batches — seed sets
+    (l, b) = (x, 0); every later arrival applies
+    l' = ½x + ½(l+b), b' = ½(l'−l) + ½b in arrival order. The batch
+    twin folds the identical recurrence per key in one applyInPandas
+    pass, so batch/stream parity is bit-exact (same IEEE op sequence
+    — no snapping needed, unlike the EWMA twin's weighted-term form).
+    Emits (key, order, value, level, trend, forecast_next) per row,
+    scaled /100 like the batch workload's pre-rounding values."""
+    out_schema = StructType.fromDDL(
+        f"{key} string, {order_col} date, value double, level double,"
+        " trend double, forecast_next double"
+    )
+    state_schema = StructType.fromDDL("l double, b double, seeded boolean")
+
+    def _holt(
+        key_tuple: Any,
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        l, b, seeded = state.get if state.exists else (0.0, 0.0, False)
+        rows = pd.concat(list(batches), ignore_index=True)
+        if not len(rows):
+            return
+        rows = rows.sort_values(order_col)
+        out = {"ord": [], "val": [], "l": [], "b": [], "f": []}
+        for _, r in rows.iterrows():
+            x = float(r[value_col])
+            if not seeded:
+                l, b, seeded = x, 0.0, True
+            else:
+                l_new = 0.5 * x + 0.5 * (l + b)
+                b = 0.5 * (l_new - l) + 0.5 * b
+                l = l_new
+            out["ord"].append(r[order_col])
+            out["val"].append(x / 100.0)
+            out["l"].append(l / 100.0)
+            out["b"].append(b / 100.0)
+            out["f"].append((l + b) / 100.0)
+        state.update((l, b, seeded))
+        yield pd.DataFrame({
+            key: key_tuple[0],
+            order_col: out["ord"],
+            "value": out["val"],
+            "level": out["l"],
+            "trend": out["b"],
+            "forecast_next": out["f"],
+        })
+
+    return sdf.groupBy(key).applyInPandasWithState(
+        _holt, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )
