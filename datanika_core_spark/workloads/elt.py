@@ -289,3 +289,77 @@ def flatten_nested_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "contacts__email", "_dlt_list_idx", "value")
         .orderBy("c_custkey", "_dlt_list_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental view maintenance: merge partial aggregates == recompute.
+# --------------------------------------------------------------------------
+
+_IVM_CUT = "2024-02-01"
+
+
+@workload(
+    "ivm_additive_rollup",
+    oracle="""
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+         AS total,
+       CAST(round(sum(CAST(round(value * 100) AS BIGINT)) * 100.0
+                  / count(*)) AS BIGINT) / 10000.0 AS avg_value
+FROM events
+GROUP BY event_type, day
+ORDER BY event_type, day
+""",
+)
+def ivm_additive_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of the daily rollup: the MATERIAL
+    STATE (count + cent-sum per (type, day), aggregated from history
+    before the cut) merges with the DELTA (same aggregate over the
+    new arrivals) by key-wise addition, and the result must equal a
+    full recompute — which is exactly what the oracle computes, so
+    the check IS the IVM correctness property (count/sum form an
+    abelian group under merge; avg is derived at read time from the
+    stored sums — the 'never store averages' rule, since avg does
+    not merge).
+
+    Scale: this is how a 100 TB rollup stays fresh — the state table
+    is |types|x|days| rows read back per refresh, and only the delta
+    partition is scanned (here both halves scan the same parquet for
+    the demonstration; in production the cut is the ingest
+    high-water mark and the state is the previous refresh's output).
+    The merge re-aggregates pre-aggregated rows: a shuffle of
+    2x|groups| rows, independent of event volume."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.sum(
+        F.round(F.col("value") * 100).cast("bigint")
+    ).alias("cents")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        ).agg(F.count(F.lit(1)).alias("n"), cents)
+
+    cut = F.lit(_IVM_CUT).cast("timestamp_ntz")
+    state = rollup(ev.filter(F.col("ts") < cut))
+    delta = rollup(ev.filter(F.col("ts") >= cut))
+    merged = (
+        state.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    )
+    return merged.select(
+        "event_type", "day",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("cents") / 100.0, 2).alias("total"),
+        # snap in integer 1e-4-dollar units: round(c*100/n) is an
+        # exactly-representable midpoint when it hits .5, so both
+        # engines round it away identically (a raw 4-dp ROUND of
+        # c/n/100 can straddle a non-representable decimal midpoint)
+        (
+            F.round(F.col("cents") * 100.0 / F.col("n")).cast("bigint")
+            / 10000.0
+        ).alias("avg_value"),
+    ).orderBy("event_type", "day")

@@ -376,3 +376,108 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("transitivity"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket association mining (support / confidence / lift).
+# --------------------------------------------------------------------------
+
+_MB_MINPAIR = 2
+_MB_TOPK = 25
+
+
+@workload(
+    "market_basket_lift",
+    oracle=f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_tot AS (
+  SELECT count(DISTINCT l_orderkey) AS n_orders FROM op
+),
+item AS (
+  SELECT l_partkey AS p, count(*) AS n_item FROM op GROUP BY p
+),
+pair AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n_pair
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY u, v
+)
+SELECT u AS part_a, v AS part_b,
+       CAST(n_pair AS BIGINT) AS n_pair,
+       CAST(iu.n_item AS BIGINT) AS n_a,
+       CAST(iv.n_item AS BIGINT) AS n_b,
+       ROUND(n_pair * 1.0 / t.n_orders, 6) AS support,
+       ROUND(n_pair * 1.0 / iu.n_item, 6) AS confidence,
+       ROUND(n_pair * 1.0 * t.n_orders / (iu.n_item * iv.n_item), 6)
+         AS lift
+FROM pair
+JOIN item iu ON iu.p = u
+JOIN item iv ON iv.p = v
+CROSS JOIN n_tot t
+WHERE n_pair >= {_MB_MINPAIR}
+ORDER BY lift DESC, part_a, part_b
+LIMIT {_MB_TOPK}
+""",
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-2 association mining over order baskets: for every part
+    pair co-ordered at least {_MB_MINPAIR} times, support
+    (P(u,v)), confidence (P(v|u)) and lift
+    (P(u,v)/(P(u)P(v))) — the classic market-basket triple, ranked
+    by lift so the top rows are the pairs whose co-occurrence most
+    exceeds independence. Counts are exact integers; the three
+    ratios round at 6 dp and the ORDER BY uses the ROUNDED lift
+    with a (part_a, part_b) tiebreak so the top-k set is identical
+    on both engines (the rounded-alias-ORDER-BY convention).
+
+    Scale: the basket projection (distinct order×part) and the
+    pair self-join shuffle on l_orderkey — the key the fact table
+    is naturally clustered by; per-item supports attach by part id
+    (broadcastable: |parts| ≪ |lineitem|). The n_pair >= k filter
+    applies BEFORE the metric joins, so the wide lift computation
+    only sees pairs that can rank — Apriori's support-monotonicity
+    shortcut in plan form."""
+    li = t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_tot = op.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    item = op.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    pair = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _MB_MINPAIR)
+    )
+    iu = item.select(F.col("p").alias("pu"), F.col("n_item").alias("n_a"))
+    iv = item.select(F.col("p").alias("pv"), F.col("n_item").alias("n_b"))
+    return (
+        pair.join(iu, F.col("u") == F.col("pu"))
+        .join(iv, F.col("v") == F.col("pv"))
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(F.col("n_pair") * 1.0 / F.col("n_orders"), 6)
+            .alias("support"),
+            F.round(F.col("n_pair") * 1.0 / F.col("n_a"), 6)
+            .alias("confidence"),
+            F.round(
+                F.col("n_pair") * 1.0 * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(_MB_TOPK)
+    )

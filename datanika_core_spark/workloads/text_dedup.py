@@ -1006,3 +1006,65 @@ def dedup_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# --------------------------------------------------------------------------
+# Train/val split leakage audit: near-dups crossing the split boundary.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "split_leakage_audit",
+    oracle=f"""
+WITH {O_MINHASH_PAIRS_CTES},
+splits AS (
+  SELECT doc_id,
+         CASE WHEN ('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,15))
+                     ::BIGINT % 10 < 2
+              THEN 'val' ELSE 'train' END AS split
+  FROM corpus
+)
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       sa.split AS split_a, sb.split AS split_b
+FROM pairs p
+JOIN splits sa ON sa.doc_id = p.doc_a
+JOIN splits sb ON sb.doc_id = p.doc_b
+WHERE sa.split <> sb.split
+ORDER BY doc_a, doc_b
+""",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val contamination audit: docs are assigned to a
+    deterministic 80/20 hash split (the engine-portable md5 bucket
+    of doc_id — how a real pipeline splits so membership is stable
+    across reruns and machines), then every verified near-duplicate
+    pair (MinHash+LSH at Jaccard >= 0.7) whose endpoints landed in
+    DIFFERENT splits is reported — each one is an eval example whose
+    paraphrase sits in training data, the leak that silently
+    inflates benchmark scores. The fix loop this feeds: move the
+    whole duplicate CLUSTER to one side (the connected-components
+    canonicalizer provides the cluster ids).
+
+    Scale: identical cost to dedup_minhash_lsh (the pair pipeline
+    IS the work); the split column is a map-side expression and the
+    two split lookups join on doc_id — at corpus scale they fold
+    into the signature table the persisted-minhash store already
+    keeps."""
+    corpus = _corpus_neardup(spark, sf_dir)
+    pairs = minhash_pairs(_with_toks(corpus))
+    split_expr = F.when(
+        F.expr(f"pmod({_spark_hash('cast(doc_id as string)')}, 10)") < 2,
+        "val",
+    ).otherwise("train")
+    splits = corpus.select("doc_id", split_expr.alias("split"))
+    sa = splits.select(F.col("doc_id").alias("doc_a"),
+                       F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"),
+                       F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
+        .orderBy("doc_a", "doc_b")
+    )
