@@ -1132,3 +1132,77 @@ def lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE c.c_mktsegment = 'BUILDING'
             ORDER BY c.c_custkey, totalprice DESC, o.o_orderkey
         """)
+
+
+# --------------------------------------------------------------------------
+# Skyline (Pareto frontier) per group: window algorithm vs NOT EXISTS.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "skyline_parts_per_brand",
+    oracle="""
+SELECT a.p_brand, a.p_partkey,
+       ROUND(a.p_retailprice, 2) AS price, a.p_size AS size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_brand = a.p_brand
+    AND b.p_retailprice <= a.p_retailprice
+    AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+ORDER BY p_brand, price, p_partkey
+""",
+)
+def skyline_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand skyline (Pareto frontier) over (minimize price,
+    maximize size): a part survives iff no same-brand part is at
+    least as cheap AND at least as large with one strict — the
+    preference-query operator behind 'show me the non-dominated
+    options'. The oracle states the quadratic NOT-EXISTS definition;
+    the engine computes the SAME set with the sort-based frontier
+    algorithm: per (brand, price) only the max-size rows can
+    survive, and a price level survives iff its max size strictly
+    beats the running max over all strictly-cheaper levels — one
+    aggregation plus one window pass, O(n log n) where the
+    definitional self-join is O(n²) per brand.
+
+    Scale: the groupBy and the window both partition by brand (one
+    shuffle, reused by Spark's exchange reuse); price levels per
+    brand are bounded by |price domain|, so the window input is the
+    REDUCED level table, not the row stream. Equal (price, size)
+    ties don't dominate each other, so every row achieving its
+    level's max size survives together — both formulations agree on
+    ties by construction."""
+    from pyspark.sql import Window
+
+    p = t(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size"
+    )
+    levels = p.groupBy("p_brand", "p_retailprice").agg(
+        F.max("p_size").alias("gmax")
+    )
+    wprev = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = levels.withColumn(
+        "mx_prev", F.max("gmax").over(wprev)
+    ).filter(
+        F.col("mx_prev").isNull() | (F.col("gmax") > F.col("mx_prev"))
+    )
+    return (
+        p.join(
+            frontier,
+            ["p_brand", "p_retailprice"],
+        )
+        .filter(F.col("p_size") == F.col("gmax"))
+        .select(
+            "p_brand", "p_partkey",
+            F.round("p_retailprice", 2).alias("price"),
+            F.col("p_size").alias("size"),
+        )
+        .orderBy("p_brand", "price", "p_partkey")
+    )
