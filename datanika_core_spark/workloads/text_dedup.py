@@ -1068,3 +1068,103 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtering exact similarity join (AllPairs): same result as the
+# inverted-index join, with candidates bounded by the rarest shingles.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "dedup_prefix_filter_join",
+    oracle=f"""
+WITH {_O_CORPUS_NEARDUP}, {_O_SHINGLED},
+ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shingled),
+sizes AS (SELECT doc_id, len(shingles) AS sz FROM shingled),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.8 similarity self-join via PREFIX FILTERING
+    (Bayardo et al. 2007 AllPairs / Xiao et al. PPJoin): order each
+    document's shingles by global rarity, index only the first
+    |x| − ⌈0.8·|x|⌉ + 1 of them, and join prefix-to-prefix — any pair
+    with J >= 0.8 must share a prefix shingle (pigeonhole on the
+    overlap lower bound o >= ⌈0.8·max(|x|,|y|)⌉, which J >= τ
+    implies via the size filter |min|/|max| >= τ), so exact
+    verification of the candidates reproduces the full inverted-index
+    join's result EXACTLY — same oracle as dedup_ngram_jaccard, no
+    LSH false-negative risk. ⌈0.8·sz⌉ is computed as
+    (4·sz + 4) div 5 in integers: a float ceil of 0.8·5 =
+    4.000000000000000222 would round the prefix SHORT and silently
+    drop candidates.
+
+    Scale: the full inverted index explodes every shingle — its join
+    fan-out is dominated by the most common shingles. The prefix
+    index keeps only each doc's RAREST ~20%, exactly the tokens with
+    the smallest posting lists, so candidate generation collapses
+    while staying exact — the technique of choice when recall must
+    be 1.0 and LSH's miss probability is unacceptable (legal holds,
+    eval decontamination)."""
+    from pyspark.sql import Window
+
+    corpus = _with_toks(_corpus_neardup(spark, sf_dir))
+    sh = (
+        corpus.withColumn("shingles", F.expr(_SHINGLES_EXPR))
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "shingles")
+        .cache()  # feeds prefix build + both verify sides
+    )
+    ex = sh.select(
+        "doc_id",
+        F.size("shingles").alias("sz"),
+        F.explode("shingles").alias("tok"),
+    )
+    freq = ex.groupBy(F.col("tok").alias("f_tok")).agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix_len = F.col("sz") - ((F.col("sz") * 4 + 4) / 5).cast(
+        "bigint"
+    ) + 1  # sz - ceil(0.8*sz) + 1, integer-exact
+    prefix = (
+        ex.join(freq, F.col("tok") == F.col("f_tok"))
+        .withColumn("rn", F.row_number().over(wdoc))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "tok")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"),
+                  F.col("shingles").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"),
+                  F.col("shingles").alias("sh_b"))
+    verified = cand.join(x, "doc_a").join(y, "doc_b").select(
+        "doc_a", "doc_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+        F.size("sh_a").alias("la"), F.size("sh_b").alias("lb"),
+    )
+    jac = F.col("inter") * 1.0 / (F.col("la") + F.col("lb") - F.col("inter"))
+    return (
+        verified.filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
