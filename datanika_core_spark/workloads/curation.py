@@ -642,3 +642,77 @@ def quota_greedy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Systematic PPS sampling (probability proportional to size).
+# --------------------------------------------------------------------------
+
+_PPS_N = 20  # target picks
+
+
+@workload(
+    "sample_systematic_pps",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS weight
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, weight,
+         sum(weight) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS c,
+         sum(weight) OVER () AS total
+  FROM w
+)
+SELECT doc_id,
+       weight,
+       CAST((c * {_PPS_N}) // total
+            - ((c - weight) * {_PPS_N}) // total AS BIGINT) AS n_hits
+FROM cum
+WHERE (c * {_PPS_N}) // total > ((c - weight) * {_PPS_N}) // total
+ORDER BY doc_id
+""",
+)
+def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: docs are
+    laid end-to-end on a line scaled by weight (chars), and every
+    (total/{_PPS_N})-th point picks the doc it lands in — the
+    low-variance sampler survey statistics uses for weighted
+    subsampling (a doc's inclusion probability is exactly
+    n·w/W, and a doc heavier than the step is picked with
+    multiplicity, reported as n_hits). Membership is a pure integer
+    function of the cumulative weights: doc i is hit iff
+    floor(C_i·n/W) > floor(C_{{i-1}}·n/W) — BIGINT division both
+    sides, zero float anywhere, so the sample is bit-stable across
+    engines and reruns (same property the stratified sampler gets
+    from hashing, here with exact weighted quotas).
+
+    Scale: one scan for weights, one global prefix sum (the
+    range-partitioned carry-in decomposition every cumulative
+    workload here shares), then a per-row filter — the winners are
+    ~n rows regardless of corpus size."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.length("text").cast("bigint").alias("weight")
+    )
+    wcum = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy(F.lit(1))
+    cum = w.select(
+        "doc_id", "weight",
+        F.sum("weight").over(wcum).alias("c"),
+        F.sum("weight").over(wall).alias("total"),
+    )
+    hi = (F.col("c") * _PPS_N / F.col("total")).cast("bigint")
+    lo = (
+        (F.col("c") - F.col("weight")) * _PPS_N / F.col("total")
+    ).cast("bigint")
+    return (
+        cum.filter(hi > lo)
+        .select("doc_id", "weight", (hi - lo).alias("n_hits"))
+        .orderBy("doc_id")
+    )
