@@ -24,6 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from datanika_core_spark.operators.minhash import (
+    spark_hash_expr as _spark_hash,
+)
 from datanika_core_spark.workloads import t, workload
 
 # --------------------------------------------------------------------------
@@ -551,4 +554,118 @@ def corr_spearman_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rho_exact", 6).alias("rho_exact"),
         F.round(F.abs(F.col("rho_hist") - F.col("rho_exact")), 6)
         .alias("abs_err"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A/B experiment readout: hash assignment + Welch z on integer moments.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "abtest_welch_readout",
+    oracle="""
+WITH assign AS (
+  SELECT user_id,
+         ('0x'||substring(md5('ab-' || CAST(user_id AS VARCHAR)),1,15))
+           ::BIGINT % 2 AS variant,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END) AS cents
+  FROM events GROUP BY user_id
+),
+arm AS (
+  SELECT variant,
+         count(*) AS n,
+         sum(cents) AS s,
+         sum(cents * cents) AS ss
+  FROM assign GROUP BY variant
+),
+wide AS (
+  SELECT
+    max(CASE WHEN variant = 0 THEN n END) AS n0,
+    max(CASE WHEN variant = 1 THEN n END) AS n1,
+    max(CASE WHEN variant = 0 THEN s END) AS s0,
+    max(CASE WHEN variant = 1 THEN s END) AS s1,
+    max(CASE WHEN variant = 0 THEN ss END) AS ss0,
+    max(CASE WHEN variant = 1 THEN ss END) AS ss1
+  FROM arm
+)
+SELECT CAST(n0 AS BIGINT) AS n_control,
+       CAST(n1 AS BIGINT) AS n_treatment,
+       ROUND(s0 * 1.0 / n0 / 100.0, 4) AS mean_control,
+       ROUND(s1 * 1.0 / n1 / 100.0, 4) AS mean_treatment,
+       ROUND((s1 * 1.0 / n1 - s0 * 1.0 / n0) / 100.0, 4) AS lift,
+       ROUND((s1 * 1.0 / n1 - s0 * 1.0 / n0)
+             / sqrt((n0 * ss0 - s0 * s0) * 1.0 / (n0 * n0 * (n0 - 1))
+                    + (n1 * ss1 - s1 * s1) * 1.0 / (n1 * n1 * (n1 - 1))),
+             4) AS z
+FROM wide
+""",
+)
+def abtest_welch_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout over per-user purchase revenue: users
+    assign to control/treatment by the engine-portable md5 bucket
+    (stable under reruns and late-arriving data — the property
+    rand() assignment lacks), the metric is each user's total
+    purchase cents, and the readout is the Welch z statistic
+    (mean difference over sqrt of the summed standard errors).
+    Every moment (n, Σx, Σx²) is an exact BIGINT; the sample
+    variances use the n-scaled form (n·Σx² − (Σx)²)/(n²(n−1)), so
+    both engines reach z through the identical IEEE sequence —
+    sqrt is correctly rounded by spec, making even the test
+    statistic bit-deterministic before display rounding.
+
+    Scale: one map-side assignment expression + one user groupBy
+    (the natural key) + a two-row arm aggregate — experiment
+    readouts at any corpus size are a single combiner-friendly
+    pass; CUPED or covariate adjustments add moments to the same
+    aggregate, never a second scan."""
+    ev = t(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("cents")
+    ).select(
+        F.expr(
+            "pmod("
+            + _spark_hash("concat('ab-', cast(user_id as string))")
+            + ", 2)"
+        ).alias("variant"),
+        "cents",
+    )
+    arm = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+
+    def pick(v: int, c: str, alias: str):
+        return F.max(F.when(F.col("variant") == v, F.col(c))).alias(alias)
+
+    wide = arm.agg(
+        pick(0, "n", "n0"), pick(1, "n", "n1"),
+        pick(0, "s", "s0"), pick(1, "s", "s1"),
+        pick(0, "ss", "ss0"), pick(1, "ss", "ss1"),
+    )
+    m0 = F.col("s0") * 1.0 / F.col("n0")
+    m1 = F.col("s1") * 1.0 / F.col("n1")
+    var0 = (
+        (F.col("n0") * F.col("ss0") - F.col("s0") * F.col("s0")) * 1.0
+        / (F.col("n0") * F.col("n0") * (F.col("n0") - 1))
+    )
+    var1 = (
+        (F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1")) * 1.0
+        / (F.col("n1") * F.col("n1") * (F.col("n1") - 1))
+    )
+    return wide.select(
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.col("n1").cast("bigint").alias("n_treatment"),
+        F.round(m0 / 100.0, 4).alias("mean_control"),
+        F.round(m1 / 100.0, 4).alias("mean_treatment"),
+        F.round((m1 - m0) / 100.0, 4).alias("lift"),
+        F.round((m1 - m0) / F.sqrt(var0 + var1), 4).alias("z"),
     )
