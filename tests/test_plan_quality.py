@@ -30,7 +30,10 @@ BNL_ALLOWED = {"knn_cosine_topk", "bm25_topk_docs",
                "pagerank_event_transitions",
                # 1-row BM25 stats broadcast + a non-equi query-vs-self
                # guard on the tiny semantic branch
-               "hybrid_search_rrf"}
+               "hybrid_search_rrf",
+               # three 1-row summary frames (counts, triangles, open
+               # triads) cross-joined for the single output row
+               "graph_triangle_count"}
 
 # queries whose plan must contain dimension broadcasts
 MUST_BROADCAST = {
