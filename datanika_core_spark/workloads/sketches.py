@@ -343,3 +343,147 @@ def distinct_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling distinct count via MERGED per-day KMV sketches.
+# --------------------------------------------------------------------------
+
+_RK = 32  # per-day sketch size
+
+
+@workload(
+    "rolling_distinct_users_kmv",
+    oracle=f"""
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+         ('0x'||substring(md5('u-' || CAST(user_id AS VARCHAR)),1,15))
+           ::BIGINT AS h
+  FROM events
+),
+bounds AS (SELECT min(day) AS mn, max(day) AS mx FROM du),
+day_sketch AS (
+  SELECT day, h FROM (
+    SELECT day, h,
+           row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+    FROM du
+  ) WHERE rn <= {_RK}
+),
+win_cand AS (
+  SELECT day + o * INTERVAL 1 DAY AS w, h
+  FROM day_sketch CROSS JOIN (SELECT unnest(range(0, 7)) AS o)
+),
+win_kmin AS (
+  SELECT w, h FROM (
+    SELECT w, h, row_number() OVER (PARTITION BY w ORDER BY h) AS rn
+    FROM (SELECT DISTINCT w, h FROM win_cand)
+  ) WHERE rn <= {_RK}
+),
+win_est AS (
+  SELECT w, count(*) AS n_seen, max(h) AS hk
+  FROM win_kmin GROUP BY w
+),
+exact AS (
+  SELECT w, count(DISTINCT h) AS n_exact FROM (
+    SELECT day + o * INTERVAL 1 DAY AS w, h
+    FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS o)
+  ) GROUP BY w
+)
+SELECT CAST(e.w AS DATE) AS window_end,
+       CAST(x.n_exact AS BIGINT) AS n_exact,
+       CAST(CASE WHEN e.n_seen < {_RK} THEN e.n_seen
+                 ELSE CAST(round(({_RK} - 1) * {_KMV_SCALE!r} / e.hk)
+                           AS BIGINT) END AS BIGINT) AS n_est,
+       ROUND(abs(CASE WHEN e.n_seen < {_RK} THEN e.n_seen
+                      ELSE CAST(round(({_RK} - 1) * {_KMV_SCALE!r} / e.hk)
+                                AS BIGINT) END - x.n_exact)
+             * 1.0 / x.n_exact, 6) AS rel_err
+FROM win_est e
+JOIN exact x ON x.w = e.w
+CROSS JOIN bounds b
+WHERE CAST(e.w AS DATE) BETWEEN b.mn + 6 AND b.mx
+ORDER BY window_end
+""",
+)
+def rolling_distinct_users_kmv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling 7-day distinct users from MERGED per-day KMV sketches —
+    the mergeability property that makes sketches matter at scale:
+    each day reduces to its {_RK} smallest distinct user-hashes once,
+    and every rolling window unions seven ≤{_RK}-row sketches and
+    re-takes the k minimum (k-min of a union == k-min of merged
+    k-mins), so the window never revisits user-level data. When the
+    union holds fewer than k values the sketch is exhaustive and the
+    estimate is exact; otherwise (k−1)·2⁶⁰/h₍ₖ₎. The exact windowed
+    COUNT DISTINCT rides along so every window's relative error is
+    part of the checked result (the same self-measurement convention
+    as the global KMV and CMS workloads).
+
+    Scale: the per-day reduction is the only pass over events; daily
+    sketches are k rows/day forever after — a year of rolling
+    windows reprocesses 365·k rows, not the event log. This is the
+    exact pattern `approx_count_distinct` partials implement inside
+    Spark, here materialized as a first-class, restartable table."""
+    from pyspark.sql import Window
+
+    du = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            F.expr(
+                _cms_spark_hash("concat('u-', cast(user_id as string))")
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    bounds = du.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    wday = Window.partitionBy("day").orderBy("h")
+    day_sketch = (
+        du.withColumn("rn", F.row_number().over(wday))
+        .filter(F.col("rn") <= _RK)
+        .select("day", "h")
+    )
+    offsets = F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o")
+    win_cand = (
+        day_sketch.select("day", "h", offsets)
+        .select(F.expr("date_add(day, o)").alias("w"), "h")
+        .distinct()
+    )
+    wwin = Window.partitionBy("w").orderBy("h")
+    win_est = (
+        win_cand.withColumn("rn", F.row_number().over(wwin))
+        .filter(F.col("rn") <= _RK)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_seen"), F.max("h").alias("hk"))
+    )
+    exact = (
+        du.select("day", "h", offsets)
+        .select(F.expr("date_add(day, o)").alias("w"), "h")
+        .groupBy("w")
+        .agg(F.countDistinct("h").alias("n_exact"))
+        .withColumnRenamed("w", "x_w")
+    )
+    est = F.when(
+        F.col("n_seen") < _RK, F.col("n_seen")
+    ).otherwise(
+        F.round(F.lit(_RK - 1) * F.lit(_KMV_SCALE) / F.col("hk"))
+        .cast("bigint")
+    ).cast("bigint")
+    return (
+        win_est.join(exact, F.col("w") == F.col("x_w"))
+        .crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("w") >= F.expr("date_add(mn, 6)"))
+            & (F.col("w") <= F.col("mx"))
+        )
+        .select(
+            F.col("w").alias("window_end"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            est.alias("n_est"),
+            F.round(
+                F.abs(est - F.col("n_exact")) * 1.0 / F.col("n_exact"), 6
+            ).alias("rel_err"),
+        )
+        .orderBy("window_end")
+    )
