@@ -487,3 +487,97 @@ def rolling_distinct_users_kmv(
         )
         .orderBy("window_end")
     )
+
+
+@workload(
+    "distinct_users_by_type_kmv",
+    oracle=f"""
+WITH du AS (
+  SELECT DISTINCT event_type,
+         ('0x'||substring(md5('u-' || CAST(user_id AS VARCHAR)),1,15))
+           ::BIGINT AS h
+  FROM events
+),
+kmin AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM du
+  ) WHERE rn <= {_RK}
+),
+est AS (
+  SELECT event_type, count(*) AS n_seen, max(h) AS hk
+  FROM kmin GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, count(*) AS n_exact FROM du GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(x.n_exact AS BIGINT) AS n_exact,
+       CAST(CASE WHEN e.n_seen < {_RK} THEN e.n_seen
+                 ELSE CAST(round(({_RK} - 1) * {_KMV_SCALE!r} / e.hk)
+                           AS BIGINT) END AS BIGINT) AS n_est,
+       ROUND(abs(CASE WHEN e.n_seen < {_RK} THEN e.n_seen
+                      ELSE CAST(round(({_RK} - 1) * {_KMV_SCALE!r} / e.hk)
+                                AS BIGINT) END - x.n_exact)
+             * 1.0 / x.n_exact, 6) AS rel_err
+FROM est e JOIN exact x ON x.event_type = e.event_type
+ORDER BY e.event_type
+""",
+)
+def distinct_users_by_type_kmv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group KMV: distinct users per event type from one sketch
+    pass — the GROUP BY x COUNT(DISTINCT y) shape that at scale
+    turns into a two-level shuffle (distinct pairs, then regroup);
+    the sketch caps every group's state at k = {_RK} hashes however
+    many users the group has, going exact below k. Per-group
+    relative error is part of the checked result, measured against
+    the exact pair-distinct count the sketch replaces.
+
+    Scale: identical partial-aggregation shape to
+    `approx_count_distinct`, materialized and restartable — per-group
+    sketches persist and merge with tomorrow's (see the rolling
+    7-day workload for the merge form)."""
+    from pyspark.sql import Window
+
+    du = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(
+                _cms_spark_hash("concat('u-', cast(user_id as string))")
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    wg = Window.partitionBy("event_type").orderBy("h")
+    est = (
+        du.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= _RK)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_seen"), F.max("h").alias("hk"))
+    )
+    exact = du.groupBy(F.col("event_type").alias("x_type")).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_est = F.when(
+        F.col("n_seen") < _RK, F.col("n_seen")
+    ).otherwise(
+        F.round(F.lit(_RK - 1) * F.lit(_KMV_SCALE) / F.col("hk"))
+        .cast("bigint")
+    ).cast("bigint")
+    return (
+        est.join(exact, F.col("event_type") == F.col("x_type"))
+        .select(
+            "event_type",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            n_est.alias("n_est"),
+            F.round(
+                F.abs(n_est - F.col("n_exact")) * 1.0 / F.col("n_exact"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
