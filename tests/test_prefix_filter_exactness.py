@@ -1,0 +1,23 @@
+"""The prefix-filter similarity join claims recall 1.0: its candidate
+pruning (rarest-shingle prefixes + the length filter) must lose
+NOTHING against the full inverted-index join. The shared DuckDB
+oracle already checks each against the same SQL; this pins the
+stronger engine-vs-engine statement directly — identical pair sets
+and identical Jaccard values, row for row."""
+
+from __future__ import annotations
+
+from datanika_core_spark.workloads import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_prefix_filter_equals_inverted_index(spark):
+    reg = load_all()
+    full = reg["dedup_ngram_jaccard"].fn(spark, SF).collect()
+    pref = reg["dedup_prefix_filter_join"].fn(spark, SF).collect()
+    as_set = lambda rows: {
+        (r.doc_a, r.doc_b, r.jaccard) for r in rows
+    }
+    assert as_set(pref) == as_set(full)
+    assert len(full) > 0  # the corpus has planted near-dups
