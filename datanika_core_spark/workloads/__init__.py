@@ -140,8 +140,11 @@ CHECK_FIRST = [
 
 
 def _recorded_names() -> set[str]:
-    """Workload names with a recorded driver CORRECTNESS row (any
-    round). Read from the repo root; missing/invalid files mean 'no
+    """Workload names with a PASSING driver CORRECTNESS row (any
+    round). A row counts as recorded only if it passed: no error and
+    no explicit mismatch — failed rows sink back into the un-recorded
+    pool so a fix gets re-checked in the very next round instead of
+    waiting behind the whole backlog. Missing/invalid files mean 'no
     rows yet', never an import error."""
     import json
     from pathlib import Path
@@ -150,9 +153,25 @@ def _recorded_names() -> set[str]:
     root = Path(__file__).resolve().parents[2]
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
-            names |= set(json.loads(f.read_text()))
+            data = json.loads(f.read_text())
         except Exception:
             continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                # legacy list-of-names format: treat as recorded
+                names.add(name)
+                continue
+            if row.get("err") is not None:
+                continue
+            if row.get("hash_match") is False:
+                continue
+            if row.get("rows_match") is False:
+                continue
+            if row.get("schema_match") is False:
+                continue
+            names.add(name)
     return names
 
 

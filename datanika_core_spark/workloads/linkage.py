@@ -118,12 +118,12 @@ SELECT coalesce(l.o_orderkey, r.o_orderkey) AS key,
             WHEN r.o_orderkey IS NULL THEN 'removed'
             ELSE 'changed' END AS status,
        CASE WHEN l.o_orderkey IS NULL OR r.o_orderkey IS NULL
-            THEN CAST([] AS VARCHAR[])
-            ELSE list_filter([
+            THEN ''
+            ELSE array_to_string(list_filter([
               {", ".join(
                   f"CASE WHEN NOT (l.{c} IS NOT DISTINCT FROM r.{c}) "
                   f"THEN '{c}' END" for c in _DIFF_COLS)}
-            ], x -> x IS NOT NULL) END AS changed_cols
+            ], x -> x IS NOT NULL), ',') END AS changed_cols
 FROM left_t l FULL OUTER JOIN right_t r USING (o_orderkey)
 WHERE l.o_orderkey IS NULL OR r.o_orderkey IS NULL
    OR {" OR ".join(
@@ -182,8 +182,13 @@ def table_diff_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(l_null, "added")
             .when(r_null, "removed")
             .otherwise("changed").alias("status"),
-            F.when(l_null | r_null, F.array().cast("array<string>"))
-            .otherwise(changed_cols).alias("changed_cols"),
+            # serialized (not array<string>): the driver harness
+            # canonicalizes via pandas factorize, which cannot hash
+            # list cells — a comma-joined string is order-stable
+            # (column order is the fixed _DIFF_COLS order both sides)
+            F.when(l_null | r_null, F.lit(""))
+            .otherwise(F.array_join(changed_cols, ","))
+            .alias("changed_cols"),
         )
         .orderBy("key")
     )
