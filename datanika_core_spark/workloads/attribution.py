@@ -474,34 +474,36 @@ _RFM_SPLIT = "2024-01-16 00:00:00"
     "rfm_segment_transitions",
     oracle=f"""
 WITH h1 AS (
-  SELECT user_id, sum(value) AS monetary
+  SELECT user_id,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
   FROM events
   WHERE event_type = 'purchase' AND ts < TIMESTAMP '{_RFM_SPLIT}'
   GROUP BY user_id
 ),
 h2 AS (
-  SELECT user_id, sum(value) AS monetary
+  SELECT user_id,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
   FROM events
   WHERE event_type = 'purchase' AND ts >= TIMESTAMP '{_RFM_SPLIT}'
   GROUP BY user_id
 ),
 t1 AS (
   SELECT user_id,
-         'T' || CAST(ntile(3) OVER (ORDER BY monetary DESC, user_id)
+         'T' || CAST(ntile(3) OVER (ORDER BY cents DESC, user_id)
                      AS VARCHAR) AS tier
   FROM h1
 ),
 t2 AS (
   SELECT user_id,
-         'T' || CAST(ntile(3) OVER (ORDER BY monetary DESC, user_id)
+         'T' || CAST(ntile(3) OVER (ORDER BY cents DESC, user_id)
                      AS VARCHAR) AS tier,
-         round(monetary, 2) AS monetary
+         cents
   FROM h2
 )
 SELECT coalesce(t1.tier, 'none') AS from_tier,
        coalesce(t2.tier, 'none') AS to_tier,
        CAST(count(*) AS BIGINT) AS n_users,
-       ROUND(sum(coalesce(t2.monetary, 0)), 2) AS revenue_h2
+       ROUND(sum(coalesce(t2.cents, 0)) / 100.0, 2) AS revenue_h2
 FROM t1 FULL OUTER JOIN t2 ON t1.user_id = t2.user_id
 GROUP BY from_tier, to_tier
 ORDER BY from_tier, to_tier
@@ -519,25 +521,29 @@ def rfm_segment_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id key — bucketed layouts share it); ntile windows run over
     USERS not events (swap for percentile_approx bucketing if the
     user dimension itself is huge, as rfm_segments documents); the
-    transition matrix is ≤ 4×4 rows. Per-user h2 monetary is rounded
-    BEFORE the final sum so both engines sum the same 2-dp multiset."""
+    transition matrix is ≤ 4×4 rows. Monetary is summed as BIGINT
+    cents (the module's convention) so the ntile ORDER BY ranks an
+    exact integer — a float sum's aggregation-order drift could
+    reorder near-tied users and flip tier assignments between
+    engines or reruns."""
     ev = t(spark, sf_dir, "events")
     split = F.lit(_RFM_SPLIT).cast("timestamp")
     purch = ev.filter(F.col("event_type") == "purchase")
 
     def half(cond, with_rev: bool):
         per_user = purch.filter(cond).groupBy("user_id").agg(
-            F.sum("value").alias("monetary")
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .alias("cents")
         )
         tier = F.concat(
             F.lit("T"),
             F.ntile(3)
-            .over(Window.orderBy(F.col("monetary").desc(), F.col("user_id")))
+            .over(Window.orderBy(F.col("cents").desc(), F.col("user_id")))
             .cast("string"),
         )
         cols = [F.col("user_id"), tier.alias("tier")]
         if with_rev:
-            cols.append(F.round("monetary", 2).alias("monetary"))
+            cols.append(F.col("cents"))
         return per_user.select(*cols)
 
     t1 = half(F.col("ts") < split, with_rev=False)
@@ -549,12 +555,12 @@ def rfm_segment_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select(
             F.coalesce(F.col("a.tier"), F.lit("none")).alias("from_tier"),
             F.coalesce(F.col("b.tier"), F.lit("none")).alias("to_tier"),
-            F.coalesce(F.col("b.monetary"), F.lit(0.0)).alias("m2"),
+            F.coalesce(F.col("b.cents"), F.lit(0)).alias("m2"),
         )
         .groupBy("from_tier", "to_tier")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_users"),
-            F.round(F.sum("m2"), 2).alias("revenue_h2"),
+            F.round(F.sum("m2") / 100.0, 2).alias("revenue_h2"),
         )
         .orderBy("from_tier", "to_tier")
     )

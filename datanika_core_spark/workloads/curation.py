@@ -707,10 +707,11 @@ def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("weight").over(wcum).alias("c"),
         F.sum("weight").over(wall).alias("total"),
     )
-    hi = (F.col("c") * _PPS_N / F.col("total")).cast("bigint")
-    lo = (
-        (F.col("c") - F.col("weight")) * _PPS_N / F.col("total")
-    ).cast("bigint")
+    # `div` is true integral division — a double `/` then cast can
+    # flip the floor by a half-ulp once c*n nears 2^53 and silently
+    # change sample membership vs the integer-`//` oracle
+    hi = F.expr(f"(c * {_PPS_N}) div total")
+    lo = F.expr(f"((c - weight) * {_PPS_N}) div total")
     return (
         cum.filter(hi > lo)
         .select("doc_id", "weight", (hi - lo).alias("n_hits"))

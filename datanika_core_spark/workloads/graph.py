@@ -361,10 +361,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("d1", "d2").alias("b"),
         )
     )
-    # Closure probe: broadcast the canonical edge list (8+8 bytes a
-    # row — tens of MB up to ~10^8 edges) so the wedge stream — the
-    # big side by construction — never shuffles. Past broadcast size,
-    # drop the hint and AQE falls back to a shuffled hash join.
+    # Closure probe: broadcast the canonical edge list (16 bytes a
+    # row — tens-to-hundreds of MB at ~10^6–10^7 edges, the sane
+    # broadcast ceiling) so the wedge stream — the big side by
+    # construction — never shuffles. Past ~10^7 edges, drop the hint
+    # and AQE falls back to a shuffled hash join.
     tri = wedges.join(
         F.broadcast(edges),
         (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),

@@ -227,14 +227,26 @@ def psi_event_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: boundaries are nine exact deciles of the reference half
     (percentile_approx at real scale — the same trade documented for
-    the percentile filters), rounded to 6 dp and entering both
-    engines' plans as literals; each half then bins map-side and
+    the percentile filters), snapped half-away-from-zero to 6 dp
+    (DuckDB's round() convention — NOT Python's half-even round())
+    and entering both engines' plans as literals; each half then
+    bins map-side and
     aggregates to 10 rows. Terms sum in integer 1e-8 units."""
+    import math
+
     ev = t(spark, sf_dir, "events")
     split = F.lit(_PSI_SPLIT).cast("timestamp")
     h1 = ev.filter(F.col("ts") < split).select(F.col("value").alias("v"))
     h2 = ev.filter(F.col("ts") >= split).select(F.col("value").alias("v"))
-    qs = [round(b, _PSI_ROUND) for b in h1.agg(
+
+    def _snap(b: float) -> float:
+        # half-AWAY-from-zero in integer micro-units, matching DuckDB
+        # round(); Python round() is half-even and can emit a
+        # different literal when a decile lands on a 1e-6 midpoint
+        unit = 10 ** _PSI_ROUND
+        return math.copysign(math.floor(abs(b) * unit + 0.5), b) / unit
+
+    qs = [_snap(b) for b in h1.agg(
         F.expr(
             "percentile(v, array(0.1, 0.2, 0.3, 0.4, 0.5,"
             " 0.6, 0.7, 0.8, 0.9))"
