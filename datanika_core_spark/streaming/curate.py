@@ -73,6 +73,29 @@ def _batch_quality_gate(batch: DataFrame, min_tokens: int,
     )
 
 
+def _candidate_old_shingles(old_texts: DataFrame,
+                            cand: DataFrame) -> DataFrame:
+    """Shingle the old/corpus side of exact verification, pruned
+    FIRST to candidate ``doc_old`` ids: the stored corpus is
+    semi-joined down to band-colliding ids *before* ``with_shingles``
+    runs, so the per-batch plan never computes a shingle projection
+    over corpus rows outside the candidate set (the semi join sits
+    BELOW the shingle projection — tests/test_stream_curate.py pins
+    that plan shape). At 100 TB this is the difference between
+    re-shingling the whole corpus every micro-batch and paying only
+    for collisions."""
+    cand_old_ids = cand.select(
+        F.col("doc_old").alias("doc_id")
+    ).distinct()
+    pruned = old_texts.join(
+        F.broadcast(cand_old_ids), "doc_id", "left_semi"
+    )
+    return with_shingles(pruned).select(
+        F.col("doc_id").alias("doc_old"),
+        F.col("shingles").alias("sh_old"),
+    )
+
+
 def stream_curate(
     spark: SparkSession,
     source_path: str,
@@ -157,7 +180,10 @@ def stream_curate(
 
         # exact-Jaccard verification: new side shingles are in-batch;
         # old side from the corpus table (or the batch, for intra
-        # pairs), semi-pruned to candidate ids
+        # pairs). The stored corpus is semi-joined down to candidate
+        # doc_old ids BEFORE with_shingles, so shingling cost is
+        # proportional to band collisions — never a full-corpus
+        # re-shingle per micro-batch.
         new_sh = batch_sigs.select(
             F.col("doc_id").alias("doc_new"),
             F.col("shingles").alias("sh_new"),
@@ -167,10 +193,7 @@ def stream_curate(
             old_texts = old_texts.unionByName(
                 spark.table(corpus_table).select("doc_id", "text")
             )
-        old_sh = with_shingles(old_texts).select(
-            F.col("doc_id").alias("doc_old"),
-            F.col("shingles").alias("sh_old"),
-        )
+        old_sh = _candidate_old_shingles(old_texts, cand)
         verified = (
             cand.join(new_sh, "doc_new")
             .join(old_sh, "doc_old")
@@ -187,14 +210,24 @@ def stream_curate(
             )
             .filter(F.col("jac") >= threshold)
         )
-        rejected = [
-            r.doc_new
-            for r in verified.select("doc_new").distinct().collect()
-        ]
+        # materialize the rejected-id frame ONCE; the kept-side prune
+        # is a broadcast anti-join on it (no collect()-ed literals in
+        # the plan — a dup-heavy batch can't blow up the predicate
+        # tree). The collect below is accounting only, bounded by the
+        # micro-batch size.
+        rejected_df = (
+            verified.select("doc_new").distinct()
+            .localCheckpoint(eager=True)
+        )
+        rejected = sorted(r.doc_new for r in rejected_df.collect())
         stats.dropped_dup += len(rejected)
-        stats.rejected_ids.extend(sorted(rejected))
+        stats.rejected_ids.extend(rejected)
 
-        kept = clean.filter(~F.col("doc_id").isin(rejected)) if rejected else clean
+        kept = clean.join(
+            F.broadcast(rejected_df.withColumnRenamed("doc_new", "doc_id")),
+            "doc_id",
+            "left_anti",
+        )
         mode = (
             "append"
             if spark.catalog.tableExists(corpus_table)

@@ -107,15 +107,19 @@ def stream_embed_ingest(
         dups = dup_sets[0]
         for d in dup_sets[1:]:
             dups = dups.unionByName(d)
-        rejected = sorted(
-            r.new_id for r in dups.distinct().collect()
-        )
+        # materialize the dup-id frame once; survivors prune via a
+        # broadcast anti-join (no collect()-ed isin literals in the
+        # plan). The collect is accounting only, micro-batch-bounded.
+        dups_df = dups.distinct().localCheckpoint(eager=True)
+        rejected = sorted(r.new_id for r in dups_df.collect())
         stats.rejected_dup += len(rejected)
         stats.rejected_ids.extend(rejected)
 
-        survivors = assigned.select("vec_id", "v")
-        if rejected:
-            survivors = survivors.filter(~F.col("vec_id").isin(rejected))
+        survivors = assigned.select("vec_id", "v").join(
+            F.broadcast(dups_df.withColumnRenamed("new_id", "vec_id")),
+            "vec_id",
+            "left_anti",
+        )
         stats.loaded += store.update(survivors)
 
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_embed_")

@@ -100,6 +100,40 @@ def test_stream_curate_cross_batch_dedup(spark, tmp_path):
     assert corpus.filter("doc_id >= 10000").count() == 0
 
 
+def test_verification_shingles_only_candidate_ids(spark):
+    """The exact-verification plan must NOT re-shingle the stored
+    corpus: the candidate-id semi join has to sit BELOW the shingle
+    projection, so only band-colliding rows are shingled. In the
+    top-down optimized-plan print, the parent prints first — the
+    shingle expression (concat_ws trigram) must therefore appear
+    BEFORE the LeftSemi join node, never after it (after would mean
+    shingles are computed on the corpus scan under the join)."""
+    from datanika_core_spark.streaming.curate import (
+        _candidate_old_shingles,
+    )
+
+    docs = read_table(spark, f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    cand = spark.createDataFrame(
+        [(100, 3), (101, 7)], "doc_new bigint, doc_old bigint"
+    )
+    out = _candidate_old_shingles(docs, cand)
+
+    # semantics: exactly the candidate old ids, shingled
+    rows = {r.doc_old for r in out.select("doc_old").collect()}
+    assert rows == {3, 7}
+
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
+    shingle_pos = plan.index("concat_ws")
+    semi_pos = plan.index("LeftSemi")
+    assert shingle_pos < semi_pos, (
+        "shingle projection must be ABOVE the candidate semi join "
+        "(corpus rows outside candidates must not be shingled)"
+    )
+
+
 def test_stream_decontaminate_matches_batch_twin(spark, tmp_path):
     """Stream-static anti-join drops exactly the docs the batch
     decontamination workload flags (same corpus, same bench set)."""
