@@ -11,9 +11,10 @@ combiner groupBy; that is the scale story and it never changes.
 
 Determinism:
 - daily values aggregate in integer cents;
-- EWMA uses α = 1/2, so every weight 0.5^k is an exact dyadic
-  double and per-day weighted sums accumulate in integer 1e-6
-  units — bit-identical across engines;
+- EWMA uses α = 1/2 and runs as the literal recurrence
+  s = (x + s)/2 through one shared recursive-CTE fragment, so both
+  engines (and the streaming ValueState twin) execute an identical
+  IEEE op sequence — bit-exact, no snapping;
 - CUSUM is computed in cent·n units (n·x_j − Σx), which keeps the
   entire statistic in BIGINT arithmetic until the final display
   division.
@@ -54,90 +55,67 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# The recurrence body is ONE shared SQL fragment: both engines (Spark
+# runs it via WITH RECURSIVE too — Spark 4 supports recursive CTEs)
+# walk the IDENTICAL IEEE op sequence seed s=x, step s=(x+s)/2, so
+# batch, oracle, AND the ValueState streaming twin agree bit-for-bit
+# before display rounding — the same convention events_holt_linear
+# established (a prior closed-form Σ0.5^k·x_j formulation needed
+# per-term 1e-4 snapping for cross-engine order-independence, which
+# put the stream 1e-3 away from the batch; the recurrence form needs
+# no snapping at all).
+_EWMA_RECURRENCE = """
+idx AS (
+  SELECT event_type, day, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+),
+r AS (
+  SELECT event_type, day, i, cents, CAST(cents AS DOUBLE) AS s
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT n.event_type, n.day, n.i, n.cents, (n.cents + h.s) / 2
+  FROM idx n JOIN r h
+    ON n.event_type = h.event_type AND n.i = h.i + 1
+)
+SELECT event_type, day,
+       ROUND(CAST(cents AS DOUBLE) / 100, 2) AS value,
+       ROUND(s / 100, 4) AS ewma
+FROM r
+ORDER BY event_type, day
+"""
+# NB: no bare `x / 100.0` in the shared fragment — Spark SQL parses
+# the literal 100.0 as DECIMAL(4,1) (the DataFrame API's Python float
+# is a double), which would emit a DECIMAL column and break both the
+# schema parity and the IEEE-identity argument.
+
+
 @workload(
     "events_ewma_daily",
     oracle=f"""
-WITH daily AS ({_O_DAILY}),
-idx AS (
-  SELECT event_type, day, cents,
-         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
-           AS tt
-  FROM daily
-),
-terms AS (
-  SELECT cur.event_type, cur.day, cur.cents, cur.tt,
-         prev.cents * CASE WHEN prev.tt = 0
-                           THEN power(0.5, cur.tt)
-                           ELSE power(0.5, cur.tt - prev.tt + 1) END
-           AS w_cents
-  FROM idx cur
-  JOIN idx prev
-    ON prev.event_type = cur.event_type AND prev.tt <= cur.tt
-)
-SELECT event_type, day,
-       ROUND(max(cents) / 100.0, 2) AS value,
-       ROUND(sum(CAST(round(w_cents * 10000) AS BIGINT))
-             / 10000.0 / 100.0, 4) AS ewma
-FROM terms
-GROUP BY event_type, day
-ORDER BY event_type, day
+WITH RECURSIVE daily AS ({_O_DAILY}),
+{_EWMA_RECURRENCE}
 """,
 )
 def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average (α = ½) of daily value
     per event type — the smoothing baseline dashboards draw and
-    alert thresholds reference. α = ½ makes every weight an exact
-    power of two, so the closed form s_t = Σ_j w(j,t)·x_j (w = 0.5^
-    (t−j+1), seed day keeping 0.5^t) reproduces the recurrence
-    bit-exactly on both engines; weighted terms sum in integer 1e-6
-    units.
+    alert thresholds reference. Computed as the literal recurrence
+    s_t = (x_t + s_{{t-1}})/2 via a recursive CTE — the SAME SQL
+    fragment the DuckDB oracle runs — so both engines and the
+    ValueState streaming twin (streaming_ewma) execute an identical
+    IEEE operation sequence: parity is exact equality after display
+    rounding, no tolerance (tests/test_stream_ewma.py).
 
     Scale: the event-scale work is ONE combiner groupBy to the
-    daily grid; the triangular self-join runs on |types|×|days|²
-    rows — thousands, at any corpus size. Streaming twin: the same
-    recurrence is one ValueState per type."""
+    daily grid; the recursion iterates |days| steps over the tiny
+    |types|×|days| frame — thousands of rows at any corpus size
+    (same cost model as events_holt_linear's per-key fold)."""
     daily = _daily(spark, sf_dir)
-    idx = daily.withColumn(
-        "tt",
-        F.row_number().over(
-            Window.partitionBy("event_type").orderBy("day")
-        )
-        - 1,
-    )
-    cur = idx.select(
-        "event_type", "day", "cents", F.col("tt").alias("t_cur")
-    )
-    prev = idx.select(
-        F.col("event_type").alias("p_type"),
-        F.col("cents").alias("p_cents"),
-        F.col("tt").alias("t_prev"),
-    )
-    w = F.when(
-        F.col("t_prev") == 0, F.pow(F.lit(0.5), F.col("t_cur"))
-    ).otherwise(F.pow(F.lit(0.5), F.col("t_cur") - F.col("t_prev") + 1))
-    terms = (
-        cur.join(
-            prev,
-            (F.col("p_type") == F.col("event_type"))
-            & (F.col("t_prev") <= F.col("t_cur")),
-        )
-        .select(
-            "event_type", "day", "cents",
-            (F.col("p_cents") * w).alias("w_cents"),
-        )
-    )
-    return (
-        terms.groupBy("event_type", "day")
-        .agg(
-            F.round(F.max("cents") / 100.0, 2).alias("value"),
-            F.round(
-                F.sum(F.round(F.col("w_cents") * 10000).cast("bigint"))
-                / 10000.0
-                / 100.0,
-                4,
-            ).alias("ewma"),
-        )
-        .orderBy("event_type", "day")
+    daily.createOrReplaceTempView("__ewma_daily_v")
+    return spark.sql(
+        "WITH RECURSIVE daily AS"
+        " (SELECT * FROM __ewma_daily_v),\n" + _EWMA_RECURRENCE
     )
 
 

@@ -33,7 +33,10 @@ BNL_ALLOWED = {"knn_cosine_topk", "bm25_topk_docs",
                "hybrid_search_rrf",
                # three 1-row summary frames (counts, triangles, open
                # triads) cross-joined for the single output row
-               "graph_triangle_count"}
+               "graph_triangle_count",
+               # same shape: 1-row sampled-count/triangles/shared-edge
+               # frames cross-joined for the single output row
+               "graph_triangle_doulion"}
 
 # queries whose plan must contain dimension broadcasts
 MUST_BROADCAST = {

@@ -21,3 +21,17 @@ def test_prefix_filter_equals_inverted_index(spark):
     }
     assert as_set(pref) == as_set(full)
     assert len(full) > 0  # the corpus has planted near-dups
+
+
+def test_ppjoin_positional_equals_inverted_index(spark):
+    """PPJoin's positional filter prunes candidates, never results:
+    the verified pair set must still equal the full inverted-index
+    join (and hence the AllPairs prefix join) exactly."""
+    reg = load_all()
+    full = reg["dedup_ngram_jaccard"].fn(spark, SF).collect()
+    pp = reg["dedup_ppjoin_positional"].fn(spark, SF).collect()
+    as_set = lambda rows: {
+        (r.doc_a, r.doc_b, r.jaccard) for r in rows
+    }
+    assert as_set(pp) == as_set(full)
+    assert len(full) > 0

@@ -37,24 +37,30 @@ def staged_daily(spark, tmp_path_factory):
     return d
 
 
-def test_streaming_ewma_matches_batch_closed_form(spark, staged_daily):
+def test_streaming_ewma_matches_batch_recurrence(spark, staged_daily):
     sdf = read_event_stream(spark, staged_daily, max_files_per_trigger=1)
     out = streaming_ewma(sdf, key="event_type", order_col="day",
                          value_col="cents")
     run_available_now_to_memory(out, "t_ewma", output_mode="append")
+    # round IN SPARK on both comparison sides (the Holt convention,
+    # tests/test_stream_holt.py): the batch recursive CTE and the
+    # ValueState recurrence run the identical IEEE sequence
+    # s = (x + s)/2, so after identical rounding they are EQUAL —
+    # no tolerance
     got = {
         (r.event_type, str(r.day)): (r.value, r.ewma)
-        for r in spark.table("t_ewma").collect()
+        for r in spark.table("t_ewma").select(
+            "event_type", "day",
+            F.round("value", 2).alias("value"),
+            F.round("ewma", 4).alias("ewma"),
+        ).collect()
     }
 
     batch = load_all()["events_ewma_daily"].fn(spark, SF).collect()
     assert len(got) == len(batch) and len(batch) > 0
     for r in batch:
         sv, se = got[(r.event_type, str(r.day))]
-        assert sv == pytest.approx(r.value, abs=1e-6)
-        # batch snaps weighted terms at 1e-4 cents; the stream carries
-        # the exact dyadic recurrence -> equal to well under a cent
-        assert se == pytest.approx(r.ewma, abs=1e-3)
+        assert (sv, se) == (r.value, r.ewma), (r.event_type, r.day)
 
     # the late-half days MUST have been smoothed against early-half
     # state (a fresh-seeded second batch would restart at value)
