@@ -84,6 +84,44 @@ class RunLedger:
         self._journal(run)
         return run
 
+    def active_runs(self, target_type: str,
+                    target_id: str) -> list[Run]:
+        """Runs currently PENDING or RUNNING for a target."""
+        return [
+            r for r in self.runs_for(target_type, target_id)
+            if r.status in (RunStatus.PENDING, RunStatus.RUNNING)
+        ]
+
+    def create_exclusive(self, target_type: str,
+                         target_id: str) -> tuple[Run, bool]:
+        """Create a run ONLY IF no run is already active (PENDING/
+        RUNNING) for the same target — the dispatch-time guard that
+        keeps two colliding schedules from racing one target table
+        with concurrent writes. The loser is still journaled (full
+        audit trail) but lands directly in CANCELLED with the skip
+        reason in ``error``; it never transitions to RUNNING, so it
+        can never reach a writer. Returns ``(run, acquired)``.
+
+        The in-memory dict is the serialization point here; a
+        multi-scheduler deployment puts the same check inside one
+        transactional INSERT ... WHERE NOT EXISTS against the
+        journal table (append-only, so the guard is a single
+        conditional append — no read-modify-write)."""
+        existing = self.active_runs(target_type, target_id)
+        run = Run(next(self._ids), target_type, str(target_id))
+        self._runs[run.run_id] = run
+        if existing:
+            run.status = RunStatus.CANCELLED
+            run.finished_at = _now()
+            run.error = (
+                f"skipped: run {existing[0].run_id} already active"
+                f" for {target_type}:{target_id}"
+            )
+            self._journal(run)
+            return run, False
+        self._journal(run)
+        return run, True
+
     def start(self, run_id: int) -> Run:
         run = self._get(run_id)
         if run.status != RunStatus.PENDING:

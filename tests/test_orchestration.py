@@ -358,3 +358,70 @@ def test_backfill_windows_bound():
             dt.datetime(2024, 3, 1),
             max_windows=100,
         )
+
+
+# -- O1+O2 seam: two schedules racing one target table ----------------------
+
+
+def test_concurrent_schedule_collision(spark):
+    """Two schedules fire in the same minute for the SAME target
+    table. The dispatch-time exclusivity guard must let exactly one
+    through: the loser is journaled CANCELLED with a skip reason and
+    never reaches a writer, so the target ends up exactly as a
+    single run would leave it — queued/skipped, never corrupt."""
+    from datanika_core_spark.operators.writers import TableWriter
+
+    table = "default.collision_t"
+    drop_table(spark, table)
+    writer = TableWriter(spark)
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, v string"
+    )
+    writer.write(base, table, "replace")
+
+    loop = SchedulerLoop()
+    loop.add(Schedule.create("transformation", table, "* * * * *"))
+    loop.add(Schedule.create("transformation", table, "* * * * *"))
+    fired = loop.due(dt.datetime(2024, 3, 1, 12, 0, tzinfo=UTC))
+    assert len(fired) == 2  # both are due — the ledger must arbitrate
+
+    ledger = RunLedger()
+    batch = spark.createDataFrame(
+        [(2, "b2"), (3, "c")], "id bigint, v string"
+    )
+
+    # dispatch both while neither has finished: the race window
+    runs = [
+        ledger.create_exclusive(s.target_type, s.target_id)
+        for s in fired
+    ]
+    winners = [r for r, acquired in runs if acquired]
+    losers = [r for r, acquired in runs if not acquired]
+    assert len(winners) == 1 and len(losers) == 1
+
+    loser = losers[0]
+    assert loser.status is RunStatus.CANCELLED
+    assert loser.error and loser.error.startswith("skipped: run")
+    # a skipped run can never transition to RUNNING (writer-proof)
+    with pytest.raises(ValidationError):
+        ledger.start(loser.run_id)
+
+    win = winners[0]
+    ledger.start(win.run_id)
+    res = writer.write(batch, table, "merge", primary_key="id")
+    ledger.complete(win.run_id, rows_loaded=res.rows_loaded)
+
+    got = {
+        (r.id, r.v) for r in spark.table(table).collect()
+    }
+    assert got == {(1, "a"), (2, "b2"), (3, "c")}  # one clean merge
+
+    # once the winner finished, the next dispatch acquires normally
+    rerun, acquired = ledger.create_exclusive("transformation", table)
+    assert acquired and rerun.status is RunStatus.PENDING
+
+    statuses = sorted(
+        r.status.value for r in ledger.runs_for("transformation", table)
+    )
+    assert statuses == ["cancelled", "pending", "success"]
+    drop_table(spark, table)
