@@ -420,3 +420,101 @@ def streaming_holt(
         _holt, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming Holt-Winters: per-key (level, trend, 7-slot seasonal ring).
+# --------------------------------------------------------------------------
+
+
+def streaming_holt_winters(
+    sdf: DataFrame,
+    key: str = "event_type",
+    order_col: str = "day",
+    value_col: str = "cents",
+    period: int = 7,
+) -> DataFrame:
+    """Streaming twin of ``events_holt_winters_weekly``: level, trend
+    and the ``period``-slot seasonal ring carried in ONE ValueState
+    row per key. The first ``period`` arrivals only accumulate a
+    burn-in buffer (emitting nothing — the batch workload's output
+    also starts after the seed week); the ``period``-th arrival
+    initializes l = mean(buffer) (integer sum, then one /period
+    divide — the batch fold's exact op order), b = 0 and
+    s_i = x_i − l, and every later arrival applies the α=β=γ=½
+    recurrence and rotates the ring. Identical IEEE sequence to the
+    batch applyInPandas fold, so parity is exact equality after
+    Spark-side rounding (tests/test_stream_holt_winters.py) — the
+    same convention as streaming_holt / streaming_ewma.
+
+    State size is 3 + period doubles per key — watermark-free
+    (NoTimeout) because keys are the small event-type dimension; for
+    an unbounded key space attach a timeout like the session twin."""
+    out_schema = StructType.fromDDL(
+        f"{key} string, {order_col} date, value double, level double,"
+        " trend double, seasonal double, forecast_next double"
+    )
+    state_schema = StructType.fromDDL(
+        "l double, b double, s array<double>, buf array<bigint>,"
+        " seeded boolean"
+    )
+
+    def _hw(
+        key_tuple: Any,
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.exists:
+            l, b, s, buf, seeded = state.get
+            s = list(s) if s is not None else []
+            buf = list(buf) if buf is not None else []
+        else:
+            l, b, s, buf, seeded = 0.0, 0.0, [], [], False
+        rows = pd.concat(list(batches), ignore_index=True)
+        if not len(rows):
+            return
+        rows = rows.sort_values(order_col)
+        out = {"ord": [], "val": [], "l": [], "b": [], "sn": [], "f": []}
+        for _, r in rows.iterrows():
+            xi = int(r[value_col])
+            x = float(xi)
+            if not seeded:
+                buf.append(xi)
+                if len(buf) == period:
+                    # batch parity: integer sum, ONE float divide
+                    l = sum(buf) / float(period)
+                    b = 0.0
+                    s = [float(v) - l for v in buf]
+                    buf = []
+                    seeded = True
+                continue
+            l_new = 0.5 * (x - s[0]) + 0.5 * (l + b)
+            b = 0.5 * (l_new - l) + 0.5 * b
+            l = l_new
+            s_new = 0.5 * (x - l_new) + 0.5 * s[0]
+            s = s[1:] + [s_new]
+            out["ord"].append(r[order_col])
+            out["val"].append(x / 100.0)
+            out["l"].append(l / 100.0)
+            out["b"].append(b / 100.0)
+            out["sn"].append(s_new / 100.0)
+            out["f"].append((l + b + s[0]) / 100.0)
+        state.update((l, b, s, buf, seeded))
+        if not out["ord"]:
+            return
+        yield pd.DataFrame({
+            key: key_tuple[0],
+            order_col: out["ord"],
+            "value": out["val"],
+            "level": out["l"],
+            "trend": out["b"],
+            "seasonal": out["sn"],
+            "forecast_next": out["f"],
+        })
+
+    return sdf.groupBy(key).applyInPandasWithState(
+        _hw, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )
