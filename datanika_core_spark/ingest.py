@@ -71,11 +71,19 @@ class IngestionJob:
                     disposition = "append"
                     pk = None
 
+            precedence = None
             if spec.incremental is not None and spec.mode == "single_table":
                 inc = apply_incremental(
                     df, spec.incremental, self.state, dataset, batch.name
                 )
                 df, commit = inc.df, inc.commit
+                # The cursor is the batch's natural precedence: a
+                # catch-up run spanning several source days re-extracts
+                # MULTIPLE versions of the same primary key in one
+                # batch, and the merge must keep only the newest-cursor
+                # row (dlt's last-value-wins; pinned by the restore-
+                # from-backup seam test in tests/test_elt_scenario.py).
+                precedence = inc.cursor_column
             else:
                 commit = None
 
@@ -86,6 +94,7 @@ class IngestionJob:
                 disposition=disposition,
                 primary_key=pk,
                 contract=spec.schema_contract,
+                precedence_col=precedence,
             )
             results.append(res)
             if commit is not None:

@@ -422,3 +422,112 @@ def test_backfill_catchup_replays_missed_windows(scenario):
         now=last.finished_at + dt.timedelta(hours=1),
     )
     assert ok.satisfied
+
+
+# -- seam: restore-from-backup, then incremental catch-up -------------------
+
+RESTORE_DAY3 = [
+    (5, 11, "refunded", 40.0, "2024-03-03 07:30:00"),
+    (6, 13, "open", 15.0, "2024-03-03 09:00:00"),
+]
+
+
+def test_restore_from_backup_then_incremental_catchup(
+    spark, tmp_path_factory
+):
+    """Disaster-recovery seam: the CONFIG backup restores connections/
+    uploads (secrets masked), the WAREHOUSE restores from a stale
+    snapshot, and the cursor store is gone. Recovery procedure: re-
+    seed the cursor from max(cursor) of the RESTORED table, then run
+    a normal incremental ingest. The merge disposition absorbs the
+    re-extracted overlap between the stale snapshot and the lost
+    high-water mark, so the catch-up run converges to exactly the
+    no-disaster state — nothing duplicated, nothing skipped."""
+    from datanika_core_spark.orchestration.backup import (
+        MASK,
+        export_backup,
+        import_backup,
+    )
+
+    tmp = tmp_path_factory.mktemp("restore_seam")
+    engine = EngineSession(spark)
+    engine.drop_database("restore_land")
+    state = CursorStateStore(str(tmp / "cursors.json"))
+    job = IngestionJob(engine, state)
+    spec = UploadSpec.from_config("Restore Land", SPEC)
+
+    def ingest(rows):
+        return job.run(
+            spec,
+            _ListSource(TableBatch("purchases", _purchases(spark, rows))),
+        )
+
+    # normal life: two daily ingests
+    ingest(DAY1)
+    ingest(DAY1 + DAY2_CHANGES)
+    assert spark.table("restore_land.purchases").count() == 5
+
+    # config backup taken while healthy
+    conns = [{"name": "src_pg", "type": "postgres",
+              "direction": "source",
+              "config": {"host": "h", "password": "hunter2"}}]
+    uploads = [{"name": "Restore Land", "source_connection": "src_pg",
+                "destination_connection": "wh", "dlt_config": SPEC}]
+    payload = export_backup(conns, uploads)
+
+    # disaster: warehouse AND cursor state are lost
+    engine.drop_database("restore_land")
+    state.clear("restore_land", "purchases")
+    assert state.get("restore_land", "purchases") is None
+
+    # restore configs (secrets come back masked — re-keyed by an
+    # operator, not round-tripped) ...
+    restored = import_backup(payload,
+                             existing_connections=[{"name": "wh"}])
+    assert restored["uploads"][0]["name"] == "Restore Land"
+    assert restored["connections"][0]["config"]["password"] == MASK
+    r_spec = UploadSpec.from_config(
+        restored["uploads"][0]["name"],
+        restored["uploads"][0]["dlt_config"],
+    )
+    assert r_spec.incremental is not None  # cursor config survived
+
+    # ... and the warehouse from LAST NIGHT's snapshot: day-1 only
+    engine.ensure_database("restore_land")
+    _purchases(spark, DAY1).write.saveAsTable("restore_land.purchases")
+
+    # cursor re-seed FROM THE RESTORED DATA — never from a stale
+    # state file (which could be newer than the restored table and
+    # would silently skip the gap)
+    hwm = (
+        spark.table("restore_land.purchases")
+        .agg(F.max("updated").alias("m")).collect()[0].m
+    )
+    state.set("restore_land", "purchases", hwm.isoformat())
+
+    # catch-up: the source now holds the full history incl. day 3
+    res = job.run(
+        spec,
+        _ListSource(TableBatch(
+            "purchases",
+            _purchases(spark, DAY1 + DAY2_CHANGES + RESTORE_DAY3),
+        )),
+    )
+    # re-extracts everything past the RESTORED watermark — the day-2
+    # overlap plus day 3 — and the cursor-precedence dedup collapses
+    # the two extracted versions of id 5 before the merge: 4 land
+    assert res.rows_loaded == 4
+
+    got = {
+        (r.id, r.status)
+        for r in spark.table("restore_land.purchases").collect()
+    }
+    assert got == {
+        (1, "open"), (2, "paid"), (3, "paid"), (4, "open"),
+        (5, "refunded"), (6, "open"),
+    }
+    # cursor advanced to the day-3 high-water mark: the NEXT run
+    # extracts nothing
+    res2 = ingest(DAY1 + DAY2_CHANGES + RESTORE_DAY3)
+    assert res2.rows_loaded == 0
+    engine.drop_database("restore_land")
