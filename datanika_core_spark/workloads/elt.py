@@ -363,3 +363,84 @@ def ivm_additive_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("avg_value"),
     ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------------
+# Incremental view maintenance of a JOIN view (delta rules, both sides).
+# --------------------------------------------------------------------------
+
+_IVMJ_CUT = "1996-01-01"   # orders delta: o_orderdate >= cut
+_IVMJ_NEWC = 5             # customer delta: c_custkey % 5 == 0
+
+
+@workload(
+    "ivm_join_delta",
+    oracle=f"""
+SELECT c.c_nationkey AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       ROUND(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+         AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY nationkey
+ORDER BY nationkey
+""",
+)
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view with deltas on BOTH
+    sides — the delta-rule decomposition (Griffin & Libkin / the
+    classic bag-algebra change propagation): with A = A₀ ∪ ΔA
+    (orders split at an ingest cut) and B = B₀ ∪ ΔB (customers,
+    every 5th key arriving 'late'),
+
+        agg(A ⋈ B) = agg(A₀⋈B₀) ⊎ agg(ΔA⋈B₀) ⊎ agg(A₀⋈ΔB)
+                     ⊎ agg(ΔA⋈ΔB)
+
+    — the stored state plus three delta legs, merged by key-wise
+    addition (count/cent-sum form an abelian group, the same
+    never-store-averages rule as ivm_additive_rollup). The oracle
+    recomputes the view from scratch, so the driver's hash-equality
+    IS the maintenance-correctness property, checked at every run.
+
+    Scale: the refresh cost is the three delta legs — ΔA⋈B₀ probes
+    the dimension (broadcast for a dim that fits, else a shuffle of
+    ΔA only), ΔA⋈ΔB is delta-sized, and A₀⋈ΔB is the one leg that
+    rescans old facts: it prunes to the ΔB keys via a broadcast
+    semi-join, and a fact table bucketed on the join key turns it
+    into a per-bucket probe — the reason fact tables bucket by
+    foreign key. No leg ever recomputes A₀⋈B₀; the state table is
+    |groups| rows."""
+    cents = F.sum(
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+    ).alias("cents")
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    cut = F.lit(_IVMJ_CUT).cast("date")
+    a0 = orders.filter(F.col("o_orderdate") < cut)
+    da = orders.filter(F.col("o_orderdate") >= cut)
+    b0 = cust.filter(F.col("c_custkey") % _IVMJ_NEWC != 0)
+    db = cust.filter(F.col("c_custkey") % _IVMJ_NEWC == 0)
+
+    def leg(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.join(F.broadcast(b), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(F.count(F.lit(1)).alias("n"), cents)
+        )
+
+    state = leg(a0, b0)          # materialized before the cut
+    legs = state.unionByName(leg(da, b0)) \
+                .unionByName(leg(a0, db)) \
+                .unionByName(leg(da, db))
+    merged = legs.groupBy("nationkey").agg(
+        F.sum("n").alias("n"), F.sum("cents").alias("cents")
+    )
+    return merged.select(
+        "nationkey",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+    ).orderBy("nationkey")

@@ -771,3 +771,112 @@ def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, p, round(q, 10)) for i, (p, q) in enumerate(top)],
         "rank int, piece string, prob double",
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-flattened mixture resampling (UNIMAX/multinomial-style).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "mixture_resample_temperature",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n,
+         CAST(round(sqrt(n) * 1000) AS BIGINT) AS wi
+  FROM counts
+),
+tot AS (
+  SELECT sum(wi) AS sw, CAST(sum(n) // 2 AS BIGINT) AS budget FROM w
+),
+quota AS (
+  SELECT source, n, wi,
+         least(n, (t.budget * wi) // t.sw) AS q,
+         least(CAST(1000000 AS BIGINT),
+               ((t.budget * wi) // t.sw) * 1000000 // n) AS thresh_ppm
+  FROM w CROSS JOIN tot t
+)
+SELECT q.source,
+       CAST(q.n AS BIGINT) AS n_docs,
+       CAST(q.q AS BIGINT) AS quota,
+       ROUND(q.thresh_ppm / 1000000.0, 6) AS keep_rate,
+       CAST((
+         SELECT count(*) FROM documents d
+         WHERE d.source = q.source
+           AND {_O_HASH.format(x="'mixT-' || CAST(d.doc_id AS VARCHAR)")}
+               % 1000000 < q.thresh_ppm
+       ) AS BIGINT) AS n_kept
+FROM quota q
+ORDER BY q.source
+""",
+)
+def mixture_resample_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-flattened mixture resample (the UNIMAX /
+    multilingual-sampling family): per-source quotas ∝ n_i^α with
+    α = ½, so big sources are damped and small ones over-represented
+    relative to natural proportions — the standard knob for keeping
+    a head-heavy crawl from drowning the tail. Budget is half the
+    corpus; quotas cap at n_i (a source can't contribute more than
+    it has). All quota arithmetic is INTEGER-exact after one
+    deterministic snap (w_i = round(1000·√n_i) — IEEE sqrt is
+    bit-identical across engines, and the integer sum Σw_i is
+    order-independent, unlike a float Σ√n whose summation order
+    could flip a floor at the quota boundary). Membership reuses the
+    uniform resampler's hash-coin convention, so decisions are
+    stable under corpus extension.
+
+    Scale: identical plan shape to mixture_resample_uniform — one
+    combiner agg to sources×1 rows, quota math on that tiny frame,
+    broadcast back, one per-row filter. The α knob costs nothing."""
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = counts.select(
+        "source", "n",
+        F.round(F.sqrt(F.col("n")) * 1000).cast("bigint").alias("wi"),
+    )
+    tot = w.agg(
+        F.sum("wi").alias("sw"),
+        F.expr("CAST(sum(n) div 2 AS BIGINT)").alias("budget"),
+    )
+    quota = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n", "wi",
+            F.least(
+                F.col("n"), F.expr("(budget * wi) div sw")
+            ).alias("q"),
+            F.least(
+                F.lit(1000000).cast("bigint"),
+                F.expr("((budget * wi) div sw) * 1000000 div n"),
+            ).alias("thresh_ppm"),
+        )
+        .cache()  # feeds the keep-filter join AND the final report
+    )
+    kept = (
+        docs.join(F.broadcast(quota), "source")
+        .filter(
+            F.expr(_spark_hash("concat('mixT-', cast(doc_id as string))"))
+            % 1000000
+            < F.col("thresh_ppm")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        quota.join(F.broadcast(kept), "source", "left")
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.col("q").cast("bigint").alias("quota"),
+            F.round(F.col("thresh_ppm") / 1000000.0, 6).alias("keep_rate"),
+            F.coalesce(F.col("n_kept"), F.lit(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("source")
+    )
