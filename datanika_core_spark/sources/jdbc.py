@@ -25,6 +25,29 @@ paths a REAL JDBC round-trip — url build → driver load → fetch →
 write-back — in tests (tests/test_jdbc_derby.py). Server dialects
 need only their driver jar on the classpath (standard Spark
 deployment practice).
+
+Cloud-warehouse destinations (reference's build_destination,
+dlt_runner.py:83-132) map to first-party Spark connectors rather
+than raw JDBC — at cluster scale each uses a parallel bulk path a
+JDBC INSERT stream can't match:
+
+- **bigquery** → the ``spark-bigquery-connector``
+  (``.format("bigquery")``): reads via the BigQuery Storage Read
+  API (parallel Arrow streams), writes either via the Storage
+  Write API (direct) or a GCS-staged load job. ``url_for`` still
+  produces the JDBC form for query/preview parity.
+- **snowflake** → ``spark-snowflake`` (``.format("snowflake")``):
+  bulk COPY through an internal stage, with filter/projection
+  pushdown back into Snowflake SQL.
+- **redshift** → ``spark-redshift-community`` (or Redshift's JDBC
+  with ``aws_iam_role`` UNLOAD/COPY through S3): UNLOAD for
+  parallel extract, COPY for load; plain JDBC (the ``redshift``
+  entry below) remains correct for small dimension tables.
+
+Each needs only its connector package on the classpath; the
+``url_for``/``SUPPORTED_DESTINATION_TYPES`` validation layer is
+connector-agnostic, so swapping the write format is a sink-side
+option change, not an engine change.
 """
 
 from __future__ import annotations

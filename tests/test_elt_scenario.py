@@ -531,3 +531,66 @@ def test_restore_from_backup_then_incremental_catchup(
     res2 = ingest(DAY1 + DAY2_CHANGES + RESTORE_DAY3)
     assert res2.rows_loaded == 0
     engine.drop_database("restore_land")
+
+
+# -- seam: crash AFTER the write lands, BEFORE the cursor commits -----------
+
+
+def test_crash_between_write_and_cursor_commit(spark, tmp_path_factory):
+    """The ingestion job persists the cursor only after every load
+    succeeded; a crash in that window leaves the warehouse AHEAD of
+    the cursor. The contract: the rerun re-extracts the already-
+    loaded rows (stale cursor) and the merge absorbs them — the
+    replay-idempotency window is safe in the duplicate direction,
+    never the data-loss direction (the reverse order, cursor first,
+    would skip rows on crash)."""
+    from datanika_core_spark.operators.incremental import (
+        apply_incremental,
+    )
+    from datanika_core_spark.operators.writers import TableWriter
+
+    tmp = tmp_path_factory.mktemp("crash_seam")
+    engine = EngineSession(spark)
+    engine.drop_database("crash_land")
+    state = CursorStateStore(str(tmp / "cursors.json"))
+    job = IngestionJob(engine, state)
+    spec = UploadSpec.from_config("Crash Land", SPEC)
+
+    def src(rows):
+        return _ListSource(
+            TableBatch("purchases", _purchases(spark, rows))
+        )
+
+    job.run(spec, src(DAY1))
+    hwm_day1 = state.get("crash_land", "purchases")
+    assert hwm_day1 is not None
+
+    # --- the crashing run: extraction + write succeed, then the
+    # process dies before commit() — simulated by simply not calling
+    # it (exactly the job's code path up to the commit loop)
+    inc = apply_incremental(
+        _purchases(spark, DAY1 + DAY2_CHANGES),
+        spec.incremental, state, "crash_land", "purchases",
+    )
+    TableWriter(spark).write(
+        inc.df, "crash_land.purchases", "merge",
+        primary_key="id", precedence_col=inc.cursor_column,
+    )
+    # warehouse is ahead of the cursor: the crash window
+    assert spark.table("crash_land.purchases").count() == 5
+    assert state.get("crash_land", "purchases") == hwm_day1
+
+    # --- the rerun: re-extracts day 2 (stale cursor), merge absorbs
+    res = job.run(spec, src(DAY1 + DAY2_CHANGES))
+    assert res.rows_loaded == 3  # the day-2 rows, replayed
+    got = {
+        (r.id, r.status)
+        for r in spark.table("crash_land.purchases").collect()
+    }
+    assert got == {
+        (1, "open"), (2, "paid"), (3, "paid"), (4, "open"), (5, "paid"),
+    }
+    # cursor finally advanced; the next run extracts nothing
+    assert state.get("crash_land", "purchases") != hwm_day1
+    assert job.run(spec, src(DAY1 + DAY2_CHANGES)).rows_loaded == 0
+    engine.drop_database("crash_land")
