@@ -719,3 +719,129 @@ def quantile_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("le99") * 1.0 / F.col("n") - 0.99), 6)
         .alias("q99_rank_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-group bottom-k quantile sketches (GROUP BY x quantiles, one pass).
+# --------------------------------------------------------------------------
+
+_QG_K = 128
+_QG_IDX = {
+    "50": -(-1 * _QG_K // 2),     # 64
+    "90": -(-9 * _QG_K // 10),    # 116
+}
+
+
+@workload(
+    "quantile_bottomk_per_group",
+    oracle=f"""
+WITH hashed AS (
+  SELECT event_type, event_id, value,
+         ('0x'||substring(md5(event_id::VARCHAR),1,15))::BIGINT AS h
+  FROM events
+),
+samp AS (
+  SELECT event_type, value FROM (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY h, event_id) AS rn
+    FROM hashed
+  ) WHERE rn <= {_QG_K}
+),
+sorted AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value) AS r
+  FROM samp
+),
+est AS (
+  SELECT event_type,
+         max(CASE WHEN r = {_QG_IDX["50"]} THEN value END) AS q50_est,
+         max(CASE WHEN r = {_QG_IDX["90"]} THEN value END) AS q90_est
+  FROM sorted GROUP BY event_type
+),
+ranks AS (
+  SELECT ev.event_type,
+         count(*) AS n,
+         sum(CASE WHEN ev.value <= e.q50_est THEN 1 ELSE 0 END) AS le50,
+         sum(CASE WHEN ev.value <= e.q90_est THEN 1 ELSE 0 END) AS le90,
+         max(e.q50_est) AS q50_est,
+         max(e.q90_est) AS q90_est
+  FROM events ev JOIN est e ON ev.event_type = e.event_type
+  GROUP BY ev.event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       ROUND(q50_est, 6) AS q50_est,
+       ROUND(abs(le50 * 1.0 / n - 0.5), 6) AS q50_rank_err,
+       ROUND(q90_est, 6) AS q90_est,
+       ROUND(abs(le90 * 1.0 / n - 0.9), 6) AS q90_rank_err
+FROM ranks
+ORDER BY event_type
+""",
+)
+def quantile_bottomk_per_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROUP BY × quantiles in ONE sketch pass — the per-group twin
+    of quantile_bottomk_sketch (the shape that replaces a per-group
+    global sort at 100 TB: one window keeps each type's k = 128
+    smallest-hash rows, order statistics give q50/q90 per type, and
+    the self-measured rank error is checked per group, exactly the
+    distinct_users_by_type_kmv convention applied to quantiles).
+
+    Scale: one shuffle on event_type for the bottom-k window (each
+    task pre-prunes to its local k per type before the exchange at
+    real scale — rank-over-window degrades gracefully; swap for a
+    groupBy collect_list+slice if a type's row count per task
+    explodes), the order-statistics window runs on ≤ k·|types| rows,
+    and the rank check is the same single-pass conditional agg."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    hashed = ev.withColumn(
+        "h", F.expr(_cms_spark_hash("cast(event_id as string)"))
+    )
+    wk = Window.partitionBy("event_type").orderBy("h", "event_id")
+    samp = (
+        hashed.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _QG_K)
+        .select("event_type", "value")
+    )
+    wv = Window.partitionBy("event_type").orderBy("value")
+    est = (
+        samp.withColumn("r", F.row_number().over(wv))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("r") == _QG_IDX["50"], F.col("value")))
+            .alias("q50_est"),
+            F.max(F.when(F.col("r") == _QG_IDX["90"], F.col("value")))
+            .alias("q90_est"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") <= F.col("q50_est"), 1)
+                  .otherwise(0)).alias("le50"),
+            F.sum(F.when(F.col("value") <= F.col("q90_est"), 1)
+                  .otherwise(0)).alias("le90"),
+            F.max("q50_est").alias("q50_est"),
+            F.max("q90_est").alias("q90_est"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round("q50_est", 6).alias("q50_est"),
+            F.round(F.abs(F.col("le50") * 1.0 / F.col("n") - 0.5), 6)
+            .alias("q50_rank_err"),
+            F.round("q90_est", 6).alias("q90_est"),
+            F.round(F.abs(F.col("le90") * 1.0 / F.col("n") - 0.9), 6)
+            .alias("q90_rank_err"),
+        )
+        .orderBy("event_type")
+    )

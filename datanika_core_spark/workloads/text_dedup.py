@@ -1308,3 +1308,99 @@ def dedup_ppjoin_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints: char-level verbatim-overlap detection (MOSS).
+# --------------------------------------------------------------------------
+
+_WN_K = 16  # char-gram length
+_WN_W = 16  # winnow window (in grams)
+_WN_MIN_SHARED = 3
+
+
+@workload(
+    "dedup_winnowing_fingerprints",
+    oracle=f"""
+WITH {_O_CORPUS_NEARDUP},
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - {_WN_K} + 2),
+           i -> ('0x'||substring(md5(substring(text, i, {_WN_K})),1,15))::BIGINT)
+           AS hs
+  FROM corpus WHERE length(text) >= {_WN_K + _WN_W - 1}
+),
+fps AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(hs) - {_WN_W} + 2),
+           j -> list_min(hs[j:j+{_WN_W - 1}]))) AS fp
+  FROM grams
+),
+ex AS (SELECT doc_id, unnest(fp) AS f FROM fps),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared FROM pairs
+WHERE shared >= {_WN_MIN_SHARED}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_winnowing_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHARACTER-level verbatim-overlap detection via winnowing
+    (Schleimer, Wilkinson & Aiken, SIGMOD 2003 — the MOSS
+    fingerprinting algorithm): hash every {_WN_K}-char gram, keep
+    the MINIMUM hash of each {_WN_W}-gram window, and join docs on
+    shared fingerprints. The winnowing guarantee: any verbatim
+    substring of ≥ k + W − 1 = {_WN_K + _WN_W - 1} characters shared
+    by two documents yields at least one shared fingerprint — so
+    this catches copy-paste the token-shingle family can segment
+    differently (whitespace/punctuation drift), the char-level
+    complement of dedup_repeated_span_fraction's token spans.
+    Pairs need ≥ {_WN_MIN_SHARED} shared fingerprints (noise floor
+    for 60-bit hash coincidences and short formulaic phrases).
+
+    Scale: gram hashing and window minima are per-row higher-order
+    lambdas in the scan (no UDF, no shuffle); winnowing keeps ~1/W
+    of the grams, so the exploded index is a fraction of the text
+    bytes, and the pair join is an equi-join on 8-byte fingerprints
+    whose fan-out the min-hash selection naturally caps (a hot
+    16-char gram must ALSO be a window minimum to enter the index).
+    The suffix-array exact-substring dedup (Lee et al. 2022) finds
+    arbitrary-length repeats; winnowing is its bounded-guarantee,
+    shuffle-light Spark-native stand-in."""
+    corpus = _corpus_neardup(spark, sf_dir)
+    grams = (
+        corpus.filter(F.length("text") >= _WN_K + _WN_W - 1)
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(1, length(text) - {_WN_K} + 1),"
+                f" i -> {_spark_hash(f'substring(text, i, {_WN_K})')})"
+            ).alias("hs"),
+        )
+    )
+    fps = grams.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(hs) - {_WN_W} + 1),"
+                f" j -> array_min(slice(hs, j, {_WN_W})))"
+            )
+        ).alias("fp"),
+    )
+    ex = fps.select("doc_id", F.explode("fp").alias("f"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("f").alias("fa"))
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("f").alias("fb"))
+    return (
+        a.join(b, (F.col("fa") == F.col("fb"))
+               & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+        .filter(F.col("shared") >= _WN_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )

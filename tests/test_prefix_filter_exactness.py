@@ -35,3 +35,35 @@ def test_ppjoin_positional_equals_inverted_index(spark):
     }
     assert as_set(pp) == as_set(full)
     assert len(full) > 0
+
+
+def test_winnowing_finds_all_planted_mutants(spark):
+    """The winnowing guarantee: a verbatim shared substring of
+    >= k + W - 1 = 31 chars yields a shared fingerprint. Every
+    planted mutant (doc_id + 20000) shares its parent's whole
+    90%-token prefix verbatim, so every sufficiently long parent
+    MUST pair with its mutant."""
+    from pyspark.sql import functions as F
+
+    from datanika_core_spark.workloads.text_dedup import (
+        _corpus_neardup,
+    )
+
+    reg = load_all()
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in reg["dedup_winnowing_fingerprints"].fn(spark, SF).collect()
+    }
+    corpus = _corpus_neardup(spark, SF)
+    long_parents = {
+        r.doc_id
+        for r in corpus.filter(
+            (F.col("doc_id") % 25 == 0) & (F.col("doc_id") < 20000)
+            & (F.length("text") >= 120)  # prefix comfortably > 31 chars
+        ).collect()
+    }
+    assert long_parents
+    missing = {
+        p for p in long_parents if (p, p + 20000) not in pairs
+    }
+    assert missing == set()
