@@ -107,6 +107,13 @@ class TableWriter:
                 f" got {disposition!r}"
             )
         contract = contract or SchemaContract()
+        # Heal any debris a crashed previous staged swap left behind
+        # BEFORE probing existence: the mid-rename crash window
+        # leaves the target missing with a complete __stage beside it
+        # — without roll-forward this write would CTAS a fresh table
+        # and orphan that data. Safe under the single-active-writer
+        # guarantee the run ledger's create_exclusive provides.
+        recover_swap(self.spark, table)
         exists = self.spark.catalog.tableExists(table)
 
         if not exists:
@@ -383,6 +390,39 @@ def drop_table(spark: SparkSession, table: str) -> None:
     )
     if os.path.exists(loc):
         shutil.rmtree(loc, ignore_errors=True)
+
+
+def recover_swap(spark: SparkSession, table: str) -> str:
+    """Roll a crashed :meth:`TableWriter._swap_in` forward (or clear
+    its debris) — the recovery procedure the swap's ordering was
+    designed for. Call at pipeline startup for every staged-swap
+    target. Crash states, in swap order, and the action taken:
+
+    - ``table`` + ``table__stage`` both exist (crash before the
+      renames): the run never reported success, so the stage is
+      DEBRIS — drop it; the rerun rebuilds it ("cleared_stage").
+    - ``table`` missing, ``table__old`` + ``table__stage`` exist
+      (crash between the two renames — the dangerous window): the
+      stage is a COMPLETE new table; finish the swap: rename stage
+      to ``table``, drop old ("rolled_forward").
+    - ``table`` + ``table__old`` exist, no stage (crash after the
+      swap, before the final drop): the swap committed — drop the
+      leftover old copy ("dropped_old").
+    - anything else: healthy ("none").
+    """
+    stage, old = f"{table}__stage", f"{table}__old"
+    has = spark.catalog.tableExists
+    if has(table) and has(stage):
+        drop_table(spark, stage)
+        return "cleared_stage"
+    if not has(table) and has(stage):
+        spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+        drop_table(spark, old)
+        return "rolled_forward"
+    if has(table) and has(old):
+        drop_table(spark, old)
+        return "dropped_old"
+    return "none"
 
 
 def merge_config_dispositions(

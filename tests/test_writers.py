@@ -263,3 +263,53 @@ def test_swap_in_recovers_from_orphaned_dirs(spark, writer):
     assert res.rows_loaded == 1
     assert _rows(spark, "t_orph") == {(1, "a", 1.0), (2, "B", 20.0)}
     spark.sql("DROP TABLE IF EXISTS t_orph")
+
+
+def test_recover_swap_all_crash_states(spark):
+    """Each staged-swap crash window must be recoverable: stage-only
+    debris cleared, the mid-rename window rolled forward (the stage
+    is complete by construction), the leftover old copy dropped."""
+    from datanika_core_spark.operators.writers import (
+        TableWriter,
+        drop_table,
+        recover_swap,
+    )
+
+    tbl = "default.swapcrash_t"
+    stage, old = f"{tbl}__stage", f"{tbl}__old"
+    w = TableWriter(spark)
+    d1 = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    d2 = spark.createDataFrame([(2, "b")], "id bigint, v string")
+
+    def reset():
+        for t in (tbl, stage, old):
+            drop_table(spark, t)
+
+    # healthy: no-op
+    reset()
+    w.write(d1, tbl, "replace")
+    assert recover_swap(spark, tbl) == "none"
+
+    # crash before the renames: stage is debris, target untouched
+    d2.write.saveAsTable(stage)
+    assert recover_swap(spark, tbl) == "cleared_stage"
+    assert not spark.catalog.tableExists(stage)
+    assert {r.id for r in spark.table(tbl).collect()} == {1}
+
+    # crash between the renames: roll the complete stage forward
+    spark.sql(f"ALTER TABLE {tbl} RENAME TO {old}")
+    d2.write.saveAsTable(stage)
+    assert recover_swap(spark, tbl) == "rolled_forward"
+    assert {r.id for r in spark.table(tbl).collect()} == {2}
+    assert not spark.catalog.tableExists(old)
+    assert not spark.catalog.tableExists(stage)
+
+    # crash after the swap: leftover old copy dropped
+    d1.write.saveAsTable(old)
+    assert recover_swap(spark, tbl) == "dropped_old"
+    assert {r.id for r in spark.table(tbl).collect()} == {2}
+    assert not spark.catalog.tableExists(old)
+
+    # idempotent: running recovery twice is safe
+    assert recover_swap(spark, tbl) == "none"
+    reset()
