@@ -5,7 +5,8 @@ oracle at the given sf dir, compare row count, column names, and an
 order-insensitive value comparison. Prints one line per query and a
 summary; exit code 1 on any mismatch.
 
-Usage: python tools/check_correctness.py [sf_dir] [name_filter...]
+Usage: python tools/check_correctness.py [--vanilla] [sf_dir] [name_filter...]
+(--vanilla uses a config-free SparkSession, exactly like the external driver)
 """
 
 from __future__ import annotations
@@ -46,9 +47,19 @@ def _norm_rows(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2:]
-    spark = build_spark(app_name="correctness_check")
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    name_filter = args[1:]
+    if vanilla:
+        # driver-faithful: NO engine configs — catches workloads that
+        # only pass because build_spark set something (the external
+        # driver builds its own plain session)
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[16]").getOrCreate()
+    else:
+        spark = build_spark(app_name="correctness_check")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         p = f"{sf_dir}/{t}.parquet"
