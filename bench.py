@@ -30,7 +30,21 @@ def _execute_fully(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = build_spark(app_name="datanika_bench")
+    # Isolated warehouse + Derby metastore: a concurrent Spark session
+    # in the repo cwd holds the shared metastore_db lock, and the
+    # SCD2 headline writes tables — without isolation the whole bench
+    # dies on the Derby lock instead of reporting numbers.
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="bench_wh_")
+    spark = build_spark(
+        app_name="datanika_bench",
+        warehouse_dir=os.path.join(scratch, "warehouse"),
+        extra_conf={
+            "spark.driver.extraJavaOptions":
+                f"-Dderby.system.home={scratch}",
+        },
+    )
     registry = load_all()
     headline = {n: wl for n, wl in registry.items() if wl.headline}
 
