@@ -1372,27 +1372,25 @@ def dedup_winnowing_fingerprints(
     16-char gram must ALSO be a window minimum to enter the index).
     The suffix-array exact-substring dedup (Lee et al. 2022) finds
     arbitrary-length repeats; winnowing is its bounded-guarantee,
-    shuffle-light Spark-native stand-in."""
+    shuffle-light Spark-native stand-in. Measured: sf0.01 ~11 s,
+    sf0.1 ~41 s — dominated by hot-fingerprint posting lists
+    (formulaic phrases shared corpus-wide). The production lever is
+    a document-frequency cap on fingerprints before the self-join
+    (boilerplate windows are not copy evidence — the boilerplate
+    workloads handle those); kept EXACT here so the oracle pairing
+    stays a plain equality."""
+    from datanika_core_spark.operators.winnow import with_fingerprints
+
+    # with_fingerprints LET-BINDS the gram array into the window
+    # lambda (transform(array(grams), hs -> ...)[0]) — a projected
+    # hs column gets collapse-inlined into the lambda body, where
+    # non-lambda subexpressions re-evaluate PER WINDOW: the naive
+    # two-projection form re-hashed the full gram array once per
+    # window and ran ~36x slower (162 s -> 4.5 s at sf0.01). Third
+    # instance of the projection-inlining trap family (see the
+    # size(shingles) note in dedup_prefix_filter_join).
     corpus = _corpus_neardup(spark, sf_dir)
-    grams = (
-        corpus.filter(F.length("text") >= _WN_K + _WN_W - 1)
-        .select(
-            "doc_id",
-            F.expr(
-                f"transform(sequence(1, length(text) - {_WN_K} + 1),"
-                f" i -> {_spark_hash(f'substring(text, i, {_WN_K})')})"
-            ).alias("hs"),
-        )
-    )
-    fps = grams.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, size(hs) - {_WN_W} + 1),"
-                f" j -> array_min(slice(hs, j, {_WN_W})))"
-            )
-        ).alias("fp"),
-    )
+    fps = with_fingerprints(corpus, k=_WN_K, w=_WN_W)
     ex = fps.select("doc_id", F.explode("fp").alias("f"))
     a = ex.select(F.col("doc_id").alias("doc_a"), F.col("f").alias("fa"))
     b = ex.select(F.col("doc_id").alias("doc_b"), F.col("f").alias("fb"))
