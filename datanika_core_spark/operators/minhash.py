@@ -70,18 +70,21 @@ def add_signature(df: DataFrame, k: int = MH_K, p: int = MH_P) -> DataFrame:
     """+ ``sig`` (array<bigint> length ``k``) from a ``shingles``
     column. Per-row lambdas only — no shuffle, linear in corpus size;
     one md5 per shingle, the k permutations are arithmetic tempering.
+
+    The md5 hash array is LET-BOUND (``transform(array(hashes),
+    hs -> ...)[0]``): as a projected column it would collapse-inline
+    into the permutation lambda and re-evaluate once per permutation
+    — k× the hashing work (measured 16.2 s → 9.2 s for the sf0.1
+    signing pass; same trap as operators/winnow.with_fingerprints).
     """
-    return df.withColumn(
-        "hashes0",
-        F.expr(f"transform(shingles, sh -> {spark_hash_expr('sh')})"),
-    ).withColumn(
-        "sig",
-        F.expr(
-            f"transform(sequence(0, {k - 1}), s -> "
-            f"array_min(transform(hashes0, h -> "
-            f"((h % {p}) * (2*s + 1) + s) % {p})))"
-        ),
-    ).drop("hashes0")
+    hashes = f"transform(shingles, sh -> {spark_hash_expr('sh')})"
+    let_sig = (
+        f"transform(array({hashes}), hs -> "
+        f"transform(sequence(0, {k - 1}), s -> "
+        f"array_min(transform(hs, h -> "
+        f"((h % {p}) * (2*s + 1) + s) % {p}))))[0]"
+    )
+    return df.withColumn("sig", F.expr(let_sig))
 
 
 def band_signatures(sigs: DataFrame, b: int = MH_B, r: int = MH_R) -> DataFrame:
