@@ -493,15 +493,19 @@ def minhash_candidates(corpus: DataFrame) -> DataFrame:
     )
     # One md5 per shingle; the K permutations are arithmetic
     # tempering of that base hash (16× fewer md5 evaluations).
-    sigs = sh.withColumn(
-        "hashes0",
-        F.expr(f"transform(shingles, sh -> {_spark_hash('sh')})"),
-    ).select(
+    # LET-BIND the md5 array (transform(array(..), hs -> ..)[0]): a
+    # projected hashes0 column collapse-inlines into the permutation
+    # lambda and re-evaluates once PER PERMUTATION — k× the hashing
+    # work (the lambda-inlining trap; measured on add_signature:
+    # 16.2 s → 9.2 s for the sf0.1 signing pass)
+    sigs = sh.select(
         "doc_id", "shingles",
         F.expr(
+            f"transform(array(transform(shingles, sh -> "
+            f"{_spark_hash('sh')})), hs -> "
             f"transform(sequence(0, {_MH_K - 1}), s -> "
-            f"array_min(transform(hashes0, h -> "
-            f"((h % {_MH_P}) * (2*s + 1) + s) % {_MH_P})))"
+            f"array_min(transform(hs, h -> "
+            f"((h % {_MH_P}) * (2*s + 1) + s) % {_MH_P}))))[0]"
         ).alias("sig"),
     )
     # The signature table feeds three plan branches (band explode +
@@ -607,17 +611,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Hash each shingle ONCE (a column), then fold 48 bit-votes over
     # the precomputed array — not one md5 pass per bit.
-    fp = sh.withColumn(
-        "hashes",
-        F.expr(f"transform(shingles, sh -> {_spark_hash('sh')})"),
-    ).select(
+    # LET-BIND the md5 array: a projected hashes column would
+    # re-evaluate inside the per-bit vote lambda — 48× the hashing
+    # work (the lambda-inlining trap, see minhash signing above)
+    fp = sh.select(
         "doc_id",
         F.expr(
+            f"transform(array(transform(shingles, sh -> "
+            f"{_spark_hash('sh')})), hashes -> "
             f"aggregate(transform(sequence(0, {_SH_BITS - 1}), i -> "
             f"CASE WHEN 2 * size(filter(hashes, "
             f"h -> (shiftright(h, i) & 1) = 1)) "
             f"> size(hashes) THEN shiftleft(cast(1 as bigint), i) "
-            f"ELSE cast(0 as bigint) END), cast(0 as bigint), (a, x) -> a + x)"
+            f"ELSE cast(0 as bigint) END), cast(0 as bigint),"
+            f" (a, x) -> a + x))[0]"
         ).alias("simhash"),
     )
     # Materialization barrier: without it CollapseProject inlines the
