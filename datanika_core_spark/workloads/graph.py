@@ -710,3 +710,263 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_stderr_bound"),
     )
+
+
+# --------------------------------------------------------------------------
+# DOULION multi-p: nested sub-sampling, two estimates from ONE pass.
+# --------------------------------------------------------------------------
+
+
+def _dln_coin16(u: str, v: str) -> str:
+    """The DOULION LCG coin mod 16 over arbitrary column expressions
+    (same two-round LCG as _DLN_COIN; all intermediates < 2^48 so
+    BIGINT arithmetic is exact in both engines)."""
+    return (
+        f"((({u} % {_DLN_P}) * 48271 + {v}) % {_DLN_P} * 69621)"
+        f" % {_DLN_P} % 16"
+    )
+
+
+# Variance constants from Tsourakakis' Var(est) = T(1/p^3 - 1)
+# + 2k(1/p - 1), with T and k estimated from the sample itself
+# (T_hat = t/p^3, k_hat = ks/p^5):
+#   p = 1/4 : Var = 64*63*t  + 2*1024*3*ks  = 4032 t  + 6144 ks
+#   p = 1/16: Var = 4096*4095*t + 2*1048576*15*ks
+#                 = 16773120 t + 31457280 ks
+_DLN_MP = {4: (64, 4032.0, 6144.0), 16: (4096, 16773120.0, 31457280.0)}
+
+
+@workload(
+    "graph_triangle_doulion_multi_p",
+    oracle=f"""
+WITH sampled AS (
+  SELECT u, v, c FROM (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  ), LATERAL (SELECT {_dln_coin16('u', 'v')} AS c)
+  WHERE c % 4 = 0
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM sampled UNION ALL SELECT v AS node FROM sampled
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+  FROM sampled e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+wedges AS (
+  SELECT o1.src,
+         least(o1.dst, o2.dst) AS a,
+         greatest(o1.dst, o2.dst) AS b
+  FROM oriented o1 JOIN oriented o2
+    ON o1.src = o2.src AND o1.dst < o2.dst
+),
+tri_rows AS (
+  SELECT w.src, w.a, w.b,
+         CASE WHEN e.c = 0
+               AND {_dln_coin16('least(w.src, w.a)', 'greatest(w.src, w.a)')} = 0
+               AND {_dln_coin16('least(w.src, w.b)', 'greatest(w.src, w.b)')} = 0
+              THEN 1 ELSE 0 END AS in16
+  FROM wedges w
+  JOIN sampled e ON e.u = w.a AND e.v = w.b
+),
+tri_edges AS (
+  SELECT least(src, a) AS eu, greatest(src, a) AS ev, in16 FROM tri_rows
+  UNION ALL
+  SELECT least(src, b), greatest(src, b), in16 FROM tri_rows
+  UNION ALL
+  SELECT a, b, in16 FROM tri_rows
+),
+shared AS (
+  SELECT COALESCE(sum(c4 * (c4 - 1) / 2), 0) AS ks4,
+         COALESCE(sum(c16 * (c16 - 1) / 2), 0) AS ks16
+  FROM (SELECT count(*) AS c4, sum(in16) AS c16
+        FROM tri_edges GROUP BY eu, ev)
+),
+tri AS (SELECT count(*) AS t4, COALESCE(sum(in16), 0) AS t16 FROM tri_rows),
+ne AS (SELECT count(*) AS n4,
+              sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS n16
+       FROM sampled),
+rows_out AS (
+  SELECT CAST(4 AS BIGINT) AS p_denom,
+         CAST(n4 AS BIGINT) AS n_edges_sampled,
+         CAST(t4 AS BIGINT) AS tri_sampled,
+         CAST(t4 * 64 AS BIGINT) AS est_triangles,
+         ROUND(CASE WHEN t4 = 0 THEN 1.0
+                    ELSE sqrt(4032.0 * t4 + 6144.0 * ks4) / (t4 * 64)
+               END, 6) AS rel_stderr_bound
+  FROM tri, shared, ne
+  UNION ALL
+  SELECT CAST(16 AS BIGINT),
+         CAST(n16 AS BIGINT),
+         CAST(t16 AS BIGINT),
+         CAST(t16 * 4096 AS BIGINT),
+         ROUND(CASE WHEN t16 = 0 THEN 1.0
+                    ELSE sqrt(16773120.0 * t16 + 31457280.0 * ks16)
+                         / (t16 * 4096)
+               END, 6)
+  FROM tri, shared, ne
+)
+SELECT * FROM rows_out ORDER BY p_denom
+""",
+)
+def graph_triangle_doulion_multi_p(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DOULION at two sampling rates from ONE wedge-enumeration pass
+    (nested sub-sampling): the LCG coin mod 16 makes the p = 1/16
+    edge set (coin == 0) a strict subset of the p = 1/4 set
+    (coin % 4 == 0), so every p = 1/16 triangle is also a p = 1/4
+    triangle and BOTH estimates fall out of the single p = 1/4
+    triangle enumeration — a sampled triangle belongs to the
+    p = 1/16 estimate iff all three of its edge coins are 0 mod 16,
+    a map-side integer test (two coins recomputed from the vertex
+    ids, one carried through the closure join), never a second graph
+    pass. One row per p with the estimate and the FULL
+    Tsourakakis variance bound (independence term + shared-edge
+    covariance term, both estimated from the respective sample —
+    same self-measuring convention as graph_triangle_doulion).
+
+    What it buys at scale: the accuracy/cost frontier measured in
+    one job. The p = 1/4 line is the production estimate; the
+    p = 1/16 line prices the next 4x sparsification (its stderr is
+    ~8x wider: 1/p^1.5 scaling) — pick the cheapest p whose reported
+    bound meets the task's tolerance WITHOUT re-running anything.
+    Same plan shape as graph_triangle_doulion (degree-ordered
+    orientation on the p = 1/4 graph, broadcast closure); the only
+    additions are three integer coin evaluations per sampled
+    triangle and an extra sum in each reduce."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    coin16 = F.expr(_dln_coin16("u", "v"))
+    sampled = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .filter(coin16 % 4 == 0)
+        .select("u", "v")
+        .distinct()
+        # coin16 is functional in (u, v): attach AFTER the distinct
+        # so the dedup shuffle moves 16-byte rows
+        .withColumn("c", coin16)
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        sampled.select(F.col("u").alias("node"))
+        .unionAll(sampled.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u_n"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v_n"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        sampled.join(du, F.col("u") == F.col("u_n"))
+        .join(dv, F.col("v") == F.col("v_n"))
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    o1 = oriented.select("src", F.col("dst").alias("d1"))
+    o2 = oriented.select(F.col("src").alias("src2"), F.col("dst").alias("d2"))
+    wedges = (
+        o1.join(o2, (F.col("src") == F.col("src2")) & (F.col("d1") < F.col("d2")))
+        .select(
+            "src",
+            F.least("d1", "d2").alias("a"),
+            F.greatest("d1", "d2").alias("b"),
+        )
+    )
+    in16 = (
+        (F.col("c") == 0)
+        & (F.expr(_dln_coin16("least(src, a)", "greatest(src, a)")) == 0)
+        & (F.expr(_dln_coin16("least(src, b)", "greatest(src, b)")) == 0)
+    )
+    tri_rows = (
+        wedges.join(
+            F.broadcast(sampled),
+            (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
+        )
+        .select(
+            "src", "a", "b",
+            F.when(in16, F.lit(1)).otherwise(F.lit(0)).alias("in16"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tri_edges = tri_rows.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("src", "a").alias("eu"),
+                    F.greatest("src", "a").alias("ev"),
+                    F.col("in16").alias("in16"),
+                ),
+                F.struct(
+                    F.least("src", "b").alias("eu"),
+                    F.greatest("src", "b").alias("ev"),
+                    F.col("in16").alias("in16"),
+                ),
+                F.struct(
+                    F.col("a").alias("eu"),
+                    F.col("b").alias("ev"),
+                    F.col("in16").alias("in16"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.eu", "e.ev", "e.in16")
+    shared = (
+        tri_edges.groupBy("eu", "ev")
+        .agg(
+            F.count(F.lit(1)).alias("c4"),
+            F.sum("in16").alias("c16"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.col("c4") * (F.col("c4") - 1) / 2), F.lit(0.0)
+            ).alias("ks4"),
+            F.coalesce(
+                F.sum(F.col("c16") * (F.col("c16") - 1) / 2), F.lit(0.0)
+            ).alias("ks16"),
+        )
+    )
+    tri = tri_rows.agg(
+        F.count(F.lit(1)).alias("t4"),
+        F.coalesce(F.sum("in16"), F.lit(0)).alias("t16"),
+    )
+    ne = sampled.agg(
+        F.count(F.lit(1)).alias("n4"),
+        F.sum(F.when(F.col("c") == 0, 1).otherwise(0)).alias("n16"),
+    )
+    base = tri.crossJoin(shared).crossJoin(ne)
+
+    def _row(p: int, t_c: str, ks_c: str, n_c: str) -> DataFrame:
+        scale, ct, cks = _DLN_MP[p]
+        return base.select(
+            F.lit(p).cast("bigint").alias("p_denom"),
+            F.col(n_c).cast("bigint").alias("n_edges_sampled"),
+            F.col(t_c).cast("bigint").alias("tri_sampled"),
+            (F.col(t_c) * scale).cast("bigint").alias("est_triangles"),
+            F.round(
+                F.when(F.col(t_c) == 0, F.lit(1.0)).otherwise(
+                    F.sqrt(
+                        F.lit(ct) * F.col(t_c) + F.lit(cks) * F.col(ks_c)
+                    )
+                    / (F.col(t_c) * scale)
+                ),
+                6,
+            ).alias("rel_stderr_bound"),
+        )
+
+    return (
+        _row(4, "t4", "ks4", "n4")
+        .unionAll(_row(16, "t16", "ks16", "n16"))
+        .orderBy("p_denom")
+    )

@@ -845,3 +845,114 @@ def quantile_bottomk_per_group(
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# t-digest-compatible centroid export from the bottom-k sample.
+# --------------------------------------------------------------------------
+
+# k1 scale function (Dunning & Ertl, "Computing extremely accurate
+# quantiles using t-digests", arXiv:1902.04023), delta = 32, shifted
+# to start at 0: k(q) = (delta/2pi) * (asin(2q-1) + pi/2), range
+# [0, delta/2]. Cluster id = floor(k(q)) snapped at 6 dp first, so a
+# boundary-grazing asin ulp can't split a centroid across engines.
+# All literals are integer-CAST-double: Spark SQL parses `32.0` as
+# DECIMAL and decimal arithmetic drifts from DuckDB's doubles (the
+# shared-fragment convention from the EWMA rewrite).
+_TD_SCALE = (
+    "cast(floor(round((cast(32 as double) / (2 * pi())) * "
+    "(asin((2 * {r} - 1) / cast(256 as double) - 1) + pi() / 2), 6)) "
+    "as bigint)"
+)
+
+
+@workload(
+    "quantile_tdigest_export",
+    oracle=f"""
+WITH hashed AS (
+  SELECT event_id, value,
+         ('0x'||substring(md5(event_id::VARCHAR),1,15))::BIGINT AS h
+  FROM events
+),
+samp AS (
+  SELECT value FROM hashed ORDER BY h, event_id LIMIT {_QS_K}
+),
+sorted AS (
+  SELECT value, row_number() OVER (ORDER BY value) AS r FROM samp
+),
+clustered AS (
+  SELECT {_TD_SCALE.format(r='r')} AS centroid, value FROM sorted
+)
+SELECT centroid,
+       CAST(count(*) AS BIGINT) AS weight,
+       ROUND(avg(value), 6) AS v_mean,
+       ROUND(min(value), 6) AS v_min,
+       ROUND(max(value), 6) AS v_max
+FROM clustered
+GROUP BY centroid
+ORDER BY centroid
+""",
+)
+def quantile_tdigest_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest-compatible centroid export (Dunning & Ertl,
+    arXiv:1902.04023) of the bottom-k quantile sample: sort the
+    k = {_QS_K} bottom-k-by-hash sample, map each rank's midpoint
+    quantile q = (2r-1)/2k through the k1 scale function
+    k(q) = (delta/2pi)(asin(2q-1) + pi/2) with delta = 32, and group
+    by floor(k(q)) — the canonical t-digest sizing: clusters are
+    narrow at the tails (singleton-ish near q=0,1) and wide at the
+    median, so tail quantiles read back with far better relative
+    accuracy than uniform binning at equal budget. Each centroid row
+    is (weight, mean, min, max) — exactly what a t-digest consumer
+    (monitoring backends, percentile dashboards) merges, with no
+    custom codec: any engine that can groupBy can re-aggregate these.
+
+    Why from the bottom-k sample: the sample is DETERMINISTIC (k
+    smallest md5 hashes) and mergeable across partitions/days, so the
+    exported digest is reproducible bit-for-bit across engines — the
+    oracle builds the identical digest from the identical sample and
+    the driver hash-compare proves it. A native t-digest's centroids
+    depend on insertion order (the classic non-determinism complaint);
+    snapping the digest to a deterministic sample trades a bounded
+    extra sampling error (binomial, self-measured by
+    quantile_bottomk_sketch's rank-error columns) for exact
+    reproducibility — the right trade for a data-quality artifact
+    that diffs across runs.
+
+    Scale: identical to quantile_bottomk_sketch (per-day bottom-k
+    prefilter, one TakeOrdered(k) merge); the digest construction
+    itself runs on k = 256 rows — free. The export is ~16 rows
+    (delta/2 clusters): small enough to broadcast back into any scan
+    as approximate-percentile literals."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "value", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    hashed = ev.select(
+        "day", "event_id", "value",
+        F.expr(_cms_spark_hash("cast(event_id as string)")).alias("h"),
+    )
+    wday = Window.partitionBy("day").orderBy("h", "event_id")
+    perday = (
+        hashed.withColumn("rn", F.row_number().over(wday))
+        .filter(F.col("rn") <= _QS_K)
+        .select("event_id", "value", "h")
+    )
+    samp = perday.orderBy("h", "event_id").limit(_QS_K).select("value")
+    sorted_s = samp.select(
+        "value", F.row_number().over(Window.orderBy("value")).alias("r")
+    )
+    clustered = sorted_s.select(
+        F.expr(_TD_SCALE.format(r="r")).alias("centroid"), "value"
+    )
+    return (
+        clustered.groupBy("centroid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("weight"),
+            F.round(F.avg("value"), 6).alias("v_mean"),
+            F.round(F.min("value"), 6).alias("v_min"),
+            F.round(F.max("value"), 6).alias("v_max"),
+        )
+        .orderBy("centroid")
+    )

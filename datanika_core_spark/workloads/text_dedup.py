@@ -1409,3 +1409,101 @@ def dedup_winnowing_fingerprints(
         .filter(F.col("shared") >= _WN_MIN_SHARED)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing with a document-frequency cap (the production lever).
+# --------------------------------------------------------------------------
+
+_WN_DF_CAP = 8  # a fingerprint in > 8 docs is boilerplate, not copying
+
+
+@workload(
+    "dedup_winnowing_df_capped",
+    oracle=f"""
+WITH {_O_CORPUS_NEARDUP},
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - {_WN_K} + 2),
+           i -> ('0x'||substring(md5(substring(text, i, {_WN_K})),1,15))::BIGINT)
+           AS hs
+  FROM corpus WHERE length(text) >= {_WN_K + _WN_W - 1}
+),
+fps AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(hs) - {_WN_W} + 2),
+           j -> list_min(hs[j:j+{_WN_W - 1}]))) AS fp
+  FROM grams
+),
+ex AS (SELECT doc_id, unnest(fp) AS f FROM fps),
+kept AS (SELECT f FROM ex GROUP BY f HAVING count(*) <= {_WN_DF_CAP}),
+exk AS (SELECT ex.doc_id, ex.f FROM ex JOIN kept USING (f)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM exk a JOIN exk b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared FROM pairs
+WHERE shared >= {_WN_MIN_SHARED}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_winnowing_df_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winnowing verbatim-overlap detection with a DOCUMENT-FREQUENCY
+    cap on fingerprints — the production lever the exact workload's
+    docstring names: a fingerprint appearing in more than
+    {_WN_DF_CAP} documents is corpus boilerplate (license headers,
+    templated phrases), not evidence that one specific pair shares
+    copied text, so it is dropped BEFORE the self-join. This is the
+    winnowing analogue of an IDF stoplist, and it attacks exactly
+    the cost that dominates the exact pass: a posting list of length
+    d contributes C(d, 2) join rows, so the cap bounds every list's
+    fan-out at C({_WN_DF_CAP}, 2) = 28 pairs — the join's worst case
+    drops from quadratic-in-hottest-df to linear in index size.
+
+    What it costs in recall: only fingerprints shared corpus-wide —
+    a TRUE copied span between a single pair keeps all its
+    fingerprints (its df is 2). Pairs whose overlap consists purely
+    of boilerplate windows fall below the {_WN_MIN_SHARED}-shared
+    floor, which is the intent (the boilerplate workloads own those).
+
+    Scale: same per-row winnowing lambdas in the scan as
+    dedup_winnowing_fingerprints; the df filter is one groupBy on
+    8-byte fingerprints plus a semi-join back into the exploded
+    index — both shuffles move rows the cap is about to shrink.
+    Measured: sf0.01 10.7 s -> 5.7 s (63 -> 59 pairs); sf0.1 pairs
+    drop 2039 -> 622 (70% of reported pairs were boilerplate-only)
+    while wall time stays ~42 s — at this SF the winnowing scan
+    itself dominates and the hot posting lists are still only
+    hundreds of docs deep. The cap's real payoff is asymptotic: a
+    posting list of depth d costs C(d, 2) join rows, and d for
+    corpus-wide idioms grows linearly with corpus size — at 100 TB
+    one hot 16-char idiom without the cap yields a C(n_docs, 2)
+    blow-up no cluster survives; with it every fingerprint's
+    contribution is bounded at 28 pairs."""
+    from datanika_core_spark.operators.winnow import with_fingerprints
+
+    corpus = _corpus_neardup(spark, sf_dir)
+    fps = with_fingerprints(corpus, k=_WN_K, w=_WN_W)
+    ex = fps.select("doc_id", F.explode("fp").alias("f"))
+    # fp is per-doc distinct, so count(*) per fingerprint == its df
+    kept = (
+        ex.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _WN_DF_CAP)
+        .select("f")
+    )
+    exk = ex.join(kept, "f", "left_semi")
+    a = exk.select(F.col("doc_id").alias("doc_a"), F.col("f").alias("fa"))
+    b = exk.select(F.col("doc_id").alias("doc_b"), F.col("f").alias("fb"))
+    return (
+        a.join(b, (F.col("fa") == F.col("fb"))
+               & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+        .filter(F.col("shared") >= _WN_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )

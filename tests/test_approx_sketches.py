@@ -120,3 +120,30 @@ def test_percentile_approx_multiquantile_monotone(spark):
     for row in rows:
         q01, q50, q99 = row["qs"]
         assert q01 <= q50 <= q99
+
+
+def test_tdigest_export_shape(spark):
+    """The exported digest must be a partition of the k=256 sample
+    (weights sum to k), with the k1 scale function's signature
+    cluster sizing: tail centroids narrow, median centroids wide."""
+    from datanika_core_spark.workloads import load_all
+
+    reg = load_all()
+    rows = (
+        reg["quantile_tdigest_export"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert sum(r.weight for r in rows) == 256
+    # centroid ids are distinct, ordered, within [0, 16]
+    ids = [r.centroid for r in rows]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    assert all(0 <= c <= 16 for c in ids)
+    # value ranges are disjoint and ordered (it's a partition of the
+    # sorted sample)
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.v_max <= cur.v_min
+    # k1 sizing: both extreme clusters are strictly smaller than the
+    # largest middle cluster
+    mid_max = max(r.weight for r in rows[2:-2])
+    assert rows[0].weight < mid_max and rows[-1].weight < mid_max

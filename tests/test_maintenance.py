@@ -300,3 +300,28 @@ def test_advise_shuffle_partitions(spark):
         expansion=4.0,
     )
     assert c.recommended_partitions >= b.recommended_partitions
+
+
+def test_zorder_skipping_workload_dominates_trailing_dim(spark):
+    """The measurement workload must reproduce the layout trade it
+    exists to price: lexicographic is near-perfect on the leading
+    key and useless on the trailing one; z-order must beat
+    lexicographic on the trailing dim by a wide margin while keeping
+    substantial skipping on the leading dim."""
+    from datanika_core_spark.workloads import load_all
+
+    rows = {
+        (r.layout, r.dim): r.est_skip_frac
+        for r in load_all()["zorder_file_skipping"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    }
+    assert rows[("lexicographic", "l_partkey")] > 0.9
+    assert rows[("lexicographic", "l_suppkey")] < 0.05
+    assert rows[("zorder", "l_suppkey")] > 0.5
+    assert rows[("zorder", "l_partkey")] > 0.5
+    # the whole point: min skipping across dims is what a mixed
+    # query workload sees, and z-order must win it decisively
+    zmin = min(rows[("zorder", d)] for d in ("l_partkey", "l_suppkey"))
+    lmin = min(rows[("lexicographic", d)] for d in ("l_partkey", "l_suppkey"))
+    assert zmin > lmin + 0.5

@@ -67,3 +67,40 @@ def test_winnowing_finds_all_planted_mutants(spark):
         p for p in long_parents if (p, p + 20000) not in pairs
     }
     assert missing == set()
+
+
+def test_winnowing_df_cap_subset_and_planted_recall(spark):
+    """The DF cap only ever REMOVES fingerprints, so capped pairs are
+    a subset of exact pairs (with shared_capped <= shared_exact), and
+    every planted parent/mutant pair must survive: a mutant shares
+    its parent's whole 90%-token prefix verbatim, and those window
+    minima come from doc-unique random text (df = 2, far under the
+    cap), so the cap cannot touch the evidence that matters."""
+    from pyspark.sql import functions as F
+
+    from datanika_core_spark.workloads.text_dedup import _corpus_neardup
+
+    reg = load_all()
+    exact = {
+        (r.doc_a, r.doc_b): r.shared
+        for r in reg["dedup_winnowing_fingerprints"].fn(spark, SF).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.shared
+        for r in reg["dedup_winnowing_df_capped"].fn(spark, SF).collect()
+    }
+    assert capped
+    for pair, shared in capped.items():
+        assert pair in exact, pair
+        assert shared <= exact[pair], pair
+    corpus = _corpus_neardup(spark, SF)
+    long_parents = {
+        r.doc_id
+        for r in corpus.filter(
+            (F.col("doc_id") % 25 == 0) & (F.col("doc_id") < 20000)
+            & (F.length("text") >= 120)
+        ).collect()
+    }
+    assert long_parents
+    missing = {p for p in long_parents if (p, p + 20000) not in capped}
+    assert missing == set()
