@@ -141,6 +141,7 @@ CHECK_FIRST = [
     # slots
     "graph_triangle_doulion_multi_p", "quantile_tdigest_export",
     "dedup_winnowing_df_capped", "zorder_file_skipping",
+    "eval_cohens_kappa_raters", "eval_rbo_rankings",
 ]
 
 

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from datanika_core_spark.operators.minhash import TOKS_PATTERN as _TOKS_RE
 from datanika_core_spark.workloads import t, workload
 from datanika_core_spark.workloads.scoring import (
     _F_LEN_DUCK,
@@ -521,4 +522,133 @@ def eval_auc_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("auc_exact", 6).alias("auc_exact"),
         F.round(F.abs(F.col("auc_hist") - F.col("auc_exact")), 6)
         .alias("abs_err"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Inter-rater agreement: Cohen's kappa between the two quality models.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "eval_cohens_kappa_raters",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+rated AS (
+  SELECT
+    CASE WHEN list_sum(list_transform(toks,
+           x -> (('0x'||substring(md5('qw:' || x),1,15))::BIGINT
+                 % 2001 - 1000) / 1000.0)) >= 0
+         THEN 1 ELSE 0 END AS keep_h,
+    CASE WHEN {_LR_W0} + {_LR_W_LEN} * ({_F_LEN_DUCK})
+              + {_LR_W_STOP} * ({_F_STOP_DUCK}) > 0
+         THEN 1 ELSE 0 END AS keep_t
+  FROM tok WHERE len(toks) > 0
+),
+cells AS (
+  SELECT count(*) AS n,
+         sum(keep_h * keep_t) AS n11,
+         sum(keep_h * (1 - keep_t)) AS n10,
+         sum((1 - keep_h) * keep_t) AS n01,
+         sum((1 - keep_h) * (1 - keep_t)) AS n00
+  FROM rated
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+       CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+       ROUND((n11 + n00) * 1.0 / n, 6) AS po,
+       ROUND(((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))
+             * 1.0 / (n * n), 6) AS pe,
+       ROUND(CASE WHEN (n11 + n10) * (n11 + n01)
+                       + (n00 + n01) * (n00 + n10) = n * n
+                  THEN 1.0
+                  ELSE ((n11 + n00) * 1.0 / n
+                        - ((n11 + n10) * (n11 + n01)
+                           + (n00 + n01) * (n00 + n10)) * 1.0 / (n * n))
+                       / (1 - ((n11 + n10) * (n11 + n01)
+                               + (n00 + n01) * (n00 + n10))
+                              * 1.0 / (n * n))
+             END, 6) AS kappa
+FROM cells
+""",
+)
+def eval_cohens_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the engine's two quality raters — the
+    hash-weight classifier (quality_classifier_hashed) and the
+    GD-trained frozen model (quality_classifier_trained) — the
+    standard chance-corrected agreement statistic for deciding
+    whether two labelers measure the same thing (kappa near 0 =
+    agreement is what marginals alone predict; the two models here
+    score DIFFERENT signals — token-hash noise vs length/stopword
+    structure — so kappa quantifies how much quality signal they
+    actually share). In an LLM-data pipeline this is the routine
+    check before swapping one quality filter for another, or before
+    ensembling annotator models: po alone overstates agreement
+    whenever the keep rates are imbalanced.
+
+    Determinism: both raters reduce to SIGN tests, no libm — the
+    hashed rater's sigmoid(mean w) >= 0.5 is exactly
+    sum(w) >= 0 (the per-doc weight fold is an ordered array
+    reduction, bit-identical in both engines), and the trained
+    rater's proba > 0.5 is exactly logit z > 0 (3-term fixed-order
+    fp). The kappa arithmetic runs on exact BIGINT confusion
+    counts; only the final three ratios are doubles, rounded 6 dp.
+
+    Scale: ONE map-only scan (both raters are scan-stage
+    expressions over the same row — no join between the two
+    scorings) into a single 5-counter combiner aggregate. The
+    confusion cells double as the drill-down: n10/n01 are the
+    disagreement queues a labeling review would sample."""
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.split(F.lower(F.trim(F.col("text"))), _TOKS_RE).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    fold = (
+        "aggregate(transform(toks, x -> "
+        "(cast(conv(substring(md5(concat('qw:', x)),1,15),16,10) as bigint)"
+        " % 2001 - 1000) / 1000.0), cast(0 as double), (a, v) -> a + v)"
+    )
+    hk = tok.select(
+        "doc_id", "text",
+        F.when(F.expr(fold) >= 0, 1).otherwise(0).alias("keep_h"),
+    )
+    feats = quality_features(hk, "doc_id", "keep_h")
+    rated = feats.select(
+        "keep_h",
+        F.when(
+            F.lit(_LR_W0)
+            + F.lit(_LR_W_LEN) * F.col("f_len")
+            + F.lit(_LR_W_STOP) * F.col("f_stop")
+            > 0,
+            1,
+        ).otherwise(0).alias("keep_t"),
+    )
+    cells = rated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("keep_h") * F.col("keep_t")).alias("n11"),
+        F.sum(F.col("keep_h") * (1 - F.col("keep_t"))).alias("n10"),
+        F.sum((1 - F.col("keep_h")) * F.col("keep_t")).alias("n01"),
+        F.sum((1 - F.col("keep_h")) * (1 - F.col("keep_t"))).alias("n00"),
+    )
+    a1 = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+    a0 = (F.col("n00") + F.col("n01")) * (F.col("n00") + F.col("n10"))
+    po = (F.col("n11") + F.col("n00")) * 1.0 / F.col("n")
+    pe = (a1 + a0) * 1.0 / (F.col("n") * F.col("n"))
+    return cells.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("n11").cast("bigint").alias("n11"),
+        F.col("n10").cast("bigint").alias("n10"),
+        F.col("n01").cast("bigint").alias("n01"),
+        F.col("n00").cast("bigint").alias("n00"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(
+            F.when(a1 + a0 == F.col("n") * F.col("n"), F.lit(1.0))
+            .otherwise((po - pe) / (1 - pe)),
+            6,
+        ).alias("kappa"),
     )

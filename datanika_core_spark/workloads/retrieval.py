@@ -350,3 +350,182 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(_RRF_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Rank-biased overlap between the two retrieval branches.
+# --------------------------------------------------------------------------
+
+_RBO_P = 0.9
+_RBO_D = 20
+# Per-shared-doc weight: a doc first present in both prefixes at
+# depth m contributes W(m) = sum_{d=m..D} p^(d-1)/d to the truncated
+# RBO sum (Webber, Moffat & Zobel 2010, eq. 4 rearranged per doc).
+# Precomputed in Python and embedded as IDENTICAL double literals in
+# both engines, so no transcendental is ever evaluated engine-side.
+_RBO_W = [
+    sum(_RBO_P ** (d - 1) / d for d in range(m, _RBO_D + 1))
+    for m in range(1, _RBO_D + 1)
+]
+_RBO_W_SPARK = "array(" + ", ".join(f"{w!r}d" for w in _RBO_W) + ")"
+_RBO_W_DUCK = ("[" + ", ".join(f"CAST({w!r} AS DOUBLE)"
+                               for w in _RBO_W) + "]")
+
+# Classic tf-idf scorer over the SAME (tf_i, df_i, nn) columns BM25
+# reads: score = sum_i tf_i * ln(nn / df_i) — no length
+# normalization, no tf saturation. Identical formula text in both
+# engines (ln over the same doubles).
+_TFIDF_SCORE = " + ".join(
+    f"tf_{i} * ln(nn * 1.0 / df_{i})" for i in range(len(_BM25_TERMS))
+)
+
+
+@workload(
+    "eval_rbo_rankings",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_O_TOKS} AS toks,
+         CAST(len({_O_TOKS}) AS BIGINT) AS dl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, dl,
+         {", ".join(
+             f"CAST(len(list_filter(toks, x -> x = '{w}')) AS BIGINT)"
+             f" AS tf_{i}"
+             for i, w in enumerate(_BM25_TERMS))}
+  FROM tok
+),
+stats AS (
+  SELECT count(*) AS nn, sum(dl) * 1.0 / count(*) AS avgdl,
+         {", ".join(
+             f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+             f" AS df_{i}"
+             for i in range(len(_BM25_TERMS)))}
+  FROM tf
+),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY {_SCORE_EXPR} DESC, doc_id) AS r_lex
+  FROM tf CROSS JOIN stats
+  WHERE {" + ".join(f"tf_{i}" for i in range(len(_BM25_TERMS)))} > 0
+  QUALIFY r_lex <= {_RBO_D}
+),
+alt AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY {_TFIDF_SCORE} DESC, doc_id) AS r_alt
+  FROM tf CROSS JOIN stats
+  WHERE {" + ".join(f"tf_{i}" for i in range(len(_BM25_TERMS)))} > 0
+  QUALIFY r_alt <= {_RBO_D}
+),
+shared AS (
+  SELECT greatest(lex.r_lex, alt.r_alt) AS m
+  FROM lex JOIN alt ON lex.doc_id = alt.doc_id
+)
+SELECT CAST({_RBO_D} AS BIGINT) AS depth,
+       CAST((SELECT count(*) FROM shared) AS BIGINT) AS n_shared,
+       ROUND((SELECT count(*) FROM shared) * 1.0 / {_RBO_D}, 6)
+         AS overlap_at_depth,
+       ROUND((1 - CAST({_RBO_P} AS DOUBLE)) * coalesce(
+         (SELECT sum({_RBO_W_DUCK}[m]) FROM shared),
+         CAST(0 AS DOUBLE)), 6) AS rbo
+""",
+)
+def eval_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010)
+    between BM25 and classic tf-idf rankings of the SAME query,
+    both at depth {_RBO_D}, persistence p = {_RBO_P} — the scorer-
+    swap A/B: same terms, same tf/df statistics, different scoring
+    function (tf saturation + length normalization vs raw tf·idf).
+    RBO is the principled way to ask "how similar are two rankings"
+    when (a) only prefixes are available and (b) the top matters
+    more than the tail — exactly where Kendall/Spearman are
+    wrong-shaped (undefined on non-conjoint lists, uniform depth
+    weighting). The answer here is mid-range by construction: the
+    scorers agree on which docs matter (high prefix overlap) but
+    disagree on order — RBO prices exactly how much a scorer swap
+    would reshuffle what users see first.
+
+    Determinism: the truncated RBO sum is regrouped PER SHARED DOC —
+    a doc entering both prefixes at depth m = max(r_lex, r_sem)
+    contributes W(m) = sum_(d=m..D) p^(d-1)/d — so the engine-side
+    math is one array-literal lookup per shared doc (the W table is
+    precomputed in Python and embedded as identical double literals
+    in both engines) and a <= {_RBO_D}-term sum rounded at 6 dp.
+    Ranks tie-break on doc_id on both sides.
+
+    Scale: both branch rankings are TakeOrdered({_RBO_D}) shapes
+    (BM25: scan + broadcast stats row; cosine: map-only fold against
+    a broadcast query vector); the RBO join touches two
+    {_RBO_D}-row frames — driver noise. Comparing rankings over a
+    100 TB corpus costs exactly two top-k passes, never a global
+    sort."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), _TOKS).alias("toks")
+    )
+    tf = docs.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        *[
+            F.expr(f"size(filter(toks, x -> x = '{w}'))")
+            .cast("bigint")
+            .alias(f"tf_{i}")
+            for i, w in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("nn"),
+        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    from pyspark.sql import Window
+
+    lex = (
+        tf.join(F.broadcast(stats))
+        .filter(
+            sum(F.col(f"tf_{i}") for i in range(len(_BM25_TERMS))) > 0
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.expr(_SCORE_EXPR).desc(), F.col("doc_id")))
+            .alias("r_lex"),
+        )
+        .filter(F.col("r_lex") <= _RBO_D)
+    )
+    alt = (
+        tf.join(F.broadcast(stats))
+        .filter(
+            sum(F.col(f"tf_{i}") for i in range(len(_BM25_TERMS))) > 0
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(
+                Window.orderBy(F.expr(_TFIDF_SCORE).desc(), F.col("doc_id"))
+            )
+            .alias("r_alt"),
+        )
+        .filter(F.col("r_alt") <= _RBO_D)
+    )
+    shared = lex.join(alt, "doc_id").select(
+        F.greatest("r_lex", "r_alt").alias("m")
+    )
+    return shared.agg(
+        F.lit(_RBO_D).cast("bigint").alias("depth"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+        F.round(F.count(F.lit(1)) * 1.0 / _RBO_D, 6)
+        .alias("overlap_at_depth"),
+        F.round(
+            (1 - _RBO_P)
+            * F.coalesce(
+                F.sum(F.expr(f"element_at({_RBO_W_SPARK}, m)")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rbo"),
+    )
