@@ -100,7 +100,10 @@ def learn_merges(
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns
     [(rank, left, right, pair_count), ...] in merge order."""
-    vocab = build_vocab(docs, text_col).localCheckpoint(eager=True)
+    from datanika_core_spark.blocks import RollingCheckpoint
+
+    roll = RollingCheckpoint(docs.sparkSession)
+    vocab = roll(build_vocab(docs, text_col))
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         top = (
@@ -123,7 +126,12 @@ def learn_merges(
             "cnt",
         )
         if rank % _CHECKPOINT_EVERY == 0:
-            vocab = vocab.localCheckpoint(eager=True)
+            # rolling: frees the previous truncation's blocks the
+            # moment this one materializes — O(1) pinned sets
+            vocab = roll(vocab)
+    # the merge list is driver-side state; nothing references the
+    # final vocab checkpoint anymore
+    roll.release()
     return merges
 
 

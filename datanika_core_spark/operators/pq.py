@@ -107,7 +107,12 @@ def train_pq(
     """Lloyd iterations over all subspaces at once; returns the
     trained codebook [m][k][dim/m]. Empty clusters keep their
     previous codeword (standard practice; deterministic)."""
+    from datanika_core_spark.blocks import persistent_rdd_ids, unpersist_rdd_ids
+
+    spark = vecs.sparkSession
+    _before = persistent_rdd_ids(spark)
     subs = _subvectors(vecs, dim, m).localCheckpoint(eager=True)
+    _subs_ids = persistent_rdd_ids(spark) - _before
     codebook = init_codebook(vecs, dim, m, k)
     for _ in range(iters):
         assigned = subs.withColumn("cid", F.expr(_assign_expr(codebook)))
@@ -129,6 +134,9 @@ def train_pq(
         for r in sums:
             new_cb[r["sub"]][r["cid"]][r["pos"]] = r["xsum"] / r["n"]
         codebook = new_cb
+    # codebook is driver-side state; the subvector checkpoint's
+    # blocks are no longer inputs to anything
+    unpersist_rdd_ids(spark, _subs_ids)
     return codebook
 
 

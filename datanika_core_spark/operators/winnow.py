@@ -167,12 +167,25 @@ class WinnowingFingerprintStore:
         Returns (kept_batch, sorted rejected ids). The prune is a
         broadcast anti-join on the materialized flagged-id frame —
         the same no-literals convention as the streaming curate path."""
+        from datanika_core_spark.blocks import (
+            persistent_rdd_ids,
+            unpersist_rdd_ids,
+        )
+
+        ids0 = persistent_rdd_ids(self.spark)
+        pairs = self.match_batch(batch, text_col, min_shared)
+        ids_probe = persistent_rdd_ids(self.spark) - ids0
         flagged = (
-            self.match_batch(batch, text_col, min_shared)
+            pairs
             .select(F.col("doc_new").alias("doc_id"))
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # flagged is materialized: the batch-fingerprint checkpoint
+        # match_batch pinned is no longer an input — free it so an
+        # N-batch ingest holds O(1) block sets (flagged itself stays;
+        # the returned kept frame reads it)
+        unpersist_rdd_ids(self.spark, ids_probe)
         rejected = sorted(r.doc_id for r in flagged.collect())
         kept = batch.join(F.broadcast(flagged), "doc_id", "left_anti")
         self.update(kept, text_col)

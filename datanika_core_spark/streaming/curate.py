@@ -115,7 +115,7 @@ def stream_curate(
         spark, source_path, max_files_per_trigger=max_files_per_trigger
     )
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+    def _sink_body(batch_df: DataFrame, batch_id: int) -> None:
         # The previous batch appended through the micro-batch session
         # clone; this session's cached file indexes for the corpus +
         # store tables are stale (reads would silently miss the
@@ -235,6 +235,16 @@ def stream_curate(
         )
         kept.write.format("parquet").mode(mode).saveAsTable(corpus_table)
         stats.loaded += store.update(kept)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # every frame the batch checkpoints is written or collected
+        # WITHIN the batch; freeing its blocks at batch end keeps an
+        # N-batch stream pinning O(1) block sets, not O(N) (the
+        # round-5 bench OOM was this leak class at session scope)
+        from datanika_core_spark.blocks import scoped_blocks
+
+        with scoped_blocks(spark):
+            _sink_body(batch_df, batch_id)
 
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_curate_")
     q = (

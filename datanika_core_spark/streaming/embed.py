@@ -61,7 +61,7 @@ def stream_embed_ingest(
         spark, source_path, max_files_per_trigger=max_files_per_trigger
     )
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+    def _sink_body(batch_df: DataFrame, batch_id: int) -> None:
         if spark.catalog.tableExists(store.table):
             spark.catalog.refreshTable(store.table)
         stats.batches += 1
@@ -121,6 +121,14 @@ def stream_embed_ingest(
             "left_anti",
         )
         stats.loaded += store.update(survivors)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # batch-local checkpoints are fully consumed in-batch; free
+        # them so an N-batch stream pins O(1) block sets, not O(N)
+        from datanika_core_spark.blocks import scoped_blocks
+
+        with scoped_blocks(spark):
+            _sink_body(batch_df, batch_id)
 
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_embed_")
     q = (

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from datanika_core_spark.blocks import RollingCheckpoint
 from datanika_core_spark.workloads import t, workload
 from datanika_core_spark.workloads.text_dedup import (
     O_MINHASH_PAIRS_CTES,
@@ -48,34 +49,47 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     set. ``localCheckpoint`` truncates lineage so the plan doesn't
     grow with iterations.
     """
-    sym = edges.selectExpr("doc_a AS u", "doc_b AS v").unionByName(
-        edges.selectExpr("doc_b AS u", "doc_a AS v")
+    spark = edges.sparkSession
+    # base holds the frames EVERY round reads (edge set, seed
+    # labels); roll holds the per-round label frame and frees round
+    # N-1's blocks as round N materializes — storage stays O(1) in
+    # iterations instead of O(rounds) pinned block sets.
+    base = RollingCheckpoint(spark)
+    roll = RollingCheckpoint(spark)
+    sym = base.adopt(
+        edges.selectExpr("doc_a AS u", "doc_b AS v").unionByName(
+            edges.selectExpr("doc_b AS u", "doc_a AS v")
+        )
     )
-    sym = sym.localCheckpoint(eager=True)
-    labels = (
+    labels = base.adopt(
         sym.select(F.col("u").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
     )
+    looped = False
     for _ in range(max_iter):
+        looped = True
         neigh = (
             sym.join(labels, sym.v == labels.doc_id)
             .groupBy("u")
             .agg(F.min("label").alias("nmin"))
         )
-        nxt = (
+        nxt = roll(
             labels.join(neigh, labels.doc_id == neigh.u, "left")
             .select(
                 "doc_id",
                 F.least("label", F.coalesce("nmin", "label")).alias("new_label"),
                 "label",
             )
-        ).localCheckpoint(eager=True)
+        )
         changed = nxt.filter(F.col("new_label") < F.col("label")).count()
         labels = nxt.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    if looped:
+        # the returned frame derives only from the LAST round's
+        # checkpoint; the edge/seed blocks are no longer inputs
+        base.release()
     return labels.select("doc_id", F.col("label").alias("canonical_id"))
 
 

@@ -613,11 +613,58 @@ _BPE_MERGES = 10
 
 @workload(
     "bpe_learned_merges",
-    # no oracle: the greedy left-to-right merge rewrite needs a
-    # lookahead regex (or a procedural fold) per iteration — DuckDB's
-    # RE2 engine has no lookahead and SQL has no iteration, so this is
-    # verified against a pure-Python textbook implementation instead
-    # (tests/test_bpe.py); the driver records a rows-only check.
+    # Recursive-CTE oracle: DuckDB's recursive CTEs allow aggregates
+    # and self-joins in the recursive term, so the full BPE loop
+    # replays in SQL — each round counts adjacent pairs over the
+    # working vocabulary (unnest + GROUP BY), argmaxes with the same
+    # (count desc, pair lexicographic) tiebreak, and rewrites every
+    # word with a list_reduce greedy left-to-right fold (the fold is
+    # exactly Sennrich Algorithm 1's scan: merge when the
+    # accumulator's last symbol is `a` and the next is `b`; the
+    # just-merged `ab` can never re-match as `a` since b is
+    # non-empty). RE2's missing lookahead is irrelevant here — the
+    # fold never uses regex. Same technique as the r4 EWMA /
+    # Holt-Winters recursive oracles (timeseries.py).
+    oracle=rf"""
+WITH RECURSIVE words AS (
+  SELECT w AS word, count(*) AS cnt FROM (
+    SELECT unnest({_O_TOKS}) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+vocab0 AS (
+  SELECT string_split(word, '') AS syms, cnt FROM words
+),
+bpe AS (
+  SELECT 0 AS rank, CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
+         CAST(NULL AS BIGINT) AS pc, syms, cnt
+  FROM vocab0
+  UNION ALL
+  SELECT r.rank + 1, best.a, best.b, best.pc,
+         string_split(
+           list_reduce(list_prepend('', r.syms), (acc, s) ->
+             CASE WHEN s = best.b AND ends_with(acc, chr(31) || best.a)
+                  THEN acc || s
+                  ELSE acc || chr(31) || s END),
+           chr(31))[2:],
+         r.cnt
+  FROM bpe r CROSS JOIN (
+    SELECT a, b, pc FROM (
+      SELECT (t.p).a AS a, (t.p).b AS b, CAST(sum(t.cnt) AS BIGINT) AS pc
+      FROM (
+        SELECT unnest(list_transform(range(1, len(syms)),
+                 i -> struct_pack(a := syms[i], b := syms[i+1]))) AS p,
+               cnt
+        FROM bpe
+      ) t
+      GROUP BY 1, 2
+    ) ORDER BY pc DESC, a, b LIMIT 1
+  ) best
+  WHERE r.rank < {_BPE_MERGES}
+)
+SELECT rank, a AS "left", b AS "right", a || b AS merged, pc AS pair_count
+FROM (SELECT DISTINCT rank, a, b, pc FROM bpe WHERE rank >= 1)
+ORDER BY rank
+""",
 )
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first {n} BPE merges learned from the corpus (Sennrich

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datanika_core_spark.blocks import RollingCheckpoint
 from datanika_core_spark.workloads import t, workload
 
 _PR_D = 0.85     # damping
@@ -143,6 +144,7 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
 
     pr = nodes.withColumn("pr", F.lit(1.0) / F.lit(float(n)))
+    roll = RollingCheckpoint(spark)
     for it in range(_PR_ITERS):
         dang = (
             pr.join(F.broadcast(no_out), "node", "left_semi")
@@ -170,8 +172,11 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             # |V| rows): keeps the final plan one-iteration deep
             # instead of exponentially re-deriving earlier rounds in
             # every broadcast branch — same pattern as
-            # connected_components' localCheckpoint loop.
-            pr = pr.localCheckpoint(eager=True)
+            # connected_components' loop. RollingCheckpoint frees
+            # round N-1's blocks as round N materializes, so storage
+            # stays O(1) in iterations (the round-5 bench OOM was
+            # exactly this class of leak accumulating per session).
+            pr = roll(pr)
     return (
         pr.select(F.col("node").alias("event_type"),
                   F.round("pr", 6).alias("pagerank"))

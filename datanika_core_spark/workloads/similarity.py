@@ -895,16 +895,90 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Product quantization (rows-only; NumPy-reference-verified).
+# Product quantization (recursive-CTE oracle + NumPy-reference tests).
 # --------------------------------------------------------------------------
+
+_PQR_M, _PQR_K, _PQR_ITERS = 8, 16, 3
+_PQR_SUBD = _DIM // _PQR_M
+
+#: element-wise centroid mean as an explicit list of sub_d aggregate
+#: expressions (sum/count matches the Spark xsum/n update exactly)
+_O_PQ_MEAN = (
+    "["
+    + ", ".join(
+        f"sum(sv[{i}]) / count(*)" for i in range(1, _PQR_SUBD + 1)
+    )
+    + "]"
+)
+
+
+def _o_pq_dist(sv: str, cw: str) -> str:
+    """Squared L2 between two sub_d lists (DuckDB text)."""
+    return (
+        f"list_sum(list_transform(range(1, {_PQR_SUBD + 1}),"
+        f" i -> ({sv}[i] - {cw}[i]) * ({sv}[i] - {cw}[i])))"
+    )
 
 
 @workload(
     "pq_reconstruction_error",
-    # no oracle: PQ training is iterative (per-subspace Lloyd with a
-    # global argmax dependency per step). Verified instead against a
-    # NumPy textbook implementation — codebook to 1e-9, encodings
-    # exactly (tests/test_pq.py); the driver records rows-only.
+    # Recursive-CTE oracle replaying the exact Lloyd recurrence:
+    # DuckDB's recursive CTEs permit self-joins and aggregates in the
+    # recursive term, so each iteration assigns every subvector to
+    # its nearest codeword (argmin with the same lower-cid tiebreak
+    # as operators/pq.py::_assign_expr, via row_number ORDER BY dist,
+    # cid) and recomputes centroids as sum/count — empty clusters
+    # keep the previous codeword through the LEFT JOIN coalesce,
+    # matching train_pq. Init is the same deterministic rule: the
+    # codewords are the subvectors of the K lowest vec_ids. Also
+    # NumPy-verified to 1e-9 in tests/test_pq.py.
+    oracle=f"""
+WITH RECURSIVE
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+subs AS (
+  SELECT vec_id, ss.s AS sub,
+         v[ss.s*{_PQR_SUBD}+1 : ss.s*{_PQR_SUBD}+{_PQR_SUBD}] AS sv
+  FROM vecs, (SELECT unnest(range(0, {_PQR_M})) AS s) ss
+),
+seed AS (
+  SELECT sub,
+         CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+              AS INT) AS cid,
+         sv AS cw
+  FROM subs
+  WHERE vec_id IN (SELECT vec_id FROM
+                   (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT {_PQR_K}))
+),
+cb AS (
+  SELECT 0 AS it, sub, cid, cw FROM seed
+  UNION ALL
+  SELECT c.it + 1, c.sub, c.cid,
+         CASE WHEN a.n IS NOT NULL THEN a.newcw ELSE c.cw END
+  FROM cb c
+  LEFT JOIN (
+    SELECT sub, cid, count(*) AS n, {_O_PQ_MEAN} AS newcw
+    FROM (
+      SELECT s.vec_id, s.sub, s.sv, c2.cid,
+             row_number() OVER (PARTITION BY s.vec_id, s.sub
+                ORDER BY {_o_pq_dist('s.sv', 'c2.cw')}, c2.cid) AS rn
+      FROM subs s JOIN cb c2 ON c2.sub = s.sub
+    ) WHERE rn = 1
+    GROUP BY sub, cid
+  ) a ON a.sub = c.sub AND a.cid = c.cid
+  WHERE c.it < {_PQR_ITERS}
+),
+final AS (SELECT sub, cid, cw FROM cb WHERE it = {_PQR_ITERS}),
+fasgn AS (
+  SELECT vec_id, se FROM (
+    SELECT s.vec_id, {_o_pq_dist('s.sv', 'c.cw')} AS se,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+              ORDER BY {_o_pq_dist('s.sv', 'c.cw')}, c.cid) AS rn
+    FROM subs s JOIN final c ON c.sub = s.sub
+  ) WHERE rn = 1
+)
+SELECT vec_id, ROUND(sqrt(sum(se) / {_DIM}), 6) AS rmse
+FROM fasgn GROUP BY vec_id ORDER BY vec_id
+""",
 )
 def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train an 8×16 product quantizer (Jégou 2011) on the embedding
@@ -948,10 +1022,114 @@ def _pq_cb_literal(cb: list[list[list[float]]]) -> str:
 
 @workload(
     "ann_ivfpq_adc_topk",
-    # no oracle: PQ training is iterative (see pq_reconstruction_error);
-    # the ADC ranking itself is deterministic given the codebook and is
+    # Recursive-CTE oracle: the 2-iteration PQ train replays with the
+    # same Lloyd recurrence as pq_reconstruction_error's oracle (on
+    # L2-NORMALIZED vectors, matching the Spark path), then the whole
+    # IVFADC+R read path — coarse cosine assignment, per-subspace
+    # code argmin, ADC lookup-sum, top-20 shortlist, exact re-rank —
+    # is plain windowed SQL. Tiebreaks mirror the Spark side exactly
+    # (coarse: cos desc then cid; codes: dist then cid; shortlist:
+    # adc then neighbor_id; final: sim desc then neighbor_id). Also
     # recall-tested against the uncompressed in-cluster scan in
-    # tests/test_pq.py::test_ivfpq_adc_recall
+    # tests/test_pq.py::test_ivfpq_adc_recall.
+    oracle=f"""
+WITH RECURSIVE
+raw AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+vecs AS (
+  SELECT vec_id, list_transform(v0, x -> x / nrm) AS v
+  FROM (SELECT vec_id, v0,
+               sqrt(list_sum(list_transform(v0, y -> y * y))) AS nrm
+        FROM raw)
+),
+subs AS (
+  SELECT vec_id, ss.s AS sub,
+         v[ss.s*{_DIM // _PQ_M}+1 : ss.s*{_DIM // _PQ_M}+{_DIM // _PQ_M}] AS sv
+  FROM vecs, (SELECT unnest(range(0, {_PQ_M})) AS s) ss
+),
+seed AS (
+  SELECT sub,
+         CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+              AS INT) AS cid,
+         sv AS cw
+  FROM subs
+  WHERE vec_id IN (SELECT vec_id FROM
+                   (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT {_PQ_K}))
+),
+cb AS (
+  SELECT 0 AS it, sub, cid, cw FROM seed
+  UNION ALL
+  SELECT c.it + 1, c.sub, c.cid,
+         CASE WHEN a.n IS NOT NULL THEN a.newcw ELSE c.cw END
+  FROM cb c
+  LEFT JOIN (
+    SELECT sub, cid, count(*) AS n, {_O_PQ_MEAN} AS newcw
+    FROM (
+      SELECT s.vec_id, s.sub, s.sv, c2.cid,
+             row_number() OVER (PARTITION BY s.vec_id, s.sub
+                ORDER BY {_o_pq_dist('s.sv', 'c2.cw')}, c2.cid) AS rn
+      FROM subs s JOIN cb c2 ON c2.sub = s.sub
+    ) WHERE rn = 1
+    GROUP BY sub, cid
+  ) a ON a.sub = c.sub AND a.cid = c.cid
+  WHERE c.it < {_PQ_ITERS}
+),
+final AS (SELECT sub, cid, cw FROM cb WHERE it = {_PQ_ITERS}),
+cent AS (SELECT vec_id AS ccid, v AS cv FROM vecs WHERE vec_id < {_IVF_NCENT}),
+assigned AS (
+  SELECT vec_id, v, ccid AS cid FROM (
+    SELECT p.vec_id, p.v, c.ccid,
+           row_number() OVER (PARTITION BY p.vec_id
+              ORDER BY {_O_DOT.format(a='p.v', b='c.cv', n=_DIM)} /
+                       (sqrt({_O_DOT.format(a='p.v', b='p.v', n=_DIM)}) *
+                        sqrt({_O_DOT.format(a='c.cv', b='c.cv', n=_DIM)}))
+                       DESC, c.ccid) AS rn
+    FROM vecs p CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, c.cid AS code,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+              ORDER BY {_o_pq_dist('s.sv', 'c.cw')}, c.cid) AS rn
+    FROM subs s JOIN final c ON c.sub = s.sub
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, cid AS qcid FROM assigned
+  WHERE vec_id >= {_IVF_QLO} AND vec_id < {_IVF_QHI}
+),
+adc AS (
+  SELECT qq.query_id, p.vec_id AS neighbor_id,
+         sum({_o_pq_dist('qs.sv', 'c.cw')}) AS adc_dist
+  FROM q qq
+  JOIN assigned p ON p.cid = qq.qcid AND p.vec_id <> qq.query_id
+  JOIN subs qs ON qs.vec_id = qq.query_id
+  JOIN codes co ON co.vec_id = p.vec_id AND co.sub = qs.sub
+  JOIN final c ON c.sub = qs.sub AND c.cid = co.code
+  GROUP BY 1, 2
+),
+shortlist AS (
+  SELECT query_id, neighbor_id, adc_dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist, neighbor_id) AS srank
+    FROM adc
+  ) WHERE srank <= {_PQ_RERANK}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id, s.adc_dist,
+         {_O_DOT.format(a='qv.v', b='nv.v', n=_DIM)} AS sim
+  FROM shortlist s
+  JOIN vecs qv ON qv.vec_id = s.query_id
+  JOIN vecs nv ON nv.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       ROUND(sim, 6) AS sim, ROUND(adc_dist, 6) AS adc_dist
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id) AS rank
+      FROM exact)
+WHERE rank <= {_IVF_K}
+ORDER BY query_id, rank
+""",
 )
 def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full IVF-PQ read path with re-ranking (IVFADC+R,
