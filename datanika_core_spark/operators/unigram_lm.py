@@ -28,9 +28,9 @@ Scale shape (same split as BPE):
 
 Verification: pure-Python reference parity (tests/test_unigram_lm.py)
 — same seeding, same EM, same Viterbi tiebreaks, probabilities equal
-to 1e-12. No SQL oracle (the EM loop is not SQL-expressible); the
-registry entry is rows-only, listed in
-tests/test_driver_contract.py::ROWS_ONLY_OK.
+to 1e-12 — plus a full DuckDB recursive-CTE oracle on the registry
+entry (workloads/frontier.py::unigram_lm_vocab) that replays the
+seed → EM → prune → EM pipeline in SQL, Viterbi DP included.
 """
 
 from __future__ import annotations

@@ -68,7 +68,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: bookkeeping. This list only breaks ties WITHIN each group —
 #: newest additions first.
 CHECK_FIRST = [
-    # new in round 6 (model-eval suite + analytics additions)
+    # new in round 6 (ex-rows-only iterative ops with fresh
+    # recursive-CTE oracles, + the round-6 additions)
+    "bpe_learned_merges", "unigram_lm_vocab",
+    "pq_reconstruction_error", "ann_ivfpq_adc_topk",
+    "hll_distinct_users_by_type", "dq_constraint_report",
+    "bpe_tokenize_corpus", "weighted_sample_aes_docs",
+    # older additions (first recorded r3; re-sampled since)
     "eval_auc_quality_model", "eval_calibration_quality_model",
     "eval_centroid_confusion", "eval_centroid_class_metrics",
     "rfm_segment_transitions", "attribution_time_decay",
@@ -190,6 +196,7 @@ def load_all() -> dict[str, Workload]:
         core_sql,
         corpus_quality,
         curation,
+        dataquality,
         elt,
         evalmetrics,
         events,

@@ -731,3 +731,90 @@ def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "weight", (hi - lo).alias("n_hits"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (A-ES exponential keys).
+# --------------------------------------------------------------------------
+
+_AES_K = 5  # docs kept per source
+
+#: deterministic uniform in (0, 1] from the 60-bit md5 hash
+_S_AES_U = ("(cast({h} as double) + 1.0D) / 1152921504606846976.0D")
+_O_AES_U = ("(CAST({h} AS DOUBLE) + CAST(1 AS DOUBLE))"
+            " / CAST(1152921504606846976 AS DOUBLE)")
+
+
+@workload(
+    "weighted_sample_aes_docs",
+    oracle=rf"""
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter({{toks}}, t -> t <> '')) AS BIGINT) AS weight
+  FROM documents WHERE text IS NOT NULL
+),
+keyed AS (
+  SELECT doc_id, source, weight,
+         ln({_O_AES_U.format(
+             h=_O_HASH.format(
+                 x="'aes-' || CAST(doc_id AS VARCHAR)"))})
+           / CAST(weight AS DOUBLE) AS k
+  FROM w WHERE weight > 0
+),
+ranked AS (
+  SELECT source, doc_id, weight,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY k DESC, doc_id) AS BIGINT) AS rank
+  FROM keyed
+)
+SELECT source, doc_id, weight, rank
+FROM ranked WHERE rank <= {_AES_K}
+ORDER BY source, rank
+""".format(toks=r"regexp_split_to_array(lower(trim(text)), '\s+')"),
+)
+def weighted_sample_aes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k = {k} docs per
+    source, weights = token counts — Efraimidis-Spirakis A-ES
+    (2006): each row draws u ~ U(0,1] and ranks by the exponential
+    key ln(u)/w (the monotone twin of u^(1/w)); the top-k per group
+    is an exact weighted sample without replacement. u comes from
+    the engine-portable md5 hash, so the SAMPLE IS A PURE FUNCTION
+    OF THE DATA: re-runs, both engines, and disjoint 100 TB
+    partitions all agree without coordination — the same property
+    sample_stratified_deterministic relies on, upgraded from
+    per-stratum rates to per-ROW weights (the mixture-sampling
+    primitive: sample training docs proportional to length/quality
+    without a global shuffle).
+
+    Scale: key evaluation is map-side scalar math in the scan; the
+    only shuffle is the per-source top-k (rank window on |groups|
+    partitions — or TakeOrdered per group at extreme skew). The
+    exact-distribution proof is the estimator's: P(doc first) =
+    w_i/Σw within each exponential-race round."""
+    docs = t(spark, sf_dir, "documents").filter("text is not null")
+    w = docs.select(
+        "doc_id", "source",
+        F.expr(r"cast(size(filter(split(lower(trim(text)), '\\s+'),"
+               r" t -> t <> '')) as bigint)").alias("weight"),
+    ).filter(F.col("weight") > 0)
+    u = _S_AES_U.format(
+        h=_spark_hash("concat('aes-', cast(doc_id as string))")
+    )
+    keyed = w.withColumn(
+        "k", F.expr(f"ln({u}) / cast(weight as double)")
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.col("k").desc(), F.col("doc_id")
+    )
+    return (
+        keyed.withColumn("rank",
+                         F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rank") <= _AES_K)
+        .select("source", "doc_id", "weight", "rank")
+        .orderBy("source", "rank")
+    )
+
+
+weighted_sample_aes_docs.__doc__ = weighted_sample_aes_docs.__doc__.format(
+    k=_AES_K
+)

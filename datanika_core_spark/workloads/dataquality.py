@@ -1,0 +1,154 @@
+"""Data-quality constraint suite (Deequ-style, Schelter et al. 2018
+"Automating Large-Scale Data Quality Verification"): declarative
+constraints evaluated as ONE aggregation pass per table, emitted as
+a (check_name, target, observed, threshold, passed) report frame.
+
+This is the warehouse-scale generalization of the reference's
+model-level data tests (datanika: dbt generic tests — unique /
+not_null / accepted_values / relationships, see
+plans/model_tests.py): the same four test semantics, but fused into
+single-scan aggregate plans instead of one query per test, plus
+range checks — the shape that audits a 100 TB table for the cost of
+one scan.
+
+Scale notes:
+- Every per-table constraint compiles to ONE agg over ONE scan
+  (conditional sums — map-side combinable, zero extra shuffles;
+  Catalyst prunes the scan to exactly the referenced columns).
+- The referential check (lineitem → orders) is the only join; it
+  ships only the DISTINCT key projection of each side, and AQE
+  picks broadcast when the dimension's key set fits.
+- `stack()` pivots the 1-row metric frame into report rows
+  driver-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datanika_core_spark.workloads import t, workload
+
+
+@workload(
+    "dq_constraint_report",
+    oracle="""
+WITH o AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS pk_dups,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_custkey,
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nonpos_price
+  FROM orders
+),
+l AS (
+  SELECT CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                       THEN 1 ELSE 0 END) AS BIGINT) AS qty_oob,
+         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS disc_oob
+  FROM lineitem
+),
+orph AS (
+  SELECT CAST(count(*) AS BIGINT) AS fk_orphans
+  FROM (SELECT DISTINCT l_orderkey FROM lineitem) li
+  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) oo
+    ON oo.o_orderkey = li.l_orderkey
+  WHERE oo.o_orderkey IS NULL
+)
+SELECT * FROM (
+  SELECT 'row_count_min' AS check_name, 'orders' AS target,
+         n_rows AS observed, CAST(1 AS BIGINT) AS threshold,
+         n_rows >= 1 AS passed FROM o
+  UNION ALL
+  SELECT 'pk_unique', 'orders.o_orderkey', pk_dups, 0, pk_dups <= 0 FROM o
+  UNION ALL
+  SELECT 'not_null', 'orders.o_custkey', null_custkey, 0,
+         null_custkey <= 0 FROM o
+  UNION ALL
+  SELECT 'accepted_values', 'orders.o_orderstatus', bad_status, 0,
+         bad_status <= 0 FROM o
+  UNION ALL
+  SELECT 'positive', 'orders.o_totalprice', nonpos_price, 0,
+         nonpos_price <= 0 FROM o
+  UNION ALL
+  SELECT 'range_1_50', 'lineitem.l_quantity', qty_oob, 0,
+         qty_oob <= 0 FROM l
+  UNION ALL
+  SELECT 'range_0_01', 'lineitem.l_discount', disc_oob, 0,
+         disc_oob <= 0 FROM l
+  UNION ALL
+  SELECT 'fk_exists', 'lineitem.l_orderkey->orders', fk_orphans, 0,
+         fk_orphans <= 0 FROM orph
+)
+ORDER BY check_name, target
+""",
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint report over orders/lineitem: primary-key
+    uniqueness, not-null, accepted values, positivity, value range,
+    discount-range, and referential
+    integrity — all BIGINT violation counts (exact, hash-stable),
+    evaluated in one aggregation pass per table plus one
+    distinct-key join for the FK check. The report is the engine's
+    gate-a-load primitive: `passed = false` rows are what a pipeline
+    run would fail on (reference parity: dbt's unique / not_null /
+    accepted_values / relationships tests, plans/model_tests.py —
+    here fused into per-table single scans for warehouse scale)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    o_m = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .cast("bigint").alias("pk_dups"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("null_custkey"),
+        F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+              .otherwise(0)).cast("bigint").alias("bad_status"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("bigint").alias("nonpos_price"),
+    )
+    l_m = li.agg(
+        F.sum(F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+                     1).otherwise(0)).cast("bigint").alias("qty_oob"),
+        F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+                     1).otherwise(0)).cast("bigint").alias("disc_oob"),
+    )
+    orph = (
+        li.select("l_orderkey").distinct()
+        .join(o.select("o_orderkey").distinct(),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("fk_orphans"))
+    )
+    o_rows = o_m.select(F.expr(
+        "stack(5,"
+        " 'row_count_min', 'orders', n_rows, cast(1 as bigint),"
+        " 'pk_unique', 'orders.o_orderkey', pk_dups, cast(0 as bigint),"
+        " 'not_null', 'orders.o_custkey', null_custkey, cast(0 as bigint),"
+        " 'accepted_values', 'orders.o_orderstatus', bad_status,"
+        "   cast(0 as bigint),"
+        " 'positive', 'orders.o_totalprice', nonpos_price,"
+        "   cast(0 as bigint)"
+        ") as (check_name, target, observed, threshold)"
+    ))
+    l_rows = l_m.select(F.expr(
+        "stack(2,"
+        " 'range_1_50', 'lineitem.l_quantity', qty_oob, cast(0 as bigint),"
+        " 'range_0_01', 'lineitem.l_discount', disc_oob,"
+        "   cast(0 as bigint)"
+        ") as (check_name, target, observed, threshold)"
+    ))
+    f_rows = orph.select(
+        F.lit("fk_exists").alias("check_name"),
+        F.lit("lineitem.l_orderkey->orders").alias("target"),
+        F.col("fk_orphans").alias("observed"),
+        F.lit(0).cast("bigint").alias("threshold"),
+    )
+    rows = o_rows.unionByName(l_rows).unionByName(f_rows)
+    passed = F.when(
+        F.col("check_name") == "row_count_min",
+        F.col("observed") >= F.col("threshold"),
+    ).otherwise(F.col("observed") <= F.col("threshold"))
+    return rows.withColumn("passed", passed).orderBy("check_name", "target")

@@ -610,36 +610,27 @@ def bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_MERGES = 10
 
-
-@workload(
-    "bpe_learned_merges",
-    # Recursive-CTE oracle: DuckDB's recursive CTEs allow aggregates
-    # and self-joins in the recursive term, so the full BPE loop
-    # replays in SQL — each round counts adjacent pairs over the
-    # working vocabulary (unnest + GROUP BY), argmaxes with the same
-    # (count desc, pair lexicographic) tiebreak, and rewrites every
-    # word with a list_reduce greedy left-to-right fold (the fold is
-    # exactly Sennrich Algorithm 1's scan: merge when the
-    # accumulator's last symbol is `a` and the next is `b`; the
-    # just-merged `ab` can never re-match as `a` since b is
-    # non-empty). RE2's missing lookahead is irrelevant here — the
-    # fold never uses regex. Same technique as the r4 EWMA /
-    # Holt-Winters recursive oracles (timeseries.py).
-    oracle=rf"""
-WITH RECURSIVE words AS (
+#: Shared recursive-CTE text replaying the BPE merge loop: `words`
+#: (frequency-weighted vocab), `vocab0` (char-split symbol lists,
+#: word identity carried), and `bpe` — one row set per merge round,
+#: each round argmaxing pair counts over the working vocabulary and
+#: rewriting every word with the greedy left-to-right list_reduce
+#: fold. Used by bpe_learned_merges (reads the merge columns) and
+#: bpe_tokenize_corpus (reads the final symbol lists per word).
+_O_BPE_CTES = rf"""words AS (
   SELECT w AS word, count(*) AS cnt FROM (
     SELECT unnest({_O_TOKS}) AS w FROM documents
   ) WHERE w <> '' GROUP BY w
 ),
 vocab0 AS (
-  SELECT string_split(word, '') AS syms, cnt FROM words
+  SELECT word, string_split(word, '') AS syms, cnt FROM words
 ),
 bpe AS (
   SELECT 0 AS rank, CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
-         CAST(NULL AS BIGINT) AS pc, syms, cnt
+         CAST(NULL AS BIGINT) AS pc, word, syms, cnt
   FROM vocab0
   UNION ALL
-  SELECT r.rank + 1, best.a, best.b, best.pc,
+  SELECT r.rank + 1, best.a, best.b, best.pc, r.word,
          string_split(
            list_reduce(list_prepend('', r.syms), (acc, s) ->
              CASE WHEN s = best.b AND ends_with(acc, chr(31) || best.a)
@@ -660,7 +651,25 @@ bpe AS (
     ) ORDER BY pc DESC, a, b LIMIT 1
   ) best
   WHERE r.rank < {_BPE_MERGES}
-)
+)"""
+
+
+@workload(
+    "bpe_learned_merges",
+    # Recursive-CTE oracle: DuckDB's recursive CTEs allow aggregates
+    # and self-joins in the recursive term, so the full BPE loop
+    # replays in SQL — each round counts adjacent pairs over the
+    # working vocabulary (unnest + GROUP BY), argmaxes with the same
+    # (count desc, pair lexicographic) tiebreak, and rewrites every
+    # word with a list_reduce greedy left-to-right fold (the fold is
+    # exactly Sennrich Algorithm 1's scan: merge when the
+    # accumulator's last symbol is `a` and the next is `b`; the
+    # just-merged `ab` can never re-match as `a` since b is
+    # non-empty). RE2's missing lookahead is irrelevant here — the
+    # fold never uses regex. Same technique as the r4 EWMA /
+    # Holt-Winters recursive oracles (timeseries.py).
+    oracle=f"""
+WITH RECURSIVE {_O_BPE_CTES}
 SELECT rank, a AS "left", b AS "right", a || b AS merged, pc AS pair_count
 FROM (SELECT DISTINCT rank, a, b, pc FROM bpe WHERE rank >= 1)
 ORDER BY rank
@@ -682,6 +691,87 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, a, b, a + b, c) for (r, a, b, c) in merges],
         "rank int, left string, right string, merged string,"
         " pair_count bigint",
+    )
+
+
+@workload(
+    "bpe_tokenize_corpus",
+    # The ENCODE half of the tokenizer family, driver-checked: the
+    # oracle replays the same merge recursion (shared _O_BPE_CTES),
+    # reads each word's FINAL symbol list from the last round, and
+    # joins it back onto the per-doc word stream — exact because BPE
+    # inference on a training-corpus word reproduces training's
+    # rewrite of that word (same merge list, same greedy scan).
+    oracle=f"""
+WITH RECURSIVE {_O_BPE_CTES},
+wtok AS MATERIALIZED (
+  SELECT word, CAST(len(syms) AS BIGINT) AS n_tok
+  FROM bpe WHERE rank = (SELECT max(rank) FROM bpe)
+),
+docw AS (
+  SELECT doc_id, source, unnest({_O_TOKS}) AS w
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+perdoc AS (
+  SELECT d.doc_id, d.source,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(t.n_tok) AS BIGINT) AS n_tokens
+  FROM docw d JOIN wtok t ON t.word = d.w
+  WHERE d.w <> ''
+  GROUP BY d.doc_id, d.source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(n_tokens) AS BIGINT) AS total_bpe_tokens,
+       ROUND(sum(n_tokens) * 1.0 / count(*), 4) AS avg_tokens_per_doc,
+       ROUND(sum(n_tokens) * 1.0 / sum(n_words), 6) AS tokens_per_word
+FROM perdoc GROUP BY source ORDER BY source
+""",
+)
+def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the learned BPE merges and report
+    per-source token budgets — the numbers a training-data pipeline
+    actually plans with (sequence packing, mixture weights, cost
+    estimates are all denominated in tokens, not documents).
+
+    Scale: learn_merges iterates on the (word, count) vocab (corpus
+    scanned once); apply_merges is a MAP-ONLY projection — the merge
+    list compiles into a chained regexp rewrite evaluated per word,
+    no shuffle, no Python — and the rollup is one combiner-friendly
+    groupBy(source). At real tokenizer sizes the merge chain
+    switches to a trie-based Pandas UDF (noted in operators/bpe.py);
+    the plan shape is unchanged."""
+    from datanika_core_spark.operators.bpe import apply_merges, learn_merges
+
+    docs = t(spark, sf_dir, "documents").filter(
+        "text is not null and trim(text) <> ''"
+    )
+    merges = learn_merges(docs, n_merges=_BPE_MERGES)
+    tok = apply_merges(docs.select("doc_id", "text"), merges)
+    perdoc = (
+        docs.select(
+            "doc_id", "source",
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+            .cast("bigint").alias("n_words"),
+        )
+        .join(tok.select("doc_id",
+                         F.col("n_bpe_tokens").cast("bigint")
+                         .alias("n_tokens")),
+              "doc_id")
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.sum("n_tokens").cast("bigint").alias("total_bpe_tokens"),
+            F.expr("round(cast(sum(n_tokens) as double) / count(*), 4)")
+            .alias("avg_tokens_per_doc"),
+            F.expr("round(cast(sum(n_tokens) as double) / sum(n_words), 6)")
+            .alias("tokens_per_word"),
+        )
+        .orderBy("source")
     )
 
 
@@ -788,14 +878,147 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _ULM_TOPK = 40
+_ULM_MAXL = 8      # operators/unigram_lm._MAX_PIECE_LEN
+_ULM_SEED = 1200   # max_seed passed by the workload
+_ULM_VSZ = 300     # vocab_size passed by the workload
+
+
+def _o_ulm_em(k: int, prev: str) -> str:
+    """One Viterbi-EM step as DuckDB CTE text: a recursive Viterbi DP
+    per word (state = best-score + best-segmentation arrays indexed
+    by prefix length) followed by exact-integer piece recounting.
+    The piece→ln(prob) MAP is attached to each word's ANCHOR row and
+    carried through the recursion — row-local state, because a
+    recursive term referencing a CTE that derives from another
+    recursive CTE silently reads empty in DuckDB 1.0."""
+    return f"""
+lpm{k} AS MATERIALIZED (
+  SELECT map(list(piece ORDER BY piece), list(ln(q) ORDER BY piece)) AS m
+  FROM {prev} WHERE q > 0
+),
+vit{k} AS (
+  SELECT word, cnt, 0 AS e, [CAST(0.0 AS DOUBLE)] AS bests,
+         [[]::VARCHAR[]] AS segs, (SELECT m FROM lpm{k}) AS lpm
+  FROM words
+  UNION ALL
+  SELECT v.word, v.cnt, v.e + 1,
+         list_append(v.bests, coalesce(s.best, CAST('-infinity' AS DOUBLE))),
+         list_append(v.segs, coalesce(s.seg, []::VARCHAR[])),
+         v.lpm
+  FROM vit{k} v
+  LEFT JOIN LATERAL (
+    SELECT cand AS best, seg FROM (
+      SELECT v.bests[starts.st + 1]
+               + map_extract(v.lpm, v.word[starts.st+1 : v.e+1])[1] AS cand,
+             list_append(v.segs[starts.st + 1],
+                         v.word[starts.st+1 : v.e+1]) AS seg,
+             starts.st AS st
+      FROM (SELECT unnest(range(greatest(0, v.e + 1 - {_ULM_MAXL}),
+                                v.e + 1)) AS st) starts
+      WHERE len(map_extract(v.lpm, v.word[starts.st+1 : v.e+1])) > 0
+        AND v.bests[starts.st + 1] > CAST('-infinity' AS DOUBLE)
+    ) ORDER BY cand DESC, st LIMIT 1
+  ) s ON TRUE
+  WHERE v.e < length(v.word)
+),
+vfin{k} AS MATERIALIZED (
+  SELECT word, cnt,
+         CASE WHEN bests[length(word)+1] = CAST('-infinity' AS DOUBLE)
+              THEN string_split(word, '')
+              ELSE segs[length(word)+1] END AS seg
+  FROM vit{k} WHERE e = length(word)
+),
+cnts{k} AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT unnest(seg) AS piece, cnt FROM vfin{k})
+  GROUP BY piece
+),
+p{k} AS MATERIALIZED (
+  SELECT piece,
+         CAST(c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM cnts{k}) AS q
+  FROM cnts{k}
+)"""
+
+
+_ULM_ORACLE = rf"""
+WITH RECURSIVE words AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest({_O_TOKS}) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+subcand AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS c FROM (
+    SELECT unnest(list_distinct(flatten(list_transform(
+             range(1, length(word)+1),
+             i -> list_transform(range(1, least({_ULM_MAXL},
+                                       length(word)-i+1)+1),
+                                 l -> word[i : i+l-1]))))) AS piece,
+           cnt
+    FROM words
+  ) GROUP BY piece
+),
+seed0 AS MATERIALIZED (
+  SELECT piece, c FROM subcand WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rn
+    FROM subcand WHERE length(piece) > 1
+  ) WHERE rn <= {_ULM_SEED} - (SELECT count(*) FROM subcand
+                               WHERE length(piece) = 1)
+),
+p0 AS MATERIALIZED (
+  SELECT piece,
+         CAST(c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM seed0) AS q
+  FROM seed0
+),
+{_o_ulm_em(1, 'p0')},
+{_o_ulm_em(2, 'p1')},
+kept AS MATERIALIZED (
+  SELECT piece, q FROM p2 WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, q FROM (
+    SELECT piece, q, row_number() OVER (ORDER BY q DESC, piece) AS rn
+    FROM p2 WHERE length(piece) > 1
+  ) WHERE rn <= {_ULM_VSZ} - (SELECT count(*) FROM p2
+                              WHERE length(piece) = 1)
+),
+tot_kept AS MATERIALIZED (
+  SELECT list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list(q ORDER BY (length(piece) > 1),
+                             CASE WHEN length(piece) = 1 THEN piece END,
+                             q DESC, piece)),
+           (a, b) -> a + b) AS t
+  FROM kept
+),
+p2p AS MATERIALIZED (SELECT piece, q / (SELECT t FROM tot_kept) AS q FROM kept),
+{_o_ulm_em(3, 'p2p')}
+SELECT CAST(row_number() OVER (ORDER BY q DESC, piece) AS INT) AS rank,
+       piece, ROUND(q, 10) AS prob
+FROM p3 WHERE length(piece) > 1
+ORDER BY q DESC, piece
+LIMIT {_ULM_TOPK}
+"""
 
 
 @workload(
     "unigram_lm_vocab",
-    # no oracle: Viterbi-EM is a driver loop with per-word dynamic
-    # programming — not SQL-expressible; verified against an
-    # independent pure-Python reference (tests/test_unigram_lm.py);
-    # the driver records a rows-only check.
+    # Recursive-CTE oracle: the full Viterbi-EM train replays in
+    # DuckDB — seed (substring explode + top-K), three unrolled EM
+    # steps (the workload's iters=2 plus the post-prune re-fit), and
+    # the prune between them. Each EM step's per-word Viterbi DP is
+    # its own recursive CTE over prefix length, carrying the
+    # best-score and best-segmentation arrays per word; the piece
+    # log-prob table rides along as a MAP seeded in the anchor row
+    # (a recursive term cannot reference a CTE derived from another
+    # recursive CTE — it silently reads empty). ln() is bit-identical
+    # to Python math.log here (same libm), EM totals are exact
+    # integers, and the one float renormalization (prune) replays
+    # Python's exact summation order via an ordered list_reduce fold
+    # — so Viterbi tie decisions agree bit-for-bit. Also verified
+    # against an independent pure-Python reference
+    # (tests/test_unigram_lm.py).
+    oracle=_ULM_ORACLE,
 )
 def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top multi-character pieces of a unigram-LM tokenizer (Kudo

@@ -123,19 +123,78 @@ def zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: this is a DIAGNOSTIC over the table's key distribution —
     the global ntile ranking here is the sf-scale stand-in for the
-    ``repartitionByRange`` the real rewrite (zorder_table) performs,
-    and at 100 TB you'd run the same measurement on a per-partition
-    SAMPLE (zone spans are ratios — a 1% uniform sample bounds them
-    within ~the sampling error of the per-file extremes). The
-    output is 4 rows; the decision it feeds (rewrite or not) costs
-    a full-table shuffle, so a measurement pass that prices it
-    first is the cheap half of the trade."""
+    ``repartitionByRange`` the real rewrite (zorder_table) performs.
+    At 100 TB run :func:`zorder_skip_rate_sampled` instead — the
+    same measurement on a 1% hash sample with per-file span bias
+    correction, accurate to ±0.05 at ~90 sampled rows per file and
+    ~3 decimals at warehouse-scale file sizes
+    (tests/test_layout_sample.py pins the tolerance). The output is
+    4 rows; the decision it feeds (rewrite or not) costs a
+    full-table shuffle, so a measurement pass that prices it first
+    is the cheap half of the trade."""
     pts = t(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("x"),
         F.col("l_suppkey").alias("y"),
         F.col("l_orderkey").alias("ok"),
         F.col("l_linenumber").alias("ln"),
     )
+    return _skip_rate_frame(pts)
+
+
+def zorder_skip_rate_sampled(
+    spark: SparkSession,
+    sf_dir: str,
+    fraction: float = 0.01,
+    n_files: int = _ZL_FILES,
+) -> DataFrame:
+    """The 100 TB form of ``zorder_file_skipping``: the same
+    skip-rate measurement on a deterministic hash SAMPLE of the
+    table, with per-file span bias correction.
+
+    Why it works: both layout rankings (z-value, lexicographic) are
+    order statistics, and ntile boundaries over a uniform sample
+    converge to the full-table file boundaries; the only systematic
+    error is that a file's sampled min/max UNDERSHOOTS its true span
+    — for n sampled rows uniform in a span, the observed span is
+    (n-1)/(n+1) of the truth — so each file's span is corrected by
+    (n+1)/(n-1) before averaging (clamped to the global range).
+
+    Accuracy: with n = N·fraction / n_files rows per file the
+    corrected per-file span estimate has relative sampling error
+    O(1/n); the tolerance the unit test pins is ±0.05 absolute on
+    every avg_span_frac / est_skip_frac at n ≈ 90
+    (tests/test_layout_sample.py). At 100 TB with fraction=0.01 and
+    n_files sized to real file rolls, n per file is 10⁵+, and the
+    estimate is exact to ~3 decimals.
+
+    Scale: the sample predicate is a map-side xxhash64 filter in the
+    scan (no shuffle added); everything downstream runs on
+    fraction·N rows, so the advisor costs ~1% of a scan instead of
+    a full-table sort — the cheap half of the rewrite-or-not trade.
+    """
+    pct = max(1, int(round(fraction * 10_000)))
+    pts = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.expr(f"pmod(xxhash64(l_orderkey, l_linenumber),"
+                       f" 10000) < {pct}"))
+        .select(
+            F.col("l_partkey").alias("x"),
+            F.col("l_suppkey").alias("y"),
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_linenumber").alias("ln"),
+        )
+    )
+    return _skip_rate_frame(pts, n_files=n_files, correct_spans=True)
+
+
+def _skip_rate_frame(
+    pts: DataFrame,
+    n_files: int = _ZL_FILES,
+    correct_spans: bool = False,
+) -> DataFrame:
+    """Shared measurement: quantize → z/lex rank → ntile files →
+    per-file spans (optionally (n+1)/(n-1)-bias-corrected for
+    sampled input) → per-dim average span fraction."""
     from pyspark.sql import Window
 
     lims = pts.agg(
@@ -150,19 +209,29 @@ def zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = quant.withColumn("z", F.expr(_ZL_SPARK_Z))
     assigned = keyed.select(
         "x", "y",
-        F.ntile(_ZL_FILES).over(Window.orderBy("z", "ok", "ln")).alias("f_z"),
-        F.ntile(_ZL_FILES).over(Window.orderBy("x", "y", "ok", "ln"))
+        F.ntile(n_files).over(Window.orderBy("z", "ok", "ln")).alias("f_z"),
+        F.ntile(n_files).over(Window.orderBy("x", "y", "ok", "ln"))
         .alias("f_lex"),
+    )
+    # per-file span bias correction for sampled input: n uniform
+    # samples inside a span observe (n-1)/(n+1) of it on average, so
+    # the sampled extreme-based span scales back up by (n+1)/(n-1)
+    corr = (
+        F.expr("case when n > 1 then cast(n + 1 as double) / (n - 1)"
+               " else cast(1 as double) end")
+        if correct_spans else F.lit(1.0)
     )
     spans_z = assigned.groupBy("f_z").agg(
         (F.max("x") - F.min("x") + 1).alias("span_x"),
         (F.max("y") - F.min("y") + 1).alias("span_y"),
-    ).select(F.lit("zorder").alias("layout"), "span_x", "span_y")
+        F.count(F.lit(1)).alias("n"),
+    ).select(F.lit("zorder").alias("layout"), "span_x", "span_y", "n")
     spans_lex = assigned.groupBy("f_lex").agg(
         (F.max("x") - F.min("x") + 1).alias("span_x"),
         (F.max("y") - F.min("y") + 1).alias("span_y"),
-    ).select(F.lit("lexicographic").alias("layout"), "span_x", "span_y")
-    spans = spans_z.unionAll(spans_lex)
+        F.count(F.lit(1)).alias("n"),
+    ).select(F.lit("lexicographic").alias("layout"), "span_x", "span_y", "n")
+    spans = spans_z.unionAll(spans_lex).withColumn("corr", corr)
     g = pts.agg(
         (F.max("x") - F.min("x") + 1).alias("rx"),
         (F.max("y") - F.min("y") + 1).alias("ry"),
@@ -171,8 +240,10 @@ def zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         spans.crossJoin(F.broadcast(g))
         .groupBy("layout")
         .agg(
-            F.avg(F.col("span_x") * 1.0 / F.col("rx")).alias("sx"),
-            F.avg(F.col("span_y") * 1.0 / F.col("ry")).alias("sy"),
+            F.avg(F.least(F.col("span_x") * F.col("corr"), F.col("rx"))
+                  / F.col("rx")).alias("sx"),
+            F.avg(F.least(F.col("span_y") * F.col("corr"), F.col("ry"))
+                  / F.col("ry")).alias("sy"),
         )
         .select(
             "layout",

@@ -956,3 +956,196 @@ def quantile_tdigest_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid")
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct-count per group, with mergeability proof.
+# --------------------------------------------------------------------------
+
+_HLL_M = 64          # registers (b = 6 bucket bits)
+_HLL_ALPHA = 0.709   # alpha_64 (Flajolet et al. 2007, m = 64)
+_HLL_WBITS = 54      # value bits after the 6 bucket bits of the 60-bit hash
+_HLL_SCALE = 1 << (_HLL_WBITS + 1)  # 2^55: integer-exact Z accumulator
+
+#: rank of the first set bit in the 54-bit value window (1-based;
+#: all-zero window -> 55). bin() returns the minimal binary string in
+#: BOTH engines, so 55 - length(bin(w)) is engine-exact integer math.
+_HLL_RHO = ("cast(case when w = 0 then 55"
+            " else 55 - length(bin(w)) end as int)")
+
+#: raw HLL estimate from the integer-exact Z accumulator: every
+#: 2^-M_j term is scaled to the integer 2^(55-M_j) (M_j <= 55), so
+#: the register sum is EXACT BIGINT arithmetic and both engines
+#: divide the identical pair of doubles — the only float ops are one
+#: multiply chain and one division, in forced order.
+_S_HLL_EST = ("((0.709D * 4096.0D) * 36028797018963968.0D)"
+              " / cast(zsum as double)")
+_O_HLL_EST = ("((CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE))"
+              " * CAST(36028797018963968 AS DOUBLE))"
+              " / CAST(zsum AS DOUBLE)")
+#: small-range (linear counting) correction, identical branch rule:
+#: raw <= 5/2·m and at least one empty register.
+_S_HLL_CORR = (f"case when ({_S_HLL_EST}) <= 160.0D and v > 0"
+               f" then 64.0D * ln(64.0D / cast(v as double))"
+               f" else ({_S_HLL_EST}) end")
+_O_HLL_CORR = (f"CASE WHEN ({_O_HLL_EST}) <= CAST(160 AS DOUBLE) AND v > 0"
+               f" THEN CAST(64 AS DOUBLE)"
+               f"      * ln(CAST(64 AS DOUBLE) / CAST(v AS DOUBLE))"
+               f" ELSE ({_O_HLL_EST}) END")
+
+
+@workload(
+    "hll_distinct_users_by_type",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, user_id FROM events
+),
+hashed AS (
+  SELECT event_type, day,
+         ('0x'||substring(md5(user_id::VARCHAR),1,15))::BIGINT AS h
+  FROM ev
+),
+parts AS (
+  SELECT event_type, day, h % 64 AS j, h // 64 AS w FROM hashed
+),
+rho AS (
+  SELECT event_type, day, j, {_HLL_RHO} AS r FROM parts
+),
+regs_day AS (
+  SELECT event_type, day, j, max(r) AS m_rho FROM rho
+  GROUP BY event_type, day, j
+),
+regs_direct AS (
+  SELECT event_type, j, max(r) AS m_rho FROM rho GROUP BY event_type, j
+),
+regs_merged AS (
+  SELECT event_type, j, max(m_rho) AS m_rho FROM regs_day
+  GROUP BY event_type, j
+),
+grid AS (
+  SELECT DISTINCT event_type, jj.j FROM ev,
+         (SELECT unnest(range(0, 64)) AS j) jj
+),
+acc_direct AS (
+  SELECT g.event_type,
+         CAST(sum(1::BIGINT << (55 - coalesce(r.m_rho, 0))) AS BIGINT)
+           AS zsum,
+         CAST(sum(CASE WHEN r.m_rho IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS v
+  FROM grid g LEFT JOIN regs_direct r
+    ON r.event_type = g.event_type AND r.j = g.j
+  GROUP BY g.event_type
+),
+acc_merged AS (
+  SELECT g.event_type,
+         CAST(sum(1::BIGINT << (55 - coalesce(r.m_rho, 0))) AS BIGINT)
+           AS zsum,
+         CAST(sum(CASE WHEN r.m_rho IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS v
+  FROM grid g LEFT JOIN regs_merged r
+    ON r.event_type = g.event_type AND r.j = g.j
+  GROUP BY g.event_type
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM ev GROUP BY event_type
+),
+est AS (
+  SELECT d.event_type,
+         ROUND({_O_HLL_CORR.replace('zsum', 'd.zsum').replace(' v ', ' d.v ').replace('(v ', '(d.v ')}, 4) AS n_est_hll,
+         ROUND({_O_HLL_CORR.replace('zsum', 'm.zsum').replace(' v ', ' m.v ').replace('(v ', '(m.v ')}, 4) AS n_est_merged
+  FROM acc_direct d JOIN acc_merged m ON m.event_type = d.event_type
+)
+SELECT x.event_type, x.n_exact, e.n_est_hll,
+       ROUND(abs(e.n_est_hll - x.n_exact) / x.n_exact, 6) AS rel_err,
+       e.n_est_merged,
+       e.n_est_merged = e.n_est_hll AS merge_lossless
+FROM exact x JOIN est e ON e.event_type = x.event_type
+ORDER BY x.event_type
+""",
+)
+def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event type (Flajolet et al.
+    2007; m = 64 registers over the engine-portable 60-bit md5 hash:
+    6 bucket bits + 54 value bits), scored against the exact
+    COUNT(DISTINCT) it replaces, with the standard linear-counting
+    small-range correction and a MERGEABILITY PROOF: per-day
+    sketches max-merged into the global registers must yield the
+    bit-identical estimate (``merge_lossless``) — the property that
+    lets 100 TB of daily partitions keep 64-byte sketch rows instead
+    of re-scanning history for every distinct-count refresh.
+
+    Engine-exactness: the register sum Z is accumulated as EXACT
+    integers (2^(55-M_j) summed in BIGINT — no float summation-order
+    drift), bit ranks come from length(bin(w)) (minimal binary
+    string in both engines), and the only float ops are one ordered
+    multiply chain, a division, and the ln() of the correction
+    branch (same libm) — so estimate, error, and the merge flag are
+    all deterministic and value-hash-checked.
+
+    Scale: sketch build is one map-side-combinable groupBy to
+    |types|×64 register rows; the exact branch exists only to score
+    the error (production runs the sketch alone — COUNT(DISTINCT)
+    at 100 TB is exactly the shuffle this replaces). Register
+    merging is an abelian max — the same IVM-friendly shape as the
+    KMV/CMS/t-digest stores."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    hashed = ev.select(
+        "event_type", "day",
+        F.expr(_cms_spark_hash("cast(user_id as string)")).alias("h"),
+    )
+    rho = hashed.select(
+        "event_type", "day",
+        (F.col("h") % 64).alias("j"),
+        F.expr("h div 64").alias("w"),
+    ).select("event_type", "day", "j", F.expr(_HLL_RHO).alias("r"))
+    regs_day = rho.groupBy("event_type", "day", "j").agg(
+        F.max("r").alias("m_rho")
+    )
+    regs_direct = rho.groupBy("event_type", "j").agg(
+        F.max("r").alias("m_rho")
+    )
+    regs_merged = regs_day.groupBy("event_type", "j").agg(
+        F.max("m_rho").alias("m_rho")
+    )
+    grid = (
+        ev.select("event_type").distinct()
+        .select("event_type",
+                F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"))
+    )
+
+    def acc(regs: DataFrame) -> DataFrame:
+        return (
+            grid.join(regs, ["event_type", "j"], "left")
+            .groupBy("event_type")
+            .agg(
+                F.expr("cast(sum(shiftleft(1L, 55 - coalesce(m_rho, 0)))"
+                       " as bigint)").alias("zsum"),
+                F.expr("cast(sum(case when m_rho is null then 1 else 0 end)"
+                       " as bigint)").alias("v"),
+            )
+        )
+
+    est_d = acc(regs_direct).select(
+        "event_type", F.round(F.expr(_S_HLL_CORR), 4).alias("n_est_hll")
+    )
+    est_m = acc(regs_merged).select(
+        "event_type", F.round(F.expr(_S_HLL_CORR), 4).alias("n_est_merged")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return (
+        exact.join(est_d, "event_type").join(est_m, "event_type")
+        .select(
+            "event_type", "n_exact", "n_est_hll",
+            F.round(F.abs(F.col("n_est_hll") - F.col("n_exact"))
+                    / F.col("n_exact"), 6).alias("rel_err"),
+            "n_est_merged",
+            (F.col("n_est_merged") == F.col("n_est_hll"))
+            .alias("merge_lossless"),
+        )
+        .orderBy("event_type")
+    )

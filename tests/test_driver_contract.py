@@ -74,15 +74,11 @@ def test_check_first_names_all_exist_and_are_unique():
     assert all(reg[n].oracle for n in CHECK_FIRST)
 
 
-#: deliberately rows-only (iterative algorithms SQL can't express);
-#: each carries a non-SQL reference oracle in tests/ instead
-ROWS_ONLY_OK = {
-    "bpe_learned_merges",       # pure-Python BPE parity, tests/test_bpe.py
-    "pq_reconstruction_error",  # NumPy PQ parity, tests/test_pq.py
-    "ann_ivfpq_adc_topk",       # recall vs exact twin, tests/test_pq.py
-    "unigram_lm_vocab",         # pure-Python Viterbi-EM parity,
-                                # tests/test_unigram_lm.py
-}
+#: deliberately rows-only (none since round 6: the last four
+#: iterative workloads — BPE, unigram-LM, and the two PQ ops —
+#: gained DuckDB recursive-CTE oracles; their non-SQL reference
+#: parities in tests/ remain as second opinions)
+ROWS_ONLY_OK: set[str] = set()
 
 
 def test_all_workloads_have_oracles():

@@ -106,3 +106,112 @@ def test_tpch_scans_keep_pushed_filters(headline_plans):
     for name in ("q3_shipping_priority", "q6_forecast_revenue",
                  "q10_returned_items"):
         assert "PushedFilters: [" in headline_plans[name], name
+
+
+# ---------------------------------------------------------------------------
+# Pins for the round-5/6 workload families (not all are headline, so
+# they need their own plan fixture).
+# ---------------------------------------------------------------------------
+
+_NEW_FAMILIES = [
+    "dedup_winnowing_fingerprints",
+    "dedup_winnowing_df_capped",
+    "dedup_ppjoin_positional",
+    "graph_triangle_doulion_multi_p",
+    "zorder_file_skipping",
+    "quantile_tdigest_export",
+    "ivm_additive_rollup",
+    "ivm_join_delta",
+]
+
+
+@pytest.fixture(scope="module")
+def new_family_plans(spark):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    reg = load_all()
+    try:
+        return {n: _plan(reg[n].fn(spark, SF)) for n in _NEW_FAMILIES}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_new_families_no_cartesian(new_family_plans):
+    offenders = [
+        n for n, p in new_family_plans.items() if "CartesianProduct" in p
+    ]
+    assert offenders == []
+
+
+def test_winnowing_probe_is_equi_join(new_family_plans):
+    """The winnowing candidate probe must pair docs through a HASH
+    equi-join on the fingerprint — never a nested-loop over doc
+    pairs (that is the all-pairs blowup the fingerprint index
+    exists to avoid)."""
+    for name in ("dedup_winnowing_fingerprints",
+                 "dedup_winnowing_df_capped"):
+        p = new_family_plans[name]
+        assert "HashJoin" in p or "SortMergeJoin" in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_doulion_coin_before_distinct_shuffle(spark):
+    """The sampling coin must evaluate map-side BEFORE the distinct's
+    Exchange — the whole point of DOULION is that the one
+    full-pair-stream shuffle only moves ~p of the pairs. The final
+    workload plan can't show this (the sampled edge list is an eager
+    localCheckpoint, so its producing job is opaque there); pin the
+    producing pipeline directly: in its plan text the coin Filter
+    (LCG constant 48271) must sit BELOW the dedup Exchange, i.e.
+    upstream of it."""
+    from pyspark.sql import functions as F
+
+    from datanika_core_spark.workloads import t as read_t
+    from datanika_core_spark.workloads.graph import _dln_coin16
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        li = read_t(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+        a = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").alias("u"))
+        b = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").alias("v"))
+        sampled = (
+            a.join(b, "ok")
+            .filter(F.col("u") < F.col("v"))
+            .filter(F.expr(_dln_coin16("u", "v")) % 4 == 0)
+            .select("u", "v")
+            .distinct()
+        )
+        plan = sampled._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    lines = plan.splitlines()
+    coin_lines = [i for i, l in enumerate(lines) if "48271" in l]
+    exch_lines = [i for i, l in enumerate(lines)
+                  if "Exchange hashpartitioning(u" in l]
+    assert coin_lines and exch_lines
+    # plan text lists consumers first: the coin filter appearing
+    # AFTER (greater index than) the dedup Exchange means it runs
+    # in the map stage feeding that shuffle
+    assert min(coin_lines) > min(exch_lines), plan[:2000]
+
+
+def test_zorder_lims_stay_broadcast(new_family_plans):
+    """The 1-row min/max quantization-limits frame must reach the
+    point table as a BROADCAST nested-loop (1-row build side), never
+    a shuffled join or cartesian."""
+    p = new_family_plans["zorder_file_skipping"]
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_tdigest_and_ivm_shapes(new_family_plans):
+    """t-digest export: sketch merge is an aggregation, not a join
+    explosion (no nested-loop anywhere). IVM delta legs: dimension
+    sides broadcast; the state table is never recomputed through a
+    cartesian."""
+    assert ("BroadcastNestedLoopJoin"
+            not in new_family_plans["quantile_tdigest_export"])
+    for name in ("ivm_additive_rollup", "ivm_join_delta"):
+        assert "CartesianProduct" not in new_family_plans[name], name
+    assert "BroadcastHashJoin" in new_family_plans["ivm_join_delta"]
