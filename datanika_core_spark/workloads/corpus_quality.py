@@ -708,3 +708,80 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(viol) * F.lit(1.0) / F.sum("class_size"), 6
         ).alias("at_risk_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit (sensitive-attribute diversity per QI class).
+# --------------------------------------------------------------------------
+
+_LD_L = 3  # minimum distinct sensitive values per equivalence class
+
+
+@workload(
+    "privacy_l_diversity",
+    oracle=f"""
+WITH classes AS (
+  SELECT event_type,
+         date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS class_size,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive
+  FROM events
+  GROUP BY event_type, day
+)
+SELECT CAST({_LD_L} AS BIGINT) AS l,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(n_sensitive) AS BIGINT) AS min_diversity,
+       CAST(sum(CASE WHEN n_sensitive < {_LD_L} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_violating_classes,
+       CAST(sum(CASE WHEN n_sensitive < {_LD_L} THEN class_size ELSE 0 END)
+         AS BIGINT) AS rows_at_risk,
+       ROUND(sum(CASE WHEN n_sensitive < {_LD_L} THEN class_size ELSE 0 END)
+             * 1.0 / sum(class_size), 6) AS at_risk_frac
+FROM classes
+""",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the
+    complement k-anonymity misses: a class can be large (k-safe) yet
+    have every member share ONE sensitive value, so membership alone
+    discloses it. Group by the quasi-identifier tuple (event type,
+    day), count DISTINCT sensitive values (user_id stands in for the
+    sensitive attribute), and report classes below l = {l} and the
+    row mass they expose — the homogeneity-attack gate that runs
+    alongside privacy_k_anonymity before a release.
+
+    Scale: one groupBy with a COUNT DISTINCT per class — map-side
+    partial distinct on (QI, sensitive), then the class rollup; swap
+    the exact distinct for the HLL register sketch
+    (operators/hll_store.py) when the sensitive domain per class
+    outgrows memory — the audit thresholds on "at least l", which a
+    ±13% m=64 estimate answers for any l ≪ class sizes."""
+    ev = t(spark, sf_dir, "events")
+    classes = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("class_size"),
+            F.count_distinct("user_id").cast("bigint").alias("n_sensitive"),
+        )
+    )
+    risk = F.when(
+        F.col("n_sensitive") < _LD_L, F.col("class_size")
+    ).otherwise(0)
+    return classes.agg(
+        F.lit(_LD_L).cast("bigint").alias("l"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("n_sensitive").cast("bigint").alias("min_diversity"),
+        F.sum((F.col("n_sensitive") < _LD_L).cast("int"))
+        .cast("bigint")
+        .alias("n_violating_classes"),
+        F.sum(risk).cast("bigint").alias("rows_at_risk"),
+        F.round(
+            F.sum(risk) * F.lit(1.0) / F.sum("class_size"), 6
+        ).alias("at_risk_frac"),
+    )
+
+
+privacy_l_diversity.__doc__ = privacy_l_diversity.__doc__.format(l=_LD_L)
