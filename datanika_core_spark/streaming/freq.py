@@ -1,0 +1,98 @@
+"""Streaming CMS ingest — the incremental twin of the batch
+``cms_heavy_hitters_eval`` workload: micro-batches of documents
+tokenize in-batch and ADD-merge their Count-Min counters into a
+persisted :class:`~datanika_core_spark.operators.cms_store.CMSSketchStore`,
+so token-frequency estimates stay queryable at any point of the
+stream without rescanning history.
+
+The at-least-once caveat (the deliberate contrast with the HLL
+twin): counter addition is not idempotent, so a REDELIVERED
+micro-batch double-counts. The sink is checkpointed (availableNow +
+checkpointLocation), which gives effectively-once batch delivery —
+the same discipline as every counter-based streaming workload here
+(tumbling counts, DQ monitor); the HLL/Bloom/MinHash stores don't
+need it because their merges are idempotent.
+
+Parity: tests/test_stream_cms.py streams the corpus in two files and
+asserts the store's counter table EQUALS the batch sketch built over
+the concatenated corpus — exact (d, bucket, cnt) equality, because
+counter addition is associative across any batch split — and that
+point estimates match the batch workload's.
+
+Scale: each micro-batch contributes one explode ×d →
+groupBy(d, bucket) collapsed by the combiner to ≤ d×w rows; the
+store merge touches ≤ d×w stored rows regardless of stream volume.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datanika_core_spark.operators.cms_store import CMSSketchStore
+from datanika_core_spark.streaming.jobs import read_event_stream
+
+
+@dataclass
+class CMSIngestStats:
+    batches: int = 0
+    arrived: int = 0
+
+
+def stream_cms_ingest(
+    spark: SparkSession,
+    source_path: str,
+    store: CMSSketchStore,
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = 1,
+    timeout_sec: int = 300,
+) -> CMSIngestStats:
+    """Absorb all currently-available document files (availableNow)
+    into the store's CMS counters. Returns batch/row accounting;
+    query ``store.estimate(probe)`` any time after."""
+    stats = CMSIngestStats()
+    sdf = read_event_stream(
+        spark, source_path, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _sink_body(batch_df: DataFrame, batch_id: int) -> None:
+        if spark.catalog.tableExists(store.table):
+            spark.catalog.refreshTable(store.table)
+        stats.batches += 1
+        n = batch_df.count()
+        stats.arrived += n
+        if n == 0:
+            return
+        toks = batch_df.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("tok")
+        )
+        store.update(toks)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from datanika_core_spark.blocks import scoped_blocks
+
+        with scoped_blocks(spark):
+            _sink_body(batch_df, batch_id)
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_cms_")
+    q = (
+        sdf.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(ckpt, store.table))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    if spark.catalog.tableExists(store.table):
+        spark.catalog.refreshTable(store.table)
+    return stats

@@ -74,7 +74,9 @@ CHECK_FIRST = [
     "pq_reconstruction_error", "ann_ivfpq_adc_topk",
     "hll_distinct_users_by_type", "dq_constraint_report",
     "bpe_tokenize_corpus", "weighted_sample_aes_docs",
-    "privacy_l_diversity",
+    "privacy_l_diversity", "dq_profile_orders",
+    "pack_length_bucketed_batches", "eval_mrr_map_ranking",
+    "mi_lang_source",
     # older additions (first recorded r3; re-sampled since)
     "eval_auc_quality_model", "eval_calibration_quality_model",
     "eval_centroid_confusion", "eval_centroid_class_metrics",

@@ -152,3 +152,125 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("observed") >= F.col("threshold"),
     ).otherwise(F.col("observed") <= F.col("threshold"))
     return rows.withColumn("passed", passed).orderBy("check_name", "target")
+
+
+# --------------------------------------------------------------------------
+# Column profiling (the data-catalog statistics pass).
+# --------------------------------------------------------------------------
+
+#: stringified per-column representation. Doubles are BANDED to 100s
+#: before stringifying (Java's Double.toString and DuckDB's double
+#: formatting disagree on scientific notation — banded BIGINTs are
+#: engine-exact and are also the representation a profile wants);
+#: timestamps profile at DAY grain (ISO date strings agree).
+_PROF_COLS = [
+    ("o_orderkey", "cast(o_orderkey as string)",
+     "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "cast(o_custkey as string)",
+     "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", "o_orderstatus", "o_orderstatus"),
+    ("o_totalprice",
+     "cast(cast(floor(o_totalprice / 100) * 100 as bigint) as string)",
+     "CAST(CAST(floor(o_totalprice / 100) * 100 AS BIGINT) AS VARCHAR)"),
+    ("o_orderdate", "cast(cast(o_orderdate as date) as string)",
+     "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)"),
+    ("o_orderpriority", "o_orderpriority", "o_orderpriority"),
+]
+
+_PROF_ORACLE_UNP = "\n  UNION ALL\n".join(
+    f"  SELECT '{name}' AS col_name, {duck} AS val FROM orders"
+    for name, _, duck in _PROF_COLS
+)
+
+
+@workload(
+    "dq_profile_orders",
+    oracle=f"""
+WITH unp AS (
+{_PROF_ORACLE_UNP}
+),
+grp AS (
+  SELECT col_name, val, CAST(count(*) AS BIGINT) AS c
+  FROM unp GROUP BY col_name, val
+),
+stats AS (
+  SELECT col_name,
+         CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN val IS NULL THEN c ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+         CAST(sum(CASE WHEN val IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_distinct
+  FROM grp GROUP BY col_name
+),
+top AS (
+  SELECT col_name, val AS top_value, c AS top_count FROM (
+    SELECT col_name, val, c,
+           row_number() OVER (PARTITION BY col_name
+                              ORDER BY c DESC, val) AS rn
+    FROM grp WHERE val IS NOT NULL
+  ) WHERE rn = 1
+)
+SELECT s.col_name, s.n_rows, s.n_nulls, s.n_distinct,
+       t.top_value, t.top_count,
+       ROUND(CAST(t.top_count AS DOUBLE) / s.n_rows, 6) AS top_share
+FROM stats s JOIN top t ON t.col_name = s.col_name
+ORDER BY s.col_name
+""",
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of orders — row/null/distinct counts plus
+    the modal value and its share — the statistics pass a data
+    catalog (or an optimizer's ANALYZE) runs after every load, and
+    the complement of dq_constraint_report: constraints assert, the
+    profile DESCRIBES (and next round's constraint thresholds come
+    from this round's profile). Doubles band to 100s and timestamps
+    to days before profiling (engine-portable representations that
+    are also the grain a human reads).
+
+    Scale: ONE unpivot projection (stack — map-only) feeding ONE
+    (column, value) groupBy with map-side combine; column count
+    multiplies the projection, not the shuffle count. Value skew is
+    absorbed by the combiner (heavy hitters pre-aggregate per
+    partition); the per-column rollup and top-1 run on |cols|·|
+    distinct| rows. For distinct counts past memory, swap the exact
+    count for the HLL registers (operators/hll_store.py)."""
+    o = t(spark, sf_dir, "orders")
+    stack_expr = (
+        f"stack({len(_PROF_COLS)}, "
+        + ", ".join(f"'{name}', {sp}" for name, sp, _ in _PROF_COLS)
+        + ") as (col_name, val)"
+    )
+    grp = (
+        o.select(F.expr(stack_expr))
+        .groupBy("col_name", "val")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    stats = grp.groupBy("col_name").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), F.col("c")).otherwise(0))
+        .cast("bigint").alias("n_nulls"),
+        F.sum(F.when(F.col("val").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_distinct"),
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("col_name").orderBy(
+        F.col("c").desc(), F.col("val")
+    )
+    top = (
+        grp.filter(F.col("val").isNotNull())
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("col_name", F.col("val").alias("top_value"),
+                F.col("c").alias("top_count"))
+    )
+    return (
+        stats.join(top, "col_name")
+        .select(
+            "col_name", "n_rows", "n_nulls", "n_distinct",
+            "top_value", "top_count",
+            F.round(F.col("top_count").cast("double") / F.col("n_rows"), 6)
+            .alias("top_share"),
+        )
+        .orderBy("col_name")
+    )

@@ -151,3 +151,99 @@ def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batching (the padding-efficiency layout).
+# --------------------------------------------------------------------------
+
+#: power-of-two context buckets; a doc lands in the smallest bucket
+#: that holds it. The ladder is CASE-expressed in BOTH engines —
+#: integer-exact, no float pow/log2 at exact-power boundaries.
+_LB_BUCKETS = [32, 64, 128, 256, 512, 1024, 2048, 4096]
+_LB_BATCH = 16  # sequences per training batch within a bucket
+
+_LB_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN n_tok <= {b} THEN {b}" for b in _LB_BUCKETS
+    )
+    + f" ELSE {_LB_BUCKETS[-1]} END"
+)
+
+
+@workload(
+    "pack_length_bucketed_batches",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, CAST(len({_O_TOKS}) AS BIGINT) AS n_tok FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CAST(least(n_tok, {_LB_BUCKETS[-1]}) AS BIGINT) AS eff_tok,
+         CAST({_LB_CASE_SQL} AS BIGINT) AS bucket_len
+  FROM tok
+)
+SELECT bucket_len,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(CAST(ceil(count(*) / {_LB_BATCH}.0) AS BIGINT) AS BIGINT)
+         AS n_batches,
+       CAST(sum(eff_tok) AS BIGINT) AS actual_tokens,
+       CAST(count(*) * bucket_len AS BIGINT) AS padded_tokens,
+       ROUND(1.0 - CAST(sum(eff_tok) AS DOUBLE)
+                   / (count(*) * bucket_len), 6) AS waste_share
+FROM b
+GROUP BY bucket_len
+ORDER BY bucket_len
+""",
+)
+def pack_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching: each document is assigned the
+    smallest power-of-two context bucket that holds it (docs past the
+    largest bucket truncate to it), and per bucket we price the
+    layout — batch count at 16 sequences/batch, actual vs padded
+    tokens, and the padding-waste share the bucketing exists to
+    minimize (vs pad-to-global-max, bucketed padding typically cuts
+    waste several-fold; this report is the number that justifies the
+    bucket ladder). The complement of pack_sequences_concat_chunk:
+    concat-and-chunk wastes zero padding but splits documents;
+    bucketed batching preserves document boundaries and pays
+    measured padding.
+
+    Scale: one map-only projection (token count + CASE ladder) into
+    one groupBy over ≤8 bucket keys — map-side combine reduces
+    every partition to ≤8 rows, so the shuffle is O(partitions),
+    independent of corpus size. Skew-immune: heavy buckets
+    pre-aggregate per partition."""
+    tok = _doc_tokens(spark, sf_dir)
+    cap = _LB_BUCKETS[-1]
+    bucket = F.lit(cap).cast("bigint")
+    for b in reversed(_LB_BUCKETS):
+        bucket = F.when(F.col("n_tok") <= b, F.lit(b).cast("bigint")).otherwise(bucket)
+    b = tok.select(
+        F.least(F.col("n_tok"), F.lit(cap)).cast("bigint").alias("eff_tok"),
+        bucket.alias("bucket_len"),
+    )
+    return (
+        b.groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("eff_tok").cast("bigint").alias("actual_tokens"),
+        )
+        .select(
+            "bucket_len",
+            "n_docs",
+            F.ceil(F.col("n_docs") / F.lit(float(_LB_BATCH)))
+            .cast("bigint").alias("n_batches"),
+            "actual_tokens",
+            (F.col("n_docs") * F.col("bucket_len")).cast("bigint")
+            .alias("padded_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.col("actual_tokens").cast("double")
+                / (F.col("n_docs") * F.col("bucket_len")),
+                6,
+            ).alias("waste_share"),
+        )
+        .orderBy("bucket_len")
+    )

@@ -1599,6 +1599,149 @@ def eval_ndcg_truncated_ranking(
 
 
 # --------------------------------------------------------------------------
+# MRR + MAP@k of the truncated ranking (binary-relevance view).
+# --------------------------------------------------------------------------
+
+#: LCM(1..k) for k=5 — precision@p = cum_rel/p times 60 is an exact
+#: integer for every p ≤ 5, so AP sums integers and divides ONCE:
+#: zero float-rounding surface between the engines.
+_MRR_LCM = 60
+
+
+@workload(
+    "eval_mrr_map_ranking",
+    oracle=f"""
+WITH vecs AS ({_O_VECTORS}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs
+      WHERE vec_id < {_KNN_NQ}),
+full_rank AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_o_cos('q.qv', 'c.v')} DESC, c.vec_id) AS rnk
+    FROM q JOIN vecs c ON c.vec_id <> q.query_id
+  ) WHERE rnk <= {_KNN_K}
+),
+trunc_rank AS (
+  SELECT query_id, neighbor_id, rnk AS pos FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_o_cos_pfx('q.qv', 'c.v', _TR_DIM)} DESC,
+                        c.vec_id) AS rnk
+    FROM q JOIN vecs c ON c.vec_id <> q.query_id
+  ) WHERE rnk <= {_KNN_K}
+),
+flags AS (
+  SELECT t.query_id, t.pos,
+         CASE WHEN f.neighbor_id IS NULL THEN 0 ELSE 1 END AS rel
+  FROM trunc_rank t
+  LEFT JOIN full_rank f
+    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+),
+cum AS (
+  SELECT query_id, pos, rel,
+         CAST(sum(rel) OVER (PARTITION BY query_id ORDER BY pos)
+              AS BIGINT) AS cum_rel
+  FROM flags
+)
+SELECT query_id,
+       ROUND(coalesce(
+           CAST(1 AS DOUBLE)
+           / min(CASE WHEN rel = 1 THEN pos END), 0), 6) AS mrr,
+       ROUND(CAST(sum(CASE WHEN rel = 1
+                 THEN CAST(cum_rel * {_MRR_LCM} / pos AS BIGINT)
+                 ELSE 0 END) AS BIGINT)
+             / ({_MRR_LCM}.0 * {_KNN_K}), 6) AS ap_at_k
+FROM cum GROUP BY query_id ORDER BY query_id
+""",
+)
+def eval_mrr_map_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR and MAP@k of the truncated-dimension ranking with
+    full-dimension top-k membership as binary relevance — the
+    rank-eval pair NDCG doesn't cover: MRR prices ONLY the first hit
+    (the navigational metric), AP averages precision at every hit
+    (the recall-oriented one). Together with recall
+    (ann_truncated_dim_recall) and NDCG these four are the standard
+    retrieval-eval battery. Arithmetic is integer-exact: every
+    precision@p term times LCM(1..k)=60 is an integer, so AP is one
+    BIGINT sum and a single division.
+
+    Scale: identical twin-scan shape to the recall/NDCG audits
+    (broadcast queries, one candidate scan each); the relevance join,
+    cumulative window, and aggregate all run on ≤(queries×k) rows."""
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = F.broadcast(q).join(
+        vecs.select(F.col("vec_id").alias("neighbor_id"), "v"),
+        F.col("neighbor_id") != F.col("query_id"),
+    )
+    from pyspark.sql import Window as _W
+
+    def ranked(score_expr: str) -> DataFrame:
+        w = _W.partitionBy("query_id").orderBy(
+            F.expr(score_expr).desc(), F.col("neighbor_id")
+        )
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _KNN_K)
+            .select("query_id", "neighbor_id", "rnk")
+        )
+
+    full_rank = ranked(_s_cos("qv", "v")).select(
+        F.col("query_id").alias("f_qid"),
+        F.col("neighbor_id").alias("f_nid"),
+    )
+    trunc = ranked(_s_cos_pfx("qv", "v", _TR_DIM)).select(
+        "query_id", "neighbor_id", F.col("rnk").alias("pos")
+    )
+    flags = trunc.join(
+        full_rank,
+        (F.col("query_id") == F.col("f_qid"))
+        & (F.col("neighbor_id") == F.col("f_nid")),
+        "left",
+    ).select(
+        "query_id",
+        "pos",
+        F.when(F.col("f_nid").isNull(), 0).otherwise(1).alias("rel"),
+    )
+    cum_w = (
+        _W.partitionBy("query_id")
+        .orderBy("pos")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    cum = flags.withColumn(
+        "cum_rel", F.sum("rel").over(cum_w).cast("bigint")
+    )
+    return (
+        cum.groupBy("query_id")
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.lit(1.0)
+                    / F.min(F.when(F.col("rel") == 1, F.col("pos"))),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("mrr"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("rel") == 1,
+                        (F.col("cum_rel") * _MRR_LCM / F.col("pos"))
+                        .cast("bigint"),
+                    ).otherwise(F.lit(0))
+                ).cast("bigint")
+                / F.lit(float(_MRR_LCM * _KNN_K)),
+                6,
+            ).alias("ap_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # IVF cell label purity (cluster-quality eval on the ANN layout).
 # --------------------------------------------------------------------------
 

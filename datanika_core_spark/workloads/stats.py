@@ -169,6 +169,102 @@ def chi2_lang_source_independence(
 
 
 # --------------------------------------------------------------------------
+# Mutual information: language × source (effect size for chi²).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "mi_lang_source",
+    oracle="""
+WITH obs AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+),
+lt AS (SELECT lang, sum(o) AS row_tot FROM obs GROUP BY lang),
+st AS (SELECT source, sum(o) AS col_tot FROM obs GROUP BY source),
+n AS (SELECT sum(o) AS total FROM obs),
+cells AS (
+  SELECT obs.lang, obs.source, obs.o,
+         ln(obs.o * CAST(n.total AS DOUBLE)
+            / (lt.row_tot * st.col_tot)) AS pmi,
+         CAST(round(
+             (obs.o * 1.0 / n.total)
+             * ln(obs.o * CAST(n.total AS DOUBLE)
+                  / (lt.row_tot * st.col_tot)) * 100000000
+         ) AS BIGINT) AS contrib_units
+  FROM obs
+  JOIN lt ON lt.lang = obs.lang
+  JOIN st ON st.source = obs.source
+  CROSS JOIN n
+)
+SELECT lang, source, o AS n_docs,
+       ROUND(pmi, 6) AS pmi_nats,
+       ROUND(contrib_units / 100000000.0, 6) AS mi_contrib_nats,
+       ROUND(sum(contrib_units) OVER () / 100000000.0, 6)
+         AS mi_total_nats
+FROM cells
+ORDER BY lang, source
+""",
+)
+def mi_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information of the language × source pair, per-cell
+    PMI plus each cell's MI contribution and the corpus total — the
+    EFFECT-SIZE companion to the chi² independence test (chi² says
+    whether the mix differs; MI in nats says by HOW MUCH, and the
+    per-cell PMI says WHERE: which source over/under-represents
+    which language — the number a mixture-rebalancing pass acts on).
+    Zero cells contribute 0 to MI by the p·ln p → 0 limit, so only
+    observed cells appear. Contributions sum in integer 1e-8 units.
+
+    Scale: identical shape to chi² — one groupBy(lang, source) scan,
+    then joins among the |langs|+|sources|+1 marginal frames; the
+    window total runs over |cells| ≤ |langs|×|sources| rows."""
+    docs = t(spark, sf_dir, "documents")
+    obs = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .cache()
+    )
+    lt = obs.groupBy("lang").agg(F.sum("o").alias("row_tot"))
+    st = obs.groupBy("source").agg(F.sum("o").alias("col_tot"))
+    total = obs.agg(F.sum("o")).first()[0]
+    pmi = F.log(
+        F.col("o") * F.lit(float(total))
+        / (F.col("row_tot") * F.col("col_tot"))
+    )
+    cells = (
+        obs.join(F.broadcast(lt), "lang")
+        .join(F.broadcast(st), "source")
+        .select(
+            "lang",
+            "source",
+            F.col("o").alias("n_docs"),
+            pmi.alias("pmi"),
+            F.round((F.col("o") * F.lit(1.0) / F.lit(total)) * pmi * 100000000)
+            .cast("bigint")
+            .alias("contrib_units"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    return cells.select(
+        "lang",
+        "source",
+        "n_docs",
+        F.round("pmi", 6).alias("pmi_nats"),
+        F.round(F.col("contrib_units") / 100000000.0, 6)
+        .alias("mi_contrib_nats"),
+        F.round(
+            F.sum("contrib_units").over(
+                _W.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
+            )
+            / 100000000.0,
+            6,
+        ).alias("mi_total_nats"),
+    ).orderBy("lang", "source")
+
+
+# --------------------------------------------------------------------------
 # Population Stability Index: event-value drift between window halves.
 # --------------------------------------------------------------------------
 

@@ -215,3 +215,66 @@ def test_tdigest_and_ivm_shapes(new_family_plans):
     for name in ("ivm_additive_rollup", "ivm_join_delta"):
         assert "CartesianProduct" not in new_family_plans[name], name
     assert "BroadcastHashJoin" in new_family_plans["ivm_join_delta"]
+
+
+# ---------------------------------------------------------------------------
+# Pins for the round-6 additions (dq profile, bucketed batching,
+# MRR/MAP, mutual information).
+# ---------------------------------------------------------------------------
+
+_R6B_FAMILIES = [
+    "dq_profile_orders",
+    "pack_length_bucketed_batches",
+    "eval_mrr_map_ranking",
+    "mi_lang_source",
+]
+
+
+@pytest.fixture(scope="module")
+def r6b_plans(spark):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    reg = load_all()
+    try:
+        return {n: _plan(reg[n].fn(spark, SF)) for n in _R6B_FAMILIES}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_r6b_no_cartesian(r6b_plans):
+    offenders = [
+        n for n, p in r6b_plans.items() if "CartesianProduct" in p
+    ]
+    assert offenders == []
+
+
+def test_bucketed_batching_is_joinless_single_agg(r6b_plans):
+    """The bucket ladder must stay a scan-stage projection feeding
+    one aggregate — any Join in this plan means the ladder degraded
+    to a lookup. (The orderBy adds a range Exchange; the groupBy adds
+    exactly one hash Exchange.)"""
+    p = r6b_plans["pack_length_bucketed_batches"]
+    assert "Join" not in p
+    assert p.count("hashpartitioning(") == 1, p[:1500]
+
+
+def test_mrr_map_relevance_join_not_nested_loop(r6b_plans):
+    """The twin candidate scans legitimately broadcast the tiny query
+    set (non-equi, same as kNN/NDCG); the relevance join between the
+    two ≤(queries×k)-row rank lists must be an equi-join."""
+    p = r6b_plans["eval_mrr_map_ranking"]
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_mi_marginal_joins_stay_broadcast(r6b_plans):
+    """PMI joins against the lang/source marginal frames must
+    broadcast (they are ≤|langs| and ≤|sources| rows)."""
+    p = r6b_plans["mi_lang_source"]
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dq_profile_no_nested_loop(r6b_plans):
+    """The stats⋈top join runs on |cols|-row frames — any plan is
+    cheap, but it must never be a nested loop over the unpivoted
+    corpus."""
+    assert "BroadcastNestedLoopJoin" not in r6b_plans["dq_profile_orders"]

@@ -62,10 +62,13 @@ def _stage_files(spark, tmp_path):
 
 
 def test_stream_curate_cross_batch_dedup(spark, tmp_path):
+    from datanika_core_spark.blocks import persistent_rdd_ids, release_blocks
+
     path, n_docs = _stage_files(spark, tmp_path)
     store = MinHashSignatureStore(spark, "default.curate_sigs_t")
     spark.sql("DROP TABLE IF EXISTS default.curate_sigs_t")
     spark.sql("DROP TABLE IF EXISTS default.curate_corpus_t")
+    release_blocks(spark)
 
     stats = stream_curate(
         spark,
@@ -98,6 +101,9 @@ def test_stream_curate_cross_batch_dedup(spark, tmp_path):
     assert spark.table("default.curate_sigs_t").count() == kept_expected
     # no injected dup survived
     assert corpus.filter("doc_id >= 10000").count() == 0
+    # block hygiene: every micro-batch freed its own checkpoint
+    # blocks at sink exit — a 3-batch stream pins nothing afterwards
+    assert persistent_rdd_ids(spark) == set()
 
 
 def test_verification_shingles_only_candidate_ids(spark):

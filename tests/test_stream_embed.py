@@ -13,8 +13,11 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_stream_embed_ingest_rejects_cross_batch_neardups(spark, tmp_path):
+    from datanika_core_spark.blocks import persistent_rdd_ids, release_blocks
+
     for t in ("ivf_stream_idx", "ivf_stream_idx__centroids"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+    release_blocks(spark)
     vecs = _vectors(spark, SF).select("vec_id", "v")
     store = IVFIndexStore(spark, "ivf_stream_idx", k=4, iters=1)
     store.train(vecs)
@@ -58,3 +61,5 @@ def test_stream_embed_ingest_rejects_cross_batch_neardups(spark, tmp_path):
     idx_ids = {r.vec_id for r in spark.table("ivf_stream_idx").collect()}
     assert len(idx_ids) == 100
     assert not (idx_ids & set(stats.rejected_ids))
+    # block hygiene: each micro-batch frees its own checkpoints
+    assert persistent_rdd_ids(spark) == set()
