@@ -76,7 +76,7 @@ CHECK_FIRST = [
     "bpe_tokenize_corpus", "weighted_sample_aes_docs",
     "privacy_l_diversity", "dq_profile_orders",
     "pack_length_bucketed_batches", "eval_mrr_map_ranking",
-    "mi_lang_source",
+    "mi_lang_source", "join_size_estimate_cms", "shuffle_skew_advisor",
     # older additions (first recorded r3; re-sampled since)
     "eval_auc_quality_model", "eval_calibration_quality_model",
     "eval_centroid_confusion", "eval_centroid_class_metrics",

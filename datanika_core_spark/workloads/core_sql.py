@@ -1206,3 +1206,79 @@ def skyline_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand", "price", "p_partkey")
     )
+
+
+@workload(
+    "shuffle_skew_advisor",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type
+),
+g AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(cnt) AS BIGINT) AS max_cnt
+  FROM c
+),
+top AS (
+  SELECT event_type, cnt FROM c ORDER BY cnt DESC, event_type LIMIT 5
+)
+SELECT t.event_type, t.cnt,
+       ROUND(t.cnt * 1.0 / g.n_rows, 6) AS share,
+       g.n_rows, g.n_keys,
+       ROUND(g.max_cnt * 1.0 * g.n_keys / g.n_rows, 4) AS skew_ratio,
+       CAST(least((g.max_cnt * g.n_keys + g.n_rows - 1) // g.n_rows, 32)
+            AS BIGINT) AS recommended_salt
+FROM top t CROSS JOIN g
+ORDER BY t.cnt DESC, t.event_type
+""",
+)
+def shuffle_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decide-WHEN-to-salt companion of `salted_join_revenue`:
+    profiles the shuffle-key distribution (events.event_type — the
+    low-cardinality key a groupBy/join would hash-partition on) and
+    recommends a salt factor. skew_ratio = max key count over the
+    mean key count; recommended_salt = ceil(that ratio) capped at
+    the partition count (integer-exact ceiling — no float in the
+    decision), because replicating the hot key ceil(max/avg)-ways
+    levels its partition to the average. Reports the top-5 keys with
+    their shares so the reader sees WHICH keys force the salt. At
+    ratio ≈ 1 the advisor says don't salt (salt=1): salting
+    un-skewed keys just multiplies the dimension side.
+
+    Scale: one map-side-combinable groupBy over the key column
+    (≤|keys| rows per partition survive the combiner), then
+    constant-size arithmetic on a 1-row global frame cross-joined
+    into the ≤5-row top list. The profile costs a fraction of the
+    join it prices — the same buy-information-first economics as
+    the CMS join-size estimate and the sampled z-order advisor."""
+    c = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    g = c.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    top = c.orderBy(F.col("cnt").desc(), "event_type").limit(5)
+    return (
+        top.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "cnt",
+            F.round(F.col("cnt") * 1.0 / F.col("n_rows"), 6).alias("share"),
+            "n_rows",
+            "n_keys",
+            F.round(
+                F.col("max_cnt") * 1.0 * F.col("n_keys") / F.col("n_rows"), 4
+            ).alias("skew_ratio"),
+            F.least(
+                F.expr("(max_cnt * n_keys + n_rows - 1) div n_rows"),
+                F.lit(32),
+            ).cast("bigint").alias("recommended_salt"),
+        )
+        .orderBy(F.col("cnt").desc(), "event_type")
+    )

@@ -1149,3 +1149,99 @@ def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Join-size estimation via CMS inner product (the plan-an-expensive-
+# join-before-running-it advisor).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "join_size_estimate_cms",
+    oracle=f"""
+WITH keys AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS tok FROM lineitem
+),
+exact AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(c * c) AS BIGINT) AS exact_join_rows
+  FROM (SELECT tok, count(*) AS c FROM keys GROUP BY tok)
+),
+cms AS (
+  SELECT d, {_CMS_O_HASH.format(x="CAST(d AS VARCHAR) || ':' || tok")}
+           % {_CMS_W} AS bucket,
+         count(*) AS cnt
+  FROM keys CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS d)
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT CAST(min(ip) AS BIGINT) AS cms_est_rows FROM (
+    SELECT d, sum(cnt * cnt) AS ip FROM cms GROUP BY d
+  )
+)
+SELECT e.n_rows, e.n_keys, e.exact_join_rows, s.cms_est_rows,
+       ROUND(CAST(s.cms_est_rows AS DOUBLE) / e.exact_join_rows, 6)
+         AS over_ratio
+FROM exact e CROSS JOIN est s
+""",
+)
+def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation by CMS inner product (AMS-style
+    second-moment sketch, Alon-Matias-Szegedy 1996 via the CMS
+    formulation of Cormode & Muthukrishnan 2005): the output size of
+    lineitem ⋈ lineitem on l_partkey — the co-purchase join the
+    triangle/basket workloads actually run — is Σ_k c_k², and the
+    sketch estimates it as min over the d counter rows of
+    Σ_b cnt[d,b]² WITHOUT holding the key dictionary. CMS inner
+    products never underestimate, so est/exact (`over_ratio`) is the
+    sketch's collision inflation, measured against the exact answer
+    the same run computes — the self-measurement pattern of the
+    other sketch evals. The 100 TB use: price a shuffle join's
+    output (detect a quadratic blowup) from two ≤d×w sketches
+    BEFORE paying for the join; sketches of both sides build in one
+    map pass each and the estimate is a d-row reduction.
+
+    Scale: one groupBy(d, bucket) collapsed by the combiner to
+    ≤ d×w rows per partition (corpus-size-independent), plus one
+    exact groupBy(key) for the measured-error report — at
+    production scale you run only the sketch pass."""
+    keys = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("tok")
+    )
+    exact = (
+        keys.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint")
+            .alias("exact_join_rows"),
+        )
+    )
+    depths = spark.range(_CMS_D).select(F.col("id").cast("int").alias("d"))
+    bucket = (
+        F.expr(_cms_spark_hash("concat(cast(d as string), ':', tok)"))
+        % _CMS_W
+    )
+    est = (
+        keys.crossJoin(F.broadcast(depths))
+        .select("tok", "d")
+        .withColumn("bucket", bucket)
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("d")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("ip"))
+        .agg(F.min("ip").cast("bigint").alias("cms_est_rows"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_rows",
+        "n_keys",
+        "exact_join_rows",
+        "cms_est_rows",
+        F.round(
+            F.col("cms_est_rows").cast("double") / F.col("exact_join_rows"),
+            6,
+        ).alias("over_ratio"),
+    )
