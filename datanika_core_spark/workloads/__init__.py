@@ -77,6 +77,8 @@ CHECK_FIRST = [
     "privacy_l_diversity", "dq_profile_orders",
     "pack_length_bucketed_batches", "eval_mrr_map_ranking",
     "mi_lang_source", "join_size_estimate_cms", "shuffle_skew_advisor",
+    "survival_kaplan_meier", "audience_overlap_kmv",
+    "text_readability_lix",
     # older additions (first recorded r3; re-sampled since)
     "eval_auc_quality_model", "eval_calibration_quality_model",
     "eval_centroid_confusion", "eval_centroid_class_metrics",

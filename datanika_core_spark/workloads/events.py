@@ -1227,3 +1227,147 @@ def events_concurrency_time_weighted(
         F.col("level").cast("bigint").alias("level"),
         F.round(F.col("cum") * 1.0 / F.col("total"), 6).alias("cdf_share"),
     ).orderBy("pct")
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival curve over user activity lifetimes.
+# --------------------------------------------------------------------------
+
+_KM_CENSOR_DAYS = 3  # still active within N days of window end ⇒ censored
+
+
+@workload(
+    "survival_kaplan_meier",
+    oracle=f"""
+WITH span AS (
+  SELECT user_id,
+         CAST(min(ts) AS DATE) AS first_d,
+         CAST(max(ts) AS DATE) AS last_d
+  FROM events GROUP BY user_id
+),
+w AS (SELECT CAST(max(ts) AS DATE) AS wend FROM events),
+life AS (
+  SELECT user_id,
+         CAST(datediff('day', first_d, last_d) AS BIGINT) AS t,
+         CASE WHEN datediff('day', last_d, w.wend) < {_KM_CENSOR_DAYS}
+              THEN 1 ELSE 0 END AS censored
+  FROM span CROSS JOIN w
+),
+grp AS (
+  SELECT t,
+         CAST(sum(1 - censored) AS BIGINT) AS d_events,
+         CAST(sum(censored) AS BIGINT) AS c_censored
+  FROM life GROUP BY t
+),
+risk AS (
+  SELECT t, d_events, c_censored,
+         CAST((SELECT count(*) FROM life)
+              - coalesce(sum(d_events + c_censored) OVER (
+                    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM grp
+),
+terms AS (
+  SELECT t, d_events, c_censored, n_risk,
+         CASE WHEN d_events = 0 THEN CAST(0 AS BIGINT)
+              WHEN d_events < n_risk
+              THEN CAST(round(ln((n_risk - d_events) * 1.0 / n_risk)
+                              * 100000000) AS BIGINT)
+              ELSE NULL END AS lnu,
+         CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END AS dead_all
+  FROM risk
+)
+SELECT t AS t_days, n_risk, d_events, c_censored,
+       CASE WHEN sum(dead_all) OVER (
+                ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) > 0
+            THEN 0.0
+            ELSE ROUND(exp(sum(lnu) OVER (
+                     ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) / 100000000.0), 6)
+       END AS survival
+FROM terms
+ORDER BY t_days
+""",
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over user activity lifetimes
+    (Kaplan & Meier 1958): lifetime = days between a user's first
+    and last event; a user whose last event falls within the final
+    3 days of the window is CENSORED (still alive — the whole
+    point of KM is that those users inform the risk set without
+    counting as churn, which a naive churn-rate query gets wrong).
+    S(t) = Π over death-times ≤ t of (1 − dᵢ/nᵢ); per-step log
+    factors snap to integer 1e-8 units so the cumulative product is
+    engine-exact, and an all-remaining-die step pins S to exactly 0
+    (no ln(0)). The survival curve is the retention analytics twin:
+    cohort retention reports activity by calendar period, KM
+    reports it by user-age with censoring handled correctly.
+
+    Scale: one groupBy(user) for the spans (map-side combine), then
+    everything runs on |distinct lifetimes| rows (≤ window days) —
+    the cumulative windows are over that tiny frame, not events."""
+    ev = t(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_d"),
+        F.max("ts").cast("date").alias("last_d"),
+    )
+    wend = ev.agg(F.max("ts").cast("date").alias("wend"))
+    life = span.crossJoin(F.broadcast(wend)).select(
+        F.datediff("last_d", "first_d").cast("bigint").alias("t"),
+        F.when(
+            F.datediff("wend", "last_d") < _KM_CENSOR_DAYS, 1
+        ).otherwise(0).alias("censored"),
+    )
+    grp = life.groupBy("t").agg(
+        F.sum(1 - F.col("censored")).cast("bigint").alias("d_events"),
+        F.sum("censored").cast("bigint").alias("c_censored"),
+    )
+    from pyspark.sql import Window as _W
+
+    prev = _W.orderBy("t").rowsBetween(_W.unboundedPreceding, -1)
+    cum = _W.orderBy("t").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    total = life.count()
+    risk = grp.withColumn(
+        "n_risk",
+        (
+            F.lit(total)
+            - F.coalesce(
+                F.sum(F.col("d_events") + F.col("c_censored")).over(prev),
+                F.lit(0),
+            )
+        ).cast("bigint"),
+    )
+    terms = risk.withColumn(
+        "lnu",
+        F.when(F.col("d_events") == 0, F.lit(0).cast("bigint"))
+        .when(
+            F.col("d_events") < F.col("n_risk"),
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("d_events"))
+                    * 1.0
+                    / F.col("n_risk")
+                )
+                * 100000000
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(None)),
+    ).withColumn(
+        "dead_all",
+        F.when(F.col("d_events") >= F.col("n_risk"), 1).otherwise(0),
+    )
+    return (
+        terms.select(
+            F.col("t").alias("t_days"),
+            "n_risk",
+            "d_events",
+            "c_censored",
+            F.when(F.sum("dead_all").over(cum) > 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.exp(F.sum("lnu").over(cum) / 100000000.0), 6)
+            )
+            .alias("survival"),
+        )
+        .orderBy("t_days")
+    )

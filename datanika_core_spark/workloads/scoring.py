@@ -547,3 +547,94 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Readability (LIX) per language — the syllable-free readability index.
+# --------------------------------------------------------------------------
+
+_LIX_LONG = 7  # LIX's "long word" threshold (chars)
+
+
+@workload(
+    "text_readability_lix",
+    oracle=rf"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len({_O_TOKS}) AS BIGINT) AS n_words,
+         CAST(len(list_filter({_O_TOKS},
+                              w -> length(w) >= {_LIX_LONG})) AS BIGINT)
+           AS n_long,
+         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+              AS BIGINT) AS n_sent
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_sent) AS BIGINT) AS n_sentences,
+       CAST(sum(n_long) AS BIGINT) AS n_long_words,
+       ROUND(sum(n_words) * 1.0 / sum(n_sent), 6) AS words_per_sentence,
+       ROUND(sum(n_long) * 1.0 / sum(n_words), 6) AS long_word_share,
+       ROUND(sum(n_words) * 1.0 / sum(n_sent)
+             + 100.0 * sum(n_long) / sum(n_words), 4) AS lix
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def text_readability_lix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus readability per language via the LIX index (Björnsson
+    1968): words/sentence + 100·(share of ≥7-char words) — the
+    readability formula that needs NO syllable model, so it is
+    language-agnostic and fully deterministic (Flesch-Kincaid's
+    syllable counts are heuristic and locale-bound; LIX is the one
+    production corpus filters use when the corpus is multilingual).
+    Complements the quality-score battery: quality scores gate
+    documents, LIX characterizes what a source's prose difficulty
+    looks like, per language, from exact BIGINT word/sentence/
+    long-word totals (ratios taken once, at the end).
+
+    Scale: per-doc counters evaluate inside the scan (one
+    higher-order filter over the token array, one regexp count);
+    the groupBy(lang) collapses to |langs| rows per partition in
+    the combiner. No joins, no second scan."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    per_doc = docs.select(
+        "lang",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(
+            F.filter(words, lambda w: F.length(w) >= _LIX_LONG)
+        ).cast("bigint").alias("n_long"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")),
+        ).cast("bigint").alias("n_sent"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_sent").cast("bigint").alias("n_sentences"),
+            F.sum("n_long").cast("bigint").alias("n_long_words"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_sentences",
+            "n_long_words",
+            F.round(F.col("n_words") * 1.0 / F.col("n_sentences"), 6)
+            .alias("words_per_sentence"),
+            F.round(F.col("n_long_words") * 1.0 / F.col("n_words"), 6)
+            .alias("long_word_share"),
+            F.round(
+                F.col("n_words") * 1.0 / F.col("n_sentences")
+                + F.lit(100.0) * F.col("n_long_words") / F.col("n_words"),
+                4,
+            ).alias("lix"),
+        )
+        .orderBy("lang")
+    )

@@ -1245,3 +1245,147 @@ def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("over_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV set-overlap estimation: customer audiences of two order windows.
+# --------------------------------------------------------------------------
+
+_OV_A = "o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"
+_OV_B = "o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'"
+
+
+@workload(
+    "audience_overlap_kmv",
+    oracle=rf"""
+WITH a AS (
+  SELECT DISTINCT o_custkey AS ck FROM orders WHERE {_OV_A}
+),
+b AS (
+  SELECT DISTINCT o_custkey AS ck FROM orders WHERE {_OV_B}
+),
+ha AS (
+  SELECT ('0x'||substring(md5(CAST(ck AS VARCHAR)),1,15))::BIGINT AS h
+  FROM a
+),
+hb AS (
+  SELECT ('0x'||substring(md5(CAST(ck AS VARCHAR)),1,15))::BIGINT AS h
+  FROM b
+),
+ka AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+kb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+ku AS (
+  SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+  ORDER BY h LIMIT {_KMV_K}
+),
+j AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_both
+  FROM ku
+  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+),
+uest AS (
+  SELECT CAST(round(({_KMV_K} - 1) * {_KMV_SCALE!r} / max(h)) AS BIGINT)
+           AS union_est
+  FROM ku
+),
+exact AS (
+  SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+         CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+         CAST((SELECT count(*) FROM a JOIN b USING (ck)) AS BIGINT)
+           AS inter_exact
+)
+SELECT CAST({_KMV_K} AS BIGINT) AS k,
+       e.n_a, e.n_b, e.inter_exact,
+       ROUND(e.inter_exact * 1.0
+             / (e.n_a + e.n_b - e.inter_exact), 6) AS jaccard_exact,
+       ROUND(j.n_both * 1.0 / {_KMV_K}, 6) AS jaccard_est,
+       CAST(round(j.n_both * 1.0 / {_KMV_K} * u.union_est) AS BIGINT)
+         AS inter_est,
+       ROUND(abs(round(j.n_both * 1.0 / {_KMV_K} * u.union_est)
+                 - e.inter_exact) * 1.0 / e.inter_exact, 6) AS rel_err
+FROM exact e CROSS JOIN j CROSS JOIN uest u
+""",
+)
+def audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-overlap estimation from two KMV sketches (Beyer et al.
+    2007): how many customers the pre-1998 and post-1999 order
+    windows SHARE, without ever joining the two audiences — the
+    k-min of the union is the k-min of the two sketches' union, the
+    fraction of those union minima present in BOTH sketches
+    estimates Jaccard, and intersection ≈ Jaccard × the union's KMV
+    cardinality estimate. The audience-overlap / reach-dedup
+    primitive: at 100 TB each side compresses to k=64 hashes
+    (TakeOrdered — k·partitions merge rows), the overlap math runs
+    on ≤2k driver-side rows, and sketches of MANY windows compose
+    pairwise for free, where exact answers need a join per pair.
+    Exact |A|, |B|, |A∩B| are computed alongside so the estimate's
+    relative error is part of the checked result (the sketch-eval
+    self-measurement convention).
+
+    Scale: two filtered distinct-key scans → two TakeOrdered(k);
+    nothing downstream scales with the data."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.expr(_OV_A)).select(F.col("o_custkey").alias("ck")).distinct()
+    b = o.filter(F.expr(_OV_B)).select(F.col("o_custkey").alias("ck")).distinct()
+
+    def kmin(side: DataFrame) -> DataFrame:
+        return (
+            side.select(
+                F.expr(_cms_spark_hash("cast(ck as string)")).alias("h")
+            )
+            .orderBy("h")
+            .limit(_KMV_K)
+        )
+
+    ka = kmin(a)
+    kb = kmin(b)
+    ku = (
+        ka.unionByName(kb).distinct().orderBy("h").limit(_KMV_K)
+    )
+    in_a = ku.join(ka.withColumnRenamed("h", "h_a"),
+                   F.col("h") == F.col("h_a"), "left_semi")
+    n_both = in_a.join(kb.withColumnRenamed("h", "h_b"),
+                       F.col("h") == F.col("h_b"), "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_both")
+    )
+    uest = ku.agg(
+        F.round(F.lit(_KMV_K - 1) * F.lit(_KMV_SCALE) / F.max("h"))
+        .cast("bigint")
+        .alias("union_est")
+    )
+    exact = (
+        a.agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+        .crossJoin(b.agg(F.count(F.lit(1)).cast("bigint").alias("n_b")))
+        .crossJoin(
+            a.join(b, "ck").agg(
+                F.count(F.lit(1)).cast("bigint").alias("inter_exact")
+            )
+        )
+    )
+    inter_est = F.round(
+        F.col("n_both") * 1.0 / _KMV_K * F.col("union_est")
+    ).cast("bigint")
+    return (
+        exact.crossJoin(F.broadcast(n_both))
+        .crossJoin(F.broadcast(uest))
+        .select(
+            F.lit(_KMV_K).cast("bigint").alias("k"),
+            "n_a",
+            "n_b",
+            "inter_exact",
+            F.round(
+                F.col("inter_exact")
+                * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("inter_exact")),
+                6,
+            ).alias("jaccard_exact"),
+            F.round(F.col("n_both") * 1.0 / _KMV_K, 6).alias("jaccard_est"),
+            inter_est.alias("inter_est"),
+            F.round(
+                F.abs(inter_est - F.col("inter_exact"))
+                * 1.0
+                / F.col("inter_exact"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
