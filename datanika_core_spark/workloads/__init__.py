@@ -78,7 +78,9 @@ CHECK_FIRST = [
     "pack_length_bucketed_batches", "eval_mrr_map_ranking",
     "mi_lang_source", "join_size_estimate_cms", "shuffle_skew_advisor",
     "survival_kaplan_meier", "audience_overlap_kmv",
-    "text_readability_lix",
+    "text_readability_lix", "mmr_diversified_topk", "graph_khop_reach",
+    "conformal_interval_events", "abtest_sprt_sequential",
+    "sample_neyman_allocation",
     # older additions (first recorded r3; re-sampled since)
     "eval_auc_quality_model", "eval_calibration_quality_model",
     "eval_centroid_confusion", "eval_centroid_class_metrics",

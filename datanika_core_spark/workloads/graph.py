@@ -975,3 +975,111 @@ def graph_triangle_doulion_multi_p(
         .unionAll(_row(16, "t16", "ks16", "n16"))
         .orderBy("p_denom")
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-source k-hop BFS reach over the co-purchase graph.
+# --------------------------------------------------------------------------
+
+_BFS_MAX_HOP = 3
+_BFS_SEED_MOD = 100  # seeds: graph nodes with partkey % 100 == 0
+
+
+@workload(
+    "graph_khop_reach",
+    oracle=f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+reach(node, lvl) AS (
+  SELECT DISTINCT u AS node, 0 AS lvl FROM und
+  WHERE u % {_BFS_SEED_MOD} = 0
+  UNION
+  SELECT und.v, r.lvl + 1
+  FROM reach r JOIN und ON und.u = r.node
+  WHERE r.lvl < {_BFS_MAX_HOP}
+)
+SELECT CAST(lvl AS BIGINT) AS hop,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(node) AS BIGINT) AS min_node,
+       CAST(max(node) AS BIGINT) AS max_node
+FROM (SELECT node, min(lvl) AS lvl FROM reach GROUP BY node)
+GROUP BY lvl
+ORDER BY hop
+""",
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source k-hop BFS over the co-purchase part graph: every
+    part whose key is ≡0 mod 100 seeds a frontier, and each node
+    reports its MINIMUM hop distance (≤3) — the blast-radius /
+    influence-reach primitive (recall expansion from seed documents,
+    recommendation neighborhoods, contamination spread from flagged
+    nodes). Level-synchronous BFS is the bounded-iteration sibling
+    of the repo's fixpoint propagations: PageRank iterates to a
+    horizon, connected components to convergence, BFS exactly
+    k hops with the frontier shrinking to new nodes only (the
+    visited anti-join is what keeps hop h from re-expanding hop
+    h-1's work — textbook Pregel/MapReduce BFS).
+
+    Scale: the edge list builds once (the same orderkey self-join
+    every co-purchase workload shuffles); each hop is ONE
+    broadcast-frontier equi-join into the edge scan plus a
+    node-level distinct — frontier and visited sets are node-sized
+    (≤ |parts|), never edge-sized, so k hops cost k edge scans and
+    k tiny shuffles. At warehouse scale the edge list persists
+    bucketed by u and each hop is a bucket-local probe."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    # the symmetric edge list feeds every hop; cache the reduced
+    # (2-column, deduped) form so k hops scan it, not the self-join
+    # lineage (same reduced-intermediate convention as PageRank)
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).cache()
+    visited = (
+        und.select("u").distinct()
+        .filter(F.col("u") % _BFS_SEED_MOD == 0)
+        .select(F.col("u").alias("node"))
+        .withColumn("lvl", F.lit(0))
+    )
+    frontier = visited.select("node")
+    roll = RollingCheckpoint(spark)
+    for hop in range(1, _BFS_MAX_HOP + 1):
+        nxt = (
+            F.broadcast(frontier)
+            .join(und, F.col("node") == F.col("u"))
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(F.broadcast(visited.select("node")), "node", "left_anti")
+            .withColumn("lvl", F.lit(hop))
+        )
+        visited = visited.unionByName(nxt)
+        if hop < _BFS_MAX_HOP:
+            # truncate lineage between hops (visited is node-sized);
+            # deriving the next frontier FROM the checkpointed frame
+            # also stops hop h's anti-join from re-deriving hop h-1
+            # twice — same RollingCheckpoint pattern as PageRank,
+            # O(1) retained blocks across hops
+            visited = roll(visited)
+            frontier = visited.filter(F.col("lvl") == hop).select("node")
+    return (
+        visited.groupBy("lvl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+        )
+        .select(F.col("lvl").cast("bigint").alias("hop"),
+                "n_nodes", "min_node", "max_node")
+        .orderBy("hop")
+    )

@@ -1957,3 +1957,199 @@ def ann_ivf_retrain_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversified top-k (greedy re-ranking for retrieval diversity).
+# --------------------------------------------------------------------------
+
+_MMR_NQ = 5     # queries: vec_id < 5
+_MMR_POOL = 12  # candidate pool per query (relevance top-12)
+_MMR_K = 5      # diversified picks per query
+_MMR_LAMBDA = 0.7
+
+#: integer argmax key: snapped score (1e-8 units, half-away-from-zero
+#: — both engines' round() convention for doubles) shifted past a
+#: reversed candidate id, so max(key) is "max score, then min cand"
+#: as ONE BIGINT max — no window needed inside the recursive term.
+_MMR_KEY_O = (
+    "(CAST(floor(abs({score}) * 100000000 + 0.5) AS BIGINT)"
+    " * (CASE WHEN ({score}) < 0 THEN -1 ELSE 1 END) + 100000000)"
+    " * 1000000 + (999999 - {cand})"
+)
+
+
+@workload(
+    "mmr_diversified_topk",
+    oracle=f"""
+WITH RECURSIVE vecs AS ({_O_VECTORS}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs
+      WHERE vec_id < {_MMR_NQ}),
+pool AS MATERIALIZED (
+  SELECT query_id, cand, simq, cv FROM (
+    SELECT q.query_id, c.vec_id AS cand,
+           {_o_cos('q.qv', 'c.v')} AS simq, c.v AS cv,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_o_cos('q.qv', 'c.v')} DESC, c.vec_id) AS rnk
+    FROM q JOIN vecs c ON c.vec_id <> q.query_id
+  ) WHERE rnk <= {_MMR_POOL}
+),
+psim AS MATERIALIZED (
+  SELECT p1.query_id, p1.cand AS i, p2.cand AS j,
+         {_o_cos('p1.cv', 'p2.cv')} AS s
+  FROM pool p1 JOIN pool p2
+    ON p1.query_id = p2.query_id AND p1.cand <> p2.cand
+),
+mmr AS (
+  -- NOTE: no LATERAL anywhere in the recursive CTE — DuckDB 1.0's
+  -- relation API (con.sql, the harness path) silently stops the
+  -- recursion after the base term when the recursive arm contains
+  -- a LATERAL join; plain nested-subquery aggregation is fine.
+  SELECT query_id, 1 AS step,
+         [CAST(999999 - bk % 1000000 AS BIGINT)] AS picked,
+         CAST(999999 - bk % 1000000 AS BIGINT) AS pick,
+         CAST(bk // 1000000 - 100000000 AS BIGINT) AS score_units
+  FROM (
+    SELECT query_id, max({_MMR_KEY_O.format(
+        score="simq", cand="cand")}) AS bk
+    FROM pool GROUP BY query_id
+  )
+  UNION ALL
+  SELECT query_id, step + 1,
+         list_append(picked, CAST(999999 - bk % 1000000 AS BIGINT)),
+         CAST(999999 - bk % 1000000 AS BIGINT),
+         CAST(bk // 1000000 - 100000000 AS BIGINT)
+  FROM (
+    SELECT query_id, step, picked,
+           max({_MMR_KEY_O.format(
+        score=f"CAST({_MMR_LAMBDA} AS DOUBLE) * simq"
+              f" - CAST({round(1 - _MMR_LAMBDA, 12)} AS DOUBLE) * pen",
+        cand="cand")}) AS bk
+    FROM (
+      SELECT r.query_id, r.step, r.picked, c.cand, c.simq,
+             max(p.s) AS pen
+      FROM mmr r
+      JOIN pool c ON c.query_id = r.query_id
+                 AND NOT list_contains(r.picked, c.cand)
+      JOIN psim p ON p.query_id = c.query_id AND p.i = c.cand
+                 AND list_contains(r.picked, p.j)
+      WHERE r.step < {_MMR_K}
+      GROUP BY r.query_id, r.step, r.picked, c.cand, c.simq
+    )
+    GROUP BY query_id, step, picked
+  )
+)
+SELECT query_id, CAST(step AS BIGINT) AS step,
+       pick AS pick_id,
+       ROUND(score_units / 100000000.0, 6) AS mmr_score
+FROM mmr
+ORDER BY query_id, step
+""",
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from each query's relevance top-12, greedily pick k=5
+    results maximizing λ·sim(q,c) − (1−λ)·max sim(c, already
+    picked) — the diversity pass a RAG retriever runs so five
+    near-duplicate passages don't fill the context window. The
+    greedy argmax is encoded as ONE integer key per candidate
+    (score snapped to 1e-8 units, half-away-from-zero, shifted past
+    the reversed candidate id) so the per-step winner is a plain
+    MAX — the same engine-exact argmax in the Spark fold and in the
+    DuckDB recursive CTE, which replays all k steps in SQL (the
+    BPE-oracle technique).
+
+    Scale: the only corpus-sized work is the relevance scan that
+    builds the pool (broadcast queries, one candidate pass — the
+    kNN shape); the k-step greedy runs per query on a 12-candidate
+    matrix inside an Arrow-batched applyInPandas fold, queries
+    folding independently across executors."""
+    import numpy as np
+    import pandas as pd
+
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    from pyspark.sql import Window as _W
+
+    scored = F.broadcast(q).join(
+        vecs.select(F.col("vec_id").alias("cand"), F.col("v").alias("cv")),
+        F.col("cand") != F.col("query_id"),
+    ).select(
+        "query_id", "cand", "cv",
+        F.expr(_s_cos("qv", "cv")).alias("simq"),
+    )
+    rnk = _W.partitionBy("query_id").orderBy(
+        F.col("simq").desc(), F.col("cand")
+    )
+    pool = (
+        scored.withColumn("rnk", F.row_number().over(rnk))
+        .filter(F.col("rnk") <= _MMR_POOL)
+        .select("query_id", "cand", "simq", "cv")
+    )
+    p2 = pool.select(
+        F.col("query_id").alias("q2"),
+        F.col("cand").alias("j"),
+        F.col("cv").alias("cv2"),
+    )
+    pairs = pool.join(
+        p2,
+        (F.col("query_id") == F.col("q2")) & (F.col("cand") != F.col("j")),
+    ).select(
+        "query_id", "cand", "simq", "j",
+        F.expr(_s_cos("cv", "cv2")).alias("s"),
+    )
+
+    lam = _MMR_LAMBDA
+    mu = round(1 - _MMR_LAMBDA, 12)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        simq = {
+            int(c): float(v)
+            for c, v in zip(pdf["cand"], pdf["simq"])
+        }
+        sim = {
+            (int(i), int(j)): float(s)
+            for i, j, s in zip(pdf["cand"], pdf["j"], pdf["s"])
+        }
+
+        def key(score: float, cand: int) -> int:
+            # half-away-from-zero snap (DuckDB round convention)
+            units = int(np.floor(abs(score) * 100000000 + 0.5))
+            if score < 0:
+                units = -units
+            return (units + 100000000) * 1000000 + (999999 - cand)
+
+        picked: list[int] = []
+        out = []
+        for step in range(1, _MMR_K + 1):
+            best = None
+            for c in simq:
+                if c in picked:
+                    continue
+                if picked:
+                    pen = max(sim[(c, j)] for j in picked)
+                    score = lam * simq[c] - mu * pen
+                else:
+                    score = simq[c]
+                k = key(score, c)
+                if best is None or k > best:
+                    best = k
+            pick = 999999 - best % 1000000
+            units = best // 1000000 - 100000000
+            picked.append(pick)
+            out.append((qid, step, pick, units / 100000000.0))
+        return pd.DataFrame(
+            out, columns=["query_id", "step", "pick_id", "mmr_score"]
+        )
+
+    raw = pairs.groupBy("query_id").applyInPandas(
+        greedy,
+        "query_id long, step long, pick_id long, mmr_score double",
+    )
+    return raw.select(
+        "query_id", "step", "pick_id",
+        F.round("mmr_score", 6).alias("mmr_score"),
+    ).orderBy("query_id", "step")

@@ -777,3 +777,352 @@ def abtest_welch_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((m1 - m0) / 100.0, 4).alias("lift"),
         F.round((m1 - m0) / F.sqrt(var0 + var1), 4).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Split-conformal prediction intervals with measured coverage.
+# --------------------------------------------------------------------------
+
+_CP_SPLIT = "2024-01-16 00:00:00"  # calibration < split <= evaluation
+_CP_ALPHA = 0.1  # target miscoverage → q90 of calibration residuals
+
+
+@workload(
+    "conformal_interval_events",
+    oracle=f"""
+WITH cal AS (
+  SELECT event_type, value FROM events
+  WHERE ts < TIMESTAMP '{_CP_SPLIT}'
+),
+ev AS (
+  SELECT event_type, value FROM events
+  WHERE ts >= TIMESTAMP '{_CP_SPLIT}'
+),
+center AS (
+  SELECT event_type, avg(value) AS mu, CAST(count(*) AS BIGINT) AS n_cal
+  FROM cal GROUP BY event_type
+),
+qhat AS (
+  SELECT c.event_type, c.mu, c.n_cal,
+         quantile_cont(abs(cal.value - c.mu), {1 - _CP_ALPHA}) AS q
+  FROM cal JOIN center c USING (event_type)
+  GROUP BY c.event_type, c.mu, c.n_cal
+),
+cov AS (
+  SELECT q.event_type, q.mu, q.n_cal, q.q,
+         CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(sum(CASE WHEN abs(ev.value - q.mu) <= q.q
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM ev JOIN qhat q USING (event_type)
+  GROUP BY q.event_type, q.mu, q.n_cal, q.q
+)
+SELECT event_type, n_cal, n_eval,
+       ROUND(mu, 6) AS center,
+       ROUND(q, 6) AS q90_abs_resid,
+       ROUND(n_covered * 1.0 / n_eval, 6) AS coverage
+FROM cov
+ORDER BY event_type
+""",
+)
+def conformal_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al. 2005;
+    Papadopoulos 2002) per event type: fit a trivial predictor (the
+    calibration-window mean), take the 90th percentile of
+    calibration absolute residuals as the conformal radius, and
+    MEASURE the empirical coverage on the held-out window — the
+    distribution-free uncertainty primitive every monitoring
+    threshold secretly wants (the alarm band with a guaranteed
+    false-alarm rate, no normality assumption — compare the z-score
+    and MAD anomaly workloads, which assume a shape). Coverage ≈
+    90% by the conformal guarantee; its exact value is part of the
+    checked result.
+
+    Scale: two filtered scans (calibration twice — mean then
+    residual quantile — and evaluation once), each a
+    combiner-friendly groupBy(event_type); the exact residual
+    quantile is per-group sort-based here — at 100 TB swap in the
+    bottom-k / t-digest sketch quantiles (workloads/sketches.py)
+    for the same pipeline shape without the sort."""
+    ev_all = t(spark, sf_dir, "events")
+    cal = ev_all.filter(F.col("ts") < _CP_SPLIT).select("event_type", "value")
+    ev = ev_all.filter(F.col("ts") >= _CP_SPLIT).select("event_type", "value")
+    center = cal.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+    )
+    qhat = (
+        cal.join(F.broadcast(center), "event_type")
+        .groupBy("event_type", "mu", "n_cal")
+        .agg(
+            F.expr(f"percentile(abs(value - mu), {1 - _CP_ALPHA})").alias("q")
+        )
+    )
+    cov = (
+        ev.join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type", "mu", "n_cal", "q")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("mu")) <= F.col("q"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_covered"),
+        )
+    )
+    return cov.select(
+        "event_type",
+        "n_cal",
+        "n_eval",
+        F.round("mu", 6).alias("center"),
+        F.round("q", 6).alias("q90_abs_resid"),
+        F.round(F.col("n_covered") * 1.0 / F.col("n_eval"), 6)
+        .alias("coverage"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Sequential A/B testing: Wald's SPRT over the ordered trial stream.
+# --------------------------------------------------------------------------
+
+import math as _math
+
+_SPRT_P0 = 0.10   # H0 conversion rate
+_SPRT_P1 = 0.14   # H1 conversion rate
+_SPRT_ALPHA = 0.05
+_SPRT_BETA = 0.05
+_SPRT_VALUE = 100  # a purchase converts when value > this
+
+#: per-trial log-likelihood-ratio increments and decision bounds —
+#: Python-evaluated literals inlined VERBATIM into both engines, so
+#: llr = conv·L1 + fail·L0 is the identical IEEE expression.
+_SPRT_L1 = _math.log(_SPRT_P1 / _SPRT_P0)
+_SPRT_L0 = _math.log((1 - _SPRT_P1) / (1 - _SPRT_P0))
+_SPRT_UP = _math.log((1 - _SPRT_BETA) / _SPRT_ALPHA)
+_SPRT_LO = _math.log(_SPRT_BETA / (1 - _SPRT_ALPHA))
+
+
+@workload(
+    "abtest_sprt_sequential",
+    oracle=f"""
+WITH trials AS (
+  SELECT ('0x'||substring(md5('ab-' || CAST(user_id AS VARCHAR)),1,15))
+           ::BIGINT % 2 AS variant,
+         ts, event_id,
+         CASE WHEN value > {_SPRT_VALUE} THEN 1 ELSE 0 END AS s
+  FROM events WHERE event_type = 'purchase'
+),
+walk AS (
+  SELECT variant,
+         row_number() OVER w AS i,
+         CAST(sum(s) OVER w AS BIGINT) AS conv
+  FROM trials
+  WINDOW w AS (PARTITION BY variant ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+llr AS (
+  SELECT variant, i, conv,
+         conv * CAST({_SPRT_L1!r} AS DOUBLE) + (i - conv) * CAST({_SPRT_L0!r} AS DOUBLE) AS llr
+  FROM walk
+),
+agg AS (
+  SELECT variant,
+         CAST(max(i) AS BIGINT) AS n_trials,
+         CAST(max(conv) AS BIGINT) AS n_success,
+         CAST(min(CASE WHEN llr >= CAST({_SPRT_UP!r} AS DOUBLE) THEN i END)
+              AS BIGINT) AS i_up,
+         CAST(min(CASE WHEN llr <= CAST({_SPRT_LO!r} AS DOUBLE) THEN i END)
+              AS BIGINT) AS i_lo,
+         max_by(llr, i) AS final_llr
+  FROM llr GROUP BY variant
+)
+SELECT variant AS arm, n_trials, n_success,
+       ROUND(final_llr, 6) AS final_llr,
+       CASE
+         WHEN i_up IS NULL AND i_lo IS NULL THEN 'continue'
+         WHEN i_lo IS NULL OR (i_up IS NOT NULL AND i_up <= i_lo)
+           THEN 'accept_h1'
+         ELSE 'accept_h0'
+       END AS decision,
+       least(coalesce(i_up, i_lo), coalesce(i_lo, i_up))
+         AS n_at_decision
+FROM agg
+ORDER BY arm
+""",
+)
+def abtest_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test (Wald 1945) per
+    experiment arm: purchases stream in ts order, each trial adds
+    its Bernoulli log-likelihood-ratio increment, and the experiment
+    DECIDES at the first boundary crossing — accept H1 (p=0.14)
+    above ln((1−β)/α), accept H0 (p=0.10) below ln(β/(1−α)) — the
+    always-valid sequential answer to "can we stop the experiment
+    yet?" that the fixed-horizon Welch readout cannot give (peeking
+    at a z-test inflates α; the SPRT's error rates hold at EVERY
+    peek). Reports where each arm's walk first crossed and what it
+    decided; 'continue' is a legitimate outcome at small n.
+
+    Scale: the LLR walk is a per-arm cumulative window over the
+    trials (the same shape as the CUSUM changepoint workload — at
+    100 TB trials per arm partition by day first, carrying the
+    per-day offset exactly like the two-phase global prefix sum);
+    the decision extraction is a conditional-min aggregate, one
+    combiner pass."""
+    from pyspark.sql import Window as _W
+
+    ev = t(spark, sf_dir, "events")
+    trials = ev.filter(F.col("event_type") == "purchase").select(
+        F.expr(
+            "pmod("
+            + _spark_hash("concat('ab-', cast(user_id as string))")
+            + ", 2)"
+        ).alias("variant"),
+        "ts",
+        "event_id",
+        F.when(F.col("value") > _SPRT_VALUE, 1).otherwise(0).alias("s"),
+    )
+    w = (
+        _W.partitionBy("variant")
+        .orderBy("ts", "event_id")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    walk = trials.select(
+        "variant",
+        F.row_number().over(
+            _W.partitionBy("variant").orderBy("ts", "event_id")
+        ).alias("i"),
+        F.sum("s").over(w).cast("bigint").alias("conv"),
+    )
+    llr = walk.withColumn(
+        "llr",
+        F.col("conv") * F.lit(_SPRT_L1)
+        + (F.col("i") - F.col("conv")) * F.lit(_SPRT_L0),
+    )
+    agg = llr.groupBy("variant").agg(
+        F.max("i").cast("bigint").alias("n_trials"),
+        F.max("conv").cast("bigint").alias("n_success"),
+        F.min(F.when(F.col("llr") >= _SPRT_UP, F.col("i")))
+        .cast("bigint").alias("i_up"),
+        F.min(F.when(F.col("llr") <= _SPRT_LO, F.col("i")))
+        .cast("bigint").alias("i_lo"),
+        F.max_by("llr", "i").alias("final_llr"),
+    )
+    decision = (
+        F.when(F.col("i_up").isNull() & F.col("i_lo").isNull(),
+               F.lit("continue"))
+        .when(
+            F.col("i_lo").isNull()
+            | (F.col("i_up").isNotNull() & (F.col("i_up") <= F.col("i_lo"))),
+            F.lit("accept_h1"),
+        )
+        .otherwise(F.lit("accept_h0"))
+    )
+    return agg.select(
+        F.col("variant").alias("arm"),
+        "n_trials",
+        "n_success",
+        F.round("final_llr", 6).alias("final_llr"),
+        decision.alias("decision"),
+        F.least(
+            F.coalesce(F.col("i_up"), F.col("i_lo")),
+            F.coalesce(F.col("i_lo"), F.col("i_up")),
+        ).alias("n_at_decision"),
+    ).orderBy("arm")
+
+
+# --------------------------------------------------------------------------
+# Neyman-optimal stratified sample allocation.
+# --------------------------------------------------------------------------
+
+_NEY_BUDGET = 1000  # total sample size to allocate across strata
+
+
+@workload(
+    "sample_neyman_allocation",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ssc
+  FROM events GROUP BY event_type
+),
+sig AS (
+  SELECT event_type, n_rows,
+         sqrt((n_rows * ssc - sc * sc) * 1.0 / (n_rows * n_rows)) AS sigma,
+         CAST(floor(n_rows * sqrt((n_rows * ssc - sc * sc) * 1.0
+                                  / (n_rows * n_rows)) * 100 + 0.5)
+              AS BIGINT) AS w_units
+  FROM s
+),
+tot AS (
+  SELECT CAST(sum(w_units) AS BIGINT) AS wt,
+         CAST(sum(n_rows) AS BIGINT) AS nt
+  FROM sig
+)
+SELECT g.event_type, g.n_rows,
+       ROUND(g.sigma / 100.0, 6) AS sigma,
+       ROUND(g.w_units * 1.0 / t.wt, 6) AS neyman_share,
+       CAST(floor({_NEY_BUDGET} * g.w_units * 1.0 / t.wt + 0.5)
+            AS BIGINT) AS n_neyman,
+       CAST(floor({_NEY_BUDGET} * g.n_rows * 1.0 / t.nt + 0.5)
+            AS BIGINT) AS n_proportional
+FROM sig g CROSS JOIN tot t
+ORDER BY g.event_type
+""",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934):
+    given a budget of 1000 sampled rows, each stratum (event type)
+    gets n_h ∝ N_h·σ_h — more sample where there is more variance
+    to pin down, the design that minimizes the estimator's variance
+    at fixed cost, against the naive proportional allocation shown
+    alongside. Moments are exact BIGINT cents (the Welch-readout
+    convention); each stratum's single sqrt is correctly rounded by
+    spec, and the weights snap to integer units BEFORE the shares so
+    the 5-way sum is order-free BIGINT addition.
+
+    Scale: ONE combiner groupBy(event_type) over the events scan —
+    allocation of any budget over any corpus is a |strata|-row
+    computation; the systematic-PPS workload then realizes the draw
+    with exactly these quotas."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(cents).cast("bigint").alias("sc"),
+        F.sum(cents * cents).cast("bigint").alias("ssc"),
+    )
+    sigma = F.sqrt(
+        (F.col("n_rows") * F.col("ssc") - F.col("sc") * F.col("sc"))
+        * 1.0
+        / (F.col("n_rows") * F.col("n_rows"))
+    )
+    sig = s.select(
+        "event_type",
+        "n_rows",
+        sigma.alias("sigma"),
+        F.floor(F.col("n_rows") * sigma * 100 + 0.5)
+        .cast("bigint")
+        .alias("w_units"),
+    )
+    tot = sig.agg(
+        F.sum("w_units").cast("bigint").alias("wt"),
+        F.sum("n_rows").cast("bigint").alias("nt"),
+    )
+    return (
+        sig.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_rows",
+            F.round(F.col("sigma") / 100.0, 6).alias("sigma"),
+            F.round(F.col("w_units") * 1.0 / F.col("wt"), 6)
+            .alias("neyman_share"),
+            F.floor(
+                _NEY_BUDGET * F.col("w_units") * 1.0 / F.col("wt") + 0.5
+            ).cast("bigint").alias("n_neyman"),
+            F.floor(
+                _NEY_BUDGET * F.col("n_rows") * 1.0 / F.col("nt") + 0.5
+            ).cast("bigint").alias("n_proportional"),
+        )
+        .orderBy("event_type")
+    )

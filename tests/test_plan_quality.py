@@ -278,3 +278,61 @@ def test_dq_profile_no_nested_loop(r6b_plans):
     cheap, but it must never be a nested loop over the unpivoted
     corpus."""
     assert "BroadcastNestedLoopJoin" not in r6b_plans["dq_profile_orders"]
+
+
+# ---------------------------------------------------------------------------
+# Pins for the MMR / k-hop BFS / conformal additions.
+# ---------------------------------------------------------------------------
+
+_R6C_FAMILIES = [
+    "mmr_diversified_topk",
+    "graph_khop_reach",
+    "conformal_interval_events",
+]
+
+
+@pytest.fixture(scope="module")
+def r6c_plans(spark):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    reg = load_all()
+    try:
+        return {n: _plan(reg[n].fn(spark, SF)) for n in _R6C_FAMILIES}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_r6c_no_cartesian(r6c_plans):
+    offenders = [
+        n for n, p in r6c_plans.items() if "CartesianProduct" in p
+    ]
+    assert offenders == []
+
+
+def test_khop_frontier_joins_are_hash_equi(r6c_plans):
+    """Every hop's frontier expansion and visited anti-join must be
+    HASH equi-joins (broadcast) — a nested loop over the edge list
+    would be the all-pairs blowup BFS exists to avoid. (Hops 1-2 are
+    behind RollingCheckpoint scans; hop 3's joins are visible in the
+    final plan.)"""
+    p = r6c_plans["graph_khop_reach"]
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_mmr_pool_scan_is_knn_shape(r6c_plans):
+    """The pool build legitimately broadcasts the tiny query set
+    into a non-equi candidate scan (the documented kNN exception);
+    the pairwise-sim join and the Arrow fold must not introduce a
+    cartesian, and the fold must be Arrow-batched (FlatMapGroups...
+    InPandas), not a row-at-a-time Python UDF."""
+    p = r6c_plans["mmr_diversified_topk"]
+    assert "FlatMapGroupsInPandas" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_conformal_joins_stay_broadcast(r6c_plans):
+    """Calibration stats (|event types| rows) must broadcast into
+    both the residual-quantile and the coverage scans."""
+    p = r6c_plans["conformal_interval_events"]
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
