@@ -2153,3 +2153,117 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "step", "pick_id",
         F.round("mmr_score", 6).alias("mmr_score"),
     ).orderBy("query_id", "step")
+
+
+# --------------------------------------------------------------------------
+# Per-dimension information gain: which embedding dims carry the label.
+# --------------------------------------------------------------------------
+
+_IG_TOPK = 10
+
+
+@workload(
+    "feature_infogain_label",
+    oracle=f"""
+WITH vecs AS ({_O_VECTORS}),
+cells AS (
+  SELECT d, CASE WHEN v[d + 1] >= 0 THEN 1 ELSE 0 END AS b, label,
+         CAST(count(*) AS BIGINT) AS n
+  FROM vecs, (SELECT unnest(range(0, {_DIM})) AS d)
+  GROUP BY 1, 2, 3
+),
+bm AS (SELECT d, b, CAST(sum(n) AS BIGINT) AS nb FROM cells GROUP BY d, b),
+lm AS (SELECT d, label, CAST(sum(n) AS BIGINT) AS nl
+       FROM cells GROUP BY d, label),
+tot AS (SELECT d, CAST(sum(n) AS BIGINT) AS nt FROM cells GROUP BY d),
+mi AS (
+  SELECT c.d,
+         CAST(sum(CAST(round(
+             (c.n * 1.0 / t.nt)
+             * ln(c.n * CAST(t.nt AS DOUBLE) / (bm.nb * lm.nl))
+             * 100000000) AS BIGINT)) AS BIGINT) AS mi_units
+  FROM cells c
+  JOIN bm ON bm.d = c.d AND bm.b = c.b
+  JOIN lm ON lm.d = c.d AND lm.label = c.label
+  JOIN tot t ON t.d = c.d
+  GROUP BY c.d
+)
+SELECT CAST(d AS BIGINT) AS dim,
+       ROUND(mi_units / 100000000.0, 6) AS infogain_nats,
+       CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT d, mi_units,
+         row_number() OVER (ORDER BY mi_units DESC, d) AS rk
+  FROM mi
+) WHERE rk <= {_IG_TOPK}
+ORDER BY rank
+""",
+)
+def feature_infogain_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension information gain of the embedding features
+    against the label: binarize each of the 64 dims at 0 (the sign
+    bit — exactly what SRP hashing keeps) and rank dimensions by
+    I(sign(v_d); label) — the filter-method feature selection that
+    says WHICH coordinates carry the class signal (the number that
+    justifies Matryoshka-style truncation: if the top-16 dims by
+    info gain match the prefix, truncation is safe; if not, you
+    want a learned projection first). Same integer-unit MI
+    convention as mi_lang_source: per-cell contributions snap to
+    1e-8 BIGINT units so the 64 per-dim sums are order-free.
+
+    Scale: one explode ×64 over the vectors (map-side, no data
+    movement) into a groupBy(dim, bit, label) that the combiner
+    collapses to ≤64×2×|labels| rows per partition; everything
+    downstream runs on that contingency grid. Feature count scales
+    the explode factor, never the shuffle row count."""
+    vecs = _vectors(spark, sf_dir)
+    cells = (
+        vecs.select(
+            "label",
+            F.posexplode(F.col("v")).alias("d", "x"),
+        )
+        .select(
+            "d",
+            F.when(F.col("x") >= 0, 1).otherwise(0).alias("b"),
+            "label",
+        )
+        .groupBy("d", "b", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    bm = cells.groupBy("d", "b").agg(F.sum("n").cast("bigint").alias("nb"))
+    lm = cells.groupBy("d", "label").agg(
+        F.sum("n").cast("bigint").alias("nl")
+    )
+    tot = cells.groupBy("d").agg(F.sum("n").cast("bigint").alias("nt"))
+    mi = (
+        cells.join(F.broadcast(bm), ["d", "b"])
+        .join(F.broadcast(lm), ["d", "label"])
+        .join(F.broadcast(tot), ["d"])
+        .select(
+            "d",
+            F.round(
+                (F.col("n") * 1.0 / F.col("nt"))
+                * F.log(
+                    F.col("n") * F.col("nt").cast("double")
+                    / (F.col("nb") * F.col("nl"))
+                )
+                * 100000000
+            ).cast("bigint").alias("u"),
+        )
+        .groupBy("d")
+        .agg(F.sum("u").cast("bigint").alias("mi_units"))
+    )
+    from pyspark.sql import Window as _W
+
+    rk = _W.orderBy(F.col("mi_units").desc(), F.col("d"))
+    return (
+        mi.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= _IG_TOPK)
+        .select(
+            F.col("d").cast("bigint").alias("dim"),
+            F.round(F.col("mi_units") / 100000000.0, 6)
+            .alias("infogain_nats"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("rank")
+    )
