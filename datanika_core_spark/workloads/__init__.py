@@ -81,6 +81,7 @@ CHECK_FIRST = [
     "text_readability_lix", "mmr_diversified_topk", "graph_khop_reach",
     "conformal_interval_events", "abtest_sprt_sequential",
     "sample_neyman_allocation", "feature_infogain_label",
+    "dq_benford_first_digit",
     # older additions (first recorded r3; re-sampled since)
     "eval_auc_quality_model", "eval_calibration_quality_model",
     "eval_centroid_confusion", "eval_centroid_class_metrics",

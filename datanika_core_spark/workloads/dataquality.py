@@ -274,3 +274,93 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit (the forensic data-quality screen).
+# --------------------------------------------------------------------------
+
+import math as _math
+
+#: Benford expected shares log10(1 + 1/d), Python-evaluated literals
+#: inlined verbatim into both engines.
+_BENFORD = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+
+_BENFORD_O_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST({p!r} AS DOUBLE)" for d, p in _BENFORD.items()
+) + " END"
+
+
+@workload(
+    "dq_benford_first_digit",
+    oracle=f"""
+WITH cents AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value > 0
+),
+dig AS (
+  SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM cents WHERE c > 0
+),
+obs AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM dig GROUP BY digit
+),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+SELECT o.digit, o.n_obs,
+       ROUND(o.n_obs * 1.0 / t.n, 6) AS obs_share,
+       ROUND({_BENFORD_O_CASE.replace("digit", "o.digit")}, 6)
+         AS benford_share,
+       ROUND(abs(o.n_obs * 1.0 / t.n
+                 - {_BENFORD_O_CASE.replace("digit", "o.digit")}), 6)
+         AS abs_gap
+FROM obs o CROSS JOIN tot t
+ORDER BY o.digit
+""",
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the event values (Newcomb
+    1881, Benford 1938): the leading digit of naturally-occurring
+    amounts follows log10(1+1/d), and a distribution that doesn't is
+    the classic screen for fabricated, truncated, or unit-mangled
+    numbers — the forensic complement to the constraint suite (which
+    checks values are VALID; this checks they are PLAUSIBLE).
+    Digits are extracted from the exact BIGINT cents' decimal string
+    (integer→string agrees between engines; no float log10 at
+    power-of-ten boundaries); expected shares are Python-literal
+    doubles inlined verbatim in both engines. The per-digit absolute
+    gap is the report — a synthetic uniform value column (as here)
+    SHOULD flag, and does: the gap IS the detector output, not an
+    assertion.
+
+    Scale: one map-side digit projection into a 9-key combiner
+    groupBy — the audit costs one scan regardless of table size,
+    and composes per-partition (digit counts are additive, so the
+    streaming twin is the DQ-monitor counter shape)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    dig = ev.select(
+        F.substring(
+            F.round(F.col("value") * 100).cast("bigint").cast("string"),
+            1, 1,
+        ).cast("bigint").alias("digit")
+    ).filter(F.col("digit") > 0)
+    obs = dig.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    benford = F.lit(None).cast("double")
+    for d, p in _BENFORD.items():
+        benford = F.when(F.col("digit") == d, F.lit(p)).otherwise(benford)
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") * 1.0 / F.col("n"), 6)
+            .alias("obs_share"),
+            F.round(benford, 6).alias("benford_share"),
+            F.round(
+                F.abs(F.col("n_obs") * 1.0 / F.col("n") - benford), 6
+            ).alias("abs_gap"),
+        )
+        .orderBy("digit")
+    )
