@@ -71,15 +71,38 @@ class CMSSketchStore:
     spark: SparkSession
     table: str
 
-    def update(self, toks: DataFrame) -> None:
+    def last_batch_id(self) -> int | None:
+        """The highest batch_id already merged (the one-row
+        watermark stored as the sentinel (d=-1, bucket=-1) counter),
+        or None if the store is fresh / was only ever updated without
+        batch ids."""
+        if not self.spark.catalog.tableExists(self.table):
+            return None
+        rows = (
+            self.spark.table(self.table)
+            .filter(F.col("d") == -1)
+            .select("cnt")
+            .collect()
+        )
+        return int(rows[0][0]) if rows else None
+
+    def update(self, toks: DataFrame, batch_id: int | None = None) -> None:
         """Add-merge a batch's counters into the store. Order- and
-        partitioning-independent (addition commutes) but NOT
-        replay-safe — deliver batches effectively-once (checkpointed
-        sink) or counts inflate."""
+        partitioning-independent (addition commutes); counter
+        addition itself is NOT idempotent, so replay safety comes
+        from the batch_id watermark: pass the sink's micro-batch id
+        and a redelivered batch (checkpointed foreachBatch crashing
+        after the table overwrite but before the streaming commit)
+        is recognized as already merged and skipped. Updates without
+        a batch_id keep the old effectively-once caveat."""
+        wm = self.last_batch_id()
+        if batch_id is not None and wm is not None and batch_id <= wm:
+            return  # replayed batch — its counters are already in
         new = batch_sketch(toks)
         if self.spark.catalog.tableExists(self.table):
             merged = (
                 self.spark.table(self.table)
+                .filter(F.col("d") >= 0)  # keep the wm row out of the sum
                 .unionByName(new)
                 .groupBy("d", "bucket")
                 .agg(F.sum("cnt").cast("bigint").alias("cnt"))
@@ -88,7 +111,12 @@ class CMSSketchStore:
             merged = new
         # ≤ d×w rows: stage through a local collect so the overwrite
         # doesn't read the table it is replacing (store convention).
-        rows = merged.collect()
+        rows = [tuple(r) for r in merged.collect()]
+        new_wm = max(
+            (x for x in (wm, batch_id) if x is not None), default=None
+        )
+        if new_wm is not None:
+            rows.append((-1, -1, int(new_wm)))
         out = self.spark.createDataFrame(rows, "d int, bucket bigint, cnt bigint")
         out.write.format("parquet").mode("overwrite").saveAsTable(self.table)
         self.spark.catalog.refreshTable(self.table)

@@ -42,12 +42,18 @@ def batch_registers(
 ) -> DataFrame:
     """(group, j, m_rho) registers of one batch — a single
     map-side-combinable groupBy; |groups|×64 rows out."""
+    # grp is cast to string here because that IS the persisted
+    # schema ('grp string, j int, m_rho int') — a non-string group
+    # column would otherwise fail createDataFrame at merge time; and
+    # null value_col rows are dropped (a NULL hash would emit a
+    # spurious (grp, NULL, NULL) register row), mirroring how
+    # estimate()'s 0..63 grid ignores missing registers.
     hashed = df.select(
-        F.col(group_col).alias("grp"),
+        F.col(group_col).cast("string").alias("grp"),
         F.expr(
             _cms_spark_hash(f"cast({value_col} as string)")
         ).alias("h"),
-    )
+    ).filter(F.col("h").isNotNull())
     return (
         hashed.select(
             "grp",

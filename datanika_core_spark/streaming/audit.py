@@ -1,0 +1,422 @@
+"""Streaming forensic-audit twins — incremental forms of the batch
+``dq_benford_first_digit`` (workloads/dataquality.py) and
+``abtest_sprt_sequential`` (workloads/stats.py), both additive-
+counter shapes reusing the DQ-monitor pattern (streaming/dq.py):
+per-batch deltas fold into a tiny persisted state table, so "does
+this feed still look Benford?" / "can we stop the experiment yet?"
+are answerable at any point of the stream without rescanning
+history.
+
+State sizes: Benford is 9 digit counters; SPRT is 5 scalars per
+experiment arm. Both absorb() paths carry the same batch-id
+watermark as the CMS/DQ stores (the counters are not idempotent),
+so a micro-batch redelivered after a crash between the state
+overwrite and the streaming-checkpoint commit is applied exactly
+once.
+
+Ordering caveat (SPRT only, documented): the LLR walk is a
+SEQUENTIAL fold, so micro-batches must arrive in event-time order
+(the availableNow file source delivers files in listing order —
+name ingest files monotonically). Benford has no such requirement:
+digit counts are a commutative monoid.
+
+Parity: tests/test_stream_audit.py streams the events table in two
+time-split files and asserts both reports EQUAL the batch workloads
+over the concatenated frame — exact equality (integer counters;
+the LLR is the identical two-literal linear form of those
+integers).
+
+At 100 TB: each micro-batch contributes one map-side combiner
+groupBy (9 keys / |arms| keys); state reads and writes are O(10)
+rows regardless of stream volume.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datanika_core_spark.workloads.dataquality import _BENFORD
+from datanika_core_spark.workloads.stats import (
+    _SPRT_L0,
+    _SPRT_L1,
+    _SPRT_LO,
+    _SPRT_UP,
+    _SPRT_VALUE,
+    _spark_hash,
+)
+
+
+@dataclass
+class AuditStats:
+    batches: int = 0
+    arrived: int = 0
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit monitor — pure additive digit counters.
+# --------------------------------------------------------------------------
+
+
+class StreamBenfordMonitor:
+    """Persisted streaming first-digit counters over an events feed.
+
+    The stored table is (digit, n_obs) for digits 1..9 plus the
+    digit=-1 watermark row; absorb() add-merges one micro-batch's
+    digit counts (commutative, so out-of-order delivery is fine —
+    only REPLAY needs the watermark)."""
+
+    def __init__(self, spark: SparkSession, counters_table: str):
+        self.spark = spark
+        self.counters_table = counters_table
+
+    def last_batch_id(self) -> int | None:
+        if not self.spark.catalog.tableExists(self.counters_table):
+            return None
+        rows = (
+            self.spark.table(self.counters_table)
+            .filter(F.col("digit") == -1)
+            .select("n_obs")
+            .collect()
+        )
+        return int(rows[0][0]) if rows else None
+
+    def absorb(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        spark = self.spark
+        wm = self.last_batch_id()
+        if batch_id is not None and wm is not None and batch_id <= wm:
+            return  # replayed batch
+        # identical digit extraction to the batch workload: exact
+        # BIGINT cents' decimal string, first character
+        delta = (
+            batch.filter(F.col("value") > 0)
+            .select(
+                F.substring(
+                    F.round(F.col("value") * 100)
+                    .cast("bigint").cast("string"),
+                    1, 1,
+                ).cast("bigint").alias("digit")
+            )
+            .filter(F.col("digit") > 0)
+            .groupBy("digit")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+        )
+        if spark.catalog.tableExists(self.counters_table):
+            merged = (
+                spark.table(self.counters_table)
+                .filter(F.col("digit") >= 0)
+                .unionByName(delta)
+                .groupBy("digit")
+                .agg(F.sum("n_obs").cast("bigint").alias("n_obs"))
+            )
+        else:
+            merged = delta
+        rows = [tuple(r) for r in merged.collect()]  # <= 9 rows
+        new_wm = max(
+            (x for x in (wm, batch_id) if x is not None), default=None
+        )
+        if new_wm is not None:
+            rows.append((-1, int(new_wm)))
+        out = spark.createDataFrame(rows, "digit bigint, n_obs bigint")
+        out.write.format("parquet").mode("overwrite").saveAsTable(
+            self.counters_table
+        )
+        spark.catalog.refreshTable(self.counters_table)
+
+    def report(self) -> DataFrame:
+        """Same shape and math as the batch workload: (digit, n_obs,
+        obs_share, benford_share, abs_gap)."""
+        obs = self.spark.table(self.counters_table).filter(
+            F.col("digit") > 0
+        )
+        tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
+        benford = F.lit(None).cast("double")
+        for d, p in _BENFORD.items():
+            benford = F.when(F.col("digit") == d, F.lit(p)).otherwise(benford)
+        return (
+            obs.crossJoin(F.broadcast(tot))
+            .select(
+                "digit",
+                "n_obs",
+                F.round(F.col("n_obs") * 1.0 / F.col("n"), 6)
+                .alias("obs_share"),
+                F.round(benford, 6).alias("benford_share"),
+                F.round(
+                    F.abs(F.col("n_obs") * 1.0 / F.col("n") - benford), 6
+                ).alias("abs_gap"),
+            )
+            .orderBy("digit")
+        )
+
+
+def stream_benford_audit(
+    spark: SparkSession,
+    source_path: str,
+    monitor: StreamBenfordMonitor,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = 1,
+    timeout_sec: int = 300,
+) -> AuditStats:
+    """Absorb all currently-available events files (availableNow)
+    into the Benford monitor; query ``monitor.report()`` any time."""
+    from datanika_core_spark.streaming.jobs import read_event_stream
+
+    stats = AuditStats()
+    sdf = read_event_stream(
+        spark, source_path, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _sink_body(batch_df: DataFrame, batch_id: int) -> None:
+        if spark.catalog.tableExists(monitor.counters_table):
+            spark.catalog.refreshTable(monitor.counters_table)
+        stats.batches += 1
+        n = batch_df.count()
+        stats.arrived += n
+        if n == 0:
+            return
+        monitor.absorb(batch_df, batch_id=batch_id)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from datanika_core_spark.blocks import scoped_blocks
+
+        with scoped_blocks(spark):
+            _sink_body(batch_df, batch_id)
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_benford_")
+    q = (
+        sdf.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation",
+                os.path.join(ckpt, monitor.counters_table))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    if spark.catalog.tableExists(monitor.counters_table):
+        spark.catalog.refreshTable(monitor.counters_table)
+    return stats
+
+
+# --------------------------------------------------------------------------
+# SPRT sequential-test monitor — per-arm walk state with batch offsets.
+# --------------------------------------------------------------------------
+
+
+class StreamSPRTMonitor:
+    """Persisted per-arm SPRT walk state over a purchases feed.
+
+    Stored state per arm: (n_trials, n_success, i_up, i_lo) — the
+    trial/conversion totals plus the first boundary-crossing indices
+    (null until crossed). A micro-batch folds in by continuing the
+    walk from the stored totals: within the batch the LLR at global
+    trial i = n0 + rn is (c0 + cum_s)·L1 + (i − (c0 + cum_s))·L0,
+    integer counters with two Python-literal doubles — identical to
+    the batch workload's per-row form, so parity is exact.
+
+    The first-crossing indices are monotone under ordered delivery:
+    once set they never change (coalesce keeps the stored value), so
+    the state is a fold, not a recomputation."""
+
+    def __init__(self, spark: SparkSession, state_table: str):
+        self.spark = spark
+        self.state_table = state_table
+
+    def last_batch_id(self) -> int | None:
+        if not self.spark.catalog.tableExists(self.state_table):
+            return None
+        rows = (
+            self.spark.table(self.state_table)
+            .filter(F.col("arm") == -1)
+            .select("n_trials")
+            .collect()
+        )
+        return int(rows[0][0]) if rows else None
+
+    def _state_map(self) -> dict[int, tuple[int, int, int | None, int | None]]:
+        if not self.spark.catalog.tableExists(self.state_table):
+            return {}
+        return {
+            int(r["arm"]): (
+                int(r["n_trials"]), int(r["n_success"]),
+                None if r["i_up"] is None else int(r["i_up"]),
+                None if r["i_lo"] is None else int(r["i_lo"]),
+            )
+            for r in self.spark.table(self.state_table)
+            .filter(F.col("arm") >= 0).collect()
+        }
+
+    def absorb(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        from pyspark.sql import Window as _W
+
+        spark = self.spark
+        wm = self.last_batch_id()
+        if batch_id is not None and wm is not None and batch_id <= wm:
+            return  # replayed batch
+        state = self._state_map()
+        # stored per-arm offsets as a 2-row broadcast frame
+        off_rows = [
+            (arm, s[0], s[1]) for arm, s in state.items()
+        ] or [(a, 0, 0) for a in (0, 1)]
+        offs = spark.createDataFrame(
+            off_rows, "variant int, n0 bigint, c0 bigint"
+        )
+        trials = batch.filter(F.col("event_type") == "purchase").select(
+            F.expr(
+                "pmod("
+                + _spark_hash("concat('ab-', cast(user_id as string))")
+                + ", 2)"
+            ).cast("int").alias("variant"),
+            "ts",
+            "event_id",
+            F.when(F.col("value") > _SPRT_VALUE, 1).otherwise(0).alias("s"),
+        )
+        w = (
+            _W.partitionBy("variant")
+            .orderBy("ts", "event_id")
+            .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+        )
+        walk = trials.join(F.broadcast(offs), "variant", "left").select(
+            "variant",
+            (F.coalesce(F.col("n0"), F.lit(0)) + F.row_number().over(
+                _W.partitionBy("variant").orderBy("ts", "event_id")
+            )).alias("i"),
+            (F.coalesce(F.col("c0"), F.lit(0))
+             + F.sum("s").over(w)).cast("bigint").alias("conv"),
+        )
+        llr = walk.withColumn(
+            "llr",
+            F.col("conv") * F.lit(_SPRT_L1)
+            + (F.col("i") - F.col("conv")) * F.lit(_SPRT_L0),
+        )
+        agg = {
+            int(r["variant"]): r
+            for r in llr.groupBy("variant").agg(
+                F.max("i").cast("bigint").alias("n"),
+                F.max("conv").cast("bigint").alias("c"),
+                F.min(F.when(F.col("llr") >= _SPRT_UP, F.col("i")))
+                .cast("bigint").alias("b_iup"),
+                F.min(F.when(F.col("llr") <= _SPRT_LO, F.col("i")))
+                .cast("bigint").alias("b_ilo"),
+            ).collect()
+        }
+        arms = sorted(set(state) | set(agg))
+        rows: list[tuple] = []
+        for arm in arms:
+            n0, c0, iup0, ilo0 = state.get(arm, (0, 0, None, None))
+            r = agg.get(arm)
+            if r is None:
+                rows.append((arm, n0, c0, iup0, ilo0))
+                continue
+            rows.append((
+                arm,
+                int(r["n"]),
+                int(r["c"]),
+                iup0 if iup0 is not None else (
+                    None if r["b_iup"] is None else int(r["b_iup"])),
+                ilo0 if ilo0 is not None else (
+                    None if r["b_ilo"] is None else int(r["b_ilo"])),
+            ))
+        new_wm = max(
+            (x for x in (wm, batch_id) if x is not None), default=None
+        )
+        if new_wm is not None:
+            rows.append((-1, int(new_wm), 0, None, None))
+        out = spark.createDataFrame(
+            rows,
+            "arm int, n_trials bigint, n_success bigint,"
+            " i_up bigint, i_lo bigint",
+        )
+        out.write.format("parquet").mode("overwrite").saveAsTable(
+            self.state_table
+        )
+        spark.catalog.refreshTable(self.state_table)
+
+    def report(self) -> DataFrame:
+        """Same shape and math as the batch workload: (arm, n_trials,
+        n_success, final_llr, decision, n_at_decision)."""
+        st = self.spark.table(self.state_table).filter(F.col("arm") >= 0)
+        final_llr = (
+            F.col("n_success") * F.lit(_SPRT_L1)
+            + (F.col("n_trials") - F.col("n_success")) * F.lit(_SPRT_L0)
+        )
+        decision = (
+            F.when(F.col("i_up").isNull() & F.col("i_lo").isNull(),
+                   F.lit("continue"))
+            .when(
+                F.col("i_lo").isNull()
+                | (F.col("i_up").isNotNull()
+                   & (F.col("i_up") <= F.col("i_lo"))),
+                F.lit("accept_h1"),
+            )
+            .otherwise(F.lit("accept_h0"))
+        )
+        return st.select(
+            F.col("arm"),
+            "n_trials",
+            "n_success",
+            F.round(final_llr, 6).alias("final_llr"),
+            decision.alias("decision"),
+            F.least(
+                F.coalesce(F.col("i_up"), F.col("i_lo")),
+                F.coalesce(F.col("i_lo"), F.col("i_up")),
+            ).alias("n_at_decision"),
+        ).orderBy("arm")
+
+
+def stream_sprt_monitor(
+    spark: SparkSession,
+    source_path: str,
+    monitor: StreamSPRTMonitor,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = 1,
+    timeout_sec: int = 300,
+) -> AuditStats:
+    """Absorb all currently-available events files (availableNow, in
+    listing order — the SPRT walk needs ordered delivery) into the
+    monitor; query ``monitor.report()`` any time."""
+    from datanika_core_spark.streaming.jobs import read_event_stream
+
+    stats = AuditStats()
+    sdf = read_event_stream(
+        spark, source_path, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _sink_body(batch_df: DataFrame, batch_id: int) -> None:
+        if spark.catalog.tableExists(monitor.state_table):
+            spark.catalog.refreshTable(monitor.state_table)
+        stats.batches += 1
+        n = batch_df.count()
+        stats.arrived += n
+        if n == 0:
+            return
+        monitor.absorb(batch_df, batch_id=batch_id)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from datanika_core_spark.blocks import scoped_blocks
+
+        with scoped_blocks(spark):
+            _sink_body(batch_df, batch_id)
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_sprt_")
+    q = (
+        sdf.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation",
+                os.path.join(ckpt, monitor.state_table))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    if spark.catalog.tableExists(monitor.state_table):
+        spark.catalog.refreshTable(monitor.state_table)
+    return stats

@@ -14,11 +14,15 @@ Two constraint classes, two merge disciplines:
   batches), so the monitor keeps a seen-keys table — the exact-key
   analogue of the Bloom/MinHash ingest stores: a batch's dup count
   is its internal dups plus the broadcast semi-join hits against the
-  stored keys; new distinct keys append afterwards. Replay caveat
-  (documented, deliberate): a redelivered batch's keys are already
-  stored, so at-least-once delivery inflates pk_dups — run the sink
-  with checkpointing (as here) for effectively-once batch delivery,
-  exactly like the counter-based streaming workloads.
+  stored keys; new distinct keys append afterwards (batch-stamped
+  and materialized before the append — see ``absorb``).
+
+Replay safety: the counters overwrite carries a one-row batch-id
+watermark, so a micro-batch redelivered after a crash anywhere in
+the two-write sequence (keys append, then counters overwrite) is
+applied exactly once — the keys append is idempotent (anti-join vs
+the full stored table) and same-batch leftovers of a crashed partial
+append are excluded from the dup count via the per-row batch stamp.
 
 Parity: tests/test_stream_dq.py splits orders into two files (the
 second re-delivering some of the first's keys), streams them, and
@@ -48,6 +52,10 @@ class DQMonitorStats:
 
 
 _COUNTER_SCHEMA = "check_name string, observed bigint"
+
+#: sentinel counter row carrying the last committed micro-batch id —
+#: excluded from report() and from the merge sum.
+_WATERMARK = "_batch_watermark"
 
 
 def _batch_counters(batch: DataFrame) -> DataFrame:
@@ -79,9 +87,35 @@ class StreamDQMonitor:
         self.counters_table = counters_table
         self.keys_table = keys_table
 
-    def absorb(self, batch: DataFrame) -> None:
-        """Fold one micro-batch into the counters + key store."""
+    def last_batch_id(self) -> int | None:
+        """Highest batch_id whose counters are committed (the
+        '_batch_watermark' sentinel row), or None."""
+        if not self.spark.catalog.tableExists(self.counters_table):
+            return None
+        rows = (
+            self.spark.table(self.counters_table)
+            .filter(F.col("check_name") == _WATERMARK)
+            .select("observed")
+            .collect()
+        )
+        return int(rows[0][0]) if rows else None
+
+    def absorb(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        """Fold one micro-batch into the counters + key store.
+
+        Replay-safe when a batch_id is supplied: the counters
+        overwrite carries a one-row watermark, so a batch redelivered
+        after a crash anywhere in the two-write sequence is applied
+        exactly once. Write order is keys-then-counters: the keys
+        append is idempotent by construction (new keys are the
+        anti-join against the FULL stored table, so a replay appends
+        nothing), and the same-batch leftovers of a crashed partial
+        append are excluded from the dup count via the per-row batch
+        stamp — the watermark commit is the last write."""
         spark = self.spark
+        wm = self.last_batch_id()
+        if batch_id is not None and wm is not None and batch_id <= wm:
+            return  # replayed batch — already committed
         counters = _batch_counters(batch)
         # pk duplicates: internal (count - distinct) + stored-key hits
         keys = batch.select(F.col("o_orderkey").alias("k"))
@@ -91,13 +125,21 @@ class StreamDQMonitor:
         )
         kd = keys.distinct()
         if spark.catalog.tableExists(self.keys_table):
+            stored = spark.table(self.keys_table)
+            # rows stamped with THIS batch id are leftovers of a
+            # crashed partial append of the same batch — not "prior"
+            prior = (
+                stored.filter(
+                    F.col("b").isNull() | (F.col("b") != F.lit(batch_id))
+                )
+                if batch_id is not None
+                else stored
+            )
             stored_hits = (
-                kd.join(spark.table(self.keys_table), "k", "left_semi")
+                kd.join(prior, "k", "left_semi")
                 .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
             )
-            new_keys = kd.join(
-                spark.table(self.keys_table), "k", "left_anti"
-            )
+            new_keys = kd.join(stored, "k", "left_anti")
         else:
             stored_hits = internal.select(F.lit(0).cast("bigint").alias("d"))
             new_keys = kd
@@ -108,18 +150,29 @@ class StreamDQMonitor:
         if spark.catalog.tableExists(self.counters_table):
             merged = (
                 spark.table(self.counters_table)
+                .filter(F.col("check_name") != _WATERMARK)
                 .unionByName(delta)
                 .groupBy("check_name")
                 .agg(F.sum("observed").cast("bigint").alias("observed"))
             )
         else:
             merged = delta
-        rows = merged.collect()  # O(constraints) rows
-        out = spark.createDataFrame(rows, _COUNTER_SCHEMA)
-        out.write.format("parquet").mode("overwrite").saveAsTable(
-            self.counters_table
+        new_keys = new_keys.withColumn(
+            "b", F.lit(batch_id).cast("bigint")
         )
-        spark.catalog.refreshTable(self.counters_table)
+        # materialize new_keys BEFORE any table mutation — it is a
+        # lazy anti-join over keys_table, and appending to the table
+        # it reads is a read-while-append race. Batch-sized, and the
+        # sink's scoped_blocks frees the checkpoint blocks.
+        new_keys = new_keys.localCheckpoint(eager=True)
+        # delta leg fully computed BEFORE the keys append (the dup
+        # counters also read keys_table)
+        rows = [tuple(r) for r in merged.collect()]  # O(constraints)
+        new_wm = max(
+            (x for x in (wm, batch_id) if x is not None), default=None
+        )
+        if new_wm is not None:
+            rows.append((_WATERMARK, int(new_wm)))
         mode = (
             "append"
             if spark.catalog.tableExists(self.keys_table)
@@ -129,11 +182,18 @@ class StreamDQMonitor:
             self.keys_table
         )
         spark.catalog.refreshTable(self.keys_table)
+        out = spark.createDataFrame(rows, _COUNTER_SCHEMA)
+        out.write.format("parquet").mode("overwrite").saveAsTable(
+            self.counters_table
+        )
+        spark.catalog.refreshTable(self.counters_table)
 
     def report(self) -> DataFrame:
         """(check_name, observed, passed) — row_count passes when
         > 0, every violation counter passes at 0."""
-        c = self.spark.table(self.counters_table)
+        c = self.spark.table(self.counters_table).filter(
+            F.col("check_name") != _WATERMARK
+        )
         passed = F.when(
             F.col("check_name") == "row_count", F.col("observed") > 0
         ).otherwise(F.col("observed") == 0)
@@ -166,7 +226,7 @@ def stream_dq_monitor(
         stats.arrived += n
         if n == 0:
             return
-        monitor.absorb(batch_df)
+        monitor.absorb(batch_df, batch_id=batch_id)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         from datanika_core_spark.blocks import scoped_blocks

@@ -5,13 +5,16 @@ persisted :class:`~datanika_core_spark.operators.cms_store.CMSSketchStore`,
 so token-frequency estimates stay queryable at any point of the
 stream without rescanning history.
 
-The at-least-once caveat (the deliberate contrast with the HLL
-twin): counter addition is not idempotent, so a REDELIVERED
-micro-batch double-counts. The sink is checkpointed (availableNow +
-checkpointLocation), which gives effectively-once batch delivery —
-the same discipline as every counter-based streaming workload here
-(tumbling counts, DQ monitor); the HLL/Bloom/MinHash stores don't
-need it because their merges are idempotent.
+Replay safety (the deliberate contrast with the HLL twin): counter
+addition is not idempotent, so a REDELIVERED micro-batch would
+double-count. The sink is checkpointed (availableNow +
+checkpointLocation) AND passes its micro-batch id into the store,
+which persists it as a one-row watermark next to the counters — a
+batch replayed after a crash between the store overwrite and the
+streaming-checkpoint commit is recognized (batch_id <= watermark)
+and skipped, making the non-idempotent merge replay-safe end to
+end. The HLL/Bloom/MinHash stores don't need any of this because
+their merges are idempotent.
 
 Parity: tests/test_stream_cms.py streams the corpus in two files and
 asserts the store's counter table EQUALS the batch sketch built over
@@ -73,7 +76,7 @@ def stream_cms_ingest(
                 F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
             ).alias("tok")
         )
-        store.update(toks)
+        store.update(toks, batch_id=batch_id)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         from datanika_core_spark.blocks import scoped_blocks

@@ -68,6 +68,9 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: bookkeeping. This list only breaks ties WITHIN each group —
 #: newest additions first.
 CHECK_FIRST = [
+    # new in round 7
+    "zorder_skip_rate_sampled", "pca_top_component",
+    "heavy_hitters_misra_gries",
     # new in round 6 (ex-rows-only iterative ops with fresh
     # recursive-CTE oracles, + the round-6 additions)
     "bpe_learned_merges", "unigram_lm_vocab",

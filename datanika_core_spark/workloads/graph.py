@@ -31,6 +31,12 @@ from pyspark.sql import functions as F
 from datanika_core_spark.blocks import RollingCheckpoint
 from datanika_core_spark.workloads import t, workload
 
+#: Above this many candidate co-purchase pairs the exact triangle
+#: count's closure-probe edge list is too big to broadcast (~16 B a
+#: row → ~160 MB at the ceiling); the hint is dropped and AQE picks
+#: the strategy from runtime stats.
+_TRI_BROADCAST_EDGE_CEILING = 10_000_000
+
 _PR_D = 0.85     # damping
 _PR_ITERS = 3
 _PR_GAP_MIN = 30
@@ -373,10 +379,29 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Closure probe: broadcast the canonical edge list (16 bytes a
     # row — tens-to-hundreds of MB at ~10^6–10^7 edges, the sane
     # broadcast ceiling) so the wedge stream — the big side by
-    # construction — never shuffles. Past ~10^7 edges, drop the hint
-    # and AQE falls back to a shuffled hash join.
+    # construction — never shuffles. The hint is GATED on a cheap
+    # one-pass upper bound (Σ C(items_per_order, 2), before dedup —
+    # dedup can only shrink it): past the ceiling the hint would be
+    # a driver/executor OOM at 100× scale, so we drop it and let AQE
+    # pick the join strategy (shuffled hash) from runtime stats.
+    pair_upper = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(
+            (F.sum(F.col("k") * (F.col("k") - 1)) / 2)
+            .cast("bigint")
+            .alias("p")
+        )
+        .first()[0]
+        or 0
+    )
+    probe = (
+        F.broadcast(edges)
+        if pair_upper <= _TRI_BROADCAST_EDGE_CEILING
+        else edges
+    )
     tri = wedges.join(
-        F.broadcast(edges),
+        probe,
         (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
     open_triads = deg.agg(
@@ -665,7 +690,11 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # keep the sampled triangles AS ROWS (p^3·T of them — tiny): the
-    # variance's shared-edge term needs per-edge triangle counts
+    # variance's shared-edge term needs per-edge triangle counts.
+    # Broadcasting `sampled` here is safe at any corpus scale the
+    # operator is meant for: its size is p·m by construction, and p
+    # is the knob you lower as m grows (DOULION's whole point) — at
+    # a fixed ~10^6-edge sample budget the broadcast stays ~16 MB.
     tri_rows = wedges.join(
         F.broadcast(sampled),
         (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),

@@ -40,6 +40,20 @@ _ZL_DUCK_Z = (
     " + ((yq >> b) & 1) * (1::BIGINT << (2 * b + 1))))"
 )
 
+# Deterministic sample predicate shared bit-for-bit by both engines:
+# md5 of the row key's first 15 hex digits as a (positive) BIGINT,
+# modulo 10 000 — the same portable-hash trick the CMS/HLL sketches
+# use. xxhash64 would be cheaper Spark-side but has no DuckDB twin.
+_ZL_SPARK_SAMPLE_HASH = (
+    "pmod(cast(conv(substring(md5(concat(cast(l_orderkey as string),"
+    " ':', cast(l_linenumber as string))),1,15),16,10) as bigint),"
+    " 10000)"
+)
+_ZL_DUCK_SAMPLE_HASH = (
+    "(('0x'||substring(md5(CAST(l_orderkey AS VARCHAR) || ':' ||"
+    " CAST(l_linenumber AS VARCHAR)),1,15))::BIGINT % 10000)"
+)
+
 
 @workload(
     "zorder_file_skipping",
@@ -167,16 +181,16 @@ def zorder_skip_rate_sampled(
     n_files sized to real file rolls, n per file is 10⁵+, and the
     estimate is exact to ~3 decimals.
 
-    Scale: the sample predicate is a map-side xxhash64 filter in the
-    scan (no shuffle added); everything downstream runs on
+    Scale: the sample predicate is a map-side hash filter in the
+    scan (no shuffle added; md5-based so the DuckDB oracle replays
+    the exact sample — see _ZL_SPARK_SAMPLE_HASH); everything downstream runs on
     fraction·N rows, so the advisor costs ~1% of a scan instead of
     a full-table sort — the cheap half of the rewrite-or-not trade.
     """
     pct = max(1, int(round(fraction * 10_000)))
     pts = (
         t(spark, sf_dir, "lineitem")
-        .filter(F.expr(f"pmod(xxhash64(l_orderkey, l_linenumber),"
-                       f" 10000) < {pct}"))
+        .filter(F.expr(f"{_ZL_SPARK_SAMPLE_HASH} < {pct}"))
         .select(
             F.col("l_partkey").alias("x"),
             F.col("l_suppkey").alias("y"),
@@ -260,3 +274,83 @@ def _skip_rate_frame(
         F.round("avg_span_frac", 6).alias("avg_span_frac"),
         F.round(1 - F.col("avg_span_frac"), 6).alias("est_skip_frac"),
     ).orderBy("layout", "dim")
+
+
+@workload(
+    "zorder_skip_rate_sampled",
+    oracle=f"""
+WITH pts AS (
+  SELECT l_partkey AS x, l_suppkey AS y,
+         l_orderkey AS ok, l_linenumber AS ln
+  FROM lineitem
+  WHERE {_ZL_DUCK_SAMPLE_HASH} < 1000
+),
+lims AS (
+  SELECT min(x) AS xlo, max(x) AS xhi, min(y) AS ylo, max(y) AS yhi
+  FROM pts
+),
+quant AS (
+  SELECT x, y, ok, ln,
+         ((x - xlo) * 65535) // greatest(xhi - xlo, 1) AS xq,
+         ((y - ylo) * 65535) // greatest(yhi - ylo, 1) AS yq
+  FROM pts, lims
+),
+keyed AS (
+  SELECT x, y, {_ZL_DUCK_Z} AS z, ok, ln FROM quant
+),
+assigned AS (
+  SELECT x, y,
+         ntile({_ZL_FILES}) OVER (ORDER BY z, ok, ln) AS f_z,
+         ntile({_ZL_FILES}) OVER (ORDER BY x, y, ok, ln) AS f_lex
+  FROM keyed
+),
+spans AS (
+  SELECT 'zorder' AS layout,
+         max(x) - min(x) + 1 AS span_x,
+         max(y) - min(y) + 1 AS span_y,
+         count(*) AS n
+  FROM assigned GROUP BY f_z
+  UNION ALL
+  SELECT 'lexicographic',
+         max(x) - min(x) + 1, max(y) - min(y) + 1, count(*)
+  FROM assigned GROUP BY f_lex
+),
+corrected AS (
+  SELECT layout, n,
+         span_x * (CASE WHEN n > 1
+                        THEN CAST(n + 1 AS DOUBLE) / (n - 1)
+                        ELSE CAST(1 AS DOUBLE) END) AS cx,
+         span_y * (CASE WHEN n > 1
+                        THEN CAST(n + 1 AS DOUBLE) / (n - 1)
+                        ELSE CAST(1 AS DOUBLE) END) AS cy
+  FROM spans
+),
+globals AS (
+  SELECT max(x) - min(x) + 1 AS rx, max(y) - min(y) + 1 AS ry FROM pts
+),
+per_dim AS (
+  SELECT layout, 'l_partkey' AS dim,
+         avg(least(cx, rx) / rx) AS avg_span_frac
+  FROM corrected, globals GROUP BY layout, rx
+  UNION ALL
+  SELECT layout, 'l_suppkey', avg(least(cy, ry) / ry)
+  FROM corrected, globals GROUP BY layout, ry
+)
+SELECT layout, dim,
+       ROUND(avg_span_frac, 6) AS avg_span_frac,
+       ROUND(1 - avg_span_frac, 6) AS est_skip_frac
+FROM per_dim
+ORDER BY layout, dim
+""",
+)
+def zorder_skip_rate_sampled_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered (oracle-paired) form of
+    :func:`zorder_skip_rate_sampled` at fraction=0.1 — a DIAGNOSTIC
+    advisor row, deliberately not a bench headline. The deterministic
+    md5 sample predicate is shared bit-for-bit with the DuckDB
+    oracle, so the whole sampled measurement (sample -> quantize ->
+    Morton interleave -> ntile files -> bias-corrected spans) is
+    value-checked end to end, not just unit-toleranced against the
+    full-table run (tests/test_layout_sample.py keeps that accuracy
+    contract pinned separately)."""
+    return zorder_skip_rate_sampled(spark, sf_dir, fraction=0.1)

@@ -2267,3 +2267,137 @@ def feature_infogain_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# PCA top principal component via power iteration — the remaining
+# linear-algebra family next to PQ / JL / SRP / int8 quantization.
+# --------------------------------------------------------------------------
+
+_PCA_ITERS = 12
+_PCA_SCALE = 1000  # embeddings quantized to 1e-3 units (exact BIGINT gram)
+
+
+@workload(
+    "pca_top_component",
+    # Recursive-CTE oracle replaying the identical power-iteration
+    # recurrence on the identical INTEGER gram matrix: embeddings are
+    # quantized to 1e-3 BIGINT units first (round = half-away-from-
+    # zero in both engines), so the 64x64 gram is bit-exact across
+    # engines; the 12 normalize-multiply rounds then run on doubles
+    # whose only cross-engine divergence is summation order (~1e-15
+    # relative — far inside the 6dp rounding).
+    oracle=f"""
+WITH RECURSIVE
+e AS (
+  SELECT list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {_PCA_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+dims AS (SELECT unnest(range(0, {_DIM})) AS i),
+gram AS (
+  SELECT d1.i AS i, d2.i AS j, sum(e.q[d1.i + 1] * e.q[d2.i + 1]) AS g
+  FROM e, dims d1, dims d2
+  GROUP BY 1, 2
+),
+pit AS (
+  SELECT 0 AS it, i, CAST(0.125 AS DOUBLE) AS w FROM dims
+  UNION ALL
+  SELECT it + 1, i, x / sqrt(sum(x * x) OVER ()) AS w
+  FROM (
+    SELECT s.it AS it, g.i AS i, sum(CAST(g.g AS DOUBLE) * s.w) AS x
+    FROM pit s JOIN gram g ON g.j = s.i
+    WHERE s.it < {_PCA_ITERS}
+    GROUP BY s.it, g.i
+  )
+),
+wfin AS (SELECT i, w FROM pit WHERE it = {_PCA_ITERS}),
+gv AS (
+  SELECT g.i AS i, sum(CAST(g.g AS DOUBLE) * f.w) AS x
+  FROM gram g JOIN wfin f ON f.i = g.j
+  GROUP BY g.i
+),
+lam AS (
+  SELECT sum(f.w * gv.x) AS lam
+  FROM gv JOIN wfin f ON f.i = gv.i
+),
+tr AS (SELECT sum(CAST(g AS DOUBLE)) AS tr FROM gram WHERE i = j),
+sgn AS (
+  SELECT CASE WHEN w < 0 THEN -1.0 ELSE 1.0 END AS s
+  FROM wfin ORDER BY abs(w) DESC, i LIMIT 1
+)
+SELECT CAST(f.i AS INT) AS dim,
+       ROUND(sgn.s * f.w, 6) AS loading,
+       ROUND(lam.lam / {_PCA_SCALE * _PCA_SCALE}, 6) AS eigenvalue,
+       ROUND(lam.lam / tr.tr, 6) AS evr
+FROM wfin f, sgn, lam, tr
+ORDER BY dim
+""",
+)
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component (uncentered) of the embedding store
+    via power iteration: gram matrix G = sum of v v^T as ONE
+    map-side-combinable aggregation over the table, then
+    {_PCA_ITERS} multiply-normalize rounds on the 64x64 DRIVER
+    matrix — the same driver-scalars-after-one-scan shape as
+    pq_reconstruction_error's Lloyd rounds. Returns the 64 loadings
+    (sign-fixed: the largest-|loading| dimension is positive), the
+    Rayleigh-quotient eigenvalue in original embedding units, and
+    the explained-variance ratio lambda / trace(G).
+
+    Determinism: embeddings are quantized to 1e-3 BIGINT units so G
+    is integer-EXACT and bit-identical to the oracle's; the start
+    vector 1/8 = 2^-3 is an exact double. The iteration itself runs
+    in doubles (normalization has no integer form) — cross-engine
+    divergence is summation order only, ~1e-15 relative.
+
+    Scale: the only distributed work is one scan producing 64x64
+    partial sums per partition (explode by row-dim i, 64 sum
+    aggregates — combiner collapses each partition to 64x64 before
+    the single 64-group shuffle). The driver never sees vectors,
+    only the 4096-entry gram; iterations are free. At 100 TB this is
+    the textbook one-pass covariance sketch."""
+    import math
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr(
+            f"transform(embedding, x -> cast(round(cast(x as double)"
+            f" * {_PCA_SCALE}) as bigint))"
+        ).alias("q")
+    )
+    scaled = q.select(
+        F.expr(
+            f"explode(transform(sequence(0, {_DIM - 1}), i ->"
+            " struct(i, transform(q, x -> x * element_at(q, i + 1))"
+            " as sarr)))"
+        ).alias("e")
+    ).select(F.col("e.i").alias("i"), F.col("e.sarr").alias("sarr"))
+    gram_rows = (
+        scaled.groupBy("i")
+        .agg(*[F.sum(F.col("sarr")[j]).alias(f"g{j}") for j in range(_DIM)])
+        .collect()
+    )
+    G = {int(r["i"]): [int(r[f"g{j}"]) for j in range(_DIM)]
+         for r in gram_rows}
+    w = [0.125] * _DIM
+    for _ in range(_PCA_ITERS):
+        x = [sum(G[i][j] * w[j] for j in range(_DIM)) for i in range(_DIM)]
+        nrm = math.sqrt(sum(v * v for v in x))
+        w = [v / nrm for v in x]
+    gv = [sum(G[i][j] * w[j] for j in range(_DIM)) for i in range(_DIM)]
+    lam = sum(w[i] * gv[i] for i in range(_DIM))
+    tr = float(sum(G[i][i] for i in range(_DIM)))
+    top = min(range(_DIM), key=lambda k: (-abs(w[k]), k))
+    s = -1.0 if w[top] < 0 else 1.0
+    out = spark.createDataFrame(
+        [(i, s * w[i], lam / (_PCA_SCALE * _PCA_SCALE), lam / tr)
+         for i in range(_DIM)],
+        "dim int, loading double, eigenvalue double, evr double",
+    )
+    return out.select(
+        "dim",
+        F.round("loading", 6).alias("loading"),
+        F.round("eigenvalue", 6).alias("eigenvalue"),
+        F.round("evr", 6).alias("evr"),
+    ).orderBy("dim")

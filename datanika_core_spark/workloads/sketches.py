@@ -1389,3 +1389,176 @@ def audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters — the top-k-GUARANTEE sketch next to CMS
+# (point queries) and KMV/HLL (cardinality): every token with
+# frequency > n/(k+1) is guaranteed present in the summary.
+# --------------------------------------------------------------------------
+
+_MG_K = 16     # counters kept per summary
+_MG_PARTS = 8  # deterministic data-derived partitions
+
+
+@workload(
+    "heavy_hitters_misra_gries",
+    oracle=f"""
+WITH toks AS (
+  SELECT ('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+           % {_MG_PARTS} AS pid,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+filtered AS (SELECT pid, tok FROM toks WHERE tok <> ''),
+local AS (
+  SELECT pid, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM filtered GROUP BY pid, tok
+),
+ranked AS (
+  SELECT pid, tok, cnt,
+         row_number() OVER (PARTITION BY pid
+                            ORDER BY cnt DESC, tok) AS rnk
+  FROM local
+),
+offsets AS (
+  SELECT pid,
+         coalesce(max(CASE WHEN rnk = {_MG_K + 1} THEN cnt END), 0)
+           AS off_p
+  FROM ranked GROUP BY pid
+),
+summaries AS (
+  SELECT r.pid, r.tok, r.cnt - o.off_p AS resid
+  FROM ranked r JOIN offsets o ON o.pid = r.pid
+  WHERE r.rnk <= {_MG_K} AND r.cnt - o.off_p > 0
+),
+merged AS (
+  SELECT tok, CAST(sum(resid) AS BIGINT) AS s FROM summaries GROUP BY tok
+),
+mranked AS (
+  SELECT tok, s, row_number() OVER (ORDER BY s DESC, tok) AS rnk
+  FROM merged
+),
+off2 AS (
+  SELECT coalesce(max(CASE WHEN rnk = {_MG_K + 1} THEN s END), 0) AS o2
+  FROM mranked
+),
+bound AS (
+  SELECT (SELECT CAST(sum(off_p) AS BIGINT) FROM offsets)
+         + (SELECT o2 FROM off2) AS max_undercount
+),
+final AS (
+  SELECT m.tok, m.s - (SELECT o2 FROM off2) AS mg_est, m.rnk
+  FROM mranked m
+  WHERE m.rnk <= {_MG_K} AND m.s - (SELECT o2 FROM off2) > 0
+),
+exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM filtered GROUP BY tok
+)
+SELECT f.tok,
+       CAST(f.mg_est AS BIGINT) AS mg_est,
+       e.exact_cnt,
+       e.exact_cnt - f.mg_est AS undercount,
+       b.max_undercount,
+       CAST(f.rnk AS BIGINT) AS rank
+FROM final f
+JOIN exact e ON e.tok = f.tok
+CROSS JOIN bound b
+ORDER BY rank
+""",
+)
+def heavy_hitters_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Misra-Gries heavy hitters (Misra & Gries 1982)
+    via the mergeable-summaries formulation (Agarwal et al., PODS
+    2012): each deterministic data-derived partition keeps the
+    OFFSET-OPTIMAL k-counter MG summary of its exact combiner counts
+    — top-k tokens with residual cnt − c_(k+1), which satisfies the
+    one-pass MG guarantee (undercount ≤ c_(k+1) ≤ n_p/(k+1)) with
+    the smallest offset any k-counter MG run could achieve — and the
+    summaries merge by key-wise sum followed by the same truncation.
+    Every token with true frequency > max_undercount is GUARANTEED
+    to surface (the top-k guarantee CMS point estimates can't give);
+    mg_est never overestimates, and the report self-measures by
+    joining exact counts (undercount column) and carries the a
+    priori bound (max_undercount = Σ_p c_(k+1),p + merge offset).
+
+    Determinism: partitions are data-derived (md5(doc_id) mod
+    {_MG_PARTS}), not Spark task placement, and every truncation
+    tiebreaks (cnt DESC, tok) — the DuckDB oracle replays the whole
+    pipeline exactly; all arithmetic is BIGINT.
+
+    Scale: one combiner groupBy(pid, tok) over the corpus, then
+    windows over per-pid token counts; the merge sees ≤ P·k = 128
+    rows. At 100 TB, pid becomes the physical partition and the
+    summary IS what shuffles — k rows per partition instead of the
+    vocabulary."""
+    from pyspark.sql import Window as _W
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.expr(
+            "pmod(" + _cms_spark_hash("cast(doc_id as string)")
+            + f", {_MG_PARTS})"
+        ).alias("pid"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    local = toks.groupBy("pid", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    rnk = F.row_number().over(
+        _W.partitionBy("pid").orderBy(F.col("cnt").desc(), "tok")
+    )
+    ranked = local.withColumn("rnk", rnk)
+    offsets = ranked.groupBy("pid").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rnk") == _MG_K + 1, F.col("cnt"))),
+            F.lit(0),
+        ).alias("off_p")
+    )
+    summaries = (
+        ranked.filter(F.col("rnk") <= _MG_K)
+        .join(F.broadcast(offsets), "pid")
+        .select("tok", (F.col("cnt") - F.col("off_p")).alias("resid"))
+        .filter(F.col("resid") > 0)
+    )
+    merged = summaries.groupBy("tok").agg(
+        F.sum("resid").cast("bigint").alias("s")
+    )
+    mranked = merged.withColumn(
+        "rnk", F.row_number().over(_W.orderBy(F.col("s").desc(), "tok"))
+    )
+    off2 = mranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rnk") == _MG_K + 1, F.col("s"))),
+            F.lit(0),
+        ).alias("o2")
+    )
+    total_off = offsets.agg(
+        F.sum("off_p").cast("bigint").alias("sum_off")
+    )
+    final = (
+        mranked.filter(F.col("rnk") <= _MG_K)
+        .crossJoin(F.broadcast(off2))
+        .withColumn("mg_est", F.col("s") - F.col("o2"))
+        .filter(F.col("mg_est") > 0)
+    )
+    exact = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    return (
+        final.join(exact, "tok")
+        .crossJoin(F.broadcast(total_off))
+        .select(
+            "tok",
+            F.col("mg_est").cast("bigint").alias("mg_est"),
+            "exact_cnt",
+            (F.col("exact_cnt") - F.col("mg_est")).alias("undercount"),
+            (F.col("sum_off") + F.col("o2")).cast("bigint")
+            .alias("max_undercount"),
+            F.col("rnk").cast("bigint").alias("rank"),
+        )
+        .orderBy("rank")
+    )

@@ -92,28 +92,55 @@ def test_all_workloads_have_oracles():
     assert no_oracle == ROWS_ONLY_OK
 
 
-def test_auto_rotation_sinks_recorded_workloads(tmp_path, monkeypatch):
+def test_auto_rotation_sinks_recorded_workloads(monkeypatch):
     """load_all must order unrecorded workloads first; a workload
     that gains a CORRECTNESS row in any round sinks below the ones
-    still lacking evidence."""
+    still lacking evidence.
+
+    Since round 6 every real workload carries a recorded row, so the
+    test synthesizes the unrecorded state itself: it monkeypatches
+    _recorded_names to EXCLUDE a handful of workloads, then records
+    one of them and asserts it sinks below the still-unrecorded rest.
+    """
     import datanika_core_spark.workloads as w
 
+    all_names = list(w.load_all())
+    assert len(all_names) >= 4
+    # synthesize: the first three registry entries are "unrecorded"
+    pool = set(all_names[:3])
+    base = set(all_names) - pool
+
+    monkeypatch.setattr(w, "_recorded_names", lambda: set(base))
     order_before = list(w.load_all())
-    target = order_before[0]          # currently unrecorded, leads
-    fake = tmp_path / "CORRECTNESS_r99.json"
-    fake.write_text('{"%s": {"hash_match": true}}' % target)
+    target = order_before[0]
+    assert target in pool  # unrecorded entries lead the window
 
-    real = w._recorded_names
-
-    def patched():
-        return real() | {target}
-
-    monkeypatch.setattr(w, "_recorded_names", patched)
+    # now the target earns a row: it must sink below the other two
+    monkeypatch.setattr(
+        w, "_recorded_names", lambda: base | {target}
+    )
     order_after = list(w.load_all())
     assert order_after[0] != target
-    # it sank below every unrecorded entry but is still present
     assert target in order_after
-    recorded = real() | {target}
+    recorded = base | {target}
     first_unrecorded_block = [n for n in order_after
                               if n not in recorded]
     assert order_after[:len(first_unrecorded_block)] == first_unrecorded_block
+    assert set(first_unrecorded_block) == pool - {target}
+
+
+def test_auto_rotation_everything_recorded_uses_check_first(monkeypatch):
+    """When the evidence backlog is empty (all workloads recorded —
+    the real repo state since round 6), rotation degrades to pure
+    CHECK_FIRST priority order: newest additions lead the window."""
+    import datanika_core_spark.workloads as w
+
+    all_names = set(w.load_all())
+    monkeypatch.setattr(w, "_recorded_names", lambda: all_names)
+    order = list(w.load_all())
+    pri = {n: i for i, n in enumerate(w.CHECK_FIRST)}
+    ranks = [pri.get(n, len(pri)) for n in order]
+    assert ranks == sorted(ranks)
+    # the head of the window is exactly the head of CHECK_FIRST
+    in_registry = [n for n in w.CHECK_FIRST if n in all_names]
+    assert order[: len(in_registry)] == in_registry

@@ -336,3 +336,40 @@ def test_conformal_joins_stay_broadcast(r6c_plans):
     p = r6c_plans["conformal_interval_events"]
     assert "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+# --------------------------------------------------------------------------
+# round 7: the exact triangle count's closure-probe broadcast hint is
+# GATED on a candidate-pair upper bound — at sf0.1 (~1e5 pairs) the
+# hint must still fire; above the ceiling it must be absent so an
+# unconditional broadcast can never OOM a 100x-scale run.
+# --------------------------------------------------------------------------
+
+
+def test_triangle_closure_broadcast_gated(spark, monkeypatch):
+    import datanika_core_spark.workloads.graph as g
+    from datanika_core_spark.workloads import load_all as _la
+
+    reg = _la()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # default ceiling: sf0.1's pair bound is far below 1e7 — the
+        # closure probe is a broadcast join
+        p_small = _plan(reg["graph_triangle_count"].fn(spark, SF))
+        assert "BroadcastHashJoin" in p_small
+
+        # force the "100 TB regime": with the ceiling at 0 the hint
+        # must be dropped — no static broadcast survives in the plan
+        # (AQE is off here, so a leftover hint would show up as a
+        # BroadcastExchange on the edge list)
+        monkeypatch.setattr(g, "_TRI_BROADCAST_EDGE_CEILING", 0)
+        df = g.graph_triangle_count.__wrapped__(spark, SF) if hasattr(
+            g.graph_triangle_count, "__wrapped__"
+        ) else reg["graph_triangle_count"].fn(spark, SF)
+        p_big = _plan(df)
+        # the only broadcasts left are the three 1-row summary frames
+        # (counts/tri/open_triads cross-joins); the wedge-vs-edges
+        # closure join itself must be a shuffled join now
+        assert "SortMergeJoin" in p_big or "ShuffledHashJoin" in p_big
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,90 @@
+"""Streaming Benford + SPRT twins: after streaming the events table
+in two time-split files, each monitor's report must EQUAL the batch
+workload over the full table — exact equality (integer counters; the
+LLR is the identical linear form of those integers), including the
+cross-batch boundary-crossing indices an additive counter alone
+could not see. Plus replay-safety: a redelivered batch_id is a
+no-op for both monitors."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from datanika_core_spark.blocks import persistent_rdd_ids, release_blocks
+from datanika_core_spark.session import read_table
+from datanika_core_spark.streaming.audit import (
+    StreamBenfordMonitor,
+    StreamSPRTMonitor,
+    stream_benford_audit,
+    stream_sprt_monitor,
+)
+from datanika_core_spark.workloads.dataquality import dq_benford_first_digit
+from datanika_core_spark.workloads.stats import abtest_sprt_sequential
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _split_by_time(spark, tmp_path, name):
+    """Events split at the median ts into two files (f0 strictly
+    earlier), so availableNow listing order preserves event order."""
+    from pyspark.sql import Window as _W
+
+    ev = read_table(spark, f"{SF}/events.parquet")
+    n = ev.count()
+    ranked = ev.withColumn(
+        "_rn", F.row_number().over(_W.orderBy("ts", "event_id"))
+    )
+    b1 = ranked.filter(F.col("_rn") <= n // 2).drop("_rn")
+    b2 = ranked.filter(F.col("_rn") > n // 2).drop("_rn")
+    src = tmp_path / name
+    src.mkdir()
+    for i, b in enumerate((b1, b2)):
+        staged = tmp_path / f"{name}_s{i}"
+        b.coalesce(1).write.parquet(str(staged))
+        shutil.copy(
+            next(staged.glob("part-*.parquet")), src / f"f{i}.parquet"
+        )
+    return ev, src
+
+
+def test_stream_benford_matches_batch(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS benford_mon")
+    release_blocks(spark)
+    ev, src = _split_by_time(spark, tmp_path, "bf_src")
+    mon = StreamBenfordMonitor(spark, "benford_mon")
+    stats = stream_benford_audit(
+        spark, str(src), mon, checkpoint_dir=str(tmp_path / "ckb")
+    )
+    assert stats.batches == 2
+    assert stats.arrived == ev.count()
+    assert _rows(mon.report()) == _rows(dq_benford_first_digit(spark, SF))
+    # replay: same batch_id again is a no-op
+    before = _rows(mon.report())
+    mon.absorb(read_table(spark, f"{SF}/events.parquet"), batch_id=0)
+    assert _rows(mon.report()) == before
+    assert persistent_rdd_ids(spark) == set()
+
+
+def test_stream_sprt_matches_batch(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS sprt_mon")
+    release_blocks(spark)
+    ev, src = _split_by_time(spark, tmp_path, "sprt_src")
+    mon = StreamSPRTMonitor(spark, "sprt_mon")
+    stats = stream_sprt_monitor(
+        spark, str(src), mon, checkpoint_dir=str(tmp_path / "cks")
+    )
+    assert stats.batches == 2
+    got = _rows(mon.report())
+    want = _rows(abtest_sprt_sequential(spark, SF))
+    assert got == want
+    # replay: same batch_id again is a no-op (walk state unchanged)
+    mon.absorb(ev, batch_id=1)
+    assert _rows(mon.report()) == got
+    assert mon.last_batch_id() == 1
+    assert persistent_rdd_ids(spark) == set()

@@ -28,8 +28,10 @@ def _toks(df):
 
 
 def _counters(spark, table):
+    # d = -1 is the replay watermark sentinel, not a counter
     return {
-        (r["d"], r["bucket"]): r["cnt"] for r in spark.table(table).collect()
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in spark.table(table).filter("d >= 0").collect()
     }
 
 
@@ -99,3 +101,32 @@ def test_stream_ingest_matches_batch_sketch(spark, tmp_path):
     assert row["cms_est"] >= 0
     # block hygiene: each micro-batch frees its own checkpoints
     assert persistent_rdd_ids(spark) == set()
+
+
+def test_replayed_batch_id_is_skipped(spark):
+    """Counter addition is not idempotent — the batch_id watermark
+    makes it replay-safe: redelivering a micro-batch (the crash
+    window between the store overwrite and the streaming-checkpoint
+    commit) must not double-count."""
+    docs = read_table(spark, f"{SF}/documents.parquet")
+    b1 = _toks(docs.filter(F.col("doc_id") % 2 == 0))
+    b2 = _toks(docs.filter(F.col("doc_id") % 2 == 1))
+    st = _store(spark, "t_cms_replay")
+    st.update(b1, batch_id=0)
+    after_b1 = _counters(spark, "t_cms_replay")
+    st.update(b1, batch_id=0)  # redelivery — must be a no-op
+    assert _counters(spark, "t_cms_replay") == after_b1
+    assert st.last_batch_id() == 0
+    st.update(b2, batch_id=1)
+    st.update(b2, batch_id=1)  # and again at the next batch
+    assert st.last_batch_id() == 1
+    whole = _store(spark, "t_cms_replay_whole")
+    whole.update(_toks(docs))
+    assert (
+        _counters(spark, "t_cms_replay")
+        == _counters(spark, "t_cms_replay_whole")
+    )
+    # estimates are unaffected by the sentinel row
+    probe = spark.createDataFrame([("the",)], "tok string")
+    [row] = st.estimate(probe).collect()
+    assert row["cms_est"] >= 0

@@ -88,3 +88,45 @@ def test_stream_dq_matches_batch_logic(spark, tmp_path):
     assert flags["pk_unique"] is False
     # block hygiene: batch-local blocks freed at sink exit
     assert persistent_rdd_ids(spark) == set()
+
+
+def test_dq_absorb_replay_is_exactly_once(spark):
+    """A redelivered micro-batch (same batch_id) must leave both the
+    counters and the key store untouched — the crash window between
+    the keys append and the counters overwrite is covered by the
+    per-row batch stamp + the one-row watermark."""
+    for t in ("dq_rp_counters", "dq_rp_keys"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    orders = read_table(spark, f"{SF}/orders.parquet")
+    b1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+
+    mon = StreamDQMonitor(spark, "dq_rp_counters", "dq_rp_keys")
+    mon.absorb(b1, batch_id=0)
+    snap = {r["check_name"]: r["observed"] for r in mon.report().collect()}
+    nkeys = spark.table("dq_rp_keys").count()
+    mon.absorb(b1, batch_id=0)  # redelivery — full no-op
+    assert {
+        r["check_name"]: r["observed"] for r in mon.report().collect()
+    } == snap
+    assert spark.table("dq_rp_keys").count() == nkeys
+    assert mon.last_batch_id() == 0
+
+    # partial-crash window: keys of batch 1 landed but the counters
+    # overwrite did not (watermark still 0) — the replay must count
+    # pk dups as if the partial append never happened
+    kd1 = b2.select(F.col("o_orderkey").alias("k")).distinct().withColumn(
+        "b", F.lit(1).cast("bigint")
+    )
+    kd1.write.format("parquet").mode("append").saveAsTable("dq_rp_keys")
+    spark.catalog.refreshTable("dq_rp_keys")
+    mon.absorb(b2, batch_id=1)  # the "replay" after the crash
+    got = {r["check_name"]: r["observed"] for r in mon.report().collect()}
+    whole = b1.unionByName(b2)
+    assert got["pk_unique"] == (
+        whole.count() - whole.select("o_orderkey").distinct().count()
+    )
+    assert got["row_count"] == whole.count()
+    assert mon.last_batch_id() == 1
+    # report() never leaks the sentinel
+    assert "_batch_watermark" not in got

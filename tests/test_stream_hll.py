@@ -90,3 +90,25 @@ def test_streaming_twin_matches_batch(spark, events):
     )
     assert stats.arrived == events.count()
     assert _est_map(stream.estimate()) == _est_map(batch.estimate())
+
+
+def test_non_string_group_and_null_values(spark, events):
+    """A BIGINT group column must persist (grp is cast to string —
+    the stored schema) and null value rows must not emit spurious
+    (grp, NULL, NULL) registers — estimates over the non-null values
+    are unchanged by interleaved nulls."""
+    typed = events.select(
+        (F.col("user_id") % 3).alias("g"),  # bigint group col
+        F.when(F.col("user_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("user_id")).alias("v"),
+    )
+    st = _store(spark, "t_hll_typed")
+    st.update(typed, "g", "v")  # must not raise on the bigint group
+    got = _est_map(st.estimate())
+    clean = _store(spark, "t_hll_typed_ref")
+    clean.update(typed.filter(F.col("v").isNotNull()), "g", "v")
+    assert got == _est_map(clean.estimate())
+    regs = spark.table("t_hll_typed")
+    assert regs.filter(F.col("j").isNull()).count() == 0
+    assert set(r["grp"] for r in regs.select("grp").distinct().collect()) \
+        <= {"0", "1", "2"}
