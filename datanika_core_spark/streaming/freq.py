@@ -99,3 +99,63 @@ def stream_cms_ingest(
     if spark.catalog.tableExists(store.table):
         spark.catalog.refreshTable(store.table)
     return stats
+
+
+def stream_mg_ingest(
+    spark: SparkSession,
+    source_path: str,
+    store,
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = 1,
+    timeout_sec: int = 300,
+) -> CMSIngestStats:
+    """Streaming twin of the Misra-Gries store
+    (:class:`~datanika_core_spark.operators.mg_store.MGSketchStore`):
+    micro-batches of documents tokenize in-batch and fold their
+    offset-optimal k-counter summaries into the persisted residuals
+    — top-k-guarantee tracking that stays queryable at any point of
+    the stream. Same replay discipline as the CMS twin: the merge is
+    a sum (not idempotent), so the store's batch-id watermark makes
+    redelivery exactly-once."""
+    stats = CMSIngestStats()
+    sdf = read_event_stream(
+        spark, source_path, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _sink_body(batch_df: DataFrame, batch_id: int) -> None:
+        if spark.catalog.tableExists(store.table):
+            spark.catalog.refreshTable(store.table)
+        stats.batches += 1
+        n = batch_df.count()
+        stats.arrived += n
+        if n == 0:
+            return
+        toks = batch_df.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("tok")
+        ).filter(F.col("tok") != "")
+        store.update(toks, batch_id=batch_id)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from datanika_core_spark.blocks import scoped_blocks
+
+        with scoped_blocks(spark):
+            _sink_body(batch_df, batch_id)
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_mg_")
+    q = (
+        sdf.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(ckpt, store.table))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    if spark.catalog.tableExists(store.table):
+        spark.catalog.refreshTable(store.table)
+    return stats

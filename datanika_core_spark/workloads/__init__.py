@@ -70,7 +70,9 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 CHECK_FIRST = [
     # new in round 7
     "zorder_skip_rate_sampled", "pca_top_component",
-    "heavy_hitters_misra_gries",
+    "heavy_hitters_misra_gries", "abtest_mann_whitney_u",
+    "source_divergence_jsd", "collocation_pmi_bigrams",
+    "drift_ks_two_period", "token_typo_pairs_fastss",
     # new in round 6 (ex-rows-only iterative ops with fresh
     # recursive-CTE oracles, + the round-6 additions)
     "bpe_learned_merges", "unigram_lm_vocab",

@@ -785,3 +785,270 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 privacy_l_diversity.__doc__ = privacy_l_diversity.__doc__.format(l=_LD_L)
+
+
+# --------------------------------------------------------------------------
+# Per-source distributional divergence (Jensen-Shannon) vs the rest
+# of the corpus — the mixture-curation companion to corpus_mixture_
+# weights: a source whose token DISTRIBUTION diverges is boilerplate,
+# off-domain, or mis-crawled even when its quota and quality bins
+# look normal.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "source_divergence_jsd",
+    oracle="""
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+filtered AS (SELECT source, tok FROM toks WHERE tok <> ''),
+cnts AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM filtered GROUP BY source, tok
+),
+gtok AS (
+  SELECT tok, CAST(sum(c) AS BIGINT) AS g FROM cnts GROUP BY tok
+),
+tots AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM cnts GROUP BY source
+),
+grand AS (SELECT CAST(sum(g) AS BIGINT) AS n FROM gtok),
+terms AS (
+  SELECT c.source,
+         c.c * 1.0 / t.tot AS p,
+         (gl.g - c.c) * 1.0 / (gr.n - t.tot) AS q
+  FROM cnts c
+  JOIN gtok gl ON gl.tok = c.tok
+  JOIN tots t ON t.source = c.source
+  CROSS JOIN grand gr
+),
+per_source AS (
+  SELECT source,
+         0.5 * sum(p * ln(p)
+                   + CASE WHEN q > 0 THEN q * ln(q) ELSE 0 END
+                   - (p + q) * ln((p + q) / 2)) AS covered,
+         sum(q) AS q_cov
+  FROM terms GROUP BY source
+)
+SELECT p.source AS source, t.tot AS n_tokens,
+       ROUND(p.covered + 0.5 * ln(2) * (1 - p.q_cov), 6) AS jsd_nats
+FROM per_source p JOIN tots t ON t.source = p.source
+ORDER BY jsd_nats DESC, p.source
+""",
+)
+def source_divergence_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's token distribution
+    against the REST of the corpus (Lin 1991) — per-source, not
+    pairwise, so the output is S rows and the cost does not square
+    with the source count. A high-JSD source is distributionally
+    alien (template boilerplate, wrong domain, mojibake) even when
+    volume quotas and quality bins pass; JSD is symmetric, bounded
+    by ln 2, and defined even where supports differ — exactly why it
+    beats raw KL for this screen.
+
+    The trick that keeps it one-join: tokens ABSENT from a source
+    contribute exactly 0.5·ln2·q to its JSD, so their total is
+    0.5·ln2·(1 − Σ_covered q) and the sum only ever runs over the
+    source's OWN (token, count) rows joined to the global counts —
+    no source × vocabulary expansion anywhere.
+
+    Scale: two combiner groupBys (source×token, token), one
+    equi-join between them, one fold to S rows. The rest-
+    distribution is derived by subtraction (g − c), so no second
+    scan and no anti-join."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    cnts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    glob = cnts.groupBy("tok").agg(F.sum("c").cast("bigint").alias("g"))
+    tots = cnts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("tot")
+    )
+    grand = glob.agg(F.sum("g").cast("bigint").alias("n"))
+    terms = (
+        cnts.join(glob, "tok")
+        .join(F.broadcast(tots), "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            (F.col("c") * 1.0 / F.col("tot")).alias("p"),
+            ((F.col("g") - F.col("c")) * 1.0
+             / (F.col("n") - F.col("tot"))).alias("q"),
+        )
+    )
+    per_source = terms.groupBy("source").agg(
+        (0.5 * F.sum(
+            F.col("p") * F.log("p")
+            + F.when(F.col("q") > 0,
+                     F.col("q") * F.log("q")).otherwise(0.0)
+            - (F.col("p") + F.col("q"))
+            * F.log((F.col("p") + F.col("q")) / 2)
+        )).alias("covered"),
+        F.sum("q").alias("q_cov"),
+    )
+    import math as _m
+
+    return (
+        per_source.join(F.broadcast(tots), "source")
+        .select(
+            "source",
+            F.col("tot").alias("n_tokens"),
+            F.round(
+                F.col("covered")
+                + 0.5 * _m.log(2) * (1 - F.col("q_cov")),
+                6,
+            ).alias("jsd_nats"),
+        )
+        .orderBy(F.col("jsd_nats").desc(), "source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Collocation extraction — PMI-ranked adjacent bigrams: the corpus-
+# analysis primitive behind phrase vocabularies ("new york" units for
+# a tokenizer) and boilerplate phrase detection.
+# --------------------------------------------------------------------------
+
+_COLL_MIN_SUPPORT = 5
+_COLL_TOPK = 20
+
+
+@workload(
+    "collocation_pmi_bigrams",
+    oracle=f"""
+WITH toklists AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+unigrams AS (
+  SELECT unnest(toks) AS tok FROM toklists
+),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM unigrams
+  WHERE tok <> '' GROUP BY tok
+),
+bigrams AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM toklists WHERE len(toks) >= 2
+),
+bg AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS nxy FROM bigrams
+  WHERE bg NOT LIKE ' %' AND bg NOT LIKE '% ' GROUP BY bg
+),
+tots AS (
+  SELECT (SELECT CAST(sum(n) AS BIGINT) FROM uni) AS nn,
+         (SELECT CAST(sum(nxy) AS BIGINT) FROM bg) AS bb
+),
+scored AS (
+  SELECT b.bg, b.nxy, ux.n AS nx, uy.n AS ny,
+         ((CAST(b.nxy AS DOUBLE) * (CAST(t.nn AS DOUBLE)
+            * CAST(t.nn AS DOUBLE))) / CAST(t.bb AS DOUBLE))
+           / (CAST(ux.n AS DOUBLE) * CAST(uy.n AS DOUBLE)) AS ratio
+  FROM bg b
+  JOIN uni ux ON ux.tok = split_part(b.bg, ' ', 1)
+  JOIN uni uy ON uy.tok = split_part(b.bg, ' ', 2)
+  CROSS JOIN tots t
+  WHERE b.nxy >= {_COLL_MIN_SUPPORT}
+)
+SELECT bg AS bigram, nxy AS n_pair, nx, ny,
+       ROUND(ln(ratio), 6) AS pmi_nats,
+       CAST(row_number() OVER (ORDER BY ratio DESC, bg) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {_COLL_TOPK}
+ORDER BY rank
+""",
+)
+def collocation_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ranked adjacent-bigram collocations (Church & Hanks 1990):
+    pairs that co-occur far above chance — phrase-vocabulary
+    candidates for a tokenizer, and (at the other extreme) the
+    template phrases boilerplate detection keys on. PMI =
+    ln(p(x,y) / p(x)p(y)) with p(x,y) over adjacent positions and a
+    min-support floor of {_COLL_MIN_SUPPORT} (PMI is notoriously a
+    rare-pair amplifier; the floor is the standard fix).
+
+    Determinism: the RANKING key is the PMI ratio computed from the
+    four exact BIGINT counts with an identical parenthesization in
+    both engines — bit-identical doubles, so order (and tie-break on
+    the bigram string) agrees; ln() only ever lands in the ROUNDED
+    display column.
+
+    Scale: two combiner groupBys (unigrams, adjacent bigrams — both
+    explode a token array once) and two equi-joins of the bigram
+    frame against the unigram counts; the top-k is over the
+    support-filtered survivors."""
+    from pyspark.sql import Window as _W
+
+    docs = t(spark, sf_dir, "documents")
+    toklists = docs.select(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    )
+    uni = (
+        toklists.select(F.explode("toks").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    bg = (
+        toklists.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(element_at(toks, i), ' ',"
+                    " element_at(toks, i + 1)))"
+                )
+            ).alias("bg")
+        )
+        .filter(~F.col("bg").startswith(" ") & ~F.col("bg").endswith(" "))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nxy"))
+    )
+    tots = uni.agg(F.sum("n").cast("bigint").alias("nn")).crossJoin(
+        bg.agg(F.sum("nxy").cast("bigint").alias("bb"))
+    )
+    ux = uni.select(F.col("tok").alias("tx"), F.col("n").alias("nx"))
+    uy = uni.select(F.col("tok").alias("ty"), F.col("n").alias("ny"))
+    scored = (
+        bg.filter(F.col("nxy") >= _COLL_MIN_SUPPORT)
+        .withColumn("tx", F.split(F.col("bg"), " ").getItem(0))
+        .withColumn("ty", F.split(F.col("bg"), " ").getItem(1))
+        .join(ux, "tx")
+        .join(uy, "ty")
+        .crossJoin(F.broadcast(tots))
+        .withColumn(
+            "ratio",
+            F.expr(
+                "((CAST(nxy AS DOUBLE) * (CAST(nn AS DOUBLE)"
+                " * CAST(nn AS DOUBLE))) / CAST(bb AS DOUBLE))"
+                " / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))"
+            ),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            _W.orderBy(F.col("ratio").desc(), "bg")
+        ).cast("bigint"),
+    )
+    return (
+        ranked.filter(F.col("rank") <= _COLL_TOPK)
+        .select(
+            F.col("bg").alias("bigram"),
+            F.col("nxy").alias("n_pair"),
+            "nx", "ny",
+            F.round(F.log("ratio"), 6).alias("pmi_nats"),
+            "rank",
+        )
+        .orderBy("rank")
+    )

@@ -652,3 +652,151 @@ def eval_cohens_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kappa"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-period Kolmogorov-Smirnov drift test — the distribution-level
+# companion to the binned PSI readout: PSI quantifies drift in fixed
+# bins, KS finds the worst-case CDF gap at ANY threshold.
+# --------------------------------------------------------------------------
+
+_KS_CRIT_05 = 1.358  # c(alpha) for alpha = 0.05, two-sample KS
+
+
+@workload(
+    "drift_ks_two_period",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+span AS (
+  SELECT (min(d) + max(d) + 1) // 2 AS mid FROM ev
+),
+tagged AS (
+  SELECT event_type, c,
+         CASE WHEN d < (SELECT mid FROM span) THEN 0 ELSE 1 END AS p
+  FROM ev
+),
+by_val AS (
+  SELECT event_type, c,
+         CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM tagged GROUP BY event_type, c
+),
+cum AS (
+  SELECT event_type,
+         CAST(sum(na) OVER w AS BIGINT) AS cuma,
+         CAST(sum(nb) OVER w AS BIGINT) AS cumb
+  FROM by_val
+  WINDOW w AS (PARTITION BY event_type ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (
+  SELECT event_type,
+         CAST(sum(na) AS BIGINT) AS nat,
+         CAST(sum(nb) AS BIGINT) AS nbt
+  FROM by_val GROUP BY event_type
+),
+ks AS (
+  SELECT c.event_type,
+         CAST(max(abs(c.cuma * t.nbt - c.cumb * t.nat)) AS BIGINT)
+           AS ks_num
+  FROM cum c JOIN tot t ON t.event_type = c.event_type
+  GROUP BY c.event_type
+)
+SELECT t.event_type, t.nat AS n_a, t.nbt AS n_b,
+       ROUND(k.ks_num * 1.0 / (t.nat * t.nbt), 6) AS ks_stat,
+       ROUND({_KS_CRIT_05!r} * sqrt((t.nat + t.nbt) * 1.0
+             / (t.nat * t.nbt)), 6) AS crit_05,
+       k.ks_num * 1.0 / (t.nat * t.nbt)
+         > {_KS_CRIT_05!r} * sqrt((t.nat + t.nbt) * 1.0
+             / (t.nat * t.nbt)) AS drifted
+FROM ks k JOIN tot t ON t.event_type = k.event_type
+ORDER BY t.event_type
+""",
+)
+def drift_ks_two_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test per event type
+    (Kolmogorov 1933, Smirnov 1948): the window is split at the
+    midpoint DAY of the table's span, and the statistic is the
+    worst-case gap between the two halves' value ECDFs — drift at
+    ANY threshold, where the binned PSI readout only sees its ten
+    fixed bins. Compared against the large-sample alpha=0.05
+    critical value c·sqrt((n_a+n_b)/(n_a·n_b)); the boolean verdict
+    is the monitoring hook.
+
+    Integer-exactness: values are BIGINT cents, the split day is an
+    integer midpoint, and the KS numerator max|cumA·n_b − cumB·n_a|
+    is pure BIGINT — both engines divide the identical integers at
+    the very end, so ECDF ties and step placement can never diverge.
+
+    Scale: one combiner groupBy to |types|x|distinct cents| rows,
+    one windowed prefix sum over that (partitioned per type), one
+    max — the same two-phase shape as the CUSUM and SPRT walks. The
+    span probe (min/max day) is a metadata-cheap scalar scan."""
+    from pyspark.sql import Window as _W
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    span = ev.agg(
+        F.expr("(min(d) + max(d) + 1) div 2").alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(span)).select(
+        "event_type", "c",
+        F.when(F.col("d") < F.col("mid"), 0).otherwise(1).alias("p"),
+    )
+    by_val = tagged.groupBy("event_type", "c").agg(
+        F.sum(F.when(F.col("p") == 0, 1).otherwise(0))
+        .cast("bigint").alias("na"),
+        F.sum(F.when(F.col("p") == 1, 1).otherwise(0))
+        .cast("bigint").alias("nb"),
+    )
+    w = (
+        _W.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    cum = by_val.select(
+        "event_type",
+        F.sum("na").over(w).cast("bigint").alias("cuma"),
+        F.sum("nb").over(w).cast("bigint").alias("cumb"),
+    )
+    tot = by_val.groupBy("event_type").agg(
+        F.sum("na").cast("bigint").alias("nat"),
+        F.sum("nb").cast("bigint").alias("nbt"),
+    )
+    ks = (
+        cum.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cuma") * F.col("nbt")
+                    - F.col("cumb") * F.col("nat")
+                )
+            ).cast("bigint").alias("ks_num")
+        )
+    )
+    stat = F.col("ks_num") * 1.0 / (F.col("nat") * F.col("nbt"))
+    crit = F.lit(_KS_CRIT_05) * F.sqrt(
+        (F.col("nat") + F.col("nbt")) * 1.0
+        / (F.col("nat") * F.col("nbt"))
+    )
+    return (
+        ks.join(tot, "event_type")
+        .select(
+            "event_type",
+            F.col("nat").alias("n_a"),
+            F.col("nbt").alias("n_b"),
+            F.round(stat, 6).alias("ks_stat"),
+            F.round(crit, 6).alias("crit_05"),
+            (stat > crit).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )

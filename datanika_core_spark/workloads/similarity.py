@@ -2278,6 +2278,32 @@ _PCA_ITERS = 12
 _PCA_SCALE = 1000  # embeddings quantized to 1e-3 units (exact BIGINT gram)
 
 
+def _pca_gram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of the PCA workload: the 64x64 integer
+    gram matrix as 64 rows x 64 sum columns from ONE scan of the
+    embeddings table (explode by row-dimension i, combiner-collapsed
+    per partition before the single 64-group shuffle). Kept as its
+    own frame so tests/test_plan_quality.py can pin the one-scan
+    plan shape."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr(
+            f"transform(embedding, x -> cast(round(cast(x as double)"
+            f" * {_PCA_SCALE}) as bigint))"
+        ).alias("q")
+    )
+    scaled = q.select(
+        F.expr(
+            f"explode(transform(sequence(0, {_DIM - 1}), i ->"
+            " struct(i, transform(q, x -> x * element_at(q, i + 1))"
+            " as sarr)))"
+        ).alias("e")
+    ).select(F.col("e.i").alias("i"), F.col("e.sarr").alias("sarr"))
+    return scaled.groupBy("i").agg(
+        *[F.sum(F.col("sarr")[j]).alias(f"g{j}") for j in range(_DIM)]
+    )
+
+
 @workload(
     "pca_top_component",
     # Recursive-CTE oracle replaying the identical power-iteration
@@ -2359,25 +2385,7 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     the textbook one-pass covariance sketch."""
     import math
 
-    emb = t(spark, sf_dir, "embeddings")
-    q = emb.select(
-        F.expr(
-            f"transform(embedding, x -> cast(round(cast(x as double)"
-            f" * {_PCA_SCALE}) as bigint))"
-        ).alias("q")
-    )
-    scaled = q.select(
-        F.expr(
-            f"explode(transform(sequence(0, {_DIM - 1}), i ->"
-            " struct(i, transform(q, x -> x * element_at(q, i + 1))"
-            " as sarr)))"
-        ).alias("e")
-    ).select(F.col("e.i").alias("i"), F.col("e.sarr").alias("sarr"))
-    gram_rows = (
-        scaled.groupBy("i")
-        .agg(*[F.sum(F.col("sarr")[j]).alias(f"g{j}") for j in range(_DIM)])
-        .collect()
-    )
+    gram_rows = _pca_gram_frame(spark, sf_dir).collect()
     G = {int(r["i"]): [int(r[f"g{j}"]) for j in range(_DIM)]
          for r in gram_rows}
     w = [0.125] * _DIM

@@ -1126,3 +1126,133 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U — the nonparametric A/B readout next to the Welch t
+# (means) and SPRT (sequential) tests: rank-based, so it answers
+# "does one arm's purchase-value DISTRIBUTION stochastically dominate
+# the other's?" without any normality assumption.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "abtest_mann_whitney_u",
+    oracle="""
+WITH trials AS (
+  SELECT ('0x'||substring(md5('ab-' || CAST(user_id AS VARCHAR)),1,15))
+           ::BIGINT % 2 AS variant,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+),
+by_val AS (
+  SELECT c,
+         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM trials GROUP BY c
+),
+ranked AS (
+  SELECT na, cnt,
+         CAST(coalesce(sum(cnt) OVER (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumb
+  FROM by_val
+),
+agg AS (
+  SELECT CAST(sum(na) AS BIGINT) AS n1,
+         CAST(sum(cnt - na) AS BIGINT) AS n2,
+         CAST(sum(na * (2 * cumb + cnt + 1)) AS BIGINT) AS r1_2,
+         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_t
+  FROM ranked
+),
+stats AS (
+  SELECT n1, n2, n1 + n2 AS n,
+         (r1_2 - n1 * (n1 + 1)) / 2.0 AS u1,
+         tie_t
+  FROM agg
+)
+SELECT n1 AS n_a, n2 AS n_b,
+       ROUND(u1, 6) AS u_a,
+       ROUND(n1 * n2 - u1, 6) AS u_b,
+       ROUND((u1 - n1 * n2 / 2.0)
+             / sqrt(n1 * n2 / 12.0
+                    * ((n + 1) - tie_t * 1.0 / (n * (n - 1)))), 6) AS z,
+       ROUND(1 - 2.0 * u1 / (n1 * n2), 6) AS rank_biserial
+FROM stats
+""",
+)
+def abtest_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947) between
+    the two experiment arms' purchase values — the nonparametric
+    companion to the Welch readout: U counts how often an arm-A
+    value outranks an arm-B value, so its z-score (normal
+    approximation with the exact tie correction, no continuity
+    correction) is a distribution-free dominance test, and the
+    rank-biserial r = 1 − 2U/(n₁n₂) is its effect size.
+
+    Integer-exactness: values rank as BIGINT cents; tied groups
+    contribute their doubled average rank 2·cum_before + cnt + 1
+    (always an integer), so the rank sum, tie term Σ(t³−t), and
+    2U are all BIGINT — both engines reach the final z from
+    identical integers, and the only floats are the closing
+    divide/sqrt.
+
+    Scale: one combiner groupBy to |distinct cents| rows, one window
+    pass over that (value-ordered — at 100 TB range-partition by the
+    value key), one scalar aggregate. Arms need not fit anywhere;
+    nothing is per-row after the first groupBy."""
+    from pyspark.sql import Window as _W
+
+    ev = t(spark, sf_dir, "events")
+    trials = ev.filter(F.col("event_type") == "purchase").select(
+        F.expr(
+            "pmod("
+            + _spark_hash("concat('ab-', cast(user_id as string))")
+            + ", 2)"
+        ).alias("variant"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    by_val = trials.groupBy("c").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint").alias("na"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    w = _W.orderBy("c").rowsBetween(_W.unboundedPreceding, -1)
+    ranked = by_val.select(
+        "na", "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        .cast("bigint").alias("cumb"),
+    )
+    agg = ranked.agg(
+        F.sum("na").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("na")).cast("bigint").alias("n2"),
+        F.sum(F.col("na") * (2 * F.col("cumb") + F.col("cnt") + 1))
+        .cast("bigint").alias("r1_2"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint").alias("tie_t"),
+    )
+    st = agg.select(
+        "n1", "n2", (F.col("n1") + F.col("n2")).alias("n"),
+        ((F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)) / 2.0)
+        .alias("u1"),
+        "tie_t",
+    )
+    return st.select(
+        F.col("n1").alias("n_a"),
+        F.col("n2").alias("n_b"),
+        F.round("u1", 6).alias("u_a"),
+        F.round(F.col("n1") * F.col("n2") - F.col("u1"), 6).alias("u_b"),
+        F.round(
+            (F.col("u1") - F.col("n1") * F.col("n2") / 2.0)
+            / F.sqrt(
+                F.col("n1") * F.col("n2") / 12.0
+                * ((F.col("n") + 1)
+                   - F.col("tie_t") * 1.0
+                   / (F.col("n") * (F.col("n") - 1)))
+            ),
+            6,
+        ).alias("z"),
+        F.round(
+            1 - 2.0 * F.col("u1") / (F.col("n1") * F.col("n2")), 6
+        ).alias("rank_biserial"),
+    )

@@ -1507,3 +1507,158 @@ def dedup_winnowing_df_capped(
         .filter(F.col("shared") >= _WN_MIN_SHARED)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# FastSS edit-distance<=2 token pairs — spelling-variant / typo
+# detection over the corpus vocabulary: the character-level cousin of
+# the shingle joins above, blocked on deletion neighborhoods instead
+# of n-grams (Bocek et al. 2007).
+# --------------------------------------------------------------------------
+
+_FSS_MINLEN = 3
+_FSS_MAXLEN = 12
+_FSS_K = 2      # max edit distance; index depth = k deletions
+_FSS_TOPK = 30
+
+# one SQL fragment per engine producing the <=2-deletion
+# neighborhood (the string itself, every 1-deletion, every ordered
+# 2-deletion) as a deduplicated list.
+_FSS_SPARK_NEIGH = (
+    "array_distinct(flatten(array("
+    " array(tok),"
+    " transform(sequence(1, length(tok)), i ->"
+    "   concat(substring(tok, 1, i - 1),"
+    "          substring(tok, i + 1, length(tok)))),"
+    " flatten(transform(sequence(1, length(tok)), i ->"
+    "   transform(sequence(1, length(tok) - 1), j ->"
+    "     concat(substring(concat(substring(tok, 1, i - 1),"
+    "                             substring(tok, i + 1, length(tok))),"
+    "                      1, j - 1),"
+    "            substring(concat(substring(tok, 1, i - 1),"
+    "                             substring(tok, i + 1, length(tok))),"
+    "                      j + 1, length(tok)))))))))"
+)
+_FSS_DUCK_NEIGH = (
+    "list_distinct(flatten(["
+    " [tok],"
+    " list_transform(range(1, len(tok) + 1), i ->"
+    "   substr(tok, 1, i - 1) || substr(tok, i + 1)),"
+    " flatten(list_transform(range(1, len(tok) + 1), i ->"
+    "   list_transform(range(1, len(tok)), j ->"
+    "     substr(substr(tok, 1, i - 1) || substr(tok, i + 1), 1, j - 1)"
+    "     || substr(substr(tok, 1, i - 1) || substr(tok, i + 1),"
+    "               j + 1))))]))"
+)
+
+
+@workload(
+    "token_typo_pairs_fastss",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks
+  WHERE tok <> '' GROUP BY tok
+),
+vocab AS (
+  SELECT tok, n FROM uni
+  WHERE len(tok) BETWEEN {_FSS_MINLEN} AND {_FSS_MAXLEN}
+),
+variants AS (
+  SELECT tok, unnest({_FSS_DUCK_NEIGH}) AS v FROM vocab
+),
+pairs AS (
+  SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+  FROM variants a JOIN variants b ON a.v = b.v AND a.tok < b.tok
+),
+verified AS (
+  SELECT p.tok_a, p.tok_b,
+         CAST(levenshtein(p.tok_a, p.tok_b) AS BIGINT) AS lev,
+         ua.n AS n_a, ub.n AS n_b
+  FROM pairs p
+  JOIN vocab ua ON ua.tok = p.tok_a
+  JOIN vocab ub ON ub.tok = p.tok_b
+  WHERE levenshtein(p.tok_a, p.tok_b) <= {_FSS_K}
+)
+SELECT tok_a, tok_b, lev, n_a, n_b,
+       CAST(row_number() OVER (ORDER BY lev, n_a + n_b DESC,
+                               tok_a, tok_b) AS BIGINT) AS rank
+FROM verified
+QUALIFY rank <= {_FSS_TOPK}
+ORDER BY rank
+""",
+)
+def token_typo_pairs_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-(<= {_FSS_K}) token pairs over the corpus
+    vocabulary via FastSS deletion-neighborhood blocking (Bocek et
+    al. 2007): every token of length {_FSS_MINLEN}..{_FSS_MAXLEN}
+    indexes its <= {_FSS_K}-deletion neighborhood (itself, every
+    1-deletion, every 2-deletion), and the FastSS theorem guarantees
+    two strings within edit distance k share a neighborhood key —
+    so the candidate set is an equi-join on short deletion strings,
+    never an all-pairs scan, and the exact levenshtein() verify
+    (same unit-cost definition in both engines) runs only on
+    candidates. The classic use: a low-frequency token within two
+    edits of a high-frequency one is a typo/OCR artifact; (n_a, n_b)
+    carry exactly that signal, and pairs rank distance-first.
+
+    Scale: the variant index is |vocab| x O(len^2) short strings —
+    an inverted index, same discipline as the shingle/prefix-filter
+    joins above; candidates per key are bounded by the neighborhood
+    selectivity, not corpus size. The index is over the VOCABULARY
+    (post-groupBy), so corpus volume only affects the first combiner
+    pass."""
+    from pyspark.sql import Window as _W
+
+    docs = t(spark, sf_dir, "documents")
+    uni = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    vocab = uni.filter(
+        F.length("tok").between(_FSS_MINLEN, _FSS_MAXLEN)
+    )
+    variants = vocab.select(
+        "tok", F.explode(F.expr(_FSS_SPARK_NEIGH)).alias("v")
+    )
+    a = variants.select(F.col("tok").alias("tok_a"), "v")
+    b = variants.select(F.col("tok").alias("tok_b"), "v")
+    pairs = (
+        a.join(b, "v")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b")
+        .distinct()
+    )
+    na = vocab.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a"))
+    nb = vocab.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b"))
+    verified = (
+        pairs.withColumn(
+            "lev", F.levenshtein("tok_a", "tok_b").cast("bigint")
+        )
+        .filter(F.col("lev") <= _FSS_K)
+        .join(na, "tok_a")
+        .join(nb, "tok_b")
+    )
+    ranked = verified.withColumn(
+        "rank",
+        F.row_number().over(
+            _W.orderBy(
+                "lev", (F.col("n_a") + F.col("n_b")).desc(),
+                "tok_a", "tok_b",
+            )
+        ).cast("bigint"),
+    )
+    return (
+        ranked.filter(F.col("rank") <= _FSS_TOPK)
+        .select("tok_a", "tok_b", "lev", "n_a", "n_b", "rank")
+        .orderBy("rank")
+    )

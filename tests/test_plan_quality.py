@@ -373,3 +373,76 @@ def test_triangle_closure_broadcast_gated(spark, monkeypatch):
         assert "SortMergeJoin" in p_big or "ShuffledHashJoin" in p_big
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+# --------------------------------------------------------------------------
+# round 7: plan pins for the new workload families.
+# --------------------------------------------------------------------------
+
+_R7_FAMILIES = [
+    "pca_top_component",
+    "heavy_hitters_misra_gries",
+    "abtest_mann_whitney_u",
+    "source_divergence_jsd",
+    "collocation_pmi_bigrams",
+    "drift_ks_two_period",
+    "token_typo_pairs_fastss",
+    "zorder_skip_rate_sampled",
+]
+
+
+@pytest.fixture(scope="module")
+def r7_plans(spark):
+    reg = load_all()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return {n: _plan(reg[n].fn(spark, SF)) for n in _R7_FAMILIES}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_r7_no_cartesian(r7_plans):
+    for name, p in r7_plans.items():
+        assert "CartesianProduct" not in p, name
+
+
+def test_r7_no_python_row_udfs(r7_plans):
+    """Everything new stays JVM-side: no row-at-a-time Python eval
+    anywhere in the round-7 plans."""
+    for name, p in r7_plans.items():
+        assert "BatchEvalPython" not in p, name
+
+
+def test_pca_gram_is_single_scan(spark):
+    """The PCA gram matrix must be ONE aggregation over ONE scan of
+    embeddings (explode by dim + 64 sums, combiner-collapsed) — the
+    driver-side iterations contribute nothing (the workload's own
+    returned frame is the 64-row driver result)."""
+    from datanika_core_spark.workloads.similarity import _pca_gram_frame
+
+    p = _plan(_pca_gram_frame(spark, SF))
+    # formatted explain prints each node twice (tree line + detail
+    # block), so one physical node == two text occurrences
+    assert p.count("Scan parquet") == 2
+    assert "HashAggregate" in p
+    assert p.count("Exchange") == 2  # exactly the one 64-group shuffle
+
+
+def test_fastss_probe_is_equi_join(r7_plans):
+    """The FastSS candidate join must be a hash equi-join on the
+    deletion key — an all-pairs token comparison would be the exact
+    blowup the deletion index exists to avoid."""
+    p = r7_plans["token_typo_pairs_fastss"]
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p \
+        or "BroadcastHashJoin" in p
+
+
+def test_jsd_single_pass_shape(r7_plans):
+    """JSD computes from the source's own token rows only: the
+    token-count scan appears once for the counts chain (Spark may
+    re-scan for the reused branches but never expands source x
+    vocabulary) and the totals attach as broadcasts."""
+    p = r7_plans["source_divergence_jsd"]
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
