@@ -1052,3 +1052,180 @@ def collocation_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# t-closeness — the third leg of the privacy trio (k-anonymity:
+# class size; l-diversity: distinct sensitive values; this:
+# sensitive-value DISTRIBUTION distance from the global one).
+# --------------------------------------------------------------------------
+
+_TC_LEVELS = 10      # ordered sensitive domain: global value deciles
+_TC_T_NUM, _TC_T_DEN = 1, 5  # t = 0.2 as an exact rational
+
+
+@workload(
+    "privacy_t_closeness",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(round(value * 100) AS BIGINT) AS c, event_id
+  FROM events
+),
+lv AS (
+  SELECT event_type, day,
+         ntile({_TC_LEVELS}) OVER (ORDER BY c, event_id) AS lvl
+  FROM ev
+),
+cls AS (
+  SELECT event_type, day, lvl, CAST(count(*) AS BIGINT) AS n
+  FROM lv GROUP BY event_type, day, lvl
+),
+grid AS (
+  SELECT c.event_type, c.day, l.lvl, coalesce(x.n, 0) AS n
+  FROM (SELECT DISTINCT event_type, day FROM cls) c
+  CROSS JOIN (SELECT unnest(range(1, {_TC_LEVELS} + 1)) AS lvl) l
+  LEFT JOIN cls x ON x.event_type = c.event_type AND x.day = c.day
+                 AND x.lvl = l.lvl
+),
+glvl AS (
+  SELECT lvl, CAST(sum(n) AS BIGINT) AS g FROM cls GROUP BY lvl
+),
+big_n AS (SELECT CAST(sum(g) AS BIGINT) AS nn FROM glvl),
+pre AS (
+  SELECT gr.event_type, gr.day,
+         CAST(sum(gr.n) OVER w AS BIGINT) AS cum_c,
+         CAST(sum(gl.g) OVER w AS BIGINT) AS cum_g
+  FROM grid gr JOIN glvl gl ON gl.lvl = gr.lvl
+  WINDOW w AS (PARTITION BY gr.event_type, gr.day ORDER BY gr.lvl
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+emd AS (
+  SELECT p.event_type, p.day,
+         CAST(max(p.cum_c) AS BIGINT) AS n_c,
+         CAST(sum(abs(p.cum_c * b.nn - p.cum_g * max_cc.n_c))
+              AS BIGINT) AS emd_num
+  FROM pre p
+  CROSS JOIN big_n b
+  JOIN (SELECT event_type, day, max(cum_c) AS n_c
+        FROM pre GROUP BY event_type, day) max_cc
+    ON max_cc.event_type = p.event_type AND max_cc.day = p.day
+  GROUP BY p.event_type, p.day
+),
+flagged AS (
+  SELECT e.*,
+         e.emd_num * {_TC_T_DEN}
+           > e.n_c * b.nn * ({_TC_LEVELS} - 1) * {_TC_T_NUM}
+           AS violating,
+         e.emd_num * 1.0 / (e.n_c * b.nn * ({_TC_LEVELS} - 1)) AS emd
+  FROM emd e CROSS JOIN big_n b
+)
+SELECT ROUND({_TC_T_NUM} * 1.0 / {_TC_T_DEN}, 6) AS t,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       ROUND(max(emd), 6) AS max_emd,
+       CAST(sum(CASE WHEN violating THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_classes,
+       CAST(sum(CASE WHEN violating THEN n_c ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       ROUND(sum(CASE WHEN violating THEN n_c ELSE 0 END) * 1.0
+             / sum(n_c), 6) AS at_risk_frac
+FROM flagged
+""",
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third privacy gate after k-anonymity (class size) and
+    l-diversity (distinct values): a class passes only if its
+    sensitive-value DISTRIBUTION stays within Earth-Mover distance t
+    of the global one, closing the skewness attack l-diversity
+    misses (a class can have l distinct values yet be 99% one of
+    them). The sensitive domain is the ordered decile level of the
+    BIGINT-cents event value, so the ordered-domain EMD is the
+    prefix-sum form Σ|P_i − Q_i|/(m−1) — and with cross-multiplied
+    BIGINT prefixes |cum_c·N − cum_g·n_c| the violation verdict
+    (t = {_TC_T_NUM}/{_TC_T_DEN}) is an exact integer comparison;
+    floats appear only in the rounded report columns.
+
+    Scale: the decile assignment here is one global ntile (the
+    sf-scale stand-in — at 100 TB compute the 9 global boundaries
+    once and bin by comparison, the same two-phase discipline as the
+    prefix-sum workloads); after it everything is a combiner groupBy
+    to |classes|×{_TC_LEVELS} rows and one windowed prefix sum over
+    that grid."""
+    from pyspark.sql import Window as _W
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        "event_id",
+    )
+    lv = ev.select(
+        "event_type", "day",
+        F.ntile(_TC_LEVELS).over(_W.orderBy("c", "event_id")).alias("lvl"),
+    )
+    cls = lv.groupBy("event_type", "day", "lvl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    levels = spark.range(1, _TC_LEVELS + 1).select(
+        F.col("id").cast("int").alias("lvl")
+    )
+    classes = cls.select("event_type", "day").distinct()
+    grid = (
+        classes.crossJoin(F.broadcast(levels))
+        .join(cls, ["event_type", "day", "lvl"], "left")
+        .select(
+            "event_type", "day", "lvl",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        )
+    )
+    glob = cls.groupBy("lvl").agg(F.sum("n").cast("bigint").alias("g"))
+    big_n = glob.agg(F.sum("g").cast("bigint").alias("nn"))
+    w = (
+        _W.partitionBy("event_type", "day")
+        .orderBy("lvl")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    pre = grid.join(F.broadcast(glob), "lvl").select(
+        "event_type", "day",
+        F.sum("n").over(w).cast("bigint").alias("cum_c"),
+        F.sum("g").over(w).cast("bigint").alias("cum_g"),
+    )
+    nc = pre.groupBy("event_type", "day").agg(
+        F.max("cum_c").cast("bigint").alias("n_c")
+    )
+    emd = (
+        pre.join(nc, ["event_type", "day"])
+        .crossJoin(F.broadcast(big_n))
+        .groupBy("event_type", "day")
+        .agg(
+            F.max("n_c").alias("n_c"),
+            F.sum(
+                F.abs(
+                    F.col("cum_c") * F.col("nn")
+                    - F.col("cum_g") * F.col("n_c")
+                )
+            ).cast("bigint").alias("emd_num"),
+        )
+    )
+    flagged = emd.crossJoin(F.broadcast(big_n)).select(
+        "n_c",
+        (
+            F.col("emd_num") * _TC_T_DEN
+            > F.col("n_c") * F.col("nn") * (_TC_LEVELS - 1) * _TC_T_NUM
+        ).alias("violating"),
+        (
+            F.col("emd_num") * 1.0
+            / (F.col("n_c") * F.col("nn") * (_TC_LEVELS - 1))
+        ).alias("emd"),
+    )
+    risk = F.when(F.col("violating"), F.col("n_c")).otherwise(0)
+    return flagged.agg(
+        F.round(F.lit(_TC_T_NUM * 1.0 / _TC_T_DEN), 6).alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.round(F.max("emd"), 6).alias("max_emd"),
+        F.sum(F.col("violating").cast("int")).cast("bigint")
+        .alias("n_violating_classes"),
+        F.sum(risk).cast("bigint").alias("rows_at_risk"),
+        F.round(F.sum(risk) * 1.0 / F.sum("n_c"), 6).alias("at_risk_frac"),
+    )

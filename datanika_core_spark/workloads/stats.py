@@ -1256,3 +1256,161 @@ def abtest_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - 2.0 * F.col("u1") / (F.col("n1") * F.col("n2")), 6
         ).alias("rank_biserial"),
     )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend — the outlier-immune slope next to the
+# least-squares Zipf fit and the EWMA/Holt forecasts: one corrupted
+# day cannot move the median of pairwise slopes.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "theil_sen_daily_trend",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.event_type,
+         (b.y - a.y) * 1.0 / (b.x - a.x) AS s
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.x > a.x
+),
+ranked AS (
+  SELECT event_type, s,
+         row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM slopes
+),
+med AS (
+  SELECT event_type,
+         avg(s) AS slope,
+         CAST(max(m) AS BIGINT) AS n_pairs
+  FROM ranked
+  WHERE rn IN ((m + 1) // 2, (m + 2) // 2)
+  GROUP BY event_type
+),
+resid AS (
+  SELECT d.event_type, d.y - m.slope * d.x AS r
+  FROM daily d JOIN med m ON m.event_type = d.event_type
+),
+rr AS (
+  SELECT event_type, r,
+         row_number() OVER (PARTITION BY event_type ORDER BY r) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM resid
+),
+icept AS (
+  SELECT event_type, avg(r) AS intercept
+  FROM rr WHERE rn IN ((m + 1) // 2, (m + 2) // 2)
+  GROUP BY event_type
+),
+nd AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily
+  GROUP BY event_type
+)
+SELECT m.event_type, nd.n_days, m.n_pairs,
+       ROUND(m.slope, 6) AS ts_slope_per_day,
+       ROUND(i.intercept, 6) AS ts_intercept
+FROM med m
+JOIN icept i ON i.event_type = m.event_type
+JOIN nd ON nd.event_type = m.event_type
+ORDER BY m.event_type
+""",
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily event volume per type (Theil
+    1950, Sen 1968): the slope is the MEDIAN of all pairwise daily
+    slopes, so up to ~29% of days can be corrupted (an outage day, a
+    bot flood) without moving it — the robust companion to the
+    least-squares fits, and the estimator monitoring should trust
+    when events_mad_outliers says the series has heavy tails. The
+    intercept is the median residual at the chosen slope (the
+    standard Theil-Sen completion).
+
+    Determinism: every pairwise slope is (Δy)·1.0/(Δx) from exact
+    BIGINT day counts — bit-identical doubles in both engines — and
+    the median is an order statistic on those (avg of the two middle
+    ranks when the pair count is even), so there is no accumulation
+    anywhere, only selection.
+
+    Scale: the pair join is per-type over DAILY aggregates — the
+    corpus collapses to |types|×|days| rows first (one combiner
+    groupBy), and C(days, 2) pairs of a time dimension stay bounded
+    no matter how many events each day holds. This is the curse-free
+    way to run Theil-Sen at 100 TB: never on rows, always on the
+    time grid."""
+    from pyspark.sql import Window as _W
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    a = daily.select(
+        "event_type", F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("x").alias("xb"), F.col("y").alias("yb"),
+    )
+    slopes = (
+        a.join(b, (F.col("event_type") == F.col("et_b"))
+               & (F.col("xb") > F.col("xa")))
+        .select(
+            "event_type",
+            ((F.col("yb") - F.col("ya")) * 1.0
+             / (F.col("xb") - F.col("xa"))).alias("s"),
+        )
+    )
+    wp = _W.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type", "s",
+        F.row_number().over(wp.orderBy("s")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("m"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(m + 1) div 2"))
+            | (F.col("rn") == F.expr("(m + 2) div 2"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.avg("s").alias("slope"),
+            F.max("m").cast("bigint").alias("n_pairs"),
+        )
+    )
+    resid = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        (F.col("y") - F.col("slope") * F.col("x")).alias("r"),
+    )
+    rr = resid.select(
+        "event_type", "r",
+        F.row_number().over(wp.orderBy("r")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("m"),
+    )
+    icept = (
+        rr.filter(
+            (F.col("rn") == F.expr("(m + 1) div 2"))
+            | (F.col("rn") == F.expr("(m + 2) div 2"))
+        )
+        .groupBy("event_type")
+        .agg(F.avg("r").alias("intercept"))
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return (
+        med.join(icept, "event_type")
+        .join(nd, "event_type")
+        .select(
+            "event_type", "n_days", "n_pairs",
+            F.round("slope", 6).alias("ts_slope_per_day"),
+            F.round("intercept", 6).alias("ts_intercept"),
+        )
+        .orderBy("event_type")
+    )

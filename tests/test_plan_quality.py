@@ -381,6 +381,9 @@ def test_triangle_closure_broadcast_gated(spark, monkeypatch):
 
 _R7_FAMILIES = [
     "pca_top_component",
+    "privacy_t_closeness",
+    "theil_sen_daily_trend",
+    "interval_overlap_supplier_transit",
     "heavy_hitters_misra_gries",
     "abtest_mann_whitney_u",
     "source_divergence_jsd",
@@ -446,3 +449,21 @@ def test_jsd_single_pass_shape(r7_plans):
     p = r7_plans["source_divergence_jsd"]
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
     assert "CartesianProduct" not in p
+
+
+def test_interval_overlap_is_binned_equi_join(r7_plans):
+    """The overlap self-join must meet on the (supplier, week)
+    equi-key — a nested-loop inequality join is the all-pairs blowup
+    the week binning exists to avoid."""
+    p = r7_plans["interval_overlap_supplier_transit"]
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p \
+        or "BroadcastHashJoin" in p
+
+
+def test_theil_sen_pairs_join_on_type(r7_plans):
+    """The pairwise-slope join runs over the DAILY aggregate, keyed
+    per event type — never over raw events."""
+    p = r7_plans["theil_sen_daily_trend"]
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
