@@ -17,8 +17,9 @@ once.
 Ordering caveat (SPRT only, documented): the LLR walk is a
 SEQUENTIAL fold, so micro-batches must arrive in event-time order
 (the availableNow file source delivers files in listing order —
-name ingest files monotonically). Benford has no such requirement:
-digit counts are a commutative monoid.
+name ingest files monotonically). Benford and the KS drift monitor
+(below) have no such requirement: their counts are commutative
+monoids.
 
 Parity: tests/test_stream_audit.py streams the events table in two
 time-split files and asserts both reports EQUAL the batch workloads
@@ -419,4 +420,196 @@ def stream_sprt_monitor(
             q.stop()
     if spark.catalog.tableExists(monitor.state_table):
         spark.catalog.refreshTable(monitor.state_table)
+    return stats
+
+
+# --------------------------------------------------------------------------
+# KS drift monitor — streaming twin of the batch drift_ks_two_period:
+# per-(type, period, cent) counts are a commutative additive monoid,
+# so micro-batches fold in ANY order; only replay needs the watermark.
+# --------------------------------------------------------------------------
+
+
+class StreamKSDriftMonitor:
+    """Persisted two-period value-distribution counters over an
+    events feed, queryable as a KS drift report at any point.
+
+    ``mid_day`` (epoch-day) fixes the period boundary up front — the
+    deployment shape: "compare before/after the release day". The
+    batch workload derives the same boundary from the table's span;
+    the parity test feeds that value in. Counter table size is
+    bounded by |types| x |distinct cents| (the VALUE DOMAIN, not
+    stream volume)."""
+
+    def __init__(self, spark: SparkSession, counters_table: str,
+                 mid_day: int):
+        self.spark = spark
+        self.counters_table = counters_table
+        self.mid_day = int(mid_day)
+
+    def last_batch_id(self) -> int | None:
+        if not self.spark.catalog.tableExists(self.counters_table):
+            return None
+        rows = (
+            self.spark.table(self.counters_table)
+            .filter(F.col("p") == -1)
+            .select("cnt")
+            .collect()
+        )
+        return int(rows[0][0]) if rows else None
+
+    def absorb(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        spark = self.spark
+        wm = self.last_batch_id()
+        if batch_id is not None and wm is not None and batch_id <= wm:
+            return  # replayed batch
+        delta = (
+            batch.select(
+                "event_type",
+                F.when(
+                    F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+                    < self.mid_day, 0
+                ).otherwise(1).alias("p"),
+                F.round(F.col("value") * 100).cast("bigint").alias("c"),
+            )
+            .groupBy("event_type", "p", "c")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        if spark.catalog.tableExists(self.counters_table):
+            merged = (
+                spark.table(self.counters_table)
+                .filter(F.col("p") >= 0)
+                .unionByName(delta)
+                .groupBy("event_type", "p", "c")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            )
+        else:
+            merged = delta
+        # bounded by the value domain, not stream volume — stage
+        # through a local collect so the overwrite doesn't read the
+        # table it replaces (store convention)
+        rows = [tuple(r) for r in merged.collect()]
+        new_wm = max(
+            (x for x in (wm, batch_id) if x is not None), default=None
+        )
+        if new_wm is not None:
+            rows.append(("__batch watermark__", -1, -1, int(new_wm)))
+        out = spark.createDataFrame(
+            rows, "event_type string, p int, c bigint, cnt bigint"
+        )
+        out.write.format("parquet").mode("overwrite").saveAsTable(
+            self.counters_table
+        )
+        spark.catalog.refreshTable(self.counters_table)
+
+    def report(self) -> DataFrame:
+        """Same shape and math as the batch workload: (event_type,
+        n_a, n_b, ks_stat, crit_05, drifted)."""
+        from pyspark.sql import Window as _W
+
+        from datanika_core_spark.workloads.evalmetrics import _KS_CRIT_05
+
+        cnts = self.spark.table(self.counters_table).filter(
+            F.col("p") >= 0
+        )
+        by_val = cnts.groupBy("event_type", "c").agg(
+            F.sum(F.when(F.col("p") == 0, F.col("cnt")).otherwise(0))
+            .cast("bigint").alias("na"),
+            F.sum(F.when(F.col("p") == 1, F.col("cnt")).otherwise(0))
+            .cast("bigint").alias("nb"),
+        )
+        w = (
+            _W.partitionBy("event_type")
+            .orderBy("c")
+            .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+        )
+        cum = by_val.select(
+            "event_type",
+            F.sum("na").over(w).cast("bigint").alias("cuma"),
+            F.sum("nb").over(w).cast("bigint").alias("cumb"),
+        )
+        tot = by_val.groupBy("event_type").agg(
+            F.sum("na").cast("bigint").alias("nat"),
+            F.sum("nb").cast("bigint").alias("nbt"),
+        )
+        ks = (
+            cum.join(F.broadcast(tot), "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.max(
+                    F.abs(
+                        F.col("cuma") * F.col("nbt")
+                        - F.col("cumb") * F.col("nat")
+                    )
+                ).cast("bigint").alias("ks_num")
+            )
+        )
+        stat = F.col("ks_num") * 1.0 / (F.col("nat") * F.col("nbt"))
+        crit = F.lit(_KS_CRIT_05) * F.sqrt(
+            (F.col("nat") + F.col("nbt")) * 1.0
+            / (F.col("nat") * F.col("nbt"))
+        )
+        return (
+            ks.join(tot, "event_type")
+            .select(
+                "event_type",
+                F.col("nat").alias("n_a"),
+                F.col("nbt").alias("n_b"),
+                F.round(stat, 6).alias("ks_stat"),
+                F.round(crit, 6).alias("crit_05"),
+                (stat > crit).alias("drifted"),
+            )
+            .orderBy("event_type")
+        )
+
+
+def stream_ks_drift(
+    spark: SparkSession,
+    source_path: str,
+    monitor: StreamKSDriftMonitor,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = 1,
+    timeout_sec: int = 300,
+) -> AuditStats:
+    """Absorb all currently-available events files (availableNow)
+    into the KS drift monitor; counts are commutative, so file order
+    is irrelevant."""
+    from datanika_core_spark.streaming.jobs import read_event_stream
+
+    stats = AuditStats()
+    sdf = read_event_stream(
+        spark, source_path, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _sink_body(batch_df: DataFrame, batch_id: int) -> None:
+        if spark.catalog.tableExists(monitor.counters_table):
+            spark.catalog.refreshTable(monitor.counters_table)
+        stats.batches += 1
+        n = batch_df.count()
+        stats.arrived += n
+        if n == 0:
+            return
+        monitor.absorb(batch_df, batch_id=batch_id)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from datanika_core_spark.blocks import scoped_blocks
+
+        with scoped_blocks(spark):
+            _sink_body(batch_df, batch_id)
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_ks_")
+    q = (
+        sdf.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation",
+                os.path.join(ckpt, monitor.counters_table))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    if spark.catalog.tableExists(monitor.counters_table):
+        spark.catalog.refreshTable(monitor.counters_table)
     return stats

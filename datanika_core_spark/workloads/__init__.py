@@ -74,7 +74,7 @@ CHECK_FIRST = [
     "source_divergence_jsd", "collocation_pmi_bigrams",
     "drift_ks_two_period", "token_typo_pairs_fastss",
     "privacy_t_closeness", "theil_sen_daily_trend",
-    "interval_overlap_supplier_transit",
+    "interval_overlap_supplier_transit", "keyword_textrank",
     # new in round 6 (ex-rows-only iterative ops with fresh
     # recursive-CTE oracles, + the round-6 additions)
     "bpe_learned_merges", "unigram_lm_vocab",

@@ -1150,3 +1150,185 @@ def mixture_resample_temperature(
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# TextRank keyword scoring — PageRank over the token adjacency
+# co-occurrence graph (Mihalcea & Tarau 2004): the graph-centrality
+# keyword signal next to TF-IDF (frequency) and PMI (collocation).
+# --------------------------------------------------------------------------
+
+from datanika_core_spark.workloads.graph import (  # noqa: E402
+    _PR_D as _TR_D,
+    _o_pr_iter as _tr_iter,
+)
+
+_TR_PR_ITERS = 4
+
+_O_TR_CHAIN = ",".join(
+    _tr_iter(f"pr{i - 1}" if i > 1 else "pr0", i)
+    for i in range(1, _TR_PR_ITERS + 1)
+)
+
+
+@workload(
+    "keyword_textrank",
+    oracle=f"""
+WITH toklists AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> [toks[i], toks[i + 1]])) AS pr
+  FROM toklists WHERE len(toks) >= 2
+),
+dir_edges AS (
+  SELECT pr[1] AS a, pr[2] AS b FROM pairs
+  WHERE pr[1] <> '' AND pr[2] <> '' AND pr[1] <> pr[2]
+),
+edges AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+    SELECT a AS src, b AS dst FROM dir_edges
+    UNION ALL
+    SELECT b AS src, a AS dst FROM dir_edges
+  ) GROUP BY src, dst
+),
+nodes AS (
+  SELECT DISTINCT tok AS node FROM (
+    SELECT unnest(toks) AS tok FROM toklists
+  ) WHERE tok <> ''
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS total_w
+         FROM edges GROUP BY src),
+pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+{_O_TR_CHAIN},
+deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS n_neighbors,
+         CAST(sum(w) AS BIGINT) AS cooc_w
+  FROM edges GROUP BY src
+)
+SELECT p.node AS token,
+       round(p.pr, 6) AS textrank,
+       coalesce(d.n_neighbors, 0) AS n_neighbors,
+       coalesce(d.cooc_w, 0) AS cooc_w
+FROM pr{_TR_PR_ITERS} p LEFT JOIN deg d ON d.node = p.node
+ORDER BY token
+""",
+)
+def keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword centrality (Mihalcea & Tarau 2004): weighted
+    PageRank (d=0.85, {it} iterations, dangling mass redistributed)
+    over the token ADJACENCY graph — tokens are nodes, each adjacent
+    ordered pair contributes weight in both directions. A token
+    ranks high when its NEIGHBORS rank high, which separates
+    structural hub words from merely frequent ones — the
+    graph-centrality signal next to TF-IDF (pure frequency) and PMI
+    (pairwise surprise); co-occurrence degree columns ship alongside
+    so the three are comparable per token.
+
+    Determinism: edge weights and degrees are exact BIGINT; the rank
+    vector is the same recurrence as pagerank_event_transitions
+    (shared iteration fragment, shared damping), and the output
+    orders by TOKEN, never by the float rank — cross-engine
+    float-sum ordering can never flip a row.
+
+    Scale: edge extraction is one explode + combiner groupBy (the
+    bigram shape); the graph collapses to |vocab|² at most and in
+    practice to the co-occurrence support, so iterations run on the
+    REDUCED graph with broadcast rank vectors — corpus volume is
+    paid exactly once, in the first groupBy. RollingCheckpoint
+    truncates lineage per iteration (O(1) blocks in iterations)."""
+    from datanika_core_spark.blocks import RollingCheckpoint
+
+    docs = t(spark, sf_dir, "documents")
+    toklists = docs.select(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    )
+    dir_edges = (
+        toklists.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) as a,"
+                    " element_at(toks, i + 1) as b))"
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .filter(
+            (F.col("a") != "") & (F.col("b") != "")
+            & (F.col("a") != F.col("b"))
+        )
+    )
+    edges = (
+        dir_edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(
+            dir_edges.select(
+                F.col("b").alias("src"), F.col("a").alias("dst")
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .cache()  # reduced graph feeds every iteration (persist a
+        # warehouse table at corpus scale — same note as PageRank)
+    )
+    nodes = (
+        toklists.select(F.explode("toks").alias("node"))
+        .filter(F.col("node") != "")
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    outw = edges.groupBy("src").agg(
+        F.sum("w").cast("bigint").alias("total_w")
+    )
+    ew = edges.join(outw, "src")
+    no_out = nodes.join(outw, nodes.node == outw.src, "left_anti").cache()
+
+    pr = nodes.withColumn("pr", F.lit(1.0) / F.lit(float(n)))
+    roll = RollingCheckpoint(spark)
+    for it in range(_TR_PR_ITERS):
+        dang = (
+            pr.join(F.broadcast(no_out), "node", "left_semi")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dmass"))
+        )
+        contrib = (
+            ew.join(F.broadcast(pr), ew.src == pr.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("w") / F.col("total_w"))
+                 .alias("c"))
+        )
+        pr = (
+            nodes.join(F.broadcast(dang))
+            .join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (F.lit((1.0 - _TR_D) / n)
+                 + F.lit(_TR_D)
+                 * (F.coalesce(F.col("c"), F.lit(0.0))
+                    + F.col("dmass") / F.lit(float(n)))).alias("pr"),
+            )
+        )
+        if it < _TR_PR_ITERS - 1:
+            pr = roll(pr)
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+        F.sum("w").cast("bigint").alias("cooc_w"),
+    ).withColumnRenamed("src", "node")
+    return (
+        pr.join(deg, "node", "left")
+        .select(
+            F.col("node").alias("token"),
+            F.round("pr", 6).alias("textrank"),
+            F.coalesce("n_neighbors", F.lit(0)).cast("bigint")
+            .alias("n_neighbors"),
+            F.coalesce("cooc_w", F.lit(0)).cast("bigint").alias("cooc_w"),
+        )
+        .orderBy("token")
+    )
+
+
+keyword_textrank.__doc__ = keyword_textrank.__doc__.format(it=_TR_PR_ITERS)

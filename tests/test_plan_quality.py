@@ -381,6 +381,7 @@ def test_triangle_closure_broadcast_gated(spark, monkeypatch):
 
 _R7_FAMILIES = [
     "pca_top_component",
+    "keyword_textrank",
     "privacy_t_closeness",
     "theil_sen_daily_trend",
     "interval_overlap_supplier_transit",
@@ -414,6 +415,16 @@ def test_r7_no_python_row_udfs(r7_plans):
     anywhere in the round-7 plans."""
     for name, p in r7_plans.items():
         assert "BatchEvalPython" not in p, name
+
+
+def test_textrank_iterations_on_reduced_graph(r7_plans):
+    """TextRank's final plan must show broadcast rank-vector joins
+    (the reduced-graph iteration shape shared with PageRank), and the
+    rank vector must come from RollingCheckpoint scans rather than a
+    re-derived lineage."""
+    p = r7_plans["keyword_textrank"]
+    assert "BroadcastHashJoin" in p
+    assert "Scan ExistingRDD" in p  # the checkpointed rank vector
 
 
 def test_pca_gram_is_single_scan(spark):

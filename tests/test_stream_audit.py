@@ -30,6 +30,11 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def _write_one(df, staged, dst):
+    df.coalesce(1).write.parquet(str(staged))
+    shutil.copy(next(staged.glob("part-*.parquet")), dst)
+
+
 def _split_by_time(spark, tmp_path, name):
     """Events split at the median ts into two files (f0 strictly
     earlier), so availableNow listing order preserves event order."""
@@ -87,4 +92,48 @@ def test_stream_sprt_matches_batch(spark, tmp_path):
     mon.absorb(ev, batch_id=1)
     assert _rows(mon.report()) == got
     assert mon.last_batch_id() == 1
+    assert persistent_rdd_ids(spark) == set()
+
+
+def test_stream_ks_drift_matches_batch(spark, tmp_path):
+    """KS counters are commutative: streaming the events table in
+    two arbitrary (id-parity) files must reproduce the batch
+    drift_ks_two_period report exactly, and a redelivered batch_id
+    must be a no-op."""
+    from datanika_core_spark.streaming.audit import (
+        StreamKSDriftMonitor,
+        stream_ks_drift,
+    )
+    from datanika_core_spark.workloads.evalmetrics import (
+        drift_ks_two_period,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS ks_mon")
+    release_blocks(spark)
+    ev = read_table(spark, f"{SF}/events.parquet")
+    # the same midpoint day the batch workload derives from the span
+    mid = ev.select(
+        F.expr(
+            "(min(datediff(to_date(ts), '1970-01-01'))"
+            " + max(datediff(to_date(ts), '1970-01-01')) + 1) div 2"
+        )
+    ).collect()[0][0]
+
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    src = tmp_path / "ks_src"
+    src.mkdir()
+    for i, b in enumerate((b1, b2)):
+        _write_one(b, tmp_path / f"ks_s{i}", src / f"f{i}.parquet")
+
+    mon = StreamKSDriftMonitor(spark, "ks_mon", mid_day=mid)
+    stats = stream_ks_drift(
+        spark, str(src), mon, checkpoint_dir=str(tmp_path / "ckk")
+    )
+    assert stats.batches == 2
+    got = _rows(mon.report())
+    want = _rows(drift_ks_two_period(spark, SF))
+    assert got == want
+    mon.absorb(ev, batch_id=1)  # redelivery — no-op
+    assert _rows(mon.report()) == got
     assert persistent_rdd_ids(spark) == set()
