@@ -1,18 +1,22 @@
 """Streaming forensic-audit twins — incremental forms of the batch
-``dq_benford_first_digit`` (workloads/dataquality.py) and
-``abtest_sprt_sequential`` (workloads/stats.py), both additive-
-counter shapes reusing the DQ-monitor pattern (streaming/dq.py):
-per-batch deltas fold into a tiny persisted state table, so "does
-this feed still look Benford?" / "can we stop the experiment yet?"
-are answerable at any point of the stream without rescanning
-history.
+``dq_benford_first_digit`` (workloads/dataquality.py),
+``abtest_sprt_sequential`` / ``abtest_mann_whitney_u``
+(workloads/stats.py), and ``drift_ks_two_period``
+(workloads/evalmetrics.py) — all additive-counter shapes reusing
+the DQ-monitor pattern (streaming/dq.py): per-batch deltas fold
+into a persisted state table, so "does this feed still look
+Benford?" / "can we stop the experiment yet?" / "has the
+distribution drifted?" are answerable at any point of the stream
+without rescanning history.
 
 State sizes: Benford is 9 digit counters; SPRT is 5 scalars per
-experiment arm. Both absorb() paths carry the same batch-id
-watermark as the CMS/DQ stores (the counters are not idempotent),
-so a micro-batch redelivered after a crash between the state
-overwrite and the streaming-checkpoint commit is applied exactly
-once.
+experiment arm; the KS and Mann-Whitney grids are bounded by the
+VALUE DOMAIN (|types| x |distinct cents|, 2 x |distinct cents|),
+never by stream volume. Every absorb() path carries the same
+batch-id watermark as the CMS/DQ stores (the counters are not
+idempotent), so a micro-batch redelivered after a crash between
+the state overwrite and the streaming-checkpoint commit is applied
+exactly once.
 
 Ordering caveat (SPRT only, documented): the LLR walk is a
 SEQUENTIAL fold, so micro-batches must arrive in event-time order
@@ -598,6 +602,186 @@ def stream_ks_drift(
             _sink_body(batch_df, batch_id)
 
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_ks_")
+    q = (
+        sdf.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation",
+                os.path.join(ckpt, monitor.counters_table))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    if spark.catalog.tableExists(monitor.counters_table):
+        spark.catalog.refreshTable(monitor.counters_table)
+    return stats
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney monitor — streaming twin of abtest_mann_whitney_u:
+# the (variant, cent) count grid is a commutative additive monoid
+# (ranks are recomputed from the grid at report time), so micro-
+# batches fold in any order; only replay needs the watermark.
+# --------------------------------------------------------------------------
+
+
+class StreamMannWhitneyMonitor:
+    """Persisted per-(variant, cent) trial counters over a purchases
+    feed, queryable as the full rank-sum test report at any point.
+    Counter table size is bounded by 2 x |distinct cents| (the value
+    domain, not stream volume)."""
+
+    def __init__(self, spark: SparkSession, counters_table: str):
+        self.spark = spark
+        self.counters_table = counters_table
+
+    def last_batch_id(self) -> int | None:
+        if not self.spark.catalog.tableExists(self.counters_table):
+            return None
+        rows = (
+            self.spark.table(self.counters_table)
+            .filter(F.col("variant") == -1)
+            .select("cnt")
+            .collect()
+        )
+        return int(rows[0][0]) if rows else None
+
+    def absorb(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        spark = self.spark
+        wm = self.last_batch_id()
+        if batch_id is not None and wm is not None and batch_id <= wm:
+            return  # replayed batch
+        delta = (
+            batch.filter(F.col("event_type") == "purchase")
+            .select(
+                F.expr(
+                    "pmod("
+                    + _spark_hash("concat('ab-', cast(user_id as string))")
+                    + ", 2)"
+                ).cast("int").alias("variant"),
+                F.round(F.col("value") * 100).cast("bigint").alias("c"),
+            )
+            .groupBy("variant", "c")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        if spark.catalog.tableExists(self.counters_table):
+            merged = (
+                spark.table(self.counters_table)
+                .filter(F.col("variant") >= 0)
+                .unionByName(delta)
+                .groupBy("variant", "c")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            )
+        else:
+            merged = delta
+        rows = [tuple(r) for r in merged.collect()]  # value-domain bound
+        new_wm = max(
+            (x for x in (wm, batch_id) if x is not None), default=None
+        )
+        if new_wm is not None:
+            rows.append((-1, -1, int(new_wm)))
+        out = spark.createDataFrame(
+            rows, "variant int, c bigint, cnt bigint"
+        )
+        out.write.format("parquet").mode("overwrite").saveAsTable(
+            self.counters_table
+        )
+        spark.catalog.refreshTable(self.counters_table)
+
+    def report(self) -> DataFrame:
+        """Same shape and math as the batch workload: (n_a, n_b,
+        u_a, u_b, z, rank_biserial) — ranks recomputed from the
+        stored grid, so the streamed report is IDENTICAL to the
+        batch one, not an approximation."""
+        from pyspark.sql import Window as _W
+
+        cnts = self.spark.table(self.counters_table).filter(
+            F.col("variant") >= 0
+        )
+        by_val = cnts.groupBy("c").agg(
+            F.sum(F.when(F.col("variant") == 0, F.col("cnt")).otherwise(0))
+            .cast("bigint").alias("na"),
+            F.sum("cnt").cast("bigint").alias("cnt"),
+        )
+        w = _W.orderBy("c").rowsBetween(_W.unboundedPreceding, -1)
+        ranked = by_val.select(
+            "na", "cnt",
+            F.coalesce(F.sum("cnt").over(w), F.lit(0))
+            .cast("bigint").alias("cumb"),
+        )
+        agg = ranked.agg(
+            F.sum("na").cast("bigint").alias("n1"),
+            F.sum(F.col("cnt") - F.col("na")).cast("bigint").alias("n2"),
+            F.sum(F.col("na") * (2 * F.col("cumb") + F.col("cnt") + 1))
+            .cast("bigint").alias("r1_2"),
+            F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+            .cast("bigint").alias("tie_t"),
+        )
+        st = agg.select(
+            "n1", "n2", (F.col("n1") + F.col("n2")).alias("n"),
+            ((F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)) / 2.0)
+            .alias("u1"),
+            "tie_t",
+        )
+        return st.select(
+            F.col("n1").alias("n_a"),
+            F.col("n2").alias("n_b"),
+            F.round("u1", 6).alias("u_a"),
+            F.round(F.col("n1") * F.col("n2") - F.col("u1"), 6)
+            .alias("u_b"),
+            F.round(
+                (F.col("u1") - F.col("n1") * F.col("n2") / 2.0)
+                / F.sqrt(
+                    F.col("n1") * F.col("n2") / 12.0
+                    * ((F.col("n") + 1)
+                       - F.col("tie_t") * 1.0
+                       / (F.col("n") * (F.col("n") - 1)))
+                ),
+                6,
+            ).alias("z"),
+            F.round(
+                1 - 2.0 * F.col("u1") / (F.col("n1") * F.col("n2")), 6
+            ).alias("rank_biserial"),
+        )
+
+
+def stream_mann_whitney(
+    spark: SparkSession,
+    source_path: str,
+    monitor: StreamMannWhitneyMonitor,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = 1,
+    timeout_sec: int = 300,
+) -> AuditStats:
+    """Absorb all currently-available events files (availableNow)
+    into the Mann-Whitney monitor; counts are commutative, so file
+    order is irrelevant."""
+    from datanika_core_spark.streaming.jobs import read_event_stream
+
+    stats = AuditStats()
+    sdf = read_event_stream(
+        spark, source_path, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _sink_body(batch_df: DataFrame, batch_id: int) -> None:
+        if spark.catalog.tableExists(monitor.counters_table):
+            spark.catalog.refreshTable(monitor.counters_table)
+        stats.batches += 1
+        n = batch_df.count()
+        stats.arrived += n
+        if n == 0:
+            return
+        monitor.absorb(batch_df, batch_id=batch_id)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from datanika_core_spark.blocks import scoped_blocks
+
+        with scoped_blocks(spark):
+            _sink_body(batch_df, batch_id)
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_mw_")
     q = (
         sdf.writeStream.foreachBatch(_sink)
         .option("checkpointLocation",

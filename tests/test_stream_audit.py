@@ -137,3 +137,37 @@ def test_stream_ks_drift_matches_batch(spark, tmp_path):
     mon.absorb(ev, batch_id=1)  # redelivery — no-op
     assert _rows(mon.report()) == got
     assert persistent_rdd_ids(spark) == set()
+
+
+def test_stream_mann_whitney_matches_batch(spark, tmp_path):
+    """Rank-sum counters are commutative: streaming the events table
+    in two arbitrary (id-parity) files must reproduce the batch
+    abtest_mann_whitney_u report exactly (ranks recompute from the
+    stored grid), and a redelivered batch_id must be a no-op."""
+    from datanika_core_spark.streaming.audit import (
+        StreamMannWhitneyMonitor,
+        stream_mann_whitney,
+    )
+    from datanika_core_spark.workloads.stats import abtest_mann_whitney_u
+
+    spark.sql("DROP TABLE IF EXISTS mw_mon")
+    release_blocks(spark)
+    ev = read_table(spark, f"{SF}/events.parquet")
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    src = tmp_path / "mw_src"
+    src.mkdir()
+    for i, b in enumerate((b1, b2)):
+        _write_one(b, tmp_path / f"mw_s{i}", src / f"f{i}.parquet")
+
+    mon = StreamMannWhitneyMonitor(spark, "mw_mon")
+    stats = stream_mann_whitney(
+        spark, str(src), mon, checkpoint_dir=str(tmp_path / "ckm")
+    )
+    assert stats.batches == 2
+    got = _rows(mon.report())
+    want = _rows(abtest_mann_whitney_u(spark, SF))
+    assert got == want
+    mon.absorb(ev, batch_id=1)  # redelivery — no-op
+    assert _rows(mon.report()) == got
+    assert persistent_rdd_ids(spark) == set()
