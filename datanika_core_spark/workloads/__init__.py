@@ -75,6 +75,7 @@ CHECK_FIRST = [
     "drift_ks_two_period", "token_typo_pairs_fastss",
     "privacy_t_closeness", "theil_sen_daily_trend",
     "interval_overlap_supplier_transit", "keyword_textrank",
+    "events_twap_daily", "weighted_median_price_brand",
     # new in round 6 (ex-rows-only iterative ops with fresh
     # recursive-CTE oracles, + the round-6 additions)
     "bpe_learned_merges", "unigram_lm_vocab",

@@ -1371,3 +1371,100 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_days")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average value (TWAP) per day — the irregular-sampling
+# average the plain daily mean gets wrong: an event's value holds
+# until the NEXT event, so sparse periods weigh by their duration.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "events_twap_daily",
+    oracle="""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         epoch_us(ts) // 1000000 AS sec,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         event_id
+  FROM events
+),
+stepped AS (
+  SELECT event_type, day, c,
+         coalesce(
+           lead(sec) OVER (PARTITION BY event_type, day
+                           ORDER BY sec, event_id),
+           epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP)) // 1000000
+         ) - sec AS w
+  FROM ev
+),
+agg AS (
+  SELECT event_type, day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(c * w) AS BIGINT) AS num,
+         CAST(sum(w) AS BIGINT) AS den,
+         CAST(sum(c) AS BIGINT) AS csum
+  FROM stepped GROUP BY event_type, day
+)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day, n_events,
+       ROUND(num * 1.0 / den / 100, 6) AS twap,
+       ROUND(csum * 1.0 / n_events / 100, 6) AS plain_avg
+FROM agg
+ORDER BY event_type, day
+""",
+)
+def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (event type, day): each
+    event's value holds until the next event of that type that day
+    (the last one holds to midnight), so the average weighs by
+    HOLDING TIME — the correct summary for irregularly-sampled
+    series, where the plain mean over-weights bursts. Both averages
+    ship so the gap itself is the burstiness signal.
+
+    Integer-exactness: timestamps collapse to whole epoch seconds
+    and values to BIGINT cents, so numerator Σ c·w and denominator
+    Σ w are exact BIGINTs in both engines (second resolution keeps
+    Σ c·w far inside 64 bits at any realistic per-day volume; micros
+    would overflow at ~1e19); the one division happens at the end.
+
+    Scale: one (type, day)-keyed window for the lead() step weights
+    — the same partitioned-walk shape as the sessionize and CUSUM
+    workloads — then a combiner groupBy to |types|x|days| rows."""
+    from pyspark.sql import Window as _W
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+        .alias("sec"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        "event_id",
+    )
+    w = _W.partitionBy("event_type", "day").orderBy("sec", "event_id")
+    stepped = ev.select(
+        "event_type", "day", "c",
+        (
+            F.coalesce(
+                F.lead("sec").over(w),
+                F.expr(
+                    "unix_micros(cast(cast(day + interval 1 day as"
+                    " timestamp) as timestamp)) div 1000000"
+                ),
+            ) - F.col("sec")
+        ).alias("w"),
+    )
+    agg = stepped.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("c") * F.col("w")).cast("bigint").alias("num"),
+        F.sum("w").cast("bigint").alias("den"),
+        F.sum("c").cast("bigint").alias("csum"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("day").cast("timestamp").alias("day"),
+        "n_events",
+        F.round(F.col("num") * 1.0 / F.col("den") / 100, 6).alias("twap"),
+        F.round(F.col("csum") * 1.0 / F.col("n_events") / 100, 6)
+        .alias("plain_avg"),
+    ).orderBy("event_type", "day")

@@ -1414,3 +1414,117 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact weighted median — the weighted order statistic the unweighted
+# bottom-k quantile sketches don't cover: "the price at which half
+# the SHIPPED QUANTITY is cheaper", per brand.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "weighted_median_price_brand",
+    oracle="""
+WITH li AS (
+  SELECT p.p_brand AS brand,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS c,
+         CAST(l.l_quantity AS BIGINT) AS q
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+by_val AS (
+  SELECT brand, c, CAST(sum(q) AS BIGINT) AS w
+  FROM li GROUP BY brand, c
+),
+cum AS (
+  SELECT brand, c, w,
+         CAST(sum(w) OVER (PARTITION BY brand ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cw,
+         CAST(sum(w) OVER (PARTITION BY brand) AS BIGINT) AS tw
+  FROM by_val
+),
+med AS (
+  SELECT brand, min(c) AS med_c FROM cum
+  WHERE cw * 2 >= tw GROUP BY brand
+),
+stats AS (
+  SELECT brand, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(q) AS BIGINT) AS total_qty,
+         CAST(sum(c * q) AS BIGINT) AS wsum
+  FROM li GROUP BY brand
+)
+SELECT s.brand, s.n_lines, s.total_qty,
+       m.med_c AS wmedian_cents,
+       ROUND(m.med_c / 100.0, 6) AS wmedian_price,
+       ROUND(s.wsum * 1.0 / s.total_qty / 100, 6) AS wmean_price
+FROM stats s JOIN med m ON m.brand = s.brand
+ORDER BY s.brand
+""",
+)
+def weighted_median_price_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-weighted median line price per part brand —
+    the weighted order statistic ("the price below which half the
+    shipped units sell") that the unweighted bottom-k quantile
+    sketches cannot answer; the weighted mean ships alongside so the
+    skew (mean − median gap) is read off directly. The median is the
+    lower weighted median: the smallest price whose cumulative
+    weight reaches half the total — 2·cw ≥ tw is an exact BIGINT
+    comparison, so there is no interpolation and no float anywhere
+    before the display columns.
+
+    Scale: the part join broadcasts the dimension; everything else
+    is a combiner groupBy to |brands|x|distinct cents| rows plus a
+    per-brand windowed prefix sum over that grid — the same
+    collapse-then-walk shape as the KS and t-closeness workloads."""
+    from pyspark.sql import Window as _W
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint").alias("c"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+    )
+    by_val = li.groupBy("brand", "c").agg(
+        F.sum("q").cast("bigint").alias("w")
+    )
+    wcum = (
+        _W.partitionBy("brand")
+        .orderBy("c")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    cum = by_val.select(
+        "brand", "c",
+        F.sum("w").over(wcum).cast("bigint").alias("cw"),
+        F.sum("w").over(_W.partitionBy("brand")).cast("bigint").alias("tw"),
+    )
+    med = (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("brand")
+        .agg(F.min("c").alias("med_c"))
+    )
+    stats = li.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("q").cast("bigint").alias("total_qty"),
+        F.sum(F.col("c") * F.col("q")).cast("bigint").alias("wsum"),
+    )
+    return (
+        stats.join(med, "brand")
+        .select(
+            "brand", "n_lines", "total_qty",
+            F.col("med_c").alias("wmedian_cents"),
+            F.round(F.col("med_c") / 100.0, 6).alias("wmedian_price"),
+            F.round(F.col("wsum") * 1.0 / F.col("total_qty") / 100, 6)
+            .alias("wmean_price"),
+        )
+        .orderBy("brand")
+    )

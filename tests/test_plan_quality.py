@@ -382,6 +382,8 @@ def test_triangle_closure_broadcast_gated(spark, monkeypatch):
 _R7_FAMILIES = [
     "pca_top_component",
     "keyword_textrank",
+    "events_twap_daily",
+    "weighted_median_price_brand",
     "privacy_t_closeness",
     "theil_sen_daily_trend",
     "interval_overlap_supplier_transit",
@@ -478,3 +480,12 @@ def test_theil_sen_pairs_join_on_type(r7_plans):
     p = r7_plans["theil_sen_daily_trend"]
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_weighted_median_dimension_broadcast(r7_plans):
+    """The part-brand dimension must broadcast into the lineitem
+    scan; the median selection is windows over the collapsed
+    (brand, cent) grid."""
+    p = r7_plans["weighted_median_price_brand"]
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
