@@ -69,6 +69,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: newest additions first.
 CHECK_FIRST = [
     # new in round 7
+    "pca_top2_deflation", "calibration_isotonic_pav",
+    "bootstrap_ci_poisson", "abtest_cuped_readout",
+    "events_binseg_changepoint", "market_hhi_concentration",
+    "feature_target_encoding_oof", "multiple_testing_bh",
+    "attribution_shapley_coalitions", "markov_conversion_horizon",
+    "abtest_did_readout",
     "zorder_skip_rate_sampled", "pca_top_component",
     "heavy_hitters_misra_gries", "abtest_mann_whitney_u",
     "source_divergence_jsd", "collocation_pmi_bigrams",

@@ -669,3 +669,143 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch")
     )
+
+
+# --------------------------------------------------------------------------
+# Shapley-value channel attribution over the coalition lattice.
+# --------------------------------------------------------------------------
+
+_SHAP_CHANNELS = [("click", 1), ("error", 2), ("signup", 4), ("view", 8)]
+_SHAP_N = len(_SHAP_CHANNELS)
+# 24·w(|S|) for n=4: |S|!·(n−1−|S|)!/n! × 4! — exact integers
+_SHAP_W24 = {0: 6, 1: 2, 2: 2, 3: 6}
+
+
+@workload(
+    "attribution_shapley_coalitions",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         + 2 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+         + 8 * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS m,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+tot AS (SELECT count(*) AS nu FROM per_user),
+grid AS (SELECT m, count(*) AS n, sum(conv) AS c FROM per_user GROUP BY m),
+coal AS (SELECT unnest(range(16)) AS s),
+sub AS (
+  SELECT coal.s AS s, coalesce(sum(g.c), 0) AS csub
+  FROM coal LEFT JOIN grid g ON (g.m & coal.s) = g.m
+  GROUP BY coal.s
+),
+terms AS (
+  SELECT ch.ch AS channel, coal.s AS s, coal.s + ch.b AS su,
+         CASE bit_count(CAST(coal.s AS BIGINT))
+              WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END AS w
+  FROM coal
+  CROSS JOIN (VALUES ('click', 1), ('error', 2),
+              ('signup', 4), ('view', 8)) ch(ch, b)
+  WHERE (coal.s & ch.b) = 0
+),
+phi AS (
+  SELECT t.channel AS channel,
+         CAST(sum(t.w * (su.csub - s0.csub)) AS BIGINT) AS phi_units
+  FROM terms t
+  JOIN sub su ON su.s = t.su
+  JOIN sub s0 ON s0.s = t.s
+  GROUP BY t.channel
+),
+tt AS (SELECT sum(phi_units) AS total_units FROM phi)
+SELECT phi.channel AS channel,
+       phi.phi_units AS phi_units,
+       ROUND(phi.phi_units * 1.0 / (24.0 * tot.nu), 6) AS shapley_rate,
+       ROUND(phi.phi_units * 1.0 / tt.total_units, 6) AS credit_share
+FROM phi CROSS JOIN tot CROSS JOIN tt
+ORDER BY channel
+""",
+)
+def attribution_shapley_coalitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shapley-value (data-driven) channel attribution: each user's
+    journey collapses to the SET of touch channels seen (a 4-bit
+    mask over click/error/signup/view), the coalition value v(S) is
+    the count of converted users whose journey fits inside S, and
+    each channel's credit is the exact Shapley average of its
+    marginal contributions over the 2⁴ coalition lattice — the
+    game-theoretic attribution that position rules (last-touch,
+    linear, time-decay — all implemented above) only approximate.
+    Purchase-only journeys (empty mask) form v(∅), the
+    unattributable baseline the credits correctly exclude.
+
+    Determinism: coalition values are integer user counts; the
+    factorial Shapley weights enter as the exact integers 24·w(|S|)
+    ∈ {{6,2,2,6}}, so every φ is a BIGINT in 1/24-conversion units;
+    rates and shares are exact-integer ratios rounded for display.
+
+    Scale: ONE user groupBy collapses any corpus to ≤2⁴ mask rows
+    (one scan, one user-keyed shuffle — pinned by
+    tests/test_plan_quality.py on the grid frame); the lattice
+    arithmetic (subset sums, marginal averages) runs on those ≤16
+    collected rows as exact driver integers — the same
+    one-scan-then-driver-scalars shape as the PCA gram. n channels
+    grows the lattice 2ⁿ but never touches the fact scan again; at
+    10+ channels you'd sample permutations instead — the lattice
+    form here is exact."""
+    grid_rows = _shapley_grid(spark, sf_dir).collect()  # ≤16 rows
+    n_by_mask = {int(r["m"]): int(r["n"]) for r in grid_rows}
+    c_by_mask = {int(r["m"]): int(r["c"]) for r in grid_rows}
+    nu = sum(n_by_mask.values())
+    csub = {
+        s_: sum(c for m, c in c_by_mask.items() if (m & s_) == m)
+        for s_ in range(16)
+    }
+    phi_units = {}
+    for ch, b in _SHAP_CHANNELS:
+        phi_units[ch] = sum(
+            _SHAP_W24[bin(s_).count("1")] * (csub[s_ | b] - csub[s_])
+            for s_ in range(16)
+            if (s_ & b) == 0
+        )
+    total_units = sum(phi_units.values())
+    out = spark.createDataFrame(
+        [
+            (ch, phi_units[ch],
+             phi_units[ch] * 1.0 / (24.0 * nu),
+             phi_units[ch] * 1.0 / total_units)
+            for ch, _ in _SHAP_CHANNELS
+        ],
+        "channel string, phi_units bigint, shapley_rate double,"
+        " credit_share double",
+    )
+    return out.select(
+        "channel",
+        "phi_units",
+        F.round("shapley_rate", 6).alias("shapley_rate"),
+        F.round("credit_share", 6).alias("credit_share"),
+    ).orderBy("channel")
+
+
+def _shapley_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of the Shapley workload: journeys
+    collapsed to ≤2⁴ (mask, n_users, n_converted) rows in one scan +
+    one user-keyed combiner groupBy. Separate frame so the plan
+    shape is pinnable."""
+    ev = t(spark, sf_dir, "events")
+    mask = None
+    for ch, b in _SHAP_CHANNELS:
+        flag = F.max(F.when(F.col("event_type") == ch, 1).otherwise(0))
+        mask = flag * b if mask is None else mask + flag * b
+    per_user = ev.groupBy("user_id").agg(
+        mask.alias("m"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    return per_user.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("c"),
+    )

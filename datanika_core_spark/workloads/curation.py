@@ -818,3 +818,121 @@ def weighted_sample_aes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 weighted_sample_aes_docs.__doc__ = weighted_sample_aes_docs.__doc__.format(
     k=_AES_K
 )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe out-of-fold target encoding.
+# --------------------------------------------------------------------------
+
+_TE_K = 5       # folds
+_TE_ALPHA = 20  # smoothing pseudo-count toward the global mean
+
+
+@workload(
+    "feature_target_encoding_oof",
+    oracle=f"""
+WITH base AS (
+  SELECT n.n_name AS nation,
+         ('0x'||substring(md5('te-' || CAST(o.o_orderkey AS VARCHAR)),1,15))
+           ::BIGINT % {_TE_K} AS fold,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+cell AS (
+  SELECT nation, fold, count(*) AS n_f, sum(cents) AS s_f
+  FROM base GROUP BY 1, 2
+),
+cat AS (
+  SELECT nation, sum(n_f) AS n_c, sum(s_f) AS s_c
+  FROM cell GROUP BY 1
+),
+tot AS (SELECT sum(n_c) AS n_t, sum(s_c) AS s_t FROM cat)
+SELECT cell.nation AS nation,
+       CAST(cell.fold AS BIGINT) AS fold,
+       CAST(cell.n_f AS BIGINT) AS n_in_fold,
+       CAST(cat.n_c - cell.n_f AS BIGINT) AS n_leave,
+       ROUND(((cat.s_c - cell.s_f) * 1.0
+              + {_TE_ALPHA} * (tot.s_t * 1.0 / tot.n_t))
+             / (cat.n_c - cell.n_f + {_TE_ALPHA}) / 100.0, 4)
+         AS oof_encoding,
+       ROUND(cat.s_c * 1.0 / cat.n_c / 100.0, 4) AS naive_encoding
+FROM cell JOIN cat ON cat.nation = cell.nation CROSS JOIN tot
+ORDER BY nation, fold
+""",
+)
+def feature_target_encoding_oof(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leakage-safe target encoding of the customer's nation against
+    order value: rows are hash-assigned to {_TE_K} folds, and the
+    encoding served to fold f is the smoothed mean computed from the
+    OTHER folds only — (S_c − S_f + α·ȳ) / (n_c − n_f + α) — the
+    out-of-fold construction that stops the target of a training row
+    from leaking into its own feature (the classic way naive target
+    encoding inflates offline metrics). Emits the OOF encoding per
+    (category, fold) next to the naive all-data encoding so the gap
+    is visible.
+
+    Determinism: fold assignment is the md5 bucket; every sum/count
+    is BIGINT; the smoothed blend is one fixed-order float expression
+    of integers in both engines.
+
+    Scale: one fact scan with dimension joins, a combiner groupBy to
+    the |categories|×k cell grid, then grid-sized rollups — the
+    leave-one-fold-out subtraction means k-fold encoding costs ONE
+    pass, not k passes. At 100 TB with high-cardinality categories
+    the cell grid is still |categories|×k rows, shuffled once on the
+    natural key."""
+    ords = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    base = (
+        ords.join(cust, ords.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            (
+                F.expr(
+                    _spark_hash(
+                        "concat('te-', cast(o_orderkey as string))"
+                    )
+                )
+                % _TE_K
+            ).alias("fold"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+            .alias("cents"),
+        )
+    )
+    cell = base.groupBy("nation", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_f"),
+        F.sum("cents").alias("s_f"),
+    )
+    wc = Window.partitionBy("nation")
+    wt = Window.partitionBy()
+    grid = cell.select(
+        "nation", "fold", "n_f", "s_f",
+        F.sum("n_f").over(wc).alias("n_c"),
+        F.sum("s_f").over(wc).alias("s_c"),
+        F.sum("n_f").over(wt).alias("n_t"),
+        F.sum("s_f").over(wt).alias("s_t"),
+    )
+    return grid.select(
+        "nation",
+        F.col("fold").cast("bigint").alias("fold"),
+        F.col("n_f").alias("n_in_fold"),
+        (F.col("n_c") - F.col("n_f")).cast("bigint").alias("n_leave"),
+        F.round(
+            (
+                (F.col("s_c") - F.col("s_f")) * 1.0
+                + _TE_ALPHA * (F.col("s_t") * 1.0 / F.col("n_t"))
+            )
+            / (F.col("n_c") - F.col("n_f") + _TE_ALPHA)
+            / 100.0,
+            4,
+        ).alias("oof_encoding"),
+        F.round(
+            F.col("s_c") * 1.0 / F.col("n_c") / 100.0, 4
+        ).alias("naive_encoding"),
+    ).orderBy("nation", "fold")

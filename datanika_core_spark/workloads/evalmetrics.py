@@ -800,3 +800,163 @@ def drift_ks_two_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Isotonic calibration (PAV) of the frozen quality model, per language.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "calibration_isotonic_pav",
+    # The minimax characterization of isotonic regression
+    # (Barlow et al. 1972): fit(i) = max_{j<=i} min_{k>=i} avg(y over
+    # bins j..k) — pure selection over exact BIGINT-ratio averages,
+    # so no PAV merge loop (and no sequential replay) is needed on
+    # either side. Every average is (Δs)·1.0/(Δn) of prefix sums with
+    # identical parenthesization — bit-identical doubles — and min/
+    # max over bit-identical doubles is engine-independent.
+    oracle=f"""
+WITH labeled AS (
+  SELECT lang,
+         {_LR_W0} + {_LR_W_LEN} * ({_F_LEN_DUCK})
+           + {_LR_W_STOP} * ({_F_STOP_DUCK}) AS z,
+         CASE WHEN ({_F_LEN_DUCK}) + 2 * ({_F_STOP_DUCK})
+                   - ({_F_DIGITS_DUCK}) > 1.0
+              THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+grid AS (
+  SELECT lang, CAST(floor(z * 10) AS BIGINT) AS zbin,
+         count(*) AS n, sum(y) AS s
+  FROM labeled GROUP BY 1, 2
+),
+idx AS (
+  SELECT lang, zbin, n, s,
+         row_number() OVER (PARTITION BY lang ORDER BY zbin) AS i,
+         sum(n) OVER (PARTITION BY lang ORDER BY zbin) AS cp,
+         sum(s) OVER (PARTITION BY lang ORDER BY zbin) AS sp
+  FROM grid
+),
+pairs AS (
+  SELECT a.lang AS lang, a.i AS j, b.i AS k,
+         (b.sp - (a.sp - a.s)) * 1.0
+           / (b.cp - (a.cp - a.n)) AS avgjk
+  FROM idx a JOIN idx b ON b.lang = a.lang AND b.i >= a.i
+),
+minrev AS (
+  SELECT lang, j, k,
+         min(avgjk) OVER (PARTITION BY lang, j ORDER BY k DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS m
+  FROM pairs
+),
+fit AS (
+  SELECT lang, k AS i, max(m) AS iso
+  FROM minrev GROUP BY lang, k
+)
+SELECT x.lang AS lang,
+       CAST(x.i AS BIGINT) AS bin_idx,
+       ROUND(x.zbin / 10.0, 1) AS z_lo,
+       CAST(x.n AS BIGINT) AS n,
+       ROUND(x.s * 1.0 / x.n, 6) AS raw_rate,
+       ROUND(f.iso, 6) AS iso_rate
+FROM idx x JOIN fit f ON f.lang = x.lang AND f.i = x.i
+ORDER BY lang, bin_idx
+""",
+)
+def calibration_isotonic_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of the frozen
+    quality model per language: bin the linear logit to a 0.1-wide
+    score grid, then fit the isotonic regression of the weak label
+    rate by the minimax identity fit(i) = max_{j<=i} min_{k>=i}
+    avg(j..k) — the closed form whose output equals
+    pool-adjacent-violators without PAV's sequential merge loop.
+    Emits the reliability curve (raw per-bin rate vs isotonic rate);
+    the iso_rate column is the monotone score→probability mapping a
+    serving system would look up.
+
+    Determinism: the bin key is floor(z·10) on the bit-identical
+    3-term logit (floor is exact); every pooled average is an exact
+    BIGINT-ratio double with identical parenthesization; the fit is
+    min/max SELECTION over those — nothing accumulates in floats.
+
+    Scale: the corpus collapses to the (lang, score-bin) grid in one
+    combiner groupBy — the ONLY row-count-proportional work. The g²
+    pair expansion runs per language on grid rows (g ≈ tens), an
+    equi-join on lang, so 100 TB changes the grid counts, not the
+    pair count. This minimax-on-grid form is how monotone calibration
+    avoids both the sequential PAV scan and any driver-side fit."""
+    from pyspark.sql import Window as _W
+
+    docs = t(spark, sf_dir, "documents")
+    feats = quality_features(docs, "lang")
+    labeled = feats.select(
+        "lang",
+        (
+            F.lit(_LR_W0)
+            + F.lit(_LR_W_LEN) * F.col("f_len")
+            + F.lit(_LR_W_STOP) * F.col("f_stop")
+        ).alias("z"),
+        (
+            F.col("f_len") + 2 * F.col("f_stop") - F.col("f_digits")
+            > F.lit(1.0)
+        )
+        .cast("int")
+        .alias("y"),
+    )
+    grid = labeled.groupBy(
+        "lang", F.floor(F.col("z") * 10).cast("bigint").alias("zbin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    wl = _W.partitionBy("lang").orderBy("zbin")
+    idx = grid.select(
+        "lang", "zbin", "n", "s",
+        F.row_number().over(wl).alias("i"),
+        F.sum("n").over(wl).alias("cp"),
+        F.sum("s").over(wl).alias("sp"),
+    )
+    a = idx.select(
+        "lang", F.col("i").alias("j"),
+        (F.col("sp") - F.col("s")).alias("sp0"),
+        (F.col("cp") - F.col("n")).alias("cp0"),
+    )
+    b = idx.select(
+        F.col("lang").alias("lang_b"), F.col("i").alias("k"),
+        F.col("cp").alias("cpk"), F.col("sp").alias("spk"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("lang") == F.col("lang_b")) & (F.col("k") >= F.col("j")),
+    ).select(
+        "lang", "j", "k",
+        (
+            (F.col("spk") - F.col("sp0")) * 1.0
+            / (F.col("cpk") - F.col("cp0"))
+        ).alias("avgjk"),
+    )
+    wrev = (
+        _W.partitionBy("lang", "j")
+        .orderBy(F.col("k").desc())
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    minrev = pairs.select(
+        "lang", "j", "k", F.min("avgjk").over(wrev).alias("m")
+    )
+    fit = minrev.groupBy("lang", F.col("k").alias("i")).agg(
+        F.max("m").alias("iso")
+    )
+    return (
+        idx.join(fit, ["lang", "i"])
+        .select(
+            "lang",
+            F.col("i").cast("bigint").alias("bin_idx"),
+            F.round(F.col("zbin") / 10.0, 1).alias("z_lo"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("s") * 1.0 / F.col("n"), 6).alias("raw_rate"),
+            F.round("iso", 6).alias("iso_rate"),
+        )
+        .orderBy("lang", "bin_idx")
+    )

@@ -1112,3 +1112,156 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_nodes", "min_node", "max_node")
         .orderBy("hop")
     )
+
+
+# --------------------------------------------------------------------------
+# Absorbing-chain conversion horizon on the event transition graph.
+# --------------------------------------------------------------------------
+
+_MCH_K = 8  # maximum step horizon
+
+
+@workload(
+    "markov_conversion_horizon",
+    oracle=f"""
+WITH RECURSIVE
+seq AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+edges AS (
+  SELECT prev_type AS src, event_type AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM seq
+  WHERE prev_type IS NOT NULL
+    AND ts <= prev_ts + INTERVAL {_PR_GAP_MIN} MINUTE
+  GROUP BY prev_type, event_type
+),
+outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS total_w
+         FROM edges GROUP BY src),
+states AS (
+  -- inside WITH RECURSIVE a bare UNION is parsed as an
+  -- anchor/recursive-arm split (and stops deduplicating) — keep the
+  -- dedup OUTSIDE the set operation
+  SELECT DISTINCT st FROM (
+    SELECT src AS st FROM edges UNION ALL SELECT dst AS st FROM edges
+  )
+),
+aug AS (
+  SELECT e.src AS src, e.dst AS dst,
+         e.w * 1.0 / o.total_w AS pr
+  FROM edges e JOIN outw o ON o.src = e.src
+  WHERE e.src <> 'purchase'
+  UNION ALL
+  SELECT 'purchase', 'purchase', CAST(1.0 AS DOUBLE)
+  UNION ALL
+  SELECT st, st, CAST(1.0 AS DOUBLE) FROM states
+  WHERE st <> 'purchase' AND st NOT IN (SELECT src FROM edges)
+),
+walk AS (
+  SELECT 0 AS it, st,
+         CASE WHEN st = 'purchase' THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS p
+  FROM states
+  UNION ALL
+  SELECT it + 1, src AS st, sum(pp) AS p
+  FROM (
+    SELECT w.it AS it, a.src AS src, a.pr * w.p AS pp
+    FROM walk w JOIN aug a ON a.dst = w.st
+    WHERE w.it < {_MCH_K}
+  )
+  GROUP BY it, src
+)
+SELECT st AS state,
+       ROUND(max(CASE WHEN it = 1 THEN p END), 6) AS p_within_1,
+       ROUND(max(CASE WHEN it = 4 THEN p END), 6) AS p_within_4,
+       ROUND(max(CASE WHEN it = {_MCH_K} THEN p END), 6)
+         AS p_within_{_MCH_K}
+FROM walk
+GROUP BY st
+ORDER BY state
+""",
+)
+def markov_conversion_horizon(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Absorbing-Markov-chain conversion horizon: make 'purchase'
+    absorbing in the session-gap transition chain (the same edges
+    markov_next_event and PageRank consume) and iterate
+    p_{{k+1}} = P'·p_k for {_MCH_K} steps — p_k(s) is the
+    probability a user currently at state s converts within k more
+    actions, the funnel question the one-step table can't answer.
+    Dead-end states self-loop (they can never convert); the
+    purchase row pins at 1.
+
+    Determinism: transition probabilities are exact BIGINT-count
+    ratios; the iteration runs on the |states|² grid (collected
+    driver scalars on the Spark side, a recursive CTE in the
+    oracle) and only summation order can differ — ~1e-16, absorbed
+    by the 6dp rounding.
+
+    Scale: the distributed work is ONE lag-window shuffle collapsing
+    the stream to |states|² transition counts (identical cost to
+    markov_next_event); the K iterations are free driver arithmetic.
+    The same shape carries thousands of states — the grid stays
+    metadata-sized relative to any event volume."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type", "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    edges = (
+        seq.filter(
+            F.col("prev_type").isNotNull()
+            & (F.col("ts") <= F.col("prev_ts")
+               + F.expr(f"INTERVAL {_PR_GAP_MIN} MINUTES"))
+        )
+        .groupBy(F.col("prev_type").alias("src"),
+                 F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    rows = edges.collect()  # |states|² grid — sketch-sized
+    wmap: dict[str, dict[str, int]] = {}
+    states = set()
+    for r in rows:
+        wmap.setdefault(r["src"], {})[r["dst"]] = int(r["w"])
+        states.add(r["src"])
+        states.add(r["dst"])
+    aug: dict[str, dict[str, float]] = {}
+    for s in sorted(states):
+        if s == "purchase" or s not in wmap:
+            aug[s] = {s: 1.0}
+        else:
+            tot = sum(wmap[s].values())
+            aug[s] = {d: c * 1.0 / tot for d, c in sorted(wmap[s].items())}
+    p = {s: (1.0 if s == "purchase" else 0.0) for s in states}
+    snap: dict[int, dict[str, float]] = {}
+    for k in range(1, _MCH_K + 1):
+        p = {
+            s: sum(pr * p[d] for d, pr in aug[s].items())
+            for s in states
+        }
+        if k in (1, 4, _MCH_K):
+            snap[k] = dict(p)
+    out = spark.createDataFrame(
+        [
+            (s, snap[1][s], snap[4][s], snap[_MCH_K][s])
+            for s in sorted(states)
+        ],
+        f"state string, p_within_1 double, p_within_4 double,"
+        f" p_within_{_MCH_K} double",
+    )
+    return out.select(
+        "state",
+        F.round("p_within_1", 6).alias("p_within_1"),
+        F.round("p_within_4", 6).alias("p_within_4"),
+        F.round(f"p_within_{_MCH_K}", 6).alias(f"p_within_{_MCH_K}"),
+    ).orderBy("state")

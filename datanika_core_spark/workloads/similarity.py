@@ -2409,3 +2409,177 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("eigenvalue", 6).alias("eigenvalue"),
         F.round("evr", 6).alias("evr"),
     ).orderBy("dim")
+
+
+@workload(
+    "pca_top2_deflation",
+    # Chains a SECOND recursive power-iteration block on the deflated
+    # gram G2 = G - lam1 * v1 v1^T. Both engines share the bit-exact
+    # integer gram (1e-3 quantized embeddings), run the identical 12
+    # rounds for v1, deflate with the identical multiply order
+    # (lam * v1_i * v1_j), then run 12 more rounds WITH per-iteration
+    # re-orthogonalization against v1 (y - (y.v1) v1, then normalize)
+    # so float drift can never re-admit the top component.
+    oracle=f"""
+WITH RECURSIVE
+e AS (
+  SELECT list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {_PCA_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+dims AS (SELECT unnest(range(0, {_DIM})) AS i),
+gram AS (
+  SELECT d1.i AS i, d2.i AS j, sum(e.q[d1.i + 1] * e.q[d2.i + 1]) AS g
+  FROM e, dims d1, dims d2
+  GROUP BY 1, 2
+),
+pit AS (
+  SELECT 0 AS it, i, CAST(0.125 AS DOUBLE) AS w FROM dims
+  UNION ALL
+  SELECT it + 1, i, x / sqrt(sum(x * x) OVER ()) AS w
+  FROM (
+    SELECT s.it AS it, g.i AS i, sum(CAST(g.g AS DOUBLE) * s.w) AS x
+    FROM pit s JOIN gram g ON g.j = s.i
+    WHERE s.it < {_PCA_ITERS}
+    GROUP BY s.it, g.i
+  )
+),
+wfin AS (SELECT i, w FROM pit WHERE it = {_PCA_ITERS}),
+gv AS (
+  SELECT g.i AS i, sum(CAST(g.g AS DOUBLE) * f.w) AS x
+  FROM gram g JOIN wfin f ON f.i = g.j
+  GROUP BY g.i
+),
+lam AS (
+  SELECT sum(f.w * gv.x) AS lam
+  FROM gv JOIN wfin f ON f.i = gv.i
+),
+g2 AS (
+  SELECT g.i AS i, g.j AS j,
+         CAST(g.g AS DOUBLE) - lam.lam * f1.w * f2.w AS g
+  FROM gram g
+  JOIN wfin f1 ON f1.i = g.i
+  JOIN wfin f2 ON f2.i = g.j
+  CROSS JOIN lam
+),
+pit2 AS (
+  SELECT 0 AS it, i, CAST(0.125 AS DOUBLE) AS w FROM dims
+  UNION ALL
+  SELECT it + 1, i, yo / sqrt(sum(yo * yo) OVER ()) AS w
+  FROM (
+    SELECT it, i, y - (sum(y * v1) OVER ()) * v1 AS yo
+    FROM (
+      SELECT s.it AS it, g.i AS i,
+             sum(g.g * s.w) AS y, max(f.w) AS v1
+      FROM pit2 s
+      JOIN g2 g ON g.j = s.i
+      JOIN wfin f ON f.i = g.i
+      WHERE s.it < {_PCA_ITERS}
+      GROUP BY s.it, g.i
+    )
+  )
+),
+w2fin AS (SELECT i, w FROM pit2 WHERE it = {_PCA_ITERS}),
+gv2 AS (
+  SELECT g.i AS i, sum(CAST(g.g AS DOUBLE) * f.w) AS x
+  FROM gram g JOIN w2fin f ON f.i = g.j
+  GROUP BY g.i
+),
+lam2 AS (
+  SELECT sum(f.w * gv2.x) AS lam2
+  FROM gv2 JOIN w2fin f ON f.i = gv2.i
+),
+tr AS (SELECT sum(CAST(g AS DOUBLE)) AS tr FROM gram WHERE i = j),
+sgn1 AS (
+  SELECT CASE WHEN w < 0 THEN -1.0 ELSE 1.0 END AS s
+  FROM wfin ORDER BY abs(w) DESC, i LIMIT 1
+),
+sgn2 AS (
+  SELECT CASE WHEN w < 0 THEN -1.0 ELSE 1.0 END AS s
+  FROM w2fin ORDER BY abs(w) DESC, i LIMIT 1
+),
+ortho AS (
+  SELECT sum(f1.w * f2.w) AS dot12
+  FROM wfin f1 JOIN w2fin f2 ON f2.i = f1.i
+)
+SELECT CAST(f1.i AS INT) AS dim,
+       ROUND(sgn1.s * f1.w, 6) AS pc1_loading,
+       ROUND(sgn2.s * f2.w, 6) AS pc2_loading,
+       ROUND(lam.lam / {_PCA_SCALE * _PCA_SCALE}, 6) AS eig1,
+       ROUND(lam2.lam2 / {_PCA_SCALE * _PCA_SCALE}, 6) AS eig2,
+       ROUND((lam.lam + lam2.lam2) / tr.tr, 6) AS evr2,
+       ROUND(ortho.dot12, 6) AS dot12
+FROM wfin f1
+JOIN w2fin f2 ON f2.i = f1.i
+CROSS JOIN sgn1 CROSS JOIN sgn2
+CROSS JOIN lam CROSS JOIN lam2 CROSS JOIN tr CROSS JOIN ortho
+ORDER BY dim
+""",
+)
+def pca_top2_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TWO principal components via power iteration + Hotelling
+    deflation: same one-scan integer gram as ``pca_top_component``,
+    12 rounds for v1, deflate G2 = G - lam1 v1 v1^T on the 64x64
+    driver matrix, then 12 rounds for v2 with per-iteration
+    re-orthogonalization against v1 (the Gram-Schmidt step that
+    stops float drift from re-admitting the dominant component even
+    when the deflation residual is at the noise floor). Reports both
+    sign-fixed loading vectors, both Rayleigh eigenvalues in
+    original units (eig2 measured against the ORIGINAL gram — with
+    v2 perpendicular to v1 it equals the deflated quotient up to the
+    orthogonality defect), the cumulative explained-variance ratio,
+    and the v1.v2 dot product as a built-in orthogonality audit
+    (rounds to 0.0).
+
+    Scale: identical to pca_top_component — the cluster does ONE
+    combiner-collapsed scan to a 64x64 gram; every iteration, the
+    deflation, and the second eigenpair are driver scalars. k
+    components = k deflations of the same 4096-entry matrix, still
+    zero extra scans — the textbook one-pass sketch for PCA whitening
+    of an embedding store at 100 TB."""
+    import math
+
+    gram_rows = _pca_gram_frame(spark, sf_dir).collect()
+    G = {int(r["i"]): [int(r[f"g{j}"]) for j in range(_DIM)]
+         for r in gram_rows}
+    w = [0.125] * _DIM
+    for _ in range(_PCA_ITERS):
+        x = [sum(G[i][j] * w[j] for j in range(_DIM)) for i in range(_DIM)]
+        nrm = math.sqrt(sum(v * v for v in x))
+        w = [v / nrm for v in x]
+    gv = [sum(G[i][j] * w[j] for j in range(_DIM)) for i in range(_DIM)]
+    lam = sum(w[i] * gv[i] for i in range(_DIM))
+    G2 = [[float(G[i][j]) - lam * w[i] * w[j] for j in range(_DIM)]
+          for i in range(_DIM)]
+    w2 = [0.125] * _DIM
+    for _ in range(_PCA_ITERS):
+        y = [sum(G2[i][j] * w2[j] for j in range(_DIM))
+             for i in range(_DIM)]
+        proj = sum(y[i] * w[i] for i in range(_DIM))
+        yo = [y[i] - proj * w[i] for i in range(_DIM)]
+        nrm = math.sqrt(sum(v * v for v in yo))
+        w2 = [v / nrm for v in yo]
+    gv2 = [sum(G[i][j] * w2[j] for j in range(_DIM)) for i in range(_DIM)]
+    lam2 = sum(w2[i] * gv2[i] for i in range(_DIM))
+    tr = float(sum(G[i][i] for i in range(_DIM)))
+    dot12 = sum(w[i] * w2[i] for i in range(_DIM))
+    t1 = min(range(_DIM), key=lambda k: (-abs(w[k]), k))
+    t2 = min(range(_DIM), key=lambda k: (-abs(w2[k]), k))
+    s1 = -1.0 if w[t1] < 0 else 1.0
+    s2 = -1.0 if w2[t2] < 0 else 1.0
+    sc2 = _PCA_SCALE * _PCA_SCALE
+    out = spark.createDataFrame(
+        [(i, s1 * w[i], s2 * w2[i], lam / sc2, lam2 / sc2,
+          (lam + lam2) / tr, dot12) for i in range(_DIM)],
+        "dim int, pc1_loading double, pc2_loading double,"
+        " eig1 double, eig2 double, evr2 double, dot12 double",
+    )
+    return out.select(
+        "dim",
+        F.round("pc1_loading", 6).alias("pc1_loading"),
+        F.round("pc2_loading", 6).alias("pc2_loading"),
+        F.round("eig1", 6).alias("eig1"),
+        F.round("eig2", 6).alias("eig2"),
+        F.round("evr2", 6).alias("evr2"),
+        F.round("dot12", 6).alias("dot12"),
+    ).orderBy("dim")

@@ -1528,3 +1528,737 @@ def weighted_median_price_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson-bootstrap confidence intervals for group means.
+# --------------------------------------------------------------------------
+
+_BS_R = 64            # bootstrap replicates
+_BS_LO_RANK = 2       # ~2.5th percentile of 64 ordered replicate means
+_BS_HI_RANK = 63      # ~97.5th percentile
+_BS_DENOM = float(1 << 60)
+# Poisson(1) CDF thresholds (exact double literals shared verbatim by
+# both engines; weights capped at 4 — P[X>4] ≈ 0.37%).
+_BS_C0 = "0.36787944117144233"
+_BS_C1 = "0.7357588823428847"
+_BS_C2 = "0.9196986029286058"
+_BS_C3 = "0.9810118431238463"
+
+
+@workload(
+    "bootstrap_ci_poisson",
+    oracle=f"""
+WITH reps AS (
+  SELECT o.o_orderpriority AS priority,
+         r.range AS r,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+         ('0x' || substring(md5('bs-' || CAST(o.o_orderkey AS VARCHAR)
+            || '-' || CAST(r.range AS VARCHAR)), 1, 15))::BIGINT
+            / {_BS_DENOM!r} AS u
+  FROM orders o CROSS JOIN range({_BS_R}) r
+),
+weighted AS (
+  SELECT priority, r,
+         CASE WHEN u < {_BS_C0} THEN 0
+              WHEN u < {_BS_C1} THEN 1
+              WHEN u < {_BS_C2} THEN 2
+              WHEN u < {_BS_C3} THEN 3
+              ELSE 4 END AS w,
+         cents
+  FROM reps
+),
+rep_means AS (
+  SELECT priority, r,
+         sum(w * cents) * 1.0 / sum(w) AS m
+  FROM weighted GROUP BY priority, r
+),
+ranked AS (
+  SELECT priority, m,
+         row_number() OVER (PARTITION BY priority
+                            ORDER BY m, r) AS rn
+  FROM rep_means
+),
+ci AS (
+  SELECT priority,
+         max(CASE WHEN rn = {_BS_LO_RANK} THEN m END) AS lo,
+         max(CASE WHEN rn = {_BS_HI_RANK} THEN m END) AS hi
+  FROM ranked GROUP BY priority
+),
+pt AS (
+  SELECT o_orderpriority AS priority,
+         count(*) AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+  FROM orders GROUP BY 1
+)
+SELECT pt.priority AS priority,
+       CAST(pt.n AS BIGINT) AS n_orders,
+       ROUND(pt.s * 1.0 / pt.n / 100.0, 4) AS mean_value,
+       ROUND(ci.lo / 100.0, 4) AS ci_lo,
+       ROUND(ci.hi / 100.0, 4) AS ci_hi,
+       ROUND((ci.hi - ci.lo) / 100.0, 4) AS ci_width
+FROM pt JOIN ci ON ci.priority = pt.priority
+ORDER BY priority
+""",
+)
+def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence intervals for mean order
+    value per priority: each of {_BS_R} replicates reweights every
+    order by an independent Poisson(1) count (the single-pass
+    approximation to multinomial resampling — Chamandy et al. 2012,
+    "Estimating Uncertainty for Massive Data Streams"), the
+    replicate mean is Σw·x/Σw, and the CI is the 2.5/97.5 order
+    statistic of the 64 ordered replicate means.
+
+    Determinism: the Poisson draw is the inverse CDF applied to the
+    md5-derived 60-bit uniform keyed on (orderkey, replicate) — the
+    same engine-portable hash the A/B assignment uses — with the CDF
+    thresholds embedded as identical double literals on both sides;
+    replicate means are exact BIGINT-cent ratios; the CI is pure
+    selection (rank 2 / rank 63 with a replicate-id tiebreak).
+
+    Scale: THE way to put error bars on 100 TB — no resampling
+    passes, no per-replicate shuffles: one map-side ×R explode (rows
+    never leave their partition before the combiner), one shuffle to
+    the |groups|×R grid, then order statistics on 64 rows per group.
+    R scales compute linearly but the shuffle stays grid-sized."""
+    ords = t(spark, sf_dir, "orders")
+    reps = ords.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.explode(F.expr(f"sequence(0, {_BS_R - 1})")).alias("r"),
+    ).select(
+        "priority", "r", "cents",
+        (
+            F.expr(
+                _spark_hash(
+                    "concat('bs-', cast(o_orderkey as string), '-',"
+                    " cast(r as string))"
+                )
+            )
+            / F.lit(_BS_DENOM)
+        ).alias("u"),
+    )
+    weighted = reps.select(
+        "priority", "r", "cents",
+        F.when(F.col("u") < float(_BS_C0), 0)
+        .when(F.col("u") < float(_BS_C1), 1)
+        .when(F.col("u") < float(_BS_C2), 2)
+        .when(F.col("u") < float(_BS_C3), 3)
+        .otherwise(4)
+        .alias("w"),
+    )
+    rep_means = weighted.groupBy("priority", "r").agg(
+        (F.sum(F.col("w") * F.col("cents")) * 1.0 / F.sum("w")).alias("m")
+    )
+    wp = Window.partitionBy("priority").orderBy("m", "r")
+    ranked = rep_means.select(
+        "priority", "m", F.row_number().over(wp).alias("rn")
+    )
+    ci = ranked.groupBy("priority").agg(
+        F.max(F.when(F.col("rn") == _BS_LO_RANK, F.col("m"))).alias("lo"),
+        F.max(F.when(F.col("rn") == _BS_HI_RANK, F.col("m"))).alias("hi"),
+    )
+    pt = ords.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("s"),
+    )
+    return (
+        pt.join(ci, "priority")
+        .select(
+            "priority",
+            F.col("n").alias("n_orders"),
+            F.round(F.col("s") * 1.0 / F.col("n") / 100.0, 4)
+            .alias("mean_value"),
+            F.round(F.col("lo") / 100.0, 4).alias("ci_lo"),
+            F.round(F.col("hi") / 100.0, 4).alias("ci_hi"),
+            F.round((F.col("hi") - F.col("lo")) / 100.0, 4)
+            .alias("ci_width"),
+        )
+        .orderBy("priority")
+    )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance-reduced A/B readout (pre-period covariate adjustment).
+# --------------------------------------------------------------------------
+
+_CUPED_SPLIT = "2024-01-16 00:00:00"  # pre-period < split <= experiment
+
+
+@workload(
+    "abtest_cuped_readout",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         ('0x'||substring(md5('ab-' || CAST(user_id AS VARCHAR)),1,15))
+           ::BIGINT % 2 AS variant,
+         sum(CASE WHEN event_type = 'purchase'
+                   AND ts < TIMESTAMP '{_CUPED_SPLIT}'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END) AS x,
+         sum(CASE WHEN event_type = 'purchase'
+                   AND ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+),
+arm AS (
+  SELECT variant, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM per_user GROUP BY variant
+),
+wide AS (
+  SELECT
+    max(CASE WHEN variant = 0 THEN n END) AS n0,
+    max(CASE WHEN variant = 1 THEN n END) AS n1,
+    max(CASE WHEN variant = 0 THEN sx END) AS sx0,
+    max(CASE WHEN variant = 1 THEN sx END) AS sx1,
+    max(CASE WHEN variant = 0 THEN sy END) AS sy0,
+    max(CASE WHEN variant = 1 THEN sy END) AS sy1,
+    max(CASE WHEN variant = 0 THEN sxy END) AS sxy0,
+    max(CASE WHEN variant = 1 THEN sxy END) AS sxy1,
+    max(CASE WHEN variant = 0 THEN sxx END) AS sxx0,
+    max(CASE WHEN variant = 1 THEN sxx END) AS sxx1,
+    max(CASE WHEN variant = 0 THEN syy END) AS syy0,
+    max(CASE WHEN variant = 1 THEN syy END) AS syy1
+  FROM arm
+),
+calc AS (
+  SELECT n0, n1,
+         n0 + n1 AS n,
+         sx0 + sx1 AS sx, sy0 + sy1 AS sy,
+         sxy0 + sxy1 AS sxy, sxx0 + sxx1 AS sxx, syy0 + syy1 AS syy
+  FROM wide
+),
+th AS (
+  SELECT *,
+         ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)) AS theta,
+         (sx * 1.0 / n) AS xbar,
+         ((n * sxy - sx * sy) * 1.0
+            / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)))
+           AS rho
+  FROM calc
+),
+w2 AS (SELECT th.*, wide.sx0, wide.sx1, wide.sy0, wide.sy1
+       FROM th CROSS JOIN wide)
+SELECT CAST(n0 AS BIGINT) AS n_control,
+       CAST(n1 AS BIGINT) AS n_treatment,
+       ROUND(theta, 6) AS theta,
+       ROUND(rho * rho, 6) AS rho2,
+       ROUND((1.0 - rho * rho) * 100.0, 4) AS var_remaining_pct,
+       ROUND((sy1 * 1.0 / n1 - sy0 * 1.0 / n0) / 100.0, 4) AS lift_raw,
+       ROUND(((sy1 * 1.0 / n1 - theta * (sx1 * 1.0 / n1 - xbar))
+              - (sy0 * 1.0 / n0 - theta * (sx0 * 1.0 / n0 - xbar)))
+             / 100.0, 4) AS lift_cuped
+FROM w2
+""",
+)
+def abtest_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data; Deng
+    et al. 2013) A/B readout: each user's pre-period purchase
+    revenue is the covariate x, the experiment-period revenue is the
+    outcome y, and the adjusted metric y − θ(x − x̄) with
+    θ = cov(x,y)/var(x) strips the variance that user heterogeneity
+    contributes — the standard way large platforms cut experiment
+    runtimes 2-5×. Reports θ, ρ² (the variance fraction REMOVED),
+    the remaining-variance percentage, and the raw vs CUPED lift.
+
+    Determinism: per-user (x, y) are exact BIGINT cents; all five
+    pooled moments are BIGINT; θ, ρ, and both lifts are fixed-order
+    float expressions of those integers — bit-identical across
+    engines before the display rounding.
+
+    Scale: identical shape to abtest_welch_readout — the covariate
+    adds three moment columns (Σxy, Σx², Σy²) to the SAME per-user
+    groupBy and two-row arm aggregate; no second scan, no extra
+    shuffle. At 100 TB the readout is still one combiner pass."""
+    ev = t(spark, sf_dir, "events")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") < split),
+                cents,
+            ).otherwise(F.lit(0))
+        ).alias("x"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= split),
+                cents,
+            ).otherwise(F.lit(0))
+        ).alias("y"),
+    ).select(
+        F.expr(
+            "pmod("
+            + _spark_hash("concat('ab-', cast(user_id as string))")
+            + ", 2)"
+        ).alias("variant"),
+        "x", "y",
+    )
+    arm = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+
+    def pick(v: int, c: str, alias: str):
+        return F.max(F.when(F.col("variant") == v, F.col(c))).alias(alias)
+
+    wide = arm.agg(
+        pick(0, "n", "n0"), pick(1, "n", "n1"),
+        pick(0, "sx", "sx0"), pick(1, "sx", "sx1"),
+        pick(0, "sy", "sy0"), pick(1, "sy", "sy1"),
+        pick(0, "sxy", "sxy0"), pick(1, "sxy", "sxy1"),
+        pick(0, "sxx", "sxx0"), pick(1, "sxx", "sxx1"),
+        pick(0, "syy", "syy0"), pick(1, "syy", "syy1"),
+    )
+    n = F.col("n0") + F.col("n1")
+    sx = F.col("sx0") + F.col("sx1")
+    sy = F.col("sy0") + F.col("sy1")
+    sxy = F.col("sxy0") + F.col("sxy1")
+    sxx = F.col("sxx0") + F.col("sxx1")
+    syy = F.col("syy0") + F.col("syy1")
+    theta = (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)
+    xbar = sx * 1.0 / n
+    rho = (n * sxy - sx * sy) * 1.0 / F.sqrt(
+        (n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)
+    )
+    m0 = F.col("sy0") * 1.0 / F.col("n0")
+    m1 = F.col("sy1") * 1.0 / F.col("n1")
+    mx0 = F.col("sx0") * 1.0 / F.col("n0")
+    mx1 = F.col("sx1") * 1.0 / F.col("n1")
+    return wide.select(
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.col("n1").cast("bigint").alias("n_treatment"),
+        F.round(theta, 6).alias("theta"),
+        F.round(rho * rho, 6).alias("rho2"),
+        F.round((1.0 - rho * rho) * 100.0, 4).alias("var_remaining_pct"),
+        F.round((m1 - m0) / 100.0, 4).alias("lift_raw"),
+        F.round(
+            ((m1 - theta * (mx1 - xbar)) - (m0 - theta * (mx0 - xbar)))
+            / 100.0,
+            4,
+        ).alias("lift_cuped"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Herfindahl-Hirschman supplier concentration per nation.
+# --------------------------------------------------------------------------
+
+_HHI_UNIT = 1000000000000  # share^2 snapped to 1e-12 BIGINT units
+
+
+@workload(
+    "market_hhi_concentration",
+    oracle=f"""
+WITH rev AS (
+  SELECT n.n_name AS nation, l.l_suppkey AS suppkey,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+             AS BIGINT)) AS c
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY 1, 2
+),
+sh AS (
+  SELECT nation, suppkey, c,
+         sum(c) OVER (PARTITION BY nation) AS tot
+  FROM rev
+),
+agg AS (
+  SELECT nation,
+         count(*) AS n_suppliers,
+         sum(CAST(round((c * 1.0 / tot) * (c * 1.0 / tot)
+             * {_HHI_UNIT}) AS BIGINT)) AS hhi_units,
+         max(c * 1.0 / tot) AS top_share
+  FROM sh GROUP BY nation
+)
+SELECT nation,
+       CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       ROUND(hhi_units / {_HHI_UNIT}.0, 6) AS hhi,
+       ROUND({_HHI_UNIT}.0 / hhi_units, 4) AS effective_n,
+       ROUND(top_share, 6) AS top_share
+FROM agg
+ORDER BY nation
+""",
+)
+def market_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation: HHI = Σ share_i² over suppliers (1/n for a
+    perfectly even market, 1.0 for a monopoly) plus the equivalent
+    effective supplier count 1/HHI and the single largest share —
+    the sourcing-risk companion to corpus_gini_concentration (Gini
+    ranks inequality, HHI measures oligopoly weight; antitrust
+    thresholds are quoted in HHI).
+
+    Determinism: per-supplier revenue is an exact BIGINT cent sum;
+    each share is an exact BIGINT-ratio double and its square snaps
+    to 1e-12 integer units before the per-nation sum, so the HHI
+    total is order-free (the MI-units trick). Σc² is never formed in
+    integers — at warehouse scale (Σc)² overflows 64-bit, which is
+    exactly why the share-quotient form is the one that survives.
+
+    Scale: one fact-table scan with two broadcast dim joins, a
+    combiner groupBy to |nations|×|suppliers| rows, a grid-sized
+    window, and a |nations|-row aggregate. Concentration monitoring
+    at 100 TB is a single shuffle on the natural key."""
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("c")
+        )
+    )
+    sh = rev.select(
+        "nation", "suppkey", "c",
+        F.sum("c").over(Window.partitionBy("nation")).alias("tot"),
+    )
+    share = F.col("c") * 1.0 / F.col("tot")
+    agg = sh.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum(
+            F.round(share * share * _HHI_UNIT).cast("bigint")
+        ).alias("hhi_units"),
+        F.max(share).alias("top_share"),
+    )
+    return agg.select(
+        "nation",
+        "n_suppliers",
+        F.round(F.col("hhi_units") / float(_HHI_UNIT), 6).alias("hhi"),
+        F.round(float(_HHI_UNIT) / F.col("hhi_units"), 4)
+        .alias("effective_n"),
+        F.round("top_share", 6).alias("top_share"),
+    ).orderBy("nation")
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR control across per-type drift tests.
+# --------------------------------------------------------------------------
+
+_BH_SPLIT = "2024-01-16 00:00:00"
+_BH_ALPHA_UNITS = 50000000000   # 0.05 in 1e-12 p-value units
+_BH_PU = 1000000000000          # p-value snap: 1e-12 BIGINT units
+# Abramowitz-Stegun 26.2.17 tail polynomial (shared literals)
+_BH_INVSQ2PI = "0.3989422804014327"
+_BH_T = "0.2316419"
+_BH_B = ("0.319381530", "-0.356563782", "1.781477937",
+         "-1.821255978", "1.330274429")
+
+
+def _bh_tail_sql(z: str) -> str:
+    """One-sided upper-tail P[Z > z] for z >= 0 (A-S 26.2.17),
+    identical text for both engines."""
+    t = f"(1.0 / (1.0 + {_BH_T} * {z}))"
+    poly = (f"({t} * ({_BH_B[0]} + {t} * ({_BH_B[1]} + {t} * ({_BH_B[2]}"
+            f" + {t} * ({_BH_B[3]} + {t} * {_BH_B[4]})))))")
+    return f"({_BH_INVSQ2PI} * exp(-0.5 * {z} * {z}) * {poly})"
+
+
+@workload(
+    "multiple_testing_bh",
+    oracle=f"""
+WITH arm AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '{_BH_SPLIT}' THEN 0 ELSE 1 END AS p,
+         count(*) AS n,
+         sum(CAST(round(value * 100) AS BIGINT)) AS s,
+         sum(CAST(round(value * 100) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT)) AS ss
+  FROM events GROUP BY 1, 2
+),
+wide AS (
+  SELECT event_type,
+         max(CASE WHEN p = 0 THEN n END) AS n0,
+         max(CASE WHEN p = 1 THEN n END) AS n1,
+         max(CASE WHEN p = 0 THEN s END) AS s0,
+         max(CASE WHEN p = 1 THEN s END) AS s1,
+         max(CASE WHEN p = 0 THEN ss END) AS ss0,
+         max(CASE WHEN p = 1 THEN ss END) AS ss1
+  FROM arm GROUP BY event_type
+),
+zs AS (
+  SELECT event_type, n0, n1,
+         (s1 * 1.0 / n1 - s0 * 1.0 / n0)
+           / sqrt((n0 * ss0 - s0 * s0) * 1.0 / (n0 * n0 * (n0 - 1))
+                  + (n1 * ss1 - s1 * s1) * 1.0 / (n1 * n1 * (n1 - 1)))
+           AS z
+  FROM wide
+),
+pv AS (
+  SELECT event_type, n0, n1, z,
+         CAST(round(2.0 * {_bh_tail_sql("abs(z)")} * {_BH_PU}) AS BIGINT)
+           AS p_units
+  FROM zs
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY p_units, event_type) AS i,
+         count(*) OVER () AS m
+  FROM pv
+),
+flags AS (
+  SELECT *,
+         CASE WHEN p_units * m <= i * {_BH_ALPHA_UNITS}
+              THEN i ELSE 0 END AS hit
+  FROM ranked
+),
+kstar AS (SELECT max(hit) AS k FROM flags)
+SELECT f.event_type AS event_type,
+       CAST(f.n0 AS BIGINT) AS n_before,
+       CAST(f.n1 AS BIGINT) AS n_after,
+       ROUND(f.z, 4) AS z,
+       ROUND(f.p_units / {_BH_PU}.0, 8) AS p_value,
+       CAST(f.i AS BIGINT) AS rank,
+       (f.i <= kstar.k) AS rejected
+FROM flags f CROSS JOIN kstar
+ORDER BY rank
+""",
+)
+def multiple_testing_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the per-event-type
+    two-period mean-shift tests: each type gets a Welch z comparing
+    its value distribution before/after the split, the z converts to
+    a two-sided p via the Abramowitz-Stegun 26.2.17 normal-tail
+    polynomial (the SAME literal coefficients in both engines), and
+    BH rejects the largest prefix {{i ≤ k*}} of the p-ordered tests
+    with p_i ≤ i·α/m — the multiple-comparisons discipline a metrics
+    platform needs when it fires dozens of drift tests per day and
+    α=0.05 per test would alarm constantly.
+
+    Determinism: moments are BIGINT; z is a fixed-order expression;
+    p snaps to 1e-12 BIGINT units immediately after the one exp()
+    call (the unit snap absorbs the ≤1-ulp libm difference); the BH
+    comparison is pure integer arithmetic (p_units·m ≤ i·α_units)
+    and k* is a max over integers.
+
+    Scale: one scan to a 2·|types| moment grid, window functions on
+    |types| rows after — the whole correction is combiner-sized.
+    The step-up structure (reject ALL ranks ≤ k*) is what makes this
+    a two-window pass rather than an iterative procedure."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    arm = ev.groupBy(
+        "event_type",
+        F.when(
+            F.col("ts") < F.lit(_BH_SPLIT).cast("timestamp"), 0
+        ).otherwise(1).alias("p"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("ss"),
+    )
+
+    def pick(v: int, c: str, alias: str):
+        return F.max(F.when(F.col("p") == v, F.col(c))).alias(alias)
+
+    wide = arm.groupBy("event_type").agg(
+        pick(0, "n", "n0"), pick(1, "n", "n1"),
+        pick(0, "s", "s0"), pick(1, "s", "s1"),
+        pick(0, "ss", "ss0"), pick(1, "ss", "ss1"),
+    )
+    z = (
+        (F.col("s1") * 1.0 / F.col("n1") - F.col("s0") * 1.0 / F.col("n0"))
+        / F.sqrt(
+            (F.col("n0") * F.col("ss0") - F.col("s0") * F.col("s0")) * 1.0
+            / (F.col("n0") * F.col("n0") * (F.col("n0") - 1))
+            + (F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1"))
+            * 1.0
+            / (F.col("n1") * F.col("n1") * (F.col("n1") - 1))
+        )
+    )
+    pv = wide.select(
+        "event_type", "n0", "n1", z.alias("z")
+    ).select(
+        "event_type", "n0", "n1", "z",
+        F.expr(
+            f"cast(round(2.0 * {_bh_tail_sql('abs(z)')} * {_BH_PU})"
+            " as bigint)"
+        ).alias("p_units"),
+    )
+    w = Window.orderBy("p_units", "event_type")
+    ranked = pv.select(
+        "*",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    flags = ranked.select(
+        "*",
+        F.when(
+            F.col("p_units") * F.col("m")
+            <= F.col("i") * _BH_ALPHA_UNITS,
+            F.col("i"),
+        ).otherwise(0).alias("hit"),
+    )
+    kstar = flags.select(
+        "*", F.max("hit").over(Window.partitionBy()).alias("k")
+    )
+    return kstar.select(
+        "event_type",
+        F.col("n0").cast("bigint").alias("n_before"),
+        F.col("n1").cast("bigint").alias("n_after"),
+        F.round("z", 4).alias("z"),
+        F.round(F.col("p_units") / float(_BH_PU), 8).alias("p_value"),
+        F.col("i").cast("bigint").alias("rank"),
+        (F.col("i") <= F.col("k")).alias("rejected"),
+    ).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences readout (two arms × two periods).
+# --------------------------------------------------------------------------
+
+_DID_SPLIT = "2024-01-16 00:00:00"
+
+
+@workload(
+    "abtest_did_readout",
+    oracle=f"""
+WITH per_cell AS (
+  SELECT user_id,
+         ('0x'||substring(md5('ab-' || CAST(user_id AS VARCHAR)),1,15))
+           ::BIGINT % 2 AS variant,
+         CASE WHEN ts < TIMESTAMP '{_DID_SPLIT}' THEN 0 ELSE 1 END AS per,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END) AS cents
+  FROM events GROUP BY 1, 2, 3
+),
+cell AS (
+  SELECT variant, per, count(*) AS n, sum(cents) AS s,
+         sum(cents * cents) AS ss
+  FROM per_cell GROUP BY 1, 2
+),
+wide AS (
+  SELECT
+    max(CASE WHEN variant = 0 AND per = 0 THEN n END) AS n00,
+    max(CASE WHEN variant = 0 AND per = 1 THEN n END) AS n01,
+    max(CASE WHEN variant = 1 AND per = 0 THEN n END) AS n10,
+    max(CASE WHEN variant = 1 AND per = 1 THEN n END) AS n11,
+    max(CASE WHEN variant = 0 AND per = 0 THEN s END) AS s00,
+    max(CASE WHEN variant = 0 AND per = 1 THEN s END) AS s01,
+    max(CASE WHEN variant = 1 AND per = 0 THEN s END) AS s10,
+    max(CASE WHEN variant = 1 AND per = 1 THEN s END) AS s11,
+    max(CASE WHEN variant = 0 AND per = 0 THEN ss END) AS ss00,
+    max(CASE WHEN variant = 0 AND per = 1 THEN ss END) AS ss01,
+    max(CASE WHEN variant = 1 AND per = 0 THEN ss END) AS ss10,
+    max(CASE WHEN variant = 1 AND per = 1 THEN ss END) AS ss11
+  FROM cell
+)
+SELECT
+  ROUND(s00 * 1.0 / n00 / 100.0, 4) AS mean_ctl_pre,
+  ROUND(s01 * 1.0 / n01 / 100.0, 4) AS mean_ctl_post,
+  ROUND(s10 * 1.0 / n10 / 100.0, 4) AS mean_trt_pre,
+  ROUND(s11 * 1.0 / n11 / 100.0, 4) AS mean_trt_post,
+  ROUND(((s11 * 1.0 / n11 - s10 * 1.0 / n10)
+         - (s01 * 1.0 / n01 - s00 * 1.0 / n00)) / 100.0, 4) AS did,
+  ROUND(((s11 * 1.0 / n11 - s10 * 1.0 / n10)
+         - (s01 * 1.0 / n01 - s00 * 1.0 / n00))
+        / sqrt((n00 * ss00 - s00 * s00) * 1.0
+                 / (n00 * n00 * (n00 - 1))
+               + (n01 * ss01 - s01 * s01) * 1.0
+                 / (n01 * n01 * (n01 - 1))
+               + (n10 * ss10 - s10 * s10) * 1.0
+                 / (n10 * n10 * (n10 - 1))
+               + (n11 * ss11 - s11 * s11) * 1.0
+                 / (n11 * n11 * (n11 - 1))), 4) AS z
+FROM wide
+""",
+)
+def abtest_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: per-user purchase revenue
+    in each (arm, period) cell; the estimate is the treatment's
+    post-minus-pre change minus the control's — the parallel-trends
+    estimator that strips any shared time shock (seasonality, a
+    site-wide incident) the plain post-period comparison would
+    swallow. Complements CUPED: DiD differences out common TIME
+    effects, CUPED regresses out USER heterogeneity; both read from
+    the same moment grid.
+
+    Determinism: the four cells' (n, Σx, Σx²) are exact BIGINTs; the
+    estimate and its Welch-style z are fixed-order float expressions
+    of those twelve integers — bit-identical before rounding.
+
+    Scale: one scan → per-(user, period) groupBy (the natural key)
+    → a FOUR-row cell aggregate. The estimator is free at any
+    corpus size; the only sized object is the user-level shuffle
+    every per-user metric already pays."""
+    ev = t(spark, sf_dir, "events")
+    per_cell = ev.groupBy(
+        "user_id",
+        F.when(
+            F.col("ts") < F.lit(_DID_SPLIT).cast("timestamp"), 0
+        ).otherwise(1).alias("per"),
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("cents")
+    ).select(
+        F.expr(
+            "pmod("
+            + _spark_hash("concat('ab-', cast(user_id as string))")
+            + ", 2)"
+        ).alias("variant"),
+        "per", "cents",
+    )
+    cell = per_cell.groupBy("variant", "per").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+
+    def pick(v: int, p_: int, c: str, alias: str):
+        return F.max(
+            F.when((F.col("variant") == v) & (F.col("per") == p_),
+                   F.col(c))
+        ).alias(alias)
+
+    wide = cell.agg(
+        *[pick(v, p_, c, f"{c}{v}{p_}")
+          for c in ("n", "s", "ss") for v in (0, 1) for p_ in (0, 1)]
+    )
+
+    def m(v, p_):
+        return F.col(f"s{v}{p_}") * 1.0 / F.col(f"n{v}{p_}")
+
+    def var(v, p_):
+        n_, s_, ss_ = (F.col(f"n{v}{p_}"), F.col(f"s{v}{p_}"),
+                       F.col(f"ss{v}{p_}"))
+        return (n_ * ss_ - s_ * s_) * 1.0 / (n_ * n_ * (n_ - 1))
+
+    did = (m(1, 1) - m(1, 0)) - (m(0, 1) - m(0, 0))
+    se = F.sqrt(var(0, 0) + var(0, 1) + var(1, 0) + var(1, 1))
+    return wide.select(
+        F.round(m(0, 0) / 100.0, 4).alias("mean_ctl_pre"),
+        F.round(m(0, 1) / 100.0, 4).alias("mean_ctl_post"),
+        F.round(m(1, 0) / 100.0, 4).alias("mean_trt_pre"),
+        F.round(m(1, 1) / 100.0, 4).alias("mean_trt_post"),
+        F.round(did / 100.0, 4).alias("did"),
+        F.round(did / se, 4).alias("z"),
+    )

@@ -631,3 +631,117 @@ def events_holt_winters_weekly(
         F.round(F.col("seasonal") / 100.0, 4).alias("seasonal"),
         F.round(F.col("forecast_next") / 100.0, 4).alias("forecast_next"),
     ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------------
+# Binary-segmentation changepoint: best single split of the daily grid.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "events_binseg_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         count(*) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, day, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         count(*) OVER (PARTITION BY event_type) AS g,
+         sum(y) OVER (PARTITION BY event_type ORDER BY day) AS cs,
+         sum(y) OVER (PARTITION BY event_type) AS st
+  FROM daily
+),
+cand AS (
+  SELECT event_type, day, i, g, st,
+         cs AS sl, i AS nl,
+         st - cs AS sr, g - i AS nr,
+         (cs * 1.0 * cs / i
+          + (st - cs) * 1.0 * (st - cs) / (g - i)
+          - st * 1.0 * st / g) AS gain
+  FROM idx WHERE i < g
+),
+best AS (
+  SELECT event_type, day, g, sl, nl, sr, nr, gain,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY gain DESC, day) AS rk
+  FROM cand
+)
+SELECT event_type,
+       day AS split_day,
+       CAST(g AS BIGINT) AS n_days,
+       ROUND(gain, 4) AS gain,
+       ROUND(sl * 1.0 / nl, 4) AS mean_before,
+       ROUND(sr * 1.0 / nr, 4) AS mean_after,
+       ROUND((sr * 1.0 / nr - sl * 1.0 / nl)
+             / (sl * 1.0 / nl) * 100.0, 4) AS pct_change
+FROM best WHERE rk = 1
+ORDER BY event_type
+""",
+)
+def events_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint detection (Scott & Knott
+    1974; the first split of PELT-style segmenters): per event type,
+    the candidate split of the daily-volume series that maximizes
+    the SSE reduction gain(i) = S_L²/n_L + S_R²/n_R − S_T²/n_T —
+    the level-shift locator that complements events_cusum_changepoint
+    (CUSUM finds drifts against a known mean; binseg finds the best
+    retrospective partition with no reference level). Emits the
+    split day, the gain, and the before/after daily means.
+
+    Determinism: segment sums are BIGINT prefix sums on the daily
+    grid; every gain is the same 3-term fixed-order float expression
+    of those integers in both engines, so the argmax (gain desc, day
+    tiebreak) selects identically.
+
+    Scale: the corpus collapses to |types|×|days| daily rows in one
+    combiner groupBy; candidates are window functions on that grid —
+    zero joins, one shuffle. Recursing binseg to k changepoints
+    re-runs the same window pass on segment slices: O(k) grid
+    passes, never a row-level pass."""
+    from pyspark.sql import Window as _W
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    wp = _W.partitionBy("event_type")
+    wo = wp.orderBy("day")
+    idx = daily.select(
+        "event_type", "day", "y",
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("g"),
+        F.sum("y").over(wo).alias("cs"),
+        F.sum("y").over(wp).alias("st"),
+    )
+    cand = idx.filter(F.col("i") < F.col("g")).select(
+        "event_type", "day", "g",
+        F.col("cs").alias("sl"), F.col("i").alias("nl"),
+        (F.col("st") - F.col("cs")).alias("sr"),
+        (F.col("g") - F.col("i")).alias("nr"),
+        (
+            F.col("cs") * 1.0 * F.col("cs") / F.col("i")
+            + (F.col("st") - F.col("cs")) * 1.0
+            * (F.col("st") - F.col("cs")) / (F.col("g") - F.col("i"))
+            - F.col("st") * 1.0 * F.col("st") / F.col("g")
+        ).alias("gain"),
+    )
+    best = cand.select(
+        "*",
+        F.row_number()
+        .over(wp.orderBy(F.col("gain").desc(), F.col("day")))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    ml = F.col("sl") * 1.0 / F.col("nl")
+    mr = F.col("sr") * 1.0 / F.col("nr")
+    return best.select(
+        "event_type",
+        F.col("day").alias("split_day"),
+        F.col("g").cast("bigint").alias("n_days"),
+        F.round("gain", 4).alias("gain"),
+        F.round(ml, 4).alias("mean_before"),
+        F.round(mr, 4).alias("mean_after"),
+        F.round((mr - ml) / ml * 100.0, 4).alias("pct_change"),
+    ).orderBy("event_type")

@@ -489,3 +489,134 @@ def test_weighted_median_dimension_broadcast(r7_plans):
     p = r7_plans["weighted_median_price_brand"]
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+# --------------------------------------------------------------------------
+# Round-7 batch-5 families (PCA deflation, isotonic PAV, Poisson
+# bootstrap, CUPED, binseg changepoint, HHI).
+# --------------------------------------------------------------------------
+
+_R7B_FAMILIES = [
+    "calibration_isotonic_pav",
+    "bootstrap_ci_poisson",
+    "abtest_cuped_readout",
+    "events_binseg_changepoint",
+    "market_hhi_concentration",
+    "feature_target_encoding_oof",
+    "multiple_testing_bh",
+]
+
+
+@pytest.fixture(scope="module")
+def r7b_plans(spark):
+    reg = load_all()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return {n: _plan(reg[n].fn(spark, SF)) for n in _R7B_FAMILIES}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_r7b_no_cartesian_no_python_udfs(r7b_plans):
+    for name, p in r7b_plans.items():
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+
+
+def test_isotonic_pair_join_is_equi_on_lang(r7b_plans):
+    """The g² PAV pair expansion must meet on the lang equi-key over
+    the collapsed score grid — never a nested loop over documents."""
+    p = r7b_plans["calibration_isotonic_pav"]
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p \
+        or "BroadcastHashJoin" in p
+
+
+def test_bootstrap_replicates_never_join(r7b_plans):
+    """The ×R replicate expansion is a map-side explode folded by one
+    grid aggregate; the only join is the |groups|-row point-estimate
+    attach."""
+    p = r7b_plans["bootstrap_ci_poisson"]
+    assert "Generate" in p          # the explode
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p
+
+
+def test_cuped_is_joinless_single_chain(r7b_plans):
+    """CUPED adds covariate moments to the SAME per-user groupBy —
+    the whole readout is aggregate-over-aggregate with no join."""
+    assert "Join" not in r7b_plans["abtest_cuped_readout"]
+
+
+def test_binseg_is_joinless_windows_on_grid(r7b_plans):
+    """Binary segmentation is windows over the |types|×|days| grid:
+    no joins anywhere in the plan."""
+    p = r7b_plans["events_binseg_changepoint"]
+    assert "Join" not in p
+    assert "Window" in p
+
+
+def test_hhi_dimension_joins_broadcast(r7b_plans):
+    """supplier and nation must broadcast into the lineitem scan."""
+    p = r7b_plans["market_hhi_concentration"]
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_target_encoding_single_pass_grid(r7b_plans):
+    """The k-fold OOF encoding must be ONE fact scan: cell grid via
+    groupBy, leave-one-out via window subtraction — never k scans."""
+    p = r7b_plans["feature_target_encoding_oof"]
+    assert p.count("Scan parquet /root/testdata") <= 6  # orders+cust+nation ×2 (tree+detail)
+    assert "Window" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bh_correction_is_window_only(r7b_plans):
+    """After the one moment groupBy, the entire BH procedure is
+    window functions on |types| rows — no joins."""
+    p = r7b_plans["multiple_testing_bh"]
+    assert "Join" not in p
+    assert "Window" in p
+
+
+# --------------------------------------------------------------------------
+# Round-7 batch-6 families (Shapley attribution, Markov horizon, DiD).
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def r7c_plans(spark):
+    reg = load_all()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return {
+            n: _plan(reg[n].fn(spark, SF))
+            for n in ("abtest_did_readout",)
+        }
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_shapley_grid_is_single_scan(spark):
+    """The distributed half of the Shapley workload must be ONE
+    events scan collapsed to the ≤16-row mask grid (per-user groupBy
+    then mask groupBy — two Exchanges, no joins); the lattice
+    arithmetic is driver integers."""
+    from datanika_core_spark.workloads.attribution import _shapley_grid
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = _plan(_shapley_grid(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert p.count("Scan parquet") == 2  # tree line + detail block
+    assert "Join" not in p
+    assert p.count("Exchange") == 4  # user shuffle + mask shuffle, ×2
+
+
+def test_did_is_joinless_single_chain(r7c_plans):
+    """DiD is aggregate-over-aggregate on (user, period) — no joins,
+    four-cell wide aggregate."""
+    p = r7c_plans["abtest_did_readout"]
+    assert "Join" not in p

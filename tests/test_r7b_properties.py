@@ -1,0 +1,396 @@
+"""Planted-signal property tests for the round-7 batch-5 operators
+(isotonic PAV, Poisson bootstrap, CUPED, binseg changepoint, HHI,
+PCA deflation): each test constructs a corpus with a KNOWN answer in
+a temp sf-dir and asserts the operator recovers exactly it — the
+behavioral check the DuckDB parity gate cannot give."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from datanika_core_spark.workloads import load_all
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _write(df, path, name):
+    df.sparkSession.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/{name}.parquet")
+
+
+def test_isotonic_pools_planted_violation(spark, tmp_path):
+    """Two score bins with INVERTED rates (low-score bin all-positive,
+    high-score bin all-negative) must pool to one flat block at the
+    weighted mean — the defining PAV behavior."""
+    # low-z docs: 6 stopwords + filler to length 100, no digits →
+    # f_len=.5, f_stop=.3, f_digits=0 → y=1 (0.5+0.6>1), z≈-1.038
+    lo = "the the the the the the " + "x" * 76
+    assert len(lo) == 100
+    # high-z docs: 20 digits + filler to length 400, no stopwords →
+    # f_len=2, f_stop=0, f_digits=2 → y=0 (2-2<1), z≈3.759
+    hi = "9" * 20 + "y" * 380
+    assert len(hi) == 400
+    rows = [(i, lo) for i in range(10)] + [(100 + i, hi) for i in range(10)]
+    docs = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("s"))
+    )
+    _write(docs, str(tmp_path), "documents")
+
+    got = load_all()["calibration_isotonic_pav"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == 2
+    by_bin = sorted(got, key=lambda r: r["bin_idx"])
+    assert by_bin[0]["raw_rate"] == 1.0 and by_bin[1]["raw_rate"] == 0.0
+    # pooled: both fitted values collapse to the weighted mean 0.5
+    assert by_bin[0]["iso_rate"] == 0.5 and by_bin[1]["iso_rate"] == 0.5
+    # and the fit is (weakly) monotone
+    assert by_bin[0]["iso_rate"] <= by_bin[1]["iso_rate"]
+
+
+def test_isotonic_monotone_and_mean_preserving_on_testdata(spark):
+    """On the real corpus: iso_rate is non-decreasing within each
+    language, and isotonic regression preserves the weighted mean."""
+    got = load_all()["calibration_isotonic_pav"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_lang: dict[str, list] = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r["bin_idx"])
+        for a, b in zip(rows, rows[1:]):
+            assert a["iso_rate"] <= b["iso_rate"] + 1e-9, lang
+        wsum_iso = sum(r["n"] * r["iso_rate"] for r in rows)
+        wsum_raw = sum(r["n"] * r["raw_rate"] for r in rows)
+        assert abs(wsum_iso - wsum_raw) <= 1e-3 * len(rows), lang
+
+
+def test_bootstrap_ci_degenerate_on_constant_metric(spark, tmp_path):
+    """If every order has the same price, every Poisson-reweighted
+    replicate mean equals it: CI width must be exactly 0."""
+    rows = [
+        (i, 1 + (i % 7), "O", 250.0,
+         dt.datetime(2024, 1, 1 + i % 28), "1-URGENT")
+        for i in range(300)
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    _write(orders, str(tmp_path), "orders")
+
+    got = load_all()["bootstrap_ci_poisson"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["mean_value"] == 250.0
+    assert r["ci_lo"] == 250.0 and r["ci_hi"] == 250.0
+    assert r["ci_width"] == 0.0
+
+
+def test_cuped_fully_explained_by_covariate(spark, tmp_path):
+    """When each user's experiment-period revenue EQUALS their
+    pre-period revenue, the covariate explains everything: theta≈1,
+    rho²≈1, and the CUPED lift is ~0 even though the raw lift is
+    not."""
+    rows = []
+    eid = 0
+    for u in range(1, 61):
+        v = float(10 * u)
+        rows.append((eid, dt.datetime(2024, 1, 10), u, "purchase", v, ""))
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 20), u, "purchase", v, ""))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    _write(ev, str(tmp_path), "events")
+
+    r = load_all()["abtest_cuped_readout"].fn(spark, str(tmp_path)).collect()[0]
+    assert abs(r["theta"] - 1.0) < 1e-6
+    assert abs(r["rho2"] - 1.0) < 1e-6
+    assert abs(r["lift_cuped"]) < 1e-6
+    assert r["var_remaining_pct"] < 1e-4
+
+
+def test_binseg_finds_planted_level_shift(spark, tmp_path):
+    """10 days at 5 events/day then 10 days at 50/day: the split must
+    land after day 10 with the exact segment means."""
+    rows = []
+    eid = 0
+    for d in range(20):
+        n = 5 if d < 10 else 50
+        for k in range(n):
+            rows.append(
+                (eid, dt.datetime(2024, 3, 1 + d, 12, 0, k % 60), 1,
+                 "burst", 1.0, "")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    _write(ev, str(tmp_path), "events")
+
+    r = load_all()["events_binseg_changepoint"].fn(
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert r["split_day"] == dt.date(2024, 3, 10)
+    assert r["mean_before"] == 5.0
+    assert r["mean_after"] == 50.0
+    assert r["pct_change"] == 900.0
+    assert r["n_days"] == 20
+
+
+def test_hhi_monopoly_and_even_market(spark, tmp_path):
+    """A single-supplier nation scores HHI=1 (effective n=1); a
+    4-equal-supplier nation scores HHI=0.25 (effective n=4)."""
+    nat = spark.createDataFrame(
+        [(0, "MONO"), (1, "QUAD")], "n_nationkey long, n_name string"
+    )
+    sup = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 1), (4, 1), (5, 1)],
+        "s_suppkey long, s_nationkey long",
+    )
+    li = spark.createDataFrame(
+        [(i, s, 100.0, 0.0) for i, s in enumerate([1, 1, 2, 3, 4, 5])],
+        "l_orderkey long, l_suppkey long, l_extendedprice double,"
+        " l_discount double",
+    )
+    _write(nat, str(tmp_path), "nation")
+    _write(sup, str(tmp_path), "supplier")
+    _write(li, str(tmp_path), "lineitem")
+
+    got = {r["nation"]: r for r in load_all()[
+        "market_hhi_concentration"
+    ].fn(spark, str(tmp_path)).collect()}
+    assert got["MONO"]["hhi"] == 1.0
+    assert got["MONO"]["effective_n"] == 1.0
+    assert got["MONO"]["top_share"] == 1.0
+    assert got["QUAD"]["hhi"] == 0.25
+    assert got["QUAD"]["effective_n"] == 4.0
+    assert got["QUAD"]["top_share"] == 0.25
+
+
+def test_pca_deflation_recovers_planted_axes(spark, tmp_path):
+    """Vectors along e0 (large) and e1 (smaller): PC1 must be e0,
+    PC2 must be e1, the components orthogonal, and together they
+    explain ALL the variance."""
+    dim = 64
+    rows = []
+    for i in range(30):
+        v = [0.0] * dim
+        v[0] = 8.0
+        rows.append((i, v, 0))
+    for i in range(30):
+        v = [0.0] * dim
+        v[1] = 4.0
+        rows.append((100 + i, v, 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    _write(emb, str(tmp_path), "embeddings")
+
+    got = load_all()["pca_top2_deflation"].fn(spark, str(tmp_path)).collect()
+    by_dim = {r["dim"]: r for r in got}
+    assert abs(by_dim[0]["pc1_loading"]) > 0.999999
+    assert abs(by_dim[1]["pc1_loading"]) < 1e-6
+    assert abs(by_dim[1]["pc2_loading"]) > 0.999999
+    assert abs(by_dim[0]["pc2_loading"]) < 1e-6
+    r0 = by_dim[0]
+    assert abs(r0["dot12"]) < 1e-6
+    assert abs(r0["eig1"] - 30 * 64.0) < 0.01   # 30 vectors × 8²
+    assert abs(r0["eig2"] - 30 * 16.0) < 0.01   # 30 vectors × 4²
+    assert abs(r0["evr2"] - 1.0) < 1e-6
+
+
+def test_target_encoding_excludes_own_fold(spark, tmp_path):
+    """Plant one fold whose orders have wildly different prices: the
+    OOF encoding for that fold must NOT move with its own prices,
+    while the naive encoding does."""
+    import duckdb as _dd
+
+    # find orderkeys landing in fold 0 vs others with the md5 rule
+    con = _dd.connect()
+    folds = {
+        k: con.sql(
+            f"SELECT ('0x'||substring(md5('te-' || CAST({k} AS VARCHAR))"
+            ",1,15))::BIGINT % 5"
+        ).fetchone()[0]
+        for k in range(200)
+    }
+    f0 = [k for k, f in folds.items() if f == 0][:20]
+    rest = [k for k, f in folds.items() if f != 0][:80]
+    rows = (
+        [(k, 1, "O", 10000.0, dt.datetime(2024, 1, 2), "1-URGENT")
+         for k in f0]
+        + [(k, 1, "O", 100.0, dt.datetime(2024, 1, 2), "1-URGENT")
+           for k in rest]
+    )
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    cust = spark.createDataFrame([(1, 0)], "c_custkey long, c_nationkey int")
+    nat = spark.createDataFrame([(0, "X")], "n_nationkey long, n_name string")
+    _write(orders, str(tmp_path), "orders")
+    _write(cust, str(tmp_path), "customer")
+    _write(nat, str(tmp_path), "nation")
+
+    got = {r["fold"]: r for r in load_all()[
+        "feature_target_encoding_oof"
+    ].fn(spark, str(tmp_path)).collect()}
+    # fold 0's encoding is built from the 100-dollar rest plus the
+    # α=20 global-mean prior: (80·100 + 20·2080)/(80+20) = 496 —
+    # far below the naive all-data encoding of 2080
+    assert got[0]["oof_encoding"] == 496.0
+    assert got[0]["naive_encoding"] == 2080.0
+    # the other folds DO see fold 0's planted 10k orders
+    assert all(got[f]["oof_encoding"] > got[0]["oof_encoding"]
+               for f in got if f != 0)
+
+
+def test_bh_rejects_planted_shift_not_steady(spark, tmp_path):
+    """One event type with a huge post-split mean shift and several
+    steady types: BH must reject exactly the shifted one."""
+    rows = []
+    eid = 0
+    for day in range(1, 29):
+        ts = dt.datetime(2024, 1, day, 10, 0, 0)
+        post = day >= 16
+        for k in range(30):
+            # shifted type: mean jumps 10x after the split
+            rows.append((eid, ts, 1, "shifted",
+                         1000.0 if post else 100.0 + k % 7, ""))
+            eid += 1
+            for tname in ("steady_a", "steady_b", "steady_c"):
+                rows.append((eid, ts, 1, tname, 50.0 + (eid + k) % 11, ""))
+                eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    _write(ev, str(tmp_path), "events")
+
+    got = {r["event_type"]: r for r in load_all()[
+        "multiple_testing_bh"
+    ].fn(spark, str(tmp_path)).collect()}
+    assert got["shifted"]["rejected"] is True
+    assert got["shifted"]["rank"] == 1
+    assert got["shifted"]["p_value"] < 1e-6
+    for tname in ("steady_a", "steady_b", "steady_c"):
+        assert got[tname]["rejected"] is False, tname
+
+
+def test_shapley_credits_only_causal_channel(spark, tmp_path):
+    """Conversions happen iff the user touched 'click': click must
+    carry ALL the credit, view none."""
+    rows = []
+    eid = 0
+    for u in range(1, 31):  # click → purchase
+        rows.append((eid, dt.datetime(2024, 1, 5, 10, 0), u, "click", 1.0, ""))
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 5, 10, 5), u, "purchase",
+                     50.0, ""))
+        eid += 1
+    for u in range(31, 61):  # view only, no conversion
+        rows.append((eid, dt.datetime(2024, 1, 5, 11, 0), u, "view", 1.0, ""))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    _write(ev, str(tmp_path), "events")
+
+    got = {r["channel"]: r for r in load_all()[
+        "attribution_shapley_coalitions"
+    ].fn(spark, str(tmp_path)).collect()}
+    assert set(got) == {"click", "error", "signup", "view"}
+    # 30 conversions over 60 users, all attributable to click
+    assert got["click"]["shapley_rate"] == 0.5
+    assert got["click"]["credit_share"] == 1.0
+    for ch in ("view", "error", "signup"):
+        assert got[ch]["phi_units"] == 0, ch
+
+
+def test_markov_horizon_deterministic_chain(spark, tmp_path):
+    """view→click→purchase for every user: p_within_1 is exact
+    {view: 0, click: 1}; view reaches purchase by step 2 so
+    p_within_4(view) = 1; purchase is absorbing at 1."""
+    rows = []
+    eid = 0
+    for u in range(1, 11):
+        t0 = dt.datetime(2024, 2, 1, 9, 0)
+        rows.append((eid, t0, u, "view", 1.0, "")); eid += 1
+        rows.append((eid, t0 + dt.timedelta(minutes=1), u, "click",
+                     1.0, "")); eid += 1
+        rows.append((eid, t0 + dt.timedelta(minutes=2), u, "purchase",
+                     20.0, "")); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    _write(ev, str(tmp_path), "events")
+
+    got = {r["state"]: r for r in load_all()[
+        "markov_conversion_horizon"
+    ].fn(spark, str(tmp_path)).collect()}
+    assert got["purchase"]["p_within_1"] == 1.0
+    assert got["click"]["p_within_1"] == 1.0
+    assert got["view"]["p_within_1"] == 0.0
+    assert got["view"]["p_within_4"] == 1.0
+
+
+def test_did_recovers_planted_treatment_effect(spark, tmp_path):
+    """Treatment arm gains exactly $50 post-split while control is
+    flat: DiD must be exactly 50 with a large z."""
+    import duckdb as _dd
+
+    con = _dd.connect()
+    arm = {
+        u: con.sql(
+            f"SELECT ('0x'||substring(md5('ab-' || CAST({u} AS VARCHAR))"
+            ",1,15))::BIGINT % 2"
+        ).fetchone()[0]
+        for u in range(1, 81)
+    }
+    rows = []
+    eid = 0
+    for u, a in arm.items():
+        pre_v = 100.0 + (u % 5)          # small between-user noise
+        post_v = pre_v + (50.0 if a == 1 else 0.0)
+        rows.append((eid, dt.datetime(2024, 1, 10), u, "purchase",
+                     pre_v, "")); eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 20), u, "purchase",
+                     post_v, "")); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    _write(ev, str(tmp_path), "events")
+
+    r = load_all()["abtest_did_readout"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["did"] == 50.0
+    assert r["mean_trt_post"] - r["mean_trt_pre"] == 50.0
+    assert abs(r["mean_ctl_post"] - r["mean_ctl_pre"]) < 1e-9
+    assert r["z"] > 5.0
