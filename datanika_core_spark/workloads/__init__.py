@@ -74,7 +74,8 @@ CHECK_FIRST = [
     "events_binseg_changepoint", "market_hhi_concentration",
     "feature_target_encoding_oof", "multiple_testing_bh",
     "attribution_shapley_coalitions", "markov_conversion_horizon",
-    "abtest_did_readout",
+    "abtest_did_readout", "graph_eigenvector_centrality",
+    "forecast_pinball_eval",
     "zorder_skip_rate_sampled", "pca_top_component",
     "heavy_hitters_misra_gries", "abtest_mann_whitney_u",
     "source_divergence_jsd", "collocation_pmi_bigrams",

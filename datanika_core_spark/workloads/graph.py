@@ -1265,3 +1265,147 @@ def markov_conversion_horizon(
         F.round("p_within_4", 6).alias("p_within_4"),
         F.round(f"p_within_{_MCH_K}", 6).alias(f"p_within_{_MCH_K}"),
     ).orderBy("state")
+
+
+# --------------------------------------------------------------------------
+# Eigenvector centrality on the part co-purchase graph.
+# --------------------------------------------------------------------------
+
+_EC_ITERS = 6
+_EC_TOPK = 20
+
+
+def _o_ec_iter(prev: str, idx: int) -> str:
+    """One power-iteration round as DuckDB CTE text: x' = A·x over
+    the symmetric weighted edges, L2-normalized."""
+    return f"""
+raw{idx} AS (
+  SELECT e.v AS node, sum(e.w * p.x) AS r
+  FROM sym e JOIN {prev} p ON p.node = e.u
+  GROUP BY e.v
+),
+nrm{idx} AS (SELECT sqrt(sum(r * r)) AS z FROM raw{idx}),
+ec{idx} AS (
+  SELECT r.node AS node, r.r / n.z AS x
+  FROM raw{idx} r CROSS JOIN nrm{idx} n
+)"""
+
+
+_O_EC_CHAIN = ",".join(
+    _o_ec_iter(f"ec{i - 1}" if i > 1 else "ec0", i)
+    for i in range(1, _EC_ITERS + 1)
+)
+
+
+@workload(
+    "graph_eigenvector_centrality",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         CAST(count(*) AS BIGINT) AS w
+  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT u, v, w FROM pairs
+  UNION ALL
+  SELECT v AS u, u AS v, w FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+ec0 AS (
+  SELECT node, 1.0 / sqrt(CAST(nn.n AS DOUBLE)) AS x
+  FROM nodes CROSS JOIN nn
+),
+{_O_EC_CHAIN},
+ranked AS (
+  SELECT node, x,
+         row_number() OVER (ORDER BY round(x, 6) DESC, node) AS rk
+  FROM ec{_EC_ITERS}
+)
+SELECT CAST(node AS BIGINT) AS partkey,
+       ROUND(x, 6) AS centrality,
+       CAST(rk AS BIGINT) AS rank
+FROM ranked WHERE rk <= {_EC_TOPK}
+ORDER BY rank
+""",
+)
+def graph_eigenvector_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Eigenvector centrality of the part co-purchase graph
+    (Bonacich 1972): {_EC_ITERS} L2-normalized power-iteration
+    rounds of x' = A·x over basket-weighted co-purchase edges — a
+    part is central when it co-sells with parts that themselves
+    co-sell widely, the signal behind 'hub product' merchandising
+    and the undirected sibling of PageRank (same iteration family,
+    no damping/teleport because the co-purchase graph's giant
+    component is well-connected).
+
+    Determinism: edge weights are exact BIGINT basket counts; rounds
+    run in doubles where only summation order differs across engines
+    (~1e-15), absorbed by ranking on the ROUNDED score with a
+    partkey tiebreak.
+
+    Scale: the basket self-join is keyed on l_orderkey (per-key
+    quadratic bounded by items-per-order², never a cross product);
+    the symmetric edge list is cached once and each iteration is one
+    broadcast of the |parts|-row rank vector into an edges equi-join
+    + a keyed aggregate — the PageRank shape, O(1) storage in
+    iterations via RollingCheckpoint. At 100 TB the rank vector
+    stays |parts|-sized (merchandise catalogs: millions of rows —
+    still a broadcastable frame; past that, the join flips to a
+    shuffle join and the iteration count is unchanged)."""
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    ).cache()
+    nodes = sym.select(F.col("u").alias("node")).distinct().cache()
+    n = nodes.count()
+    import math
+
+    x = nodes.withColumn("x", F.lit(1.0 / math.sqrt(float(n))))
+    roll = RollingCheckpoint(spark)
+    for _ in range(_EC_ITERS):
+        raw = (
+            sym.join(F.broadcast(x), sym.u == x.node)
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("x")).alias("r"))
+        )
+        nrm = raw.agg(F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("z"))
+        x = raw.crossJoin(F.broadcast(nrm)).select(
+            "node", (F.col("r") / F.col("z")).alias("x")
+        )
+        x = roll(x)
+    from pyspark.sql import Window
+
+    ranked = x.select(
+        "node", "x",
+        F.row_number()
+        .over(Window.orderBy(F.round("x", 6).desc(), "node"))
+        .alias("rk"),
+    ).filter(F.col("rk") <= _EC_TOPK)
+    out = ranked.select(
+        F.col("node").cast("bigint").alias("partkey"),
+        F.round("x", 6).alias("centrality"),
+        F.col("rk").cast("bigint").alias("rank"),
+    ).orderBy("rank")
+    sym.unpersist()
+    nodes.unpersist()
+    return out

@@ -745,3 +745,145 @@ def events_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mr, 4).alias("mean_after"),
         F.round((mr - ml) / ml * 100.0, 4).alias("pct_change"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Pinball (quantile) loss evaluation of empirical quantile forecasts.
+# --------------------------------------------------------------------------
+
+_PB_SPLIT = "2024-01-16 00:00:00"  # train < split <= test
+
+
+@workload(
+    "forecast_pinball_eval",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(ts AS DATE) AS day,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS wd,
+         count(*) AS y,
+         (ts < TIMESTAMP '{_PB_SPLIT}') AS is_train
+  FROM events GROUP BY 1, 2, 3, 5
+),
+tr AS (
+  SELECT event_type, wd, y,
+         row_number() OVER (PARTITION BY event_type, wd
+                            ORDER BY y, day) AS rn,
+         count(*) OVER (PARTITION BY event_type, wd) AS n
+  FROM daily WHERE is_train
+),
+fc AS (
+  SELECT event_type, wd,
+         max(CASE WHEN rn = (n + 9) // 10 THEN y END) AS f10,
+         max(CASE WHEN rn = (n + 1) // 2 THEN y END) AS f50,
+         max(CASE WHEN rn = (9 * n + 9) // 10 THEN y END) AS f90
+  FROM tr GROUP BY 1, 2
+),
+ev AS (
+  SELECT d.event_type AS event_type, d.y AS y,
+         fc.f10 AS f10, fc.f50 AS f50, fc.f90 AS f90
+  FROM daily d JOIN fc ON fc.event_type = d.event_type
+                      AND fc.wd = d.wd
+  WHERE NOT d.is_train
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_test_days,
+       ROUND(sum(CASE WHEN y >= f10 THEN 1 * (y - f10)
+                      ELSE 9 * (f10 - y) END) / 10.0 / count(*), 4)
+         AS pinball_q10,
+       ROUND(sum(CASE WHEN y >= f50 THEN 5 * (y - f50)
+                      ELSE 5 * (f50 - y) END) / 10.0 / count(*), 4)
+         AS pinball_q50,
+       ROUND(sum(CASE WHEN y >= f90 THEN 9 * (y - f90)
+                      ELSE 1 * (f90 - y) END) / 10.0 / count(*), 4)
+         AS pinball_q90,
+       ROUND(sum(CASE WHEN y <= f90 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS cover_q90
+FROM ev
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def forecast_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball-loss evaluation of per-(type, weekday) empirical
+    quantile forecasts: train-period daily volumes give exact q10/
+    q50/q90 order statistics per weekday slot (the seasonal-quantile
+    baseline any probabilistic forecaster must beat), the test
+    period scores them with the quantile loss
+    L_q(y,f) = max(q(y−f), (q−1)(y−f)), and cover_q90 reports the
+    realized exceedance coverage (a calibrated q90 covers ~90% of
+    days). Completes the forecasting battery: Holt/Holt-Winters and
+    the seasonal-naive backtest score POINT forecasts; this scores
+    the INTERVAL forecast a capacity planner actually consumes.
+
+    Determinism: weekday is epoch-day mod 7 (no engine calendar
+    conventions); forecasts are pure order-statistic selections
+    (k = ceil(q·n) via integer arithmetic with a day tiebreak);
+    losses are exact integers in 1/10 units until the final display
+    division.
+
+    Scale: one combiner groupBy to the |types|×|days| grid, one
+    window pass for the order statistics, and a broadcast of the
+    |types|×7 forecast grid onto the test rows — the evaluation
+    costs one shuffle regardless of event volume, and adding
+    quantile levels adds conditional aggregates, not passes."""
+    from pyspark.sql import Window as _W
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 7
+        ).alias("wd"),
+        (F.col("ts") < F.lit(_PB_SPLIT).cast("timestamp"))
+        .alias("is_train"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    wp = _W.partitionBy("event_type", "wd")
+    tr = daily.filter(F.col("is_train")).select(
+        "event_type", "wd", "y",
+        F.row_number().over(wp.orderBy("y", "day")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    # integer ceil selections k = ceil(q·n) via exact floor-div forms
+    fc = tr.groupBy("event_type", "wd").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 9) div 10"), F.col("y"))
+        ).alias("f10"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("y"))
+        ).alias("f50"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"),
+                   F.col("y"))
+        ).alias("f90"),
+    )
+    evl = (
+        daily.filter(~F.col("is_train"))
+        .join(F.broadcast(fc), ["event_type", "wd"])
+    )
+
+    def pin(qu: int, f: str):
+        d = F.col("y") - F.col(f)
+        return F.sum(
+            F.when(F.col("y") >= F.col(f), qu * d)
+            .otherwise((10 - qu) * (-d))
+        )
+
+    nt = F.count(F.lit(1))
+    return (
+        evl.groupBy("event_type")
+        .agg(
+            nt.cast("bigint").alias("n_test_days"),
+            F.round(pin(1, "f10") / 10.0 / nt, 4).alias("pinball_q10"),
+            F.round(pin(5, "f50") / 10.0 / nt, 4).alias("pinball_q50"),
+            F.round(pin(9, "f90") / 10.0 / nt, 4).alias("pinball_q90"),
+            F.round(
+                F.sum(
+                    F.when(F.col("y") <= F.col("f90"), 1).otherwise(0)
+                ) * 1.0 / nt,
+                4,
+            ).alias("cover_q90"),
+        )
+        .orderBy("event_type")
+    )

@@ -620,3 +620,61 @@ def test_did_is_joinless_single_chain(r7c_plans):
     four-cell wide aggregate."""
     p = r7c_plans["abtest_did_readout"]
     assert "Join" not in p
+
+
+def test_eigenvector_iteration_shape(spark):
+    """The eigenvector-centrality plan must show the PageRank
+    iteration shape: broadcast rank-vector joins over the cached
+    symmetric edges, RollingCheckpoint scans between rounds (the
+    final plan is one-iteration deep), the 1-row norm frame as the
+    only nested-loop build side, and no cartesian."""
+    reg = load_all()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = _plan(reg["graph_eigenvector_centrality"].fn(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert "Scan ExistingRDD" in p  # the checkpointed rank vector
+    # the per-iteration join shape is opaque behind the checkpoint;
+    # pin it directly: rank vector broadcast onto the edges equi-join
+    from pyspark.sql import functions as F
+
+    from datanika_core_spark.workloads import t as read_t
+
+    items = read_t(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    sym = (
+        a.join(b, "l_orderkey").filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
+    )
+    x = sym.select(F.col("u").alias("node")).distinct() \
+        .withColumn("x", F.lit(1.0))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        it_plan = _plan(
+            sym.join(F.broadcast(x), sym.u == x.node)
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("x")).alias("r"))
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "BroadcastHashJoin" in it_plan
+    assert "CartesianProduct" not in it_plan
+
+
+def test_pinball_forecast_grid_broadcasts(spark):
+    """The |types|×7 forecast grid must broadcast onto the test
+    rows; everything else is windows on the daily grid."""
+    reg = load_all()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = _plan(reg["forecast_pinball_eval"].fn(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p

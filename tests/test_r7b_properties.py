@@ -394,3 +394,57 @@ def test_did_recovers_planted_treatment_effect(spark, tmp_path):
     assert r["mean_trt_post"] - r["mean_trt_pre"] == 50.0
     assert abs(r["mean_ctl_post"] - r["mean_ctl_pre"]) < 1e-9
     assert r["z"] > 5.0
+
+
+def test_eigenvector_centrality_triangle_with_pendant(spark, tmp_path):
+    """Triangle 1-2-3 plus pendant edge 1-4: part 1 (the extra-edge
+    triangle vertex) must rank first, the symmetric pair 2/3 next
+    with EQUAL rounded scores (partkey tiebreak), the pendant last."""
+    orders = [(10, 1), (10, 2), (11, 1), (11, 3), (12, 2), (12, 3),
+              (13, 1), (13, 4)]
+    li = spark.createDataFrame(
+        [(ok, pk, 1.0, 0.0) for ok, pk in orders],
+        "l_orderkey long, l_partkey long, l_extendedprice double,"
+        " l_discount double",
+    )
+    _write(li, str(tmp_path), "lineitem")
+
+    got = load_all()["graph_eigenvector_centrality"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    by_rank = {r["rank"]: r for r in got}
+    assert by_rank[1]["partkey"] == 1
+    assert {by_rank[2]["partkey"], by_rank[3]["partkey"]} == {2, 3}
+    assert by_rank[2]["centrality"] == by_rank[3]["centrality"]
+    assert by_rank[4]["partkey"] == 4
+    assert by_rank[4]["centrality"] < by_rank[2]["centrality"]
+
+
+def test_pinball_zero_loss_on_constant_series(spark, tmp_path):
+    """A type with a constant 10 events/day in train AND test: every
+    quantile forecast equals 10, every pinball loss is exactly 0,
+    and q90 coverage is 1.0."""
+    rows = []
+    eid = 0
+    for d in range(1, 29):  # Jan 1..28 — split at Jan 16
+        for k in range(10):
+            rows.append(
+                (eid, dt.datetime(2024, 1, d, 8, 0, k), 1, "flat",
+                 1.0, "")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    _write(ev, str(tmp_path), "events")
+
+    r = load_all()["forecast_pinball_eval"].fn(
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert r["pinball_q10"] == 0.0
+    assert r["pinball_q50"] == 0.0
+    assert r["pinball_q90"] == 0.0
+    assert r["cover_q90"] == 1.0
+    assert r["n_test_days"] == 13
