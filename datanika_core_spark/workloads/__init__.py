@@ -75,7 +75,8 @@ CHECK_FIRST = [
     "feature_target_encoding_oof", "multiple_testing_bh",
     "attribution_shapley_coalitions", "markov_conversion_horizon",
     "abtest_did_readout", "graph_eigenvector_centrality",
-    "forecast_pinball_eval",
+    "forecast_pinball_eval", "privacy_dp_laplace_release",
+    "perplexity_bigram_interpolated", "join_order_advisor",
     "zorder_skip_rate_sampled", "pca_top_component",
     "heavy_hitters_misra_gries", "abtest_mann_whitney_u",
     "source_divergence_jsd", "collocation_pmi_bigrams",

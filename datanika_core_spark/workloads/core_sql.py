@@ -1282,3 +1282,119 @@ def shuffle_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cnt").desc(), "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Join-order advisor from table statistics (System R Cout metric).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "join_order_advisor",
+    oracle="""
+WITH ls AS (
+  SELECT CAST(count(*) AS BIGINT) AS nl,
+         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS dok
+  FROM lineitem
+),
+os AS (
+  SELECT CAST(count(*) AS BIGINT) AS no,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS dck
+  FROM orders
+),
+cs AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM customer),
+s AS (SELECT * FROM ls CROSS JOIN os CROSS JOIN cs),
+est AS (
+  SELECT nl * no // greatest(dok, no) AS e_lo,
+         no * nc // greatest(dck, nc) AS e_oc,
+         nl * nc AS e_lc,
+         (nl * no // greatest(dok, no)) * nc
+           // greatest(dck, nc) AS f_lo_c,
+         (no * nc // greatest(dck, nc)) * nl
+           // greatest(no, dok) AS f_oc_l,
+         (nl * nc) * no
+           // (greatest(dok, no) * greatest(nc, dck)) AS f_lc_o
+  FROM s
+),
+plans AS (
+  SELECT '(lineitem x orders) x customer' AS plan,
+         e_lo AS est_intermediate, f_lo_c AS est_final,
+         e_lo + f_lo_c AS cost_cout
+  FROM est
+  UNION ALL
+  SELECT '(orders x customer) x lineitem',
+         e_oc, f_oc_l, e_oc + f_oc_l FROM est
+  UNION ALL
+  SELECT '(lineitem x customer) x orders  -- cartesian start',
+         e_lc, f_lc_o, e_lc + f_lc_o FROM est
+)
+SELECT plan,
+       est_intermediate,
+       est_final,
+       cost_cout,
+       CAST(row_number() OVER (ORDER BY cost_cout, plan) AS BIGINT)
+         AS rank,
+       (row_number() OVER (ORDER BY cost_cout, plan) = 1)
+         AS recommended
+FROM plans
+ORDER BY rank
+""",
+)
+def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-deep join-order advisor over the customer—orders—lineitem
+    chain using the System R estimator |A⋈B| = |A|·|B|/max(d_k(A),
+    d_k(B)) and the C_out cost (sum of intermediate sizes): ranks
+    the two connected orders AND the cartesian-start trap, whose
+    |L|·|C| intermediate is exactly the blowup a cost-based
+    optimizer exists to avoid. The decide-BEFORE-running companion
+    of join_size_estimate_cms (which measures one join's size from
+    sketches) and shuffle_skew_advisor (which sizes the salt after
+    the order is fixed) — together the planning-advisor toolkit.
+
+    Determinism: all six inputs are exact BIGINT counts; every
+    estimate is integer multiply/floor-divide — no floats anywhere.
+
+    Scale: the stats are one combiner aggregate per table (the same
+    NDV stats ANALYZE TABLE maintains — at 100 TB you'd read them
+    from the catalog, or from the HLL store for fresh feeds); the
+    enumeration is driver arithmetic on six integers. This is the
+    engine explaining WHY a query should join orders before
+    customer, using nothing but statistics."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    nl, dok = li.agg(
+        F.count(F.lit(1)).cast("bigint"),
+        F.countDistinct("l_orderkey").cast("bigint"),
+    ).collect()[0]
+    no, dck = o.agg(
+        F.count(F.lit(1)).cast("bigint"),
+        F.countDistinct("o_custkey").cast("bigint"),
+    ).collect()[0]
+    nc = c.agg(F.count(F.lit(1)).cast("bigint")).collect()[0][0]
+    nl, dok, no, dck, nc = map(int, (nl, dok, no, dck, nc))
+    e_lo = nl * no // max(dok, no)
+    e_oc = no * nc // max(dck, nc)
+    e_lc = nl * nc
+    f_lo_c = e_lo * nc // max(dck, nc)
+    f_oc_l = e_oc * nl // max(no, dok)
+    f_lc_o = e_lc * no // (max(dok, no) * max(nc, dck))
+    plans = [
+        ("(lineitem x orders) x customer", e_lo, f_lo_c),
+        ("(orders x customer) x lineitem", e_oc, f_oc_l),
+        ("(lineitem x customer) x orders  -- cartesian start",
+         e_lc, f_lc_o),
+    ]
+    ranked = sorted(
+        [(p, ei, ef, ei + ef) for p, ei, ef in plans],
+        key=lambda r: (r[3], r[0]),
+    )
+    out = spark.createDataFrame(
+        [
+            (p, ei, ef, cost, i + 1, i == 0)
+            for i, (p, ei, ef, cost) in enumerate(ranked)
+        ],
+        "plan string, est_intermediate bigint, est_final bigint,"
+        " cost_cout bigint, rank bigint, recommended boolean",
+    )
+    return out.orderBy("rank")

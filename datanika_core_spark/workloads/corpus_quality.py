@@ -1229,3 +1229,122 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(risk).cast("bigint").alias("rows_at_risk"),
         F.round(F.sum(risk) * 1.0 / F.sum("n_c"), 6).alias("at_risk_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# Differentially-private count release with budget accounting.
+# --------------------------------------------------------------------------
+
+_DP_EPS_NUM, _DP_EPS_DEN = 1, 2   # epsilon = 0.5 per release
+_DP_RELEASES = 4                   # sequential releases of the SAME stat
+_DP_DENOM = float(1 << 60)
+
+
+@workload(
+    "privacy_dp_laplace_release",
+    oracle=f"""
+WITH cnt AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_true
+  FROM events GROUP BY event_type
+),
+rel AS (
+  SELECT c.event_type AS event_type, r.range AS release,
+         c.n_true AS n_true,
+         ('0x' || substring(md5('dp-' || c.event_type || '-'
+            || CAST(r.range AS VARCHAR)), 1, 15))::BIGINT
+            / {_DP_DENOM!r} AS u
+  FROM cnt c CROSS JOIN range({_DP_RELEASES}) r
+),
+noised AS (
+  SELECT event_type, release, n_true,
+         n_true + (-({_DP_EPS_DEN}.0 / {_DP_EPS_NUM})
+           * CASE WHEN u < 0.5 THEN -1.0 ELSE 1.0 END
+           * ln(1.0 - 2.0 * abs(u - 0.5))) AS released
+  FROM rel
+)
+SELECT event_type,
+       CAST(release AS BIGINT) AS release,
+       n_true,
+       ROUND(released, 4) AS released,
+       ROUND(avg(released) OVER (PARTITION BY event_type
+                                 ORDER BY release
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW), 4) AS running_mean,
+       ROUND((release + 1) * {_DP_EPS_NUM}.0 / {_DP_EPS_DEN}, 2)
+         AS eps_spent
+FROM noised
+ORDER BY event_type, release
+""",
+)
+def privacy_dp_laplace_release(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Differentially-private release of per-type distinct-user
+    counts under sequential composition: each of {_DP_RELEASES}
+    releases adds fresh Laplace(1/ε) noise (ε = {_DP_EPS_NUM}/
+    {_DP_EPS_DEN}; sensitivity 1 for a distinct-user count), and the
+    running mean column demonstrates the averaging attack the budget
+    exists to bound — repeated releases of the same statistic
+    converge toward the true count, which is exactly why eps_spent
+    (basic composition: k·ε) must be tracked and capped. The fourth
+    leg of the privacy family (k-anonymity, l-diversity,
+    t-closeness audit the DATA; this audits the RELEASE mechanism).
+
+    Determinism: the Laplace draw is the inverse CDF
+    −(1/ε)·sign(u−½)·ln(1−2|u−½|) applied to the md5 60-bit
+    uniform keyed on (type, release) — reproducible noise for the
+    parity gate (a production release would use a real CSPRNG; the
+    mechanism's shape, sensitivity, and accounting are what this
+    workload pins). The one ln() lands directly in 4dp-rounded
+    output columns — the ≤1-ulp libm spread is far inside.
+
+    Scale: one COUNT(DISTINCT) groupBy (or swap in the HLL store
+    for approximate counts at 100 TB), then a ×{_DP_RELEASES}
+    constant fan-out and window means on the |types|-row grid —
+    the DP layer is free; the only sized work is the count
+    itself."""
+    ev = t(spark, sf_dir, "events")
+    cnt = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_true")
+    )
+    rel = cnt.select(
+        "event_type", "n_true",
+        F.explode(F.expr(f"sequence(0, {_DP_RELEASES - 1})"))
+        .alias("release"),
+    ).select(
+        "event_type", "release", "n_true",
+        (
+            F.expr(
+                _spark_hash(
+                    "concat('dp-', event_type, '-',"
+                    " cast(release as string))"
+                )
+            )
+            / F.lit(_DP_DENOM)
+        ).alias("u"),
+    )
+    b = float(_DP_EPS_DEN) / _DP_EPS_NUM
+    noise = (
+        -F.lit(b)
+        * F.when(F.col("u") < 0.5, -1.0).otherwise(1.0)
+        * F.log(1.0 - 2.0 * F.abs(F.col("u") - 0.5))
+    )
+    noised = rel.select(
+        "event_type", "release", "n_true",
+        (F.col("n_true") + noise).alias("released"),
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("release")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return noised.select(
+        "event_type",
+        F.col("release").cast("bigint").alias("release"),
+        "n_true",
+        F.round("released", 4).alias("released"),
+        F.round(F.avg("released").over(wrun), 4).alias("running_mean"),
+        F.round(
+            (F.col("release") + 1) * float(_DP_EPS_NUM) / _DP_EPS_DEN, 2
+        ).alias("eps_spent"),
+    ).orderBy("event_type", "release")

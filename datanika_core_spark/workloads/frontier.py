@@ -1332,3 +1332,170 @@ def keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 keyword_textrank.__doc__ = keyword_textrank.__doc__.format(it=_TR_PR_ITERS)
+
+
+# --------------------------------------------------------------------------
+# Interpolated bigram LM perplexity on a held-out split.
+# --------------------------------------------------------------------------
+
+_BLM_UNIT = 100000000  # ln p snapped to 1e-8 BIGINT units before summing
+
+
+@workload(
+    "perplexity_bigram_interpolated",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, {_O_TOKS} AS toks,
+         (doc_id % 5 = 0) AS is_test
+  FROM documents
+),
+tr_uni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(toks) AS term FROM tok WHERE NOT is_test)
+  GROUP BY term
+),
+tr_tot AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS v
+  FROM tr_uni
+),
+tr_bg AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS c2
+  FROM (
+    SELECT toks[i] AS x, toks[i + 1] AS y
+    FROM tok, unnest(range(1, len(toks))) AS u(i)
+    WHERE NOT is_test
+  )
+  GROUP BY x, y
+),
+te AS (
+  SELECT lang, toks[i] AS x, toks[i + 1] AS y
+  FROM tok, unnest(range(1, len(toks))) AS u(i)
+  WHERE is_test
+),
+scored AS (
+  SELECT te.lang AS lang,
+         (uy.term IS NULL) AS oov,
+         CAST(round(ln(
+           0.5 * (coalesce(bg.c2, 0) * 1.0
+                  / coalesce(ux.c1, 1))
+           + 0.5 * ((coalesce(uy.c1, 0) + 1.0) / (tt.n + tt.v))
+         ) * {_BLM_UNIT}) AS BIGINT) AS lp_units
+  FROM te
+  LEFT JOIN tr_bg bg ON bg.x = te.x AND bg.y = te.y
+  LEFT JOIN tr_uni ux ON ux.term = te.x
+  LEFT JOIN tr_uni uy ON uy.term = te.y
+  CROSS JOIN tr_tot tt
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_test_bigrams,
+       ROUND(sum(CASE WHEN oov THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS oov_rate,
+       ROUND(-(sum(lp_units) * 1.0 / {_BLM_UNIT}) / count(*), 4)
+         AS cross_entropy,
+       ROUND(exp(-(sum(lp_units) * 1.0 / {_BLM_UNIT}) / count(*)), 2)
+         AS perplexity
+FROM scored
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def perplexity_bigram_interpolated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Held-out perplexity of a Jelinek-Mercer interpolated bigram
+    LM per language: train on the 80% doc split, score the held-out
+    20% with p(y|x) = ½·c(xy)/c(x) + ½·(c(y)+1)/(N+V) — the bigram
+    upgrade of the CCNet-style unigram signal, and (unlike
+    perplexity_unigram_score, which scores against the SAME corpus)
+    an honest generalization measure with a real train/test split.
+    High per-language perplexity flags corpora whose held-out text
+    the LM can't predict — OCR noise, mixed languages, boilerplate
+    churn; oov_rate separates the unseen-vocabulary component.
+
+    Determinism: counts are BIGINT; each test bigram's ln p snaps to
+    1e-8 integer units immediately (the MI trick), so the per-lang
+    sums are order-free; exp() runs once on the exact unit ratio
+    into 2dp-rounded output.
+
+    Scale: two explode+groupBy passes build the model (map-side
+    combined — the model IS two count tables, exactly what you'd
+    persist); scoring is three equi-joins of the test bigram stream
+    against those tables plus one broadcast 1-row totals frame.
+    No driver state, no iteration — LM eval at 100 TB is join
+    throughput."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+        (F.col("doc_id") % 5 == 0).alias("is_test"),
+    )
+    tr = docs.filter(~F.col("is_test"))
+    te = docs.filter(F.col("is_test"))
+    tr_uni = (
+        tr.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    tr_tot = tr_uni.agg(
+        F.sum("c1").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    pair_expr = (
+        "explode(transform(sequence(1, size(toks) - 1),"
+        " i -> struct(element_at(toks, i) as x,"
+        " element_at(toks, i + 1) as y)))"
+    )
+    tr_bg = (
+        tr.filter(F.size("toks") >= 2)
+        .select(F.expr(pair_expr).alias("p"))
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    )
+    te_bg = (
+        te.filter(F.size("toks") >= 2)
+        .select("lang", F.expr(pair_expr).alias("p"))
+        .select("lang", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    )
+    ux = tr_uni.select(F.col("term").alias("x"), F.col("c1").alias("c1x"))
+    uy = tr_uni.select(F.col("term").alias("y"), F.col("c1").alias("c1y"))
+    scored = (
+        te_bg.join(tr_bg, ["x", "y"], "left")
+        .join(ux, "x", "left")
+        .join(uy, "y", "left")
+        .crossJoin(F.broadcast(tr_tot))
+        .select(
+            "lang",
+            F.col("c1y").isNull().alias("oov"),
+            F.round(
+                F.log(
+                    0.5
+                    * (
+                        F.coalesce(F.col("c2"), F.lit(0)) * 1.0
+                        / F.coalesce(F.col("c1x"), F.lit(1))
+                    )
+                    + 0.5
+                    * (
+                        (F.coalesce(F.col("c1y"), F.lit(0)) + 1.0)
+                        / (F.col("n") + F.col("v"))
+                    )
+                )
+                * _BLM_UNIT
+            ).cast("bigint").alias("lp_units"),
+        )
+    )
+    h = F.sum("lp_units") * 1.0 / _BLM_UNIT
+    cnt = F.count(F.lit(1))
+    return (
+        scored.groupBy("lang")
+        .agg(
+            cnt.cast("bigint").alias("n_test_bigrams"),
+            F.round(
+                F.sum(F.when(F.col("oov"), 1).otherwise(0)) * 1.0 / cnt,
+                6,
+            ).alias("oov_rate"),
+            F.round(-h / cnt, 4).alias("cross_entropy"),
+            F.round(F.exp(-h / cnt), 2).alias("perplexity"),
+        )
+        .orderBy("lang")
+    )

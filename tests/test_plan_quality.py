@@ -678,3 +678,32 @@ def test_pinball_forecast_grid_broadcasts(spark):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_dp_release_is_joinless(spark):
+    """DP release = one distinct-count groupBy + constant fan-out +
+    windows: no joins."""
+    reg = load_all()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = _plan(reg["privacy_dp_laplace_release"].fn(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "Join" not in p
+    assert "Generate" in p  # the ×releases explode
+
+
+def test_bigram_lm_scoring_is_equi_joins(spark):
+    """Model application = equi-joins of the test bigram stream onto
+    the count tables; the only nested-loop is the 1-row totals
+    broadcast."""
+    reg = load_all()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = _plan(reg["perplexity_bigram_interpolated"].fn(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p \
+        or "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p

@@ -448,3 +448,102 @@ def test_pinball_zero_loss_on_constant_series(spark, tmp_path):
     assert r["pinball_q90"] == 0.0
     assert r["cover_q90"] == 1.0
     assert r["n_test_days"] == 13
+
+
+def test_dp_release_noise_matches_closed_form(spark, tmp_path):
+    """The Laplace draw is the documented inverse CDF of the md5
+    uniform: recompute it independently for one (type, release) and
+    assert the released value matches; the budget column must be
+    (r+1)·epsilon exactly."""
+    import math
+
+    import duckdb as _dd
+
+    rows = [(i, dt.datetime(2024, 1, 5), i % 7, "click", 1.0, "")
+            for i in range(40)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    _write(ev, str(tmp_path), "events")
+
+    got = {r["release"]: r for r in load_all()[
+        "privacy_dp_laplace_release"
+    ].fn(spark, str(tmp_path)).collect()}
+    assert all(got[r]["n_true"] == 7 for r in range(4))
+    con = _dd.connect()
+    for r in range(4):
+        u = con.sql(
+            f"SELECT ('0x'||substring(md5('dp-click-{r}'),1,15))::BIGINT"
+            f" / {float(1 << 60)!r}"
+        ).fetchone()[0]
+        noise = -2.0 * (-1.0 if u < 0.5 else 1.0) * math.log(
+            1.0 - 2.0 * abs(u - 0.5)
+        )
+        assert abs(got[r]["released"] - round(7 + noise, 4)) < 1e-9
+        assert got[r]["eps_spent"] == round((r + 1) * 0.5, 2)
+    means = [got[r]["released"] for r in range(4)]
+    assert abs(
+        got[3]["running_mean"] - round(sum(means) / 4, 4)
+    ) <= 0.0002  # rounded-vs-unrounded display drift only
+
+
+def test_bigram_lm_flags_alien_heldout_text(spark, tmp_path):
+    """Held-out text drawn from the training distribution scores low
+    perplexity with zero OOV; an alien-vocabulary held-out doc
+    scores oov_rate 1.0 and far higher perplexity."""
+    rows = []
+    for i in range(1, 41):
+        if i % 5 == 0:
+            continue
+        rows.append((i, "the cat sat on the mat", "en", "s"))
+        rows.append((1000 + i, "aaa bbb ccc ddd eee", "xx", "s"))
+    rows.append((5, "the cat sat on the mat", "en", "s"))      # test
+    rows.append((1005, "zzz qqq www rrr", "xx", "s"))          # test
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    _write(docs, str(tmp_path), "documents")
+
+    got = {r["lang"]: r for r in load_all()[
+        "perplexity_bigram_interpolated"
+    ].fn(spark, str(tmp_path)).collect()}
+    assert got["en"]["oov_rate"] == 0.0
+    assert got["xx"]["oov_rate"] == 1.0
+    assert got["xx"]["perplexity"] > 3 * got["en"]["perplexity"]
+
+
+def test_join_order_advisor_prefers_small_build(spark, tmp_path):
+    """Constructed counts where (orders x customer) first is
+    provably cheaper, and the cartesian start is ranked last with
+    its |L|·|C| intermediate."""
+    li = spark.createDataFrame(
+        [(k % 20, 1, 1.0, 0.0) for k in range(100)],
+        "l_orderkey long, l_partkey long, l_extendedprice double,"
+        " l_discount double",
+    )
+    orders = spark.createDataFrame(
+        [(k, k % 10, "O", 1.0, dt.datetime(2024, 1, 2), "1-URGENT")
+         for k in range(20)],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    cust = spark.createDataFrame(
+        [(k, 0) for k in range(10)], "c_custkey long, c_nationkey int"
+    )
+    _write(li, str(tmp_path), "lineitem")
+    _write(orders, str(tmp_path), "orders")
+    _write(cust, str(tmp_path), "customer")
+
+    got = load_all()["join_order_advisor"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    by_rank = {r["rank"]: r for r in got}
+    assert by_rank[1]["plan"].startswith("(orders x customer)")
+    assert by_rank[1]["recommended"] is True
+    assert by_rank[1]["cost_cout"] == 20 + 100        # e_oc=20, f=100
+    assert by_rank[2]["cost_cout"] == 100 + 100       # e_lo=100, f=100
+    assert by_rank[3]["est_intermediate"] == 1000     # |L|·|C|
+    assert by_rank[3]["plan"].endswith("cartesian start")
