@@ -77,6 +77,7 @@ CHECK_FIRST = [
     "abtest_did_readout", "graph_eigenvector_centrality",
     "forecast_pinball_eval", "privacy_dp_laplace_release",
     "perplexity_bigram_interpolated", "join_order_advisor",
+    "coreset_kcenter_greedy", "select_max_coverage_greedy",
     "zorder_skip_rate_sampled", "pca_top_component",
     "heavy_hitters_misra_gries", "abtest_mann_whitney_u",
     "source_divergence_jsd", "collocation_pmi_bigrams",

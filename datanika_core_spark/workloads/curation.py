@@ -936,3 +936,143 @@ def feature_target_encoding_oof(
             F.col("s_c") * 1.0 / F.col("n_c") / 100.0, 4
         ).alias("naive_encoding"),
     ).orderBy("nation", "fold")
+
+
+# --------------------------------------------------------------------------
+# Submodular max-coverage greedy document selection.
+# --------------------------------------------------------------------------
+
+_MCG_K = 8
+
+
+def _mcg_oracle() -> str:
+    parts = []
+    sel = []
+    for i in range(1, _MCG_K + 1):
+        if i == 1:
+            parts.append("""
+g1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+       FROM ds GROUP BY doc_id),
+p1 AS (SELECT doc_id, gain FROM g1 ORDER BY gain DESC, doc_id LIMIT 1),
+c1 AS (SELECT DISTINCT ds.sh AS sh FROM ds JOIN p1 USING (doc_id))""")
+        else:
+            parts.append(f"""
+g{i} AS (
+  SELECT ds.doc_id, CAST(count(*) AS BIGINT) AS gain
+  FROM ds LEFT JOIN c{i - 1} c ON c.sh = ds.sh
+  WHERE c.sh IS NULL
+  GROUP BY ds.doc_id
+),
+p{i} AS (SELECT doc_id, gain FROM g{i}
+         ORDER BY gain DESC, doc_id LIMIT 1),
+c{i} AS (
+  SELECT sh FROM c{i - 1}
+  UNION
+  SELECT DISTINCT ds.sh FROM ds JOIN p{i} USING (doc_id)
+)""")
+        sel.append(f"SELECT {i} AS sel_rank, doc_id, gain FROM p{i}")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+ds AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+      range(1, len(toks)-1),
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+    ELSE [] END) AS sh
+  FROM toks
+),
+tot AS (SELECT CAST(count(DISTINCT sh) AS BIGINT) AS t FROM ds),
+{",".join(parts)},
+sel AS ({" UNION ALL ".join(sel)})
+SELECT CAST(sel.sel_rank AS BIGINT) AS sel_rank,
+       sel.doc_id AS doc_id,
+       sel.gain AS gain,
+       CAST(sum(sel.gain) OVER (ORDER BY sel.sel_rank) AS BIGINT)
+         AS cum_coverage,
+       ROUND(sum(sel.gain) OVER (ORDER BY sel.sel_rank)
+             * 1.0 / tot.t, 6) AS coverage_pct
+FROM sel CROSS JOIN tot
+ORDER BY sel_rank
+"""
+
+
+@workload("select_max_coverage_greedy", oracle=_mcg_oracle())
+def select_max_coverage_greedy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Submodular max-coverage greedy selection of {_MCG_K}
+    documents: each round picks the doc covering the most
+    NOT-YET-COVERED word-3-gram shingles — the (1−1/e)-approximate
+    coverage maximizer (Nemhauser 1978), and the standard
+    budget-constrained curation selector ('which K documents teach
+    the model the most new n-grams?' — the coverage pull that
+    complements coreset_kcenter_greedy's embedding-space spread and
+    SemDeDup's redundancy removal). Reports each pick's marginal
+    gain (non-increasing — the submodularity certificate tested in
+    the property suite) and the cumulative coverage fraction.
+
+    Determinism: gains are exact BIGINT shingle counts; every argmax
+    breaks ties on doc_id; no floats until the display percentage.
+    The oracle replays the identical greedy as an unrolled
+    {_MCG_K}-round CTE chain.
+
+    Scale: the (doc, shingle) incidence builds once (one explode +
+    distinct — the same frame the MinHash index shingles); each
+    round is one anti-join of the incidence against the covered-set
+    table + a counted groupBy + TakeOrdered(1), with the covered set
+    re-checkpointed per round (O(1) storage in rounds; its size is
+    bounded by K·max-doc-shingles, NOT corpus size — the broadcast
+    stays small at any scale). Lazy-greedy and stochastic-greedy
+    drop the per-round full pass when K grows."""
+    from datanika_core_spark.blocks import RollingCheckpoint
+    from datanika_core_spark.operators.minhash import with_shingles
+
+    docs = t(spark, sf_dir, "documents")
+    ds = (
+        with_shingles(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode("shingles").alias("sh"))
+        .distinct()
+        .cache()
+    )
+    tot = ds.select("sh").distinct().count()
+    roll = RollingCheckpoint(spark)
+    covered = None
+    picks = []
+    cum = 0
+    for rank in range(1, _MCG_K + 1):
+        if covered is None:
+            gains = ds.groupBy("doc_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("gain")
+            )
+        else:
+            gains = (
+                ds.join(F.broadcast(covered), "sh", "left_anti")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
+            )
+        top = gains.orderBy(
+            F.col("gain").desc(), "doc_id"
+        ).limit(1).collect()[0]
+        cum += int(top["gain"])
+        picks.append((rank, int(top["doc_id"]), int(top["gain"]), cum))
+        new_cov = ds.filter(F.col("doc_id") == int(top["doc_id"])) \
+            .select("sh")
+        covered = (
+            new_cov if covered is None
+            else covered.unionByName(new_cov).distinct()
+        )
+        covered = roll(covered)
+    ds.unpersist()
+    roll.release()
+    out = spark.createDataFrame(
+        [(r, d, g, c, c * 1.0 / tot) for r, d, g, c in picks],
+        "sel_rank bigint, doc_id bigint, gain bigint,"
+        " cum_coverage bigint, coverage_pct double",
+    )
+    return out.select(
+        "sel_rank", "doc_id", "gain", "cum_coverage",
+        F.round("coverage_pct", 6).alias("coverage_pct"),
+    ).orderBy("sel_rank")

@@ -2583,3 +2583,137 @@ def pca_top2_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("evr2", 6).alias("evr2"),
         F.round("dot12", 6).alias("dot12"),
     ).orderBy("dim")
+
+
+# --------------------------------------------------------------------------
+# Gonzalez k-center greedy coreset over the embedding store.
+# --------------------------------------------------------------------------
+
+_KC_K = 8  # centers selected
+_KC_SCALE = 1000  # same 1e-3 integer quantization as the PCA gram
+
+
+def _kc_dist_sql(qcol: str, ccol: str) -> str:
+    """Exact integer squared L2 between two quantized DuckDB lists."""
+    return (
+        f"list_sum(list_transform(range({_DIM}),"
+        f" i -> ({qcol}[i+1] - {ccol}[i+1])"
+        f" * ({qcol}[i+1] - {ccol}[i+1])))"
+    )
+
+
+def _kc_oracle() -> str:
+    rounds = []
+    for i in range(1, _KC_K):
+        prev_m = f"m{i - 1}"
+        rounds.append(f"""
+p{i} AS (
+  SELECT vec_id, q, d FROM {prev_m}
+  ORDER BY d DESC, vec_id LIMIT 1
+),
+m{i} AS (
+  SELECT m.vec_id, m.q,
+         least(m.d, {_kc_dist_sql('m.q', 'p.q')}) AS d
+  FROM {prev_m} m CROSS JOIN p{i} p
+)""")
+    sel_rows = ["SELECT 0 AS sel_rank, vec_id, CAST(0 AS BIGINT) AS d2"
+                " FROM p0"]
+    for i in range(1, _KC_K):
+        sel_rows.append(
+            f"SELECT {i}, vec_id, CAST(d AS BIGINT) FROM p{i}"
+        )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> CAST(round(x * {_KC_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+p0 AS (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 1),
+m0 AS (
+  SELECT e.vec_id, e.q,
+         {_kc_dist_sql('e.q', 'p.q')} AS d
+  FROM e CROSS JOIN p0 p
+),{",".join(rounds)},
+sel AS ({" UNION ALL ".join(sel_rows)}),
+rad AS (SELECT CAST(max(d) AS BIGINT) AS radius FROM m{_KC_K - 1})
+SELECT CAST(sel.sel_rank AS BIGINT) AS sel_rank,
+       sel.vec_id AS vec_id,
+       sel.d2 AS d2_at_selection,
+       rad.radius AS radius_after_k
+FROM sel CROSS JOIN rad
+ORDER BY sel_rank
+"""
+
+
+@workload("coreset_kcenter_greedy", oracle=_kc_oracle())
+def coreset_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gonzalez k-center greedy coreset (Gonzalez 1985) over the
+    embedding store: start from the lowest vec_id, then {_KC_K - 1}
+    times add the point FARTHEST from the chosen set — the
+    2-approximation to the k-center objective, and the standard
+    diverse-subset selector for data curation (the opposite pull of
+    SemDeDup: that removes near-duplicates, this finds the maximally
+    spread exemplars to label/inspect first). Reports each center
+    with its distance-to-set at selection (non-increasing — the
+    greedy invariant) and the final covering radius max-min-d².
+
+    Determinism: TOTAL — embeddings quantize to 1e-3 BIGINT units,
+    every squared L2 is exact integer arithmetic, every argmax
+    breaks ties on vec_id. The only floats anywhere are in the
+    display-free quantization round. The oracle replays the
+    identical {_KC_K}-round greedy as an unrolled CTE chain.
+
+    Scale: the state is ONE (vec_id, q, min-d²) frame updated by a
+    map-only least() against the newly chosen center (64 literal
+    ints in the plan = broadcast state), re-checkpointed per round
+    (O(1) storage in rounds); each round costs one scan + one
+    TakeOrdered(1). k centers = k linear passes — the textbook
+    trade against k-means++'s k shuffles, and the chosen-center
+    literals never touch a join."""
+    emb = t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(round(cast(x as double)"
+            f" * {_KC_SCALE}) as bigint))"
+        ).alias("q"),
+    )
+    from datanika_core_spark.blocks import RollingCheckpoint
+
+    roll = RollingCheckpoint(spark)
+    first = vecs.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(0, int(first["vec_id"]), 0)]
+    c_arr = [int(x) for x in first["q"]]
+
+    def dist_expr(center: list[int]) -> str:
+        lits = ",".join(f"{v}L" for v in center)
+        return (
+            f"aggregate(zip_with(q, array({lits}),"
+            " (a, b) -> (a - b) * (a - b)),"
+            " cast(0 as bigint), (acc, x) -> acc + x)"
+        )
+
+    mind = vecs.select(
+        "vec_id", "q", F.expr(dist_expr(c_arr)).alias("d")
+    )
+    mind = roll(mind)
+    for rank in range(1, _KC_K):
+        nxt = (
+            mind.orderBy(F.col("d").desc(), "vec_id").limit(1).collect()
+        )[0]
+        centers.append((rank, int(nxt["vec_id"]), int(nxt["d"])))
+        c_arr = [int(x) for x in nxt["q"]]
+        mind = mind.select(
+            "vec_id", "q",
+            F.least(F.col("d"), F.expr(dist_expr(c_arr))).alias("d"),
+        )
+        mind = roll(mind)
+    radius = int(mind.agg(F.max("d")).collect()[0][0])
+    roll.release()
+    out = spark.createDataFrame(
+        [(r, v, d, radius) for r, v, d in centers],
+        "sel_rank bigint, vec_id bigint, d2_at_selection bigint,"
+        " radius_after_k bigint",
+    )
+    return out.orderBy("sel_rank")

@@ -707,3 +707,71 @@ def test_bigram_lm_scoring_is_equi_joins(spark):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p \
         or "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p
+
+
+def test_kcenter_round_update_is_map_only(spark):
+    """One k-center round = a least() against 64 literal ints — the
+    update plan must contain NO join and NO shuffle beyond the scan
+    (the chosen center travels inside the expression)."""
+    from pyspark.sql import functions as F
+
+    from datanika_core_spark.workloads import t as read_t
+
+    vecs = read_t(spark, SF, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double)"
+            " * 1000) as bigint))"
+        ).alias("q"),
+    ).withColumn("d", F.lit(0).cast("bigint"))
+    lits = ",".join("0L" for _ in range(64))
+    upd = vecs.select(
+        "vec_id", "q",
+        F.least(
+            F.col("d"),
+            F.expr(
+                f"aggregate(zip_with(q, array({lits}),"
+                " (a, b) -> (a - b) * (a - b)),"
+                " cast(0 as bigint), (acc, x) -> acc + x)"
+            ),
+        ).alias("d"),
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = _plan(upd)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "Join" not in p
+    assert "Exchange" not in p  # map-only
+
+
+def test_max_coverage_round_is_anti_join(spark):
+    """One coverage round = broadcast anti-join of the incidence
+    against the covered set + counted groupBy — no cartesian, no
+    nested loop."""
+    from pyspark.sql import functions as F
+
+    from datanika_core_spark.operators.minhash import with_shingles
+    from datanika_core_spark.workloads import t as read_t
+
+    ds = (
+        with_shingles(
+            read_t(spark, SF, "documents").select("doc_id", "text")
+        )
+        .select("doc_id", F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    covered = ds.filter(F.col("doc_id") == 0).select("sh")
+    gains = (
+        ds.join(F.broadcast(covered), "sh", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("gain"))
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = _plan(gains)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "BroadcastHashJoin" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p

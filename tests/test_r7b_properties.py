@@ -547,3 +547,62 @@ def test_join_order_advisor_prefers_small_build(spark, tmp_path):
     assert by_rank[2]["cost_cout"] == 100 + 100       # e_lo=100, f=100
     assert by_rank[3]["est_intermediate"] == 1000     # |L|·|C|
     assert by_rank[3]["plan"].endswith("cartesian start")
+
+
+def test_kcenter_greedy_picks_planted_extremes(spark, tmp_path):
+    """A tight cluster at the origin plus one far point on e0 and a
+    medium point on e1: greedy from the lowest vec_id (in the
+    cluster) must pick the far point first, the medium point second,
+    with exact integer d² values, and selection distances must be
+    non-increasing (the greedy invariant)."""
+    dim = 64
+    rows = []
+    for i in range(20):  # cluster at origin (vec_id 0..19)
+        rows.append((i, [0.0] * dim, 0))
+    far = [0.0] * dim
+    far[0] = 10.0      # d² to origin = (10·1000)² = 1e8
+    rows.append((100, far, 1))
+    med = [0.0] * dim
+    med[1] = 5.0       # d² to origin = 25e6
+    rows.append((101, med, 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    _write(emb, str(tmp_path), "embeddings")
+
+    got = load_all()["coreset_kcenter_greedy"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    by_rank = {r["sel_rank"]: r for r in got}
+    assert by_rank[0]["vec_id"] == 0
+    assert by_rank[1]["vec_id"] == 100
+    assert by_rank[1]["d2_at_selection"] == 100_000_000
+    assert by_rank[2]["vec_id"] == 101
+    assert by_rank[2]["d2_at_selection"] == 25_000_000
+    sels = [by_rank[r]["d2_at_selection"] for r in range(1, 8)]
+    assert all(a >= b for a, b in zip(sels, sels[1:]))
+    assert by_rank[0]["radius_after_k"] == 0  # everything else at origin
+
+
+def test_max_coverage_greedy_orders_by_marginal_gain(spark, tmp_path):
+    """Ten docs with disjoint vocabularies of decreasing size: the
+    greedy must select them largest-first with exact gains and a
+    non-increasing gain sequence."""
+    rows = []
+    for i in range(10):
+        n_tok = 22 - i  # → 20 − i distinct shingles, all unique
+        toks = [f"w{i}x{j}" for j in range(n_tok)]
+        rows.append((i, " ".join(toks), "en", "s"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    _write(docs, str(tmp_path), "documents")
+
+    got = load_all()["select_max_coverage_greedy"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert [r["doc_id"] for r in got] == list(range(8))
+    assert [r["gain"] for r in got] == [20 - i for i in range(8)]
+    assert got[-1]["cum_coverage"] == sum(20 - i for i in range(8))
+    gains = [r["gain"] for r in got]
+    assert all(a >= b for a, b in zip(gains, gains[1:]))
