@@ -2262,3 +2262,151 @@ def abtest_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(did / 100.0, 4).alias("did"),
         F.round(did / se, 4).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pairwise 1-D Wasserstein (earth-mover) distances between types.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "dist_wasserstein_1d_pairs",
+    oracle="""
+WITH grid AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS nt FROM grid GROUP BY 1
+),
+tp AS (
+  SELECT a.event_type AS t1, b.event_type AS t2,
+         a.nt AS na, b.nt AS nb
+  FROM tot a JOIN tot b ON a.event_type < b.event_type
+),
+pts AS (
+  SELECT tp.t1 AS t1, tp.t2 AS t2, tp.na AS na, tp.nb AS nb, g.c AS c,
+         sum(CASE WHEN g.event_type = tp.t1 THEN g.n ELSE 0 END) AS da,
+         sum(CASE WHEN g.event_type = tp.t2 THEN g.n ELSE 0 END) AS db
+  FROM tp JOIN grid g ON g.event_type IN (tp.t1, tp.t2)
+  GROUP BY 1, 2, 3, 4, 5
+),
+cdf AS (
+  SELECT t1, t2, na, nb, c,
+         sum(da) OVER (PARTITION BY t1, t2 ORDER BY c) AS ca,
+         sum(db) OVER (PARTITION BY t1, t2 ORDER BY c) AS cb,
+         lead(c) OVER (PARTITION BY t1, t2 ORDER BY c) AS cnext
+  FROM pts
+),
+w AS (
+  -- the last support point contributes 0 (there is no gap after
+  -- it); keep it in the aggregate so identical distributions (one
+  -- merged support point, W1 = 0) still emit their pair row
+  SELECT t1, t2, na, nb,
+         CAST(sum(CASE WHEN cnext IS NULL THEN 0
+                       ELSE abs(ca * nb - cb * na) * (cnext - c)
+                  END) AS BIGINT) AS units
+  FROM cdf
+  GROUP BY 1, 2, 3, 4
+)
+SELECT t1, t2,
+       ROUND(units * 1.0 / (na * nb) / 100.0, 4) AS w1_dollars,
+       CAST(row_number() OVER (
+         ORDER BY units * 1.0 / (na * nb), t1, t2) AS BIGINT)
+         AS closeness_rank
+FROM w
+ORDER BY closeness_rank
+""",
+)
+def dist_wasserstein_1d_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise 1-D Wasserstein (earth-mover) distance between the
+    value distributions of every event-type pair: W₁ = ∫|F_A − F_B|
+    over the merged support — the distribution distance that, unlike
+    KS (max gap) and JSD/PSI (bin mass), charges for HOW FAR mass
+    must move, so a $1 uniform shift scores exactly $1. Ranked by
+    closeness — the readout for 'which metric families behave
+    alike' and the cross-metric version of privacy_t_closeness's
+    per-class EMD.
+
+    Determinism: exact throughout — the CDF gap at each support
+    point is the BIGINT cross product |cumA·nB − cumB·nA|, weighted
+    by the integer support gap, summed as BIGINT, and divided by
+    the common denominator n_A·n_B only for display. The closeness
+    ranking is on that exact rational (identical double), tiebroken
+    on the pair name.
+
+    Scale: one combiner groupBy collapses the stream to the
+    (type, cent) grid; the pair expansion replicates GRID rows
+    (|pairs|×support — bounded by the value domain, not event
+    count), and each pair's integral is one window pass. At 100 TB
+    with a wide value domain, pre-bucket cents to a fixed grid —
+    same plan, coarser support."""
+    ev = t(spark, sf_dir, "events")
+    grid = ev.groupBy(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # materialize the collapsed grid ONCE: the totals and the pair
+    # expansion are separate consumers, and Spark would otherwise
+    # re-derive the events scan per branch (no common-subplan
+    # elimination — the Shapley lesson). Grid size is value-domain
+    # bounded, and the bench's release_blocks sweep frees the blocks.
+    grid = grid.localCheckpoint(eager=True)
+    tot = grid.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("nt")
+    )
+    a = tot.select(F.col("event_type").alias("t1"),
+                   F.col("nt").alias("na"))
+    b = tot.select(F.col("event_type").alias("t2"),
+                   F.col("nt").alias("nb"))
+    tp = a.join(b, F.col("t1") < F.col("t2"))
+    pts = (
+        tp.join(
+            F.broadcast(grid),
+            (F.col("event_type") == F.col("t1"))
+            | (F.col("event_type") == F.col("t2")),
+        )
+        .groupBy("t1", "t2", "na", "nb", "c")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == F.col("t1"), F.col("n"))
+                .otherwise(0)
+            ).alias("da"),
+            F.sum(
+                F.when(F.col("event_type") == F.col("t2"), F.col("n"))
+                .otherwise(0)
+            ).alias("db"),
+        )
+    )
+    wp = Window.partitionBy("t1", "t2").orderBy("c")
+    cdf = pts.select(
+        "t1", "t2", "na", "nb", "c",
+        F.sum("da").over(wp).alias("ca"),
+        F.sum("db").over(wp).alias("cb"),
+        F.lead("c").over(wp).alias("cnext"),
+    )
+    w = cdf.groupBy("t1", "t2", "na", "nb").agg(
+        F.sum(
+            F.when(F.col("cnext").isNull(), F.lit(0)).otherwise(
+                F.abs(F.col("ca") * F.col("nb")
+                      - F.col("cb") * F.col("na"))
+                * (F.col("cnext") - F.col("c"))
+            )
+        ).cast("bigint").alias("units")
+    )
+    from pyspark.sql import Window as _W2
+
+    rk = _W2.orderBy(
+        F.col("units") * 1.0 / (F.col("na") * F.col("nb")), "t1", "t2"
+    )
+    return w.select(
+        "t1", "t2",
+        F.round(
+            F.col("units") * 1.0 / (F.col("na") * F.col("nb")) / 100.0,
+            4,
+        ).alias("w1_dollars"),
+        F.row_number().over(rk).cast("bigint").alias("closeness_rank"),
+    ).orderBy("closeness_rank")

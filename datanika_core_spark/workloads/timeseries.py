@@ -887,3 +887,128 @@ def forecast_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# STL-lite decomposition: trend + weekday seasonal + remainder.
+# --------------------------------------------------------------------------
+
+_STL_UNIT = 1000000  # detrended values snap to 1e-6 units
+
+
+@workload(
+    "events_stl_decomposition",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS wd,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2, 3
+),
+tr AS (
+  SELECT event_type, day, wd, y,
+         sum(y) OVER w * 1.0 / count(*) OVER w AS trend
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+dt AS (
+  SELECT *, CAST(round((y - trend) * {_STL_UNIT}) AS BIGINT) AS du
+  FROM tr
+),
+sea AS (
+  SELECT event_type, wd,
+         CAST(sum(du) AS BIGINT) AS su, CAST(count(*) AS BIGINT) AS sn
+  FROM dt GROUP BY 1, 2
+),
+seac AS (
+  SELECT event_type, wd,
+         su * 1.0 / sn / {_STL_UNIT}
+           - (sum(su * 1.0 / sn) OVER (PARTITION BY event_type) / 7.0)
+             / {_STL_UNIT} AS seasonal
+  FROM sea
+)
+SELECT d.event_type AS event_type,
+       d.day AS day,
+       d.y AS y,
+       ROUND(d.trend, 4) AS trend,
+       ROUND(s.seasonal, 4) AS seasonal,
+       ROUND(d.y - d.trend - s.seasonal, 4) AS remainder
+FROM dt d JOIN seac s ON s.event_type = d.event_type AND s.wd = d.wd
+ORDER BY event_type, day
+""",
+)
+def events_stl_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STL-lite decomposition of daily event volume per type:
+    trend = centered 7-day moving average, seasonal = per-weekday
+    mean of the detrended series re-centered to sum to zero over the
+    week (the classical-decomposition core of STL without its loess
+    refinement loops), remainder = what anomaly detection should
+    actually score — events_zscore_anomaly and CUSUM fire on raw
+    counts and therefore alarm every weekend; running them on this
+    remainder column is the fix.
+
+    Determinism: the trend is an exact BIGINT-sum ratio; detrended
+    values snap to 1e-6 integer units BEFORE the cross-day seasonal
+    averaging (the MI trick — the weekday means become order-free),
+    and every downstream expression is a fixed-order combination of
+    those exact ratios.
+
+    Scale: one combiner groupBy to the |types|×|days| grid; trend
+    and seasonal are windows on that grid; the weekday seasonal
+    table is |types|×7 broadcast back. Decomposition at 100 TB
+    costs exactly the daily-rollup shuffle every other time-series
+    workload already pays."""
+    from pyspark.sql import Window as _W
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 7
+        ).alias("wd"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    w7 = (
+        _W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type", "day", "wd", "y",
+        (
+            F.sum("y").over(w7) * 1.0 / F.count(F.lit(1)).over(w7)
+        ).alias("trend"),
+    )
+    dt_ = tr.withColumn(
+        "du",
+        F.round((F.col("y") - F.col("trend")) * _STL_UNIT)
+        .cast("bigint"),
+    )
+    sea = dt_.groupBy("event_type", "wd").agg(
+        F.sum("du").cast("bigint").alias("su"),
+        F.count(F.lit(1)).cast("bigint").alias("sn"),
+    )
+    wt = _W.partitionBy("event_type")
+    seac = sea.select(
+        "event_type", "wd",
+        (
+            F.col("su") * 1.0 / F.col("sn") / _STL_UNIT
+            - (F.sum(F.col("su") * 1.0 / F.col("sn")).over(wt) / 7.0)
+            / _STL_UNIT
+        ).alias("seasonal"),
+    )
+    return (
+        dt_.join(F.broadcast(seac), ["event_type", "wd"])
+        .select(
+            "event_type", "day", "y",
+            F.round("trend", 4).alias("trend"),
+            F.round("seasonal", 4).alias("seasonal"),
+            F.round(
+                F.col("y") - F.col("trend") - F.col("seasonal"), 4
+            ).alias("remainder"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -775,3 +775,35 @@ def test_max_coverage_round_is_anti_join(spark):
     assert "BroadcastHashJoin" in p
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_stl_is_windows_plus_broadcast_seasonal(spark):
+    """STL = windows over the daily grid + a broadcast of the
+    |types|×7 seasonal table; no cartesian, no Python eval."""
+    reg = load_all()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = _plan(reg["events_stl_decomposition"].fn(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "Window" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_wasserstein_pair_expansion_stays_grid_sized(spark):
+    """The pair lattice joins are broadcast over the collapsed
+    (type, cent) grid — never a cartesian over events."""
+    reg = load_all()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = _plan(reg["dist_wasserstein_1d_pairs"].fn(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+    # the (type, cent) grid is localCheckpoint-materialized once, so
+    # the totals and pair branches re-read it instead of re-scanning
+    # events: the final plan has ZERO parquet scans
+    assert "Scan parquet" not in p
+    assert "Scan ExistingRDD" in p

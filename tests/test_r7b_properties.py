@@ -606,3 +606,72 @@ def test_max_coverage_greedy_orders_by_marginal_gain(spark, tmp_path):
     assert got[-1]["cum_coverage"] == sum(20 - i for i in range(8))
     gains = [r["gain"] for r in got]
     assert all(a >= b for a, b in zip(gains, gains[1:]))
+
+
+def test_stl_flat_weekly_series_has_zero_interior_remainder(
+    spark, tmp_path
+):
+    """A perfectly periodic series (flat level + fixed weekday
+    bonus): seasonal must absorb the weekly pattern and the interior
+    remainder must be ~0 (edges carry truncated-window bias)."""
+    rows = []
+    eid = 0
+    for d in range(28):
+        day = dt.date(2024, 3, 1) + dt.timedelta(days=d)
+        wd = (day - dt.date(1970, 1, 1)).days % 7
+        n = 100 + (50 if wd == 0 else 0)
+        for k in range(n):
+            rows.append(
+                (eid,
+                 dt.datetime(day.year, day.month, day.day, 9, k % 60),
+                 1, "weekly", 1.0, "")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    _write(ev, str(tmp_path), "events")
+
+    got = load_all()["events_stl_decomposition"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    got.sort(key=lambda r: r["day"])
+    interior = got[3:-3]
+    assert all(abs(r["remainder"]) < 2.0 for r in interior)
+    # seasonal carries the weekday-0 spike
+    by_wd = {}
+    for r in got:
+        wd = (r["day"] - dt.date(1970, 1, 1)).days % 7
+        by_wd.setdefault(wd, []).append(r["seasonal"])
+    assert min(by_wd[0]) > 30.0
+    assert all(max(v) < 5.0 for w, v in by_wd.items() if w != 0)
+
+
+def test_wasserstein_exact_on_point_masses(spark, tmp_path):
+    """Point masses at $1 vs $2 are exactly $1 apart; identical
+    distributions are exactly 0 apart and rank closest."""
+    rows = []
+    eid = 0
+    for _ in range(50):
+        rows.append((eid, dt.datetime(2024, 1, 5), 1, "a", 1.0, ""))
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 5), 1, "b", 2.0, ""))
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 5), 1, "c", 1.0, ""))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    _write(ev, str(tmp_path), "events")
+
+    got = {(r["t1"], r["t2"]): r for r in load_all()[
+        "dist_wasserstein_1d_pairs"
+    ].fn(spark, str(tmp_path)).collect()}
+    assert got[("a", "c")]["w1_dollars"] == 0.0
+    assert got[("a", "c")]["closeness_rank"] == 1
+    assert got[("a", "b")]["w1_dollars"] == 1.0
+    assert got[("b", "c")]["w1_dollars"] == 1.0
