@@ -1499,3 +1499,137 @@ def perplexity_bigram_interpolated(
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# DoReMi-style one-step mixture reweighting from per-source excess loss.
+# --------------------------------------------------------------------------
+
+_DRM_UNIT = 100000000       # ln p snapped to 1e-8 units
+_DRM_WUNIT = 1000000000     # unnormalized weights snapped to 1e-9 units
+_DRM_ETA = "1.0"            # EG step size (shared literal)
+
+
+@workload(
+    "mixture_doremi_step",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({_O_TOKS}) AS term FROM documents
+),
+cnt AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY term
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+per_src AS (
+  SELECT t.source AS source,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(CAST(round(ln(c.c * 1.0 / tt.n) * {_DRM_UNIT})
+                  AS BIGINT)) AS BIGINT) AS lp_units
+  FROM tok t JOIN cnt c ON c.term = t.term CROSS JOIN tot tt
+  GROUP BY t.source
+),
+scored AS (
+  SELECT source, n_tok,
+         -(lp_units * 1.0 / {_DRM_UNIT}) / n_tok AS ce,
+         n_tok * 1.0 / (SELECT sum(n_tok) FROM per_src) AS w_base
+  FROM per_src
+),
+stepped AS (
+  SELECT source, n_tok, ce, w_base,
+         CAST(round(w_base * exp({_DRM_ETA} * ce) * {_DRM_WUNIT})
+              AS BIGINT) AS wu
+  FROM scored
+),
+norm AS (SELECT CAST(sum(wu) AS BIGINT) AS z FROM stepped)
+SELECT s.source AS source,
+       s.n_tok AS n_tokens,
+       ROUND(s.ce, 4) AS ce_nats,
+       ROUND(s.w_base, 6) AS w_base,
+       ROUND(s.wu * 1.0 / n.z, 6) AS w_doremi,
+       ROUND((s.wu * 1.0 / n.z - s.w_base) / s.w_base * 100.0, 2)
+         AS delta_pct
+FROM stepped s CROSS JOIN norm n
+ORDER BY source
+""",
+)
+def mixture_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exponentiated-gradient step of DoReMi-style mixture
+    reweighting (Xie et al. 2023): each source's loss is its
+    unigram cross-entropy under the corpus-wide LM (the same
+    self-scored signal perplexity_unigram_score uses, aggregated
+    per source), and the new mixture weight is
+    w′ ∝ w·exp(η·loss) renormalized — up-weighting the sources the
+    reference model finds hardest, which is the domain-reweighting
+    loop behind modern pretraining mixtures. w_base is the token
+    share (the natural-sampling baseline); delta_pct shows who
+    gains. corpus_mixture_weights and the resamplers EXECUTE a
+    given mixture; this workload LEARNS the next one.
+
+    Determinism: token counts are BIGINT; each ln p snaps to 1e-8
+    units before the per-source sum (order-free); the one exp()
+    lands in a 1e-9-unit snap whose renormalization is an exact
+    integer ratio.
+
+    Scale: one token explode + count groupBy (the LM), one join of
+    the token stream back onto it (map-side broadcast for any
+    realistic vocab), one per-source aggregate. The EG step itself
+    is |sources| rows of arithmetic — iterating it to convergence
+    re-runs ONLY that last grid, with the expensive loss pass
+    unchanged per round."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("term"),
+    )
+    cnt = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = cnt.agg(F.sum("c").cast("bigint").alias("n"))
+    per_src = (
+        tok.join(cnt, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum(
+                F.round(
+                    F.log(F.col("c") * 1.0 / F.col("n")) * _DRM_UNIT
+                ).cast("bigint")
+            ).cast("bigint").alias("lp_units"),
+        )
+    )
+    allt = per_src.agg(F.sum("n_tok").alias("ntot"))
+    scored = per_src.crossJoin(F.broadcast(allt)).select(
+        "source", "n_tok",
+        (
+            -(F.col("lp_units") * 1.0 / _DRM_UNIT) / F.col("n_tok")
+        ).alias("ce"),
+        (F.col("n_tok") * 1.0 / F.col("ntot")).alias("w_base"),
+    )
+    stepped = scored.select(
+        "source", "n_tok", "ce", "w_base",
+        F.round(
+            F.col("w_base")
+            * F.exp(F.expr(_DRM_ETA) * F.col("ce"))
+            * _DRM_WUNIT
+        ).cast("bigint").alias("wu"),
+    )
+    norm = stepped.agg(F.sum("wu").cast("bigint").alias("z"))
+    return (
+        stepped.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            F.col("n_tok").alias("n_tokens"),
+            F.round("ce", 4).alias("ce_nats"),
+            F.round("w_base", 6).alias("w_base"),
+            F.round(F.col("wu") * 1.0 / F.col("z"), 6).alias("w_doremi"),
+            F.round(
+                (F.col("wu") * 1.0 / F.col("z") - F.col("w_base"))
+                / F.col("w_base") * 100.0,
+                2,
+            ).alias("delta_pct"),
+        )
+        .orderBy("source")
+    )

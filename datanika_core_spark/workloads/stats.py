@@ -2410,3 +2410,171 @@ def dist_wasserstein_1d_pairs(
         ).alias("w1_dollars"),
         F.row_number().over(rk).cast("bigint").alias("closeness_rank"),
     ).orderBy("closeness_rank")
+
+
+# --------------------------------------------------------------------------
+# Stratified ATT estimator (observational causal readout).
+# --------------------------------------------------------------------------
+
+_ATT_SPLIT = "2024-01-16 00:00:00"
+_ATT_STRATA = 10
+
+
+@workload(
+    "causal_stratified_att",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'error'
+                   AND ts < TIMESTAMP '{_ATT_SPLIT}'
+                  THEN 1 ELSE 0 END) AS pre_ne,
+         sum(CASE WHEN ts < TIMESTAMP '{_ATT_SPLIT}'
+                  THEN 1 ELSE 0 END) AS pre_n,
+         sum(CASE WHEN event_type = 'purchase'
+                   AND ts >= TIMESTAMP '{_ATT_SPLIT}'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+),
+med AS (
+  SELECT pre_ne AS m FROM (
+    SELECT pre_ne,
+           row_number() OVER (ORDER BY pre_ne, user_id) AS rn,
+           count(*) OVER () AS n
+    FROM per_user
+  ) WHERE rn = (n + 1) // 2
+),
+strat AS (
+  SELECT p.*,
+         CASE WHEN p.pre_ne > med.m THEN 1 ELSE 0 END AS trt,
+         ntile({_ATT_STRATA}) OVER (ORDER BY p.pre_n, p.user_id) AS s
+  FROM per_user p CROSS JOIN med
+),
+cell AS (
+  SELECT s,
+         CAST(sum(trt) AS BIGINT) AS n1,
+         CAST(count(*) - sum(trt) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN trt = 1 THEN y ELSE 0 END) AS BIGINT) AS y1,
+         CAST(sum(CASE WHEN trt = 0 THEN y ELSE 0 END) AS BIGINT) AS y0
+  FROM strat GROUP BY s
+),
+sup AS (SELECT * FROM cell WHERE n1 > 0 AND n0 > 0),
+t1 AS (SELECT CAST(sum(n1) AS BIGINT) AS nt FROM sup),
+att AS (
+  SELECT sum((n1 * 1.0 / t1.nt)
+             * (y1 * 1.0 / n1 - y0 * 1.0 / n0)) AS att
+  FROM sup CROSS JOIN t1
+)
+SELECT CAST(sup.s AS BIGINT) AS stratum,
+       sup.n1 AS n_treated,
+       sup.n0 AS n_control,
+       ROUND(sup.y1 * 1.0 / sup.n1 / 100.0, 4) AS mean_treated,
+       ROUND(sup.y0 * 1.0 / sup.n0 / 100.0, 4) AS mean_control,
+       ROUND((sup.y1 * 1.0 / sup.n1 - sup.y0 * 1.0 / sup.n0)
+             / 100.0, 4) AS diff,
+       ROUND(sup.n1 * 1.0 / t1.nt, 6) AS att_weight,
+       ROUND(att.att / 100.0, 4) AS att_total
+FROM sup CROSS JOIN t1 CROSS JOIN att
+ORDER BY stratum
+""",
+)
+def causal_stratified_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified ATT (average treatment effect on the treated) for
+    an OBSERVATIONAL exposure — here 'above-median pre-period error
+    count' — on
+    post-period purchase revenue, stratifying on pre-period activity
+    deciles (the cheapest propensity surrogate: condition on the
+    covariate that drives both exposure and outcome). Within each
+    common-support stratum the treated-control mean difference is
+    taken, then averaged with treated weights — Cochran's
+    subclassification estimator, the observational counterpart of
+    the randomized readouts (Welch / CUPED / DiD) that share this
+    module. Strata lacking either group are dropped (common
+    support), visible as missing stratum rows.
+
+    Determinism: per-user moments are BIGINT; ntile on
+    (pre_n, user_id) assigns identically in both engines; every
+    mean and weight is an exact-integer ratio combined in fixed
+    order.
+
+    Scale: one scan → per-user groupBy → one global ntile sort over
+    |users| rows (range-partitioned; at extreme scale swap ntile
+    for fixed pre_n bin edges — same estimator) → a
+    {_ATT_STRATA}-row cell grid. The causal adjustment costs one
+    sort more than the naive difference."""
+    ev = t(spark, sf_dir, "events")
+    split = F.lit(_ATT_SPLIT).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                (F.col("event_type") == "error") & (F.col("ts") < split),
+                1,
+            ).otherwise(0)
+        ).alias("pre_ne"),
+        F.sum(
+            F.when(F.col("ts") < split, 1).otherwise(0)
+        ).alias("pre_n"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= split),
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("y"),
+    )
+    per_user = per_user.localCheckpoint(eager=True)  # med + strat branches
+    med = (
+        per_user.select(
+            "pre_ne",
+            F.row_number()
+            .over(Window.orderBy("pre_ne", "user_id"))
+            .alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("pre_ne").alias("m"))
+    )
+    strat = per_user.crossJoin(F.broadcast(med)).select(
+        "*",
+        F.when(F.col("pre_ne") > F.col("m"), 1).otherwise(0).alias("trt"),
+        F.ntile(_ATT_STRATA)
+        .over(Window.orderBy("pre_n", "user_id"))
+        .alias("s"),
+    )
+    cell = strat.groupBy("s").agg(
+        F.sum("trt").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("trt")).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("trt") == 1, F.col("y")).otherwise(0))
+        .cast("bigint").alias("y1"),
+        F.sum(F.when(F.col("trt") == 0, F.col("y")).otherwise(0))
+        .cast("bigint").alias("y0"),
+    )
+    sup = cell.filter((F.col("n1") > 0) & (F.col("n0") > 0))
+    sup = sup.localCheckpoint(eager=True)  # two consumers below
+    t1 = sup.agg(F.sum("n1").cast("bigint").alias("nt"))
+    m1 = F.col("y1") * 1.0 / F.col("n1")
+    m0 = F.col("y0") * 1.0 / F.col("n0")
+    att = (
+        sup.crossJoin(F.broadcast(t1))
+        .agg(
+            F.sum(
+                (F.col("n1") * 1.0 / F.col("nt")) * (m1 - m0)
+            ).alias("att")
+        )
+    )
+    return (
+        sup.crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(att))
+        .select(
+            F.col("s").cast("bigint").alias("stratum"),
+            F.col("n1").alias("n_treated"),
+            F.col("n0").alias("n_control"),
+            F.round(m1 / 100.0, 4).alias("mean_treated"),
+            F.round(m0 / 100.0, 4).alias("mean_control"),
+            F.round((m1 - m0) / 100.0, 4).alias("diff"),
+            F.round(F.col("n1") * 1.0 / F.col("nt"), 6)
+            .alias("att_weight"),
+            F.round(F.col("att") / 100.0, 4).alias("att_total"),
+        )
+        .orderBy("stratum")
+    )

@@ -675,3 +675,70 @@ def test_wasserstein_exact_on_point_masses(spark, tmp_path):
     assert got[("a", "c")]["closeness_rank"] == 1
     assert got[("a", "b")]["w1_dollars"] == 1.0
     assert got[("b", "c")]["w1_dollars"] == 1.0
+
+
+def test_doremi_upweights_hard_source(spark, tmp_path):
+    """A source of rare singleton tokens (high cross-entropy) must
+    gain weight; the repetitive easy source must lose it; the new
+    weights sum to 1."""
+    rows = []
+    for i in range(40):
+        rows.append((i, "the the the the the", "en", "easy"))
+    for i in range(40):
+        toks = " ".join(f"rare{i}x{j}" for j in range(5))
+        rows.append((1000 + i, toks, "en", "hard"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    _write(docs, str(tmp_path), "documents")
+
+    got = {r["source"]: r for r in load_all()[
+        "mixture_doremi_step"
+    ].fn(spark, str(tmp_path)).collect()}
+    assert got["hard"]["ce_nats"] > got["easy"]["ce_nats"]
+    assert got["hard"]["delta_pct"] > 0
+    assert got["easy"]["delta_pct"] < 0
+    assert abs(
+        got["hard"]["w_doremi"] + got["easy"]["w_doremi"] - 1.0
+    ) < 1e-5
+
+
+def test_stratified_att_recovers_planted_effect(spark, tmp_path):
+    """Outcome = f(covariate) + exactly $50 if treated, with
+    treatment CORRELATED with the covariate: the stratified
+    estimator must return exactly 50.0 (every within-stratum diff
+    is 50), which the confounded naive difference would not."""
+    rows = []
+    eid = 0
+    for u in range(200):
+        g = u % 10
+        blk = u // 10  # 0..19, independent of g
+        treated = (blk % 2 == 0) if g >= 5 else (blk % 4 == 0)
+        # pre-period: (3+g) views + 2 errors if treated else 2 views
+        for k in range(3 + g + (0 if treated else 2)):
+            rows.append((eid, dt.datetime(2024, 1, 5, 8, k % 60), u,
+                         "view", 1.0, "")); eid += 1
+        if treated:
+            for k in range(2):
+                rows.append((eid, dt.datetime(2024, 1, 6, 8, k), u,
+                             "error", 1.0, "")); eid += 1
+        # post-period outcome: purchase of (100+10g) + 50·treated
+        y = 100.0 + 10.0 * g + (50.0 if treated else 0.0)
+        rows.append((eid, dt.datetime(2024, 1, 20, 9, 0), u,
+                     "purchase", y, "")); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    _write(ev, str(tmp_path), "events")
+
+    got = load_all()["causal_stratified_att"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == 10
+    for r in got:
+        assert r["diff"] == 50.0, r
+    assert got[0]["att_total"] == 50.0
+    # covariate gradient is visible across strata
+    assert got[-1]["mean_treated"] > got[0]["mean_treated"]
