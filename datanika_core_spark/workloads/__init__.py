@@ -80,6 +80,7 @@ CHECK_FIRST = [
     "coreset_kcenter_greedy", "select_max_coverage_greedy",
     "events_stl_decomposition", "dist_wasserstein_1d_pairs",
     "mixture_doremi_step", "causal_stratified_att",
+    "events_dispersion_index", "graph_degree_assortativity",
     "zorder_skip_rate_sampled", "pca_top_component",
     "heavy_hitters_misra_gries", "abtest_mann_whitney_u",
     "source_divergence_jsd", "collocation_pmi_bigrams",

@@ -1409,3 +1409,118 @@ def graph_eigenvector_centrality(
     sym.unpersist()
     nodes.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "graph_degree_assortativity",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+),
+deg AS (
+  SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u
+),
+ed AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM sym e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(dx) AS BIGINT) AS sx,
+         CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dy * dy) AS BIGINT) AS syy
+  FROM ed
+)
+SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+       ROUND(sx * 1.0 / m, 4) AS mean_edge_degree,
+       ROUND((m * sxy - sx * sy) * 1.0
+             / sqrt((m * sxx - sx * sx) * 1.0 * (m * syy - sy * sy)),
+             6) AS assortativity
+FROM mom
+""",
+)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph (Newman
+    2002): the Pearson correlation of endpoint degrees over all
+    directed edge stubs — positive means hub products co-sell with
+    other hubs (a dense rich-club core: broadcast/skew planning can
+    target it), negative means hub-and-spoke catalogs (long-tail
+    parts attach to a few anchors — the salting target is the
+    anchors). One number that tells the planner which of the two
+    skew regimes the join graph is in, next to triangle count
+    (local clustering) and eigenvector centrality (global
+    influence).
+
+    Determinism: degrees and all five moments are exact BIGINTs over
+    the symmetric stub list; r is one fixed-order float expression.
+
+    Scale: the keyed basket self-join builds the edge list (bounded
+    per-order pair explosion); degrees are one groupBy; the
+    moment pass joins degrees back onto edges twice — both
+    broadcastable (|parts| rows) or shuffled equi-joins at extreme
+    scale. No iteration, no window."""
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    sym = sym.localCheckpoint(eager=True)  # degree + edge consumers
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
+    ed = sym.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    mom = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+    )
+    r = (
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0
+        / F.sqrt(
+            (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * 1.0
+            * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+    )
+    return mom.select(
+        F.expr("cast(m / 2 as bigint)").alias("n_edges"),
+        F.round(F.col("sx") * 1.0 / F.col("m"), 4)
+        .alias("mean_edge_degree"),
+        F.round(r, 6).alias("assortativity"),
+    )

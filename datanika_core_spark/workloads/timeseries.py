@@ -1012,3 +1012,72 @@ def events_stl_decomposition(
         )
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# Overdispersion (variance-to-mean) diagnostic of daily counts.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "events_dispersion_index",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+mom AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS s,
+         CAST(sum(y * y) AS BIGINT) AS ss
+  FROM daily GROUP BY 1
+)
+SELECT event_type,
+       n AS n_days,
+       ROUND(s * 1.0 / n, 4) AS mean_daily,
+       ROUND((n * ss - s * s) * 1.0 / (n * (n - 1)) / (s * 1.0 / n), 4)
+         AS dispersion_index,
+       ((n * ss - s * s) * 1.0 / (n * (n - 1)) / (s * 1.0 / n)
+        > 1.5) AS overdispersed
+FROM mom
+ORDER BY event_type
+""",
+)
+def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean dispersion index of daily event counts per
+    type (Fisher's index of dispersion): a Poisson arrival process
+    scores ~1; bursty/clustered traffic (retries, bots, batch
+    replays) scores >1 — the one-number test for whether Poisson
+    confidence bands (and the z-score alarm thresholds derived from
+    them) are even valid for this feed, and the criterion for
+    switching to a negative-binomial model. Flagged at D > 1.5.
+
+    Determinism: daily counts are BIGINT; the sample variance uses
+    the n-scaled integer form (n·Σy² − (Σy)²)/(n(n−1)) and the index
+    is one fixed-order float expression of four integers.
+
+    Scale: one combiner groupBy to the daily grid, one |types|-row
+    moment aggregate. Free at any volume."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("ss"),
+    )
+    disp = (
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s")) * 1.0
+        / (F.col("n") * (F.col("n") - 1))
+        / (F.col("s") * 1.0 / F.col("n"))
+    )
+    return mom.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(F.col("s") * 1.0 / F.col("n"), 4).alias("mean_daily"),
+        F.round(disp, 4).alias("dispersion_index"),
+        (disp > 1.5).alias("overdispersed"),
+    ).orderBy("event_type")

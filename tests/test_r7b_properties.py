@@ -742,3 +742,50 @@ def test_stratified_att_recovers_planted_effect(spark, tmp_path):
     assert got[0]["att_total"] == 50.0
     # covariate gradient is visible across strata
     assert got[-1]["mean_treated"] > got[0]["mean_treated"]
+
+
+def test_dispersion_index_flags_bursty_not_constant(spark, tmp_path):
+    """A constant 10/day series has dispersion 0 (not flagged); an
+    alternating 2/40 series is strongly overdispersed."""
+    rows = []
+    eid = 0
+    for d in range(20):
+        for k in range(10):
+            rows.append((eid, dt.datetime(2024, 4, 1 + d, 8, k), 1,
+                         "steady", 1.0, "")); eid += 1
+        n = 2 if d % 2 == 0 else 40
+        for k in range(n):
+            rows.append((eid, dt.datetime(2024, 4, 1 + d, 9, k), 1,
+                         "bursty", 1.0, "")); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    _write(ev, str(tmp_path), "events")
+
+    got = {r["event_type"]: r for r in load_all()[
+        "events_dispersion_index"
+    ].fn(spark, str(tmp_path)).collect()}
+    assert got["steady"]["dispersion_index"] == 0.0
+    assert got["steady"]["overdispersed"] is False
+    assert got["bursty"]["dispersion_index"] > 1.5
+    assert got["bursty"]["overdispersed"] is True
+
+
+def test_assortativity_star_is_minus_one(spark, tmp_path):
+    """A pure star co-purchase graph (hub in every order, one leaf
+    each) is perfectly disassortative: r = −1 exactly."""
+    li = spark.createDataFrame(
+        [(k, 1, 1.0, 0.0) for k in range(2, 12)]
+        + [(k, k, 1.0, 0.0) for k in range(2, 12)],
+        "l_orderkey long, l_partkey long, l_extendedprice double,"
+        " l_discount double",
+    )
+    _write(li, str(tmp_path), "lineitem")
+
+    r = load_all()["graph_degree_assortativity"].fn(
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert r["n_edges"] == 10
+    assert r["assortativity"] == -1.0
