@@ -81,6 +81,7 @@ CHECK_FIRST = [
     "events_stl_decomposition", "dist_wasserstein_1d_pairs",
     "mixture_doremi_step", "causal_stratified_att",
     "events_dispersion_index", "graph_degree_assortativity",
+    "ssl_label_propagation",
     "zorder_skip_rate_sampled", "pca_top_component",
     "heavy_hitters_misra_gries", "abtest_mann_whitney_u",
     "source_divergence_jsd", "collocation_pmi_bigrams",

@@ -2717,3 +2717,210 @@ def coreset_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         " radius_after_k bigint",
     )
     return out.orderBy("sel_rank")
+
+
+# --------------------------------------------------------------------------
+# Semi-supervised label propagation on the exact kNN graph.
+# --------------------------------------------------------------------------
+
+_LP_K = 5        # neighbors per node
+_LP_ROUNDS = 3   # propagation rounds
+_LP_SCALE = 1000  # 1e-3 integer quantization (exact L2)
+
+
+def _lp_round_sql(prev: str, idx: int) -> str:
+    """One propagation round as DuckDB CTE text: seeds stay clamped;
+    unlabeled nodes take the majority label of their kNN neighbors
+    (tie → smallest label), or stay NULL with no labeled neighbor."""
+    return f"""
+votes{idx} AS (
+  SELECT e.src AS v, p.lab AS lab, count(*) AS n
+  FROM knn e JOIN {prev} p ON p.v = e.dst
+  WHERE p.lab IS NOT NULL
+  GROUP BY 1, 2
+),
+win{idx} AS (
+  SELECT v, lab,
+         row_number() OVER (PARTITION BY v ORDER BY n DESC, lab) AS rk
+  FROM votes{idx}
+),
+lp{idx} AS (
+  SELECT s.v AS v,
+         CASE WHEN s.seed IS NOT NULL THEN s.seed ELSE w.lab END AS lab,
+         s.seed AS seed
+  FROM seeds s LEFT JOIN win{idx} w ON w.v = s.v AND w.rk = 1
+)"""
+
+
+def _lp_oracle() -> str:
+    chain = ",".join(
+        _lp_round_sql(f"lp{i - 1}" if i > 1 else "lp0", i)
+        for i in range(1, _LP_ROUNDS + 1)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+           x -> CAST(round(x * {_LP_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, b.label AS dlab,
+         list_sum(list_transform(range({_DIM}),
+           i -> (a.q[i+1] - b.q[i+1]) * (a.q[i+1] - b.q[i+1]))) AS d2
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+knn AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY d2, dst) AS rk
+    FROM pairs
+  ) WHERE rk <= {_LP_K}
+),
+seeds AS (
+  SELECT vec_id AS v, label AS true_lab,
+         CASE WHEN vec_id % 5 = 0 THEN label END AS seed
+  FROM e
+),
+lp0 AS (SELECT v, seed AS lab, seed FROM seeds),
+{chain},
+masked AS (
+  SELECT s.true_lab AS label, f.lab AS pred
+  FROM seeds s JOIN lp{_LP_ROUNDS} f ON f.v = s.v
+  WHERE s.seed IS NULL
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_masked,
+       CAST(sum(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_predicted,
+       CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       ROUND(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) * 1.0
+             / nullif(sum(CASE WHEN pred IS NOT NULL
+                               THEN 1 ELSE 0 END), 0), 6) AS accuracy
+FROM masked
+GROUP BY label
+ORDER BY label
+"""
+
+
+@workload("ssl_label_propagation", oracle=_lp_oracle())
+def ssl_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002,
+    hard-clamped majority variant) on the exact {_LP_K}-NN graph of
+    the embedding store: 20% of vectors keep their label as seeds
+    (vec_id % 5 = 0), the rest vote {_LP_ROUNDS} rounds over their
+    nearest neighbors' current labels (seeds clamped; ties take the
+    smallest label). Reports per-class accuracy + coverage on the
+    MASKED nodes — the measured answer to 'can we auto-label the
+    other 80% of the corpus from this seed set?', the
+    labeling-budget question every curation pipeline asks before
+    paying annotators.
+
+    Determinism: TOTAL — distances are exact integer squared L2 on
+    1e-3-quantized BIGINTs with (d², vec_id) tiebreaks; votes are
+    integer counts with (count desc, label) tiebreaks; no float
+    appears before the display accuracy.
+
+    Scale: the all-pairs kNN here is the exact baseline (the parity
+    point); at corpus scale the IVF index (ann_ivf_cosine's posting
+    lists) supplies the same (src, dst) edge table and everything
+    downstream is unchanged — each round is one equi-join of the
+    label vector onto the fixed edge list + a counted groupBy
+    (the PageRank shape; label vector broadcastable, edges
+    |V|·k rows). Rounds re-checkpoint the label frame: O(1) storage
+    in rounds."""
+    from datanika_core_spark.blocks import RollingCheckpoint
+
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label",
+        F.expr(
+            f"transform(embedding, x -> cast(round(cast(x as double)"
+            f" * {_LP_SCALE}) as bigint))"
+        ).alias("q"),
+    ).localCheckpoint(eager=True)  # knn + seed consumers, one scan
+    a = e.select(F.col("vec_id").alias("src"), F.col("q").alias("qa"))
+    b = e.select(F.col("vec_id").alias("dst"), F.col("q").alias("qb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("src") != F.col("dst"))
+        .select(
+            "src", "dst",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)),"
+                " cast(0 as bigint), (acc, v) -> acc + v)"
+            ).alias("d2"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    knn = (
+        pairs.select(
+            "src", "dst",
+            F.row_number()
+            .over(_W.partitionBy("src").orderBy("d2", "dst"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= _LP_K)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)  # fixed edge list for all rounds
+    )
+    seeds = e.select(
+        F.col("vec_id").alias("v"),
+        F.col("label").alias("true_lab"),
+        F.when(F.col("vec_id") % 5 == 0, F.col("label")).alias("seed"),
+    ).localCheckpoint(eager=True)
+    lab = seeds.select("v", F.col("seed").alias("lab"))
+    roll = RollingCheckpoint(spark)
+    for _ in range(_LP_ROUNDS):
+        votes = (
+            knn.join(
+                F.broadcast(lab.filter(F.col("lab").isNotNull())),
+                knn.dst == F.col("v"),
+            )
+            .groupBy(F.col("src"), F.col("lab"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        win = votes.select(
+            "src", "lab",
+            F.row_number()
+            .over(
+                _W.partitionBy("src").orderBy(F.col("n").desc(), "lab")
+            )
+            .alias("rk"),
+        ).filter(F.col("rk") == 1)
+        lab = (
+            seeds.join(
+                win.select(F.col("src").alias("v"),
+                           F.col("lab").alias("wlab")),
+                "v", "left",
+            )
+            .select(
+                "v",
+                F.when(F.col("seed").isNotNull(), F.col("seed"))
+                .otherwise(F.col("wlab")).alias("lab"),
+            )
+        )
+        lab = roll(lab)
+    masked = (
+        seeds.filter(F.col("seed").isNull())
+        .join(lab, "v")
+        .select(F.col("true_lab").alias("label"), F.col("lab").alias("pred"))
+    )
+    out = masked.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_masked"),
+        F.sum(F.when(F.col("pred").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_predicted"),
+        F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0))
+        .cast("bigint").alias("n_correct"),
+    ).select(
+        F.col("label").cast("bigint").alias("label"),
+        "n_masked", "n_predicted", "n_correct",
+        F.round(
+            F.col("n_correct") * 1.0
+            / F.nullif(F.col("n_predicted"), F.lit(0)),
+            6,
+        ).alias("accuracy"),
+    ).orderBy("label")
+    return out

@@ -807,3 +807,19 @@ def test_wasserstein_pair_expansion_stays_grid_sized(spark):
     # events: the final plan has ZERO parquet scans
     assert "Scan parquet" not in p
     assert "Scan ExistingRDD" in p
+
+
+def test_label_propagation_round_shape(spark):
+    """The workload's final plan reads checkpointed label/edge frames
+    (ExistingRDD) with broadcast vote joins — no cartesian, no Python
+    row eval. The all-pairs kNN is the documented exact baseline; the
+    scale path swaps in IVF posting lists for the same edge table."""
+    reg = load_all()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = _plan(reg["ssl_label_propagation"].fn(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "Scan ExistingRDD" in p

@@ -789,3 +789,30 @@ def test_assortativity_star_is_minus_one(spark, tmp_path):
     ).collect()[0]
     assert r["n_edges"] == 10
     assert r["assortativity"] == -1.0
+
+
+def test_label_propagation_fills_separated_clusters(spark, tmp_path):
+    """Two well-separated clusters with 20% seeds: propagation must
+    label every masked node correctly (accuracy 1.0, full
+    coverage)."""
+    dim = 64
+    rows = []
+    for i in range(50):          # cluster 0 along e0
+        v = [0.0] * dim
+        v[0] = 5.0 + 0.001 * (i % 7)
+        rows.append((i * 2, v, 0))          # even ids → some %5==0
+    for i in range(50):          # cluster 1 along e1
+        v = [0.0] * dim
+        v[1] = 5.0 + 0.001 * (i % 7)
+        rows.append((1001 + i * 2, v, 1))   # odd ids, some %5==0
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    _write(emb, str(tmp_path), "embeddings")
+
+    got = {r["label"]: r for r in load_all()[
+        "ssl_label_propagation"
+    ].fn(spark, str(tmp_path)).collect()}
+    for lab in (0, 1):
+        assert got[lab]["n_predicted"] == got[lab]["n_masked"], lab
+        assert got[lab]["accuracy"] == 1.0, lab
