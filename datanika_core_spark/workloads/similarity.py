@@ -2763,6 +2763,7 @@ WITH e AS (
          list_transform(embedding::DOUBLE[],
            x -> CAST(round(x * {_LP_SCALE}) AS BIGINT)) AS q
   FROM embeddings
+  WHERE vec_id % 2 = 0
 ),
 pairs AS (
   SELECT a.vec_id AS src, b.vec_id AS dst, b.label AS dlab,
@@ -2816,7 +2817,9 @@ def ssl_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     MASKED nodes — the measured answer to 'can we auto-label the
     other 80% of the corpus from this seed set?', the
     labeling-budget question every curation pipeline asks before
-    paying annotators.
+    paying annotators. Runs on the deterministic 50% pilot sample
+    (vec_id % 2 = 0) — the pilot-study framing, and what keeps the
+    exact-kNN parity oracle's all-pairs spill bounded at 10× data.
 
     Determinism: TOTAL — distances are exact integer squared L2 on
     1e-3-quantized BIGINTs with (d², vec_id) tiebreaks; votes are
@@ -2834,7 +2837,7 @@ def ssl_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datanika_core_spark.blocks import RollingCheckpoint
 
     emb = t(spark, sf_dir, "embeddings")
-    e = emb.select(
+    e = emb.filter(F.col("vec_id") % 2 == 0).select(
         "vec_id", "label",
         F.expr(
             f"transform(embedding, x -> cast(round(cast(x as double)"

@@ -797,14 +797,16 @@ def test_label_propagation_fills_separated_clusters(spark, tmp_path):
     coverage)."""
     dim = 64
     rows = []
+    # ids all EVEN (the workload runs on the vec_id % 2 = 0 pilot
+    # sample); %10==0 ids become the 20% seeds of each cluster
     for i in range(50):          # cluster 0 along e0
         v = [0.0] * dim
         v[0] = 5.0 + 0.001 * (i % 7)
-        rows.append((i * 2, v, 0))          # even ids → some %5==0
+        rows.append((i * 2, v, 0))
     for i in range(50):          # cluster 1 along e1
         v = [0.0] * dim
         v[1] = 5.0 + 0.001 * (i % 7)
-        rows.append((1001 + i * 2, v, 1))   # odd ids, some %5==0
+        rows.append((1000 + i * 2, v, 1))
     emb = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     )
