@@ -68,6 +68,8 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: bookkeeping. This list only breaks ties WITHIN each group —
 #: newest additions first.
 CHECK_FIRST = [
+    # new in round 7 (session 3)
+    "link_prediction_adamic_adar", "graph_local_clustering",
     # new in round 7
     "pca_top2_deflation", "calibration_isotonic_pav",
     "bootstrap_ci_poisson", "abtest_cuped_readout",

@@ -960,3 +960,89 @@ def calibration_isotonic_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bin_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# Decile lift / cumulative gains of the frozen quality model.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "eval_decile_lift",
+    oracle=f"""
+WITH labeled AS ({_O_LABELED}),
+deciled AS (
+  SELECT y, ntile(10) OVER (ORDER BY z DESC, doc_id) AS decile
+  FROM labeled
+),
+per AS (
+  SELECT decile,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos
+  FROM deciled GROUP BY decile
+),
+tot AS (
+  SELECT sum(n) AS tn, sum(n_pos) AS tp FROM per
+)
+SELECT p.decile,
+       p.n, p.n_pos,
+       ROUND(p.n_pos * 1.0 / p.n, 6) AS resp_rate,
+       ROUND((p.n_pos * 1.0 / p.n) / (t.tp * 1.0 / t.tn), 6) AS lift,
+       ROUND(sum(p.n_pos) OVER (ORDER BY p.decile) * 1.0 / t.tp, 6)
+         AS cum_capture
+FROM per p CROSS JOIN tot t
+ORDER BY p.decile
+""",
+)
+def eval_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative-gains table of the frozen quality
+    model: rank all docs by score, cut into 10 equal bins, and report
+    each bin's response rate, lift over the base rate, and the
+    cumulative share of positives captured — the campaign-targeting /
+    data-selection readout ("the top 20% of the corpus by model score
+    holds X% of the high-quality docs").
+
+    Scale: the exact NTILE here is a global sort; at 100 TB the
+    decile boundaries come from an approx-quantile sketch (ONE
+    combiner pass, same pattern as eval_auc_histogram) and decile
+    assignment becomes a map-only comparison against 9 broadcast
+    boundaries — the table below is then identical up to boundary-tie
+    placement. The lift arithmetic is a 10-row driver-sized frame
+    either way. Determinism: NTILE's order has a doc_id tiebreak, so
+    bin membership is a total order; counts are BIGINT."""
+    labeled = _labeled(spark, sf_dir)
+    from pyspark.sql import Window as _W
+
+    deciled = labeled.select(
+        "y",
+        F.ntile(10)
+        .over(_W.orderBy(F.col("z").desc(), "doc_id"))
+        .alias("decile"),
+    )
+    per = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("tn"), F.sum("n_pos").alias("tp")
+    )
+    wc = _W.orderBy("decile").rowsBetween(
+        _W.unboundedPreceding, _W.currentRow
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile", "n", "n_pos",
+            F.round(F.col("n_pos") * 1.0 / F.col("n"), 6)
+            .alias("resp_rate"),
+            F.round(
+                (F.col("n_pos") * 1.0 / F.col("n"))
+                / (F.col("tp") * 1.0 / F.col("tn")),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.sum("n_pos").over(wc) * 1.0 / F.col("tp"), 6
+            ).alias("cum_capture"),
+        )
+        .orderBy("decile")
+    )

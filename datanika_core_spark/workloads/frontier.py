@@ -1633,3 +1633,169 @@ def mixture_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM: held-out perplexity per language.
+# --------------------------------------------------------------------------
+
+#: Absolute-discount mass moved from seen bigrams to the continuation
+#: distribution. 0.75 is the Chen-Goodman recommended fixed discount;
+#: exactly representable in binary so both engines subtract the same
+#: double.
+_KN_D = "cast(0.75 as double)"
+
+#: p(y|x) for a test bigram given joined model stats — SHARED TEXT
+#: between the Spark plan (F.expr) and the DuckDB oracle, so the two
+#: engines execute the identical IEEE op tree (left-assoc, same
+#: casts). Columns: c2 = train bigram count, cx = context total,
+#: n1x = distinct continuations of x, n1y = distinct predecessors of
+#: y (continuation count), bt = distinct bigram types.
+_KN_PCONT = "(coalesce(n1y, 0) * cast(1.0 as double) / bt)"
+_KN_P = (
+    f"case when cx is null then {_KN_PCONT} "
+    f"else greatest(coalesce(c2, 0) - {_KN_D}, cast(0.0 as double)) / cx "
+    f"+ {_KN_D} * n1x / cx * {_KN_PCONT} end"
+)
+_KN_LP_UNITS = (
+    f"cast(round(ln(greatest({_KN_P}, cast(1e-12 as double)))"
+    f" * {_BLM_UNIT}) as bigint)"
+)
+
+
+@workload(
+    "lm_kneser_ney_bigram",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, {_O_TOKS} AS toks,
+         (doc_id % 5 = 0) AS is_test
+  FROM documents
+),
+tr_bg AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS c2
+  FROM (
+    SELECT toks[i] AS x, toks[i + 1] AS y
+    FROM tok, unnest(range(1, len(toks))) AS u(i)
+    WHERE NOT is_test
+  )
+  GROUP BY x, y
+),
+ctx AS (
+  SELECT x, CAST(sum(c2) AS BIGINT) AS cx,
+         CAST(count(*) AS BIGINT) AS n1x
+  FROM tr_bg GROUP BY x
+),
+cont AS (
+  SELECT y, CAST(count(*) AS BIGINT) AS n1y FROM tr_bg GROUP BY y
+),
+btot AS (
+  SELECT CAST(count(*) AS BIGINT) AS bt FROM tr_bg
+),
+te AS (
+  SELECT lang, toks[i] AS x, toks[i + 1] AS y
+  FROM tok, unnest(range(1, len(toks))) AS u(i)
+  WHERE is_test
+),
+scored AS (
+  SELECT te.lang AS lang,
+         (cont.n1y IS NULL) AS oov,
+         {_KN_LP_UNITS} AS lp_units
+  FROM te
+  LEFT JOIN tr_bg bg ON bg.x = te.x AND bg.y = te.y
+  LEFT JOIN ctx ON ctx.x = te.x
+  LEFT JOIN cont ON cont.y = te.y
+  CROSS JOIN btot
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_test_bigrams,
+       ROUND(sum(CASE WHEN oov THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS oov_rate,
+       ROUND(-(sum(lp_units) * 1.0 / {_BLM_UNIT}) / count(*), 4)
+         AS cross_entropy,
+       ROUND(exp(-(sum(lp_units) * 1.0 / {_BLM_UNIT}) / count(*)), 2)
+         AS perplexity
+FROM scored
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity of an interpolated Kneser-Ney bigram LM
+    per language — the state-of-the-art count-based smoothing
+    (Chen & Goodman 1999) next to perplexity_bigram_interpolated's
+    Jelinek-Mercer: each seen bigram is discounted by a fixed
+    D = 0.75 and the freed mass backs off to the CONTINUATION
+    distribution p_cont(y) = N1+(.y)/|bigram types| — "how many
+    contexts does y complete" rather than raw frequency, which is
+    exactly what demotes high-count-but-context-bound tokens
+    (the canonical "San Francisco" example). Unseen contexts fall
+    back to p_cont directly; a 1e-12 floor guards ln(0) for
+    never-continuing test tokens (flagged via oov_rate).
+
+    Determinism: the p(y|x) expression is ONE shared SQL text
+    (_KN_P) parsed by both engines — identical IEEE op tree — and
+    each ln p snaps to 1e-8 BIGINT units before the per-lang sum.
+
+    Scale: the model is two count tables plus a continuation table
+    (three explode+groupBy passes with map-side combine); scoring is
+    three equi-joins of the test bigram stream against them plus one
+    broadcast 1-row total — same join-throughput profile as the JM
+    workload, no iteration, no driver state."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+        (F.col("doc_id") % 5 == 0).alias("is_test"),
+    )
+    pair_expr = (
+        "explode(transform(sequence(1, size(toks) - 1),"
+        " i -> struct(element_at(toks, i) as x,"
+        " element_at(toks, i + 1) as y)))"
+    )
+    tr_bg = (
+        docs.filter(~F.col("is_test"))
+        .filter(F.size("toks") >= 2)
+        .select(F.expr(pair_expr).alias("p"))
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    )
+    ctx = tr_bg.groupBy("x").agg(
+        F.sum("c2").cast("bigint").alias("cx"),
+        F.count(F.lit(1)).cast("bigint").alias("n1x"),
+    )
+    cont = tr_bg.groupBy("y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1y")
+    )
+    btot = tr_bg.agg(F.count(F.lit(1)).cast("bigint").alias("bt"))
+    te_bg = (
+        docs.filter(F.col("is_test"))
+        .filter(F.size("toks") >= 2)
+        .select("lang", F.expr(pair_expr).alias("p"))
+        .select("lang", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    )
+    scored = (
+        te_bg.join(tr_bg, ["x", "y"], "left")
+        .join(ctx, "x", "left")
+        .join(cont, "y", "left")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "lang",
+            F.col("n1y").isNull().alias("oov"),
+            F.expr(_KN_LP_UNITS).alias("lp_units"),
+        )
+    )
+    h = F.sum("lp_units") * 1.0 / _BLM_UNIT
+    cnt = F.count(F.lit(1))
+    return (
+        scored.groupBy("lang")
+        .agg(
+            cnt.cast("bigint").alias("n_test_bigrams"),
+            F.round(
+                F.sum(F.when(F.col("oov"), 1).otherwise(0)) * 1.0 / cnt,
+                6,
+            ).alias("oov_rate"),
+            F.round(-h / cnt, 4).alias("cross_entropy"),
+            F.round(F.exp(-h / cnt), 2).alias("perplexity"),
+        )
+        .orderBy("lang")
+    )

@@ -1524,3 +1524,264 @@ def graph_degree_assortativity(
         .alias("mean_edge_degree"),
         F.round(r, 6).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Link prediction: Adamic-Adar over the co-purchase graph.
+# --------------------------------------------------------------------------
+
+#: Wedge centers with degree above this cap are skipped when scoring
+#: Adamic-Adar. A hub of degree d generates C(d,2) candidate pairs but
+#: contributes only 1/ln(d) ≈ 0 to each score, so production link
+#: predictors cap the center degree to bound the quadratic wedge
+#: blow-up (the LinkBench / Twitter WTF convention). The SAME cap is
+#: applied in the oracle, so results stay bit-identical; at sf0.01 no
+#: co-purchase node reaches it.
+_AA_DEG_CAP = 512
+
+#: 1/ln(deg) snapped to 1e-9 integer units before summing so the
+#: per-pair sums are order-free BIGINT arithmetic (the _BLM_UNIT
+#: trick from the LM workloads).
+_AA_UNIT = 1_000_000_000
+
+
+@workload(
+    "link_prediction_adamic_adar",
+    oracle=f"""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+nbrs AS (
+  SELECT u AS node, v AS nbr FROM edges
+  UNION ALL
+  SELECT v AS node, u AS nbr FROM edges
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM nbrs GROUP BY node
+),
+wedge AS (
+  SELECT n1.nbr AS x, n2.nbr AS y,
+         CAST(round({_AA_UNIT} / ln(d.d)) AS BIGINT) AS aa_units
+  FROM nbrs n1
+  JOIN nbrs n2 ON n1.node = n2.node AND n1.nbr < n2.nbr
+  JOIN deg d ON d.node = n1.node
+  WHERE d.d <= {_AA_DEG_CAP}
+),
+cand AS (
+  SELECT w.x, w.y,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(w.aa_units) AS BIGINT) AS units
+  FROM wedge w
+  LEFT JOIN edges e ON e.u = w.x AND e.v = w.y
+  WHERE e.u IS NULL
+  GROUP BY w.x, w.y
+)
+SELECT x, y, n_common,
+       ROUND(units * 1.0 / {_AA_UNIT}, 4) AS aa_score
+FROM cand
+ORDER BY units DESC, x, y
+LIMIT 20
+""",
+)
+def link_prediction_adamic_adar(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Adamic-Adar link prediction on the co-purchase part graph:
+    score every NON-adjacent pair (x, y) by sum over common
+    neighbors z of 1/ln(deg(z)) — the classic common-neighbor
+    predictor where rare shared neighbors count more than hubs —
+    and return the 20 strongest predicted links.
+
+    Scale: candidate pairs come only from wedge enumeration at the
+    common neighbor (an equi-join of the adjacency list with itself
+    on the center node — never an all-pairs product), and centers
+    above _AA_DEG_CAP are skipped: a degree-d hub costs C(d,2)
+    wedges yet adds only 1/ln(d) per score, so capping bounds the
+    quadratic term with negligible score loss (the standard
+    production trade). Existing edges drop via one left-anti join
+    against the canonical edge list. Determinism: each wedge's
+    1/ln(deg) snaps to 1e-9 BIGINT units before the per-pair sum,
+    so accumulation order can't flip a bit; top-20 is ordered by
+    the exact integer score with a (x, y) tiebreak."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    nbrs = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    n1 = nbrs.select("node", F.col("nbr").alias("x"))
+    n2 = nbrs.select(F.col("node").alias("node2"), F.col("nbr").alias("y"))
+    wedge = (
+        n1.join(n2, (F.col("node") == F.col("node2")) & (F.col("x") < F.col("y")))
+        .join(deg.filter(F.col("d") <= _AA_DEG_CAP), "node")
+        .select(
+            "x", "y",
+            F.round(F.lit(_AA_UNIT) / F.log("d")).cast("bigint").alias("aa_units"),
+        )
+    )
+    cand = wedge.join(
+        edges,
+        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+        "left_anti",
+    )
+    return (
+        cand.groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("aa_units").cast("bigint").alias("units"),
+        )
+        .orderBy(F.col("units").desc(), "x", "y")
+        .limit(20)
+        .select(
+            "x", "y", "n_common",
+            F.round(F.col("units") * 1.0 / _AA_UNIT, 4).alias("aa_score"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-node local clustering coefficient (co-purchase graph).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "graph_local_clustering",
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+  FROM edges e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+tri AS (
+  SELECT w.src AS apex, w.a, w.b
+  FROM (
+    SELECT o1.src,
+           least(o1.dst, o2.dst) AS a,
+           greatest(o1.dst, o2.dst) AS b
+    FROM oriented o1 JOIN oriented o2
+      ON o1.src = o2.src AND o1.dst < o2.dst
+  ) w
+  JOIN edges e ON e.u = w.a AND e.v = w.b
+),
+tpn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+    SELECT apex AS node FROM tri
+    UNION ALL SELECT a AS node FROM tri
+    UNION ALL SELECT b AS node FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, d.d, coalesce(t.n_tri, 0) AS n_tri,
+       ROUND(2.0 * coalesce(t.n_tri, 0) / (d.d * (d.d - 1)), 6) AS lcc
+FROM deg d LEFT JOIN tpn t ON t.node = d.node
+WHERE d.d >= 4
+ORDER BY 2 * coalesce(t.n_tri, 0) * 1000000 // (d.d * (d.d - 1)) DESC,
+         d.node
+LIMIT 20
+""",
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient on the co-purchase part
+    graph: lcc(v) = 2·T(v) / (d(v)·(d(v)−1)), where T(v) counts the
+    triangles through v — the node-level refinement of
+    graph_triangle_count's global transitivity (communities score
+    near 1, bridge/hub nodes near 0). Returns the 20 most clustered
+    nodes with degree ≥ 4.
+
+    Scale: reuses the degree-ordered orientation (wedges enumerate
+    only at each triangle's lowest-degree apex — O(m^1.5) total),
+    then EXPLODES each closed triangle to its three member nodes and
+    counts per node: one extra map + groupBy over the triangle
+    stream versus the global count. Ordering uses the exact integer
+    2·T·10^6 div d(d−1) key (integer division — identical on both
+    engines), never a float sort key."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u_n"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v_n"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, F.col("u") == F.col("u_n"))
+        .join(dv, F.col("v") == F.col("v_n"))
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    o1 = oriented.select("src", F.col("dst").alias("d1"))
+    o2 = oriented.select(F.col("src").alias("src2"), F.col("dst").alias("d2"))
+    wedges = (
+        o1.join(o2, (F.col("src") == F.col("src2")) & (F.col("d1") < F.col("d2")))
+        .select(
+            "src",
+            F.least("d1", "d2").alias("a"),
+            F.greatest("d1", "d2").alias("b"),
+        )
+    )
+    tri = wedges.join(
+        edges,
+        (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
+    ).select("src", "a", "b")
+    tpn = (
+        tri.select(F.col("src").alias("node"))
+        .unionAll(tri.select(F.col("a").alias("node")))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    scored = (
+        deg.filter(F.col("d") >= 4)
+        .join(tpn, "node", "left")
+        .select(
+            "node", "d",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_tri"),
+            F.round(
+                2.0 * F.coalesce(F.col("n_tri"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("lcc"),
+            F.expr(
+                "2 * coalesce(n_tri, 0) * 1000000 div (d * (d - 1))"
+            ).alias("_k"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("_k").desc(), "node")
+        .limit(20)
+        .drop("_k")
+    )

@@ -638,3 +638,173 @@ def text_readability_lix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Multinomial Naive Bayes source classifier (closed-form, count-only).
+# --------------------------------------------------------------------------
+
+_NB_UNIT = 100000000  # ln p snapped to 1e-8 BIGINT units
+
+#: Shared per-term log-likelihood text (Laplace-smoothed): columns
+#: cst = count of term in class, cs = class token total, v = train
+#: vocabulary size. Parsed by BOTH engines -> identical IEEE tree.
+_NB_LLH_UNITS = (
+    f"cast(round(ln((coalesce(cst, 0) + cast(1.0 as double))"
+    f" / (cs + v)) * {_NB_UNIT}) as bigint)"
+)
+_NB_PRIOR_UNITS = (
+    f"cast(round(ln(nd * cast(1.0 as double) / tot)"
+    f" * {_NB_UNIT}) as bigint)"
+)
+
+
+@workload(
+    "classifier_naive_bayes_source",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({_O_TOKS}) AS term,
+         (doc_id % 5 = 0) AS is_test
+  FROM documents
+),
+cls AS (
+  SELECT source,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS nd,
+         CAST(count(*) AS BIGINT) AS cs
+  FROM tok WHERE NOT is_test GROUP BY source
+),
+clst AS (
+  SELECT c.source, c.cs,
+         {_NB_PRIOR_UNITS.replace('tot', 't.tot')} AS prior_units,
+         vt.v
+  FROM cls c
+  CROSS JOIN (SELECT CAST(sum(nd) AS BIGINT) AS tot FROM cls) t
+  CROSS JOIN (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
+              FROM tok WHERE NOT is_test) vt
+),
+ct AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS cst
+  FROM tok WHERE NOT is_test GROUP BY source, term
+),
+tet AS (
+  SELECT doc_id, source AS true_source, term,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE is_test GROUP BY doc_id, source, term
+),
+scored AS (
+  SELECT te.doc_id, te.true_source, k.source,
+         any_value(k.prior_units) AS prior_units,
+         CAST(sum(te.tf * {_NB_LLH_UNITS.replace('cs + v', 'k.cs + k.v')})
+              AS BIGINT) AS llh_units
+  FROM tet te
+  CROSS JOIN clst k
+  LEFT JOIN ct ON ct.source = k.source AND ct.term = te.term
+  GROUP BY te.doc_id, te.true_source, k.source
+),
+pred AS (
+  SELECT doc_id, true_source, source AS pred_source
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id
+      ORDER BY prior_units + llh_units DESC, source) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT true_source, pred_source,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM pred
+GROUP BY true_source, pred_source
+ORDER BY true_source, pred_source
+""",
+)
+def classifier_naive_bayes_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multinomial Naive Bayes predicting each doc's ingest SOURCE
+    from its tokens — the classic closed-form text classifier
+    (train = pure counting, no gradient loop): Laplace-smoothed
+    p(term|class) = (c(s,t)+1)/(c(s)+V) with doc-frequency priors,
+    trained on the 80% split and scored on the held-out 20%;
+    output is the test confusion matrix.
+
+    Determinism: every per-term ln p snaps to 1e-8 BIGINT units
+    (shared _NB_LLH_UNITS text → identical IEEE tree on both
+    engines), tf multiplies the snapped integer, sums are exact, and
+    argmax ties break on class name.
+
+    Scale: the MODEL is two count tables (class totals ~|C| rows,
+    class-term ~|C|·V rows) built in one explode+groupBy pass each —
+    at 100 TB the class-term table is the only non-trivial state and
+    it broadcasts or bucket-joins by term. Scoring is one equi-join
+    of the test term stream against it after a cheap |C|-way fanout
+    (|C| = #sources, single digits), all map-side combined — serving
+    a NB classifier is join throughput, the same profile as the LM
+    evals."""
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("term"),
+            (F.col("doc_id") % 5 == 0).alias("is_test"),
+        )
+    )
+    tr = tok.filter(~F.col("is_test"))
+    te = tok.filter(F.col("is_test"))
+    cls = tr.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("nd"),
+        F.count(F.lit(1)).cast("bigint").alias("cs"),
+    )
+    tot = cls.agg(F.sum("nd").cast("bigint").alias("tot"))
+    voc = tr.agg(F.countDistinct("term").cast("bigint").alias("v"))
+    clst = (
+        cls.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "source", "cs", "v",
+            F.expr(_NB_PRIOR_UNITS).alias("prior_units"),
+        )
+    )
+    ct = tr.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cst")
+    )
+    tet = te.groupBy("doc_id", F.col("source").alias("true_source"), "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    k = clst.select(
+        F.col("source").alias("k_source"), "cs", "v", "prior_units"
+    )
+    ctk = ct.select(
+        F.col("source").alias("k_source"), "term", "cst"
+    )
+    scored = (
+        tet.crossJoin(F.broadcast(k))
+        .join(ctk, ["k_source", "term"], "left")
+        .select(
+            "doc_id", "true_source",
+            F.col("k_source").alias("source"),
+            "prior_units",
+            (F.col("tf") * F.expr(_NB_LLH_UNITS)).alias("lp"),
+        )
+        .groupBy("doc_id", "true_source", "source")
+        .agg(
+            F.first("prior_units").alias("prior_units"),
+            F.sum("lp").cast("bigint").alias("llh_units"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy(
+        (F.col("prior_units") + F.col("llh_units")).desc(), "source"
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("true_source", F.col("source").alias("pred_source"))
+    )
+    return (
+        pred.groupBy("true_source", "pred_source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("true_source", "pred_source")
+    )
