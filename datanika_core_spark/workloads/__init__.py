@@ -70,6 +70,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 CHECK_FIRST = [
     # new in round 7 (session 3)
     "link_prediction_adamic_adar", "graph_local_clustering",
+    "eval_decile_lift", "lm_kneser_ney_bigram",
+    "classifier_naive_bayes_source", "embedding_binary_sign_hamming",
+    "record_linkage_fellegi_sunter", "abtest_permutation_test",
+    "stats_equidepth_histogram",
     # new in round 7
     "pca_top2_deflation", "calibration_isotonic_pav",
     "bootstrap_ci_poisson", "abtest_cuped_readout",

@@ -1398,3 +1398,76 @@ def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         " cost_cout bigint, rank bigint, recommended boolean",
     )
     return out.orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram (ANALYZE-style optimizer statistics).
+# --------------------------------------------------------------------------
+
+_EDH_BUCKETS = 16
+
+
+@workload(
+    "stats_equidepth_histogram",
+    oracle=f"""
+WITH ranked AS (
+  SELECT l_extendedprice AS x,
+         ntile({_EDH_BUCKETS}) OVER (
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+  FROM lineitem
+)
+SELECT bucket,
+       min(x) AS lo,
+       max(x) AS hi,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT x) AS BIGINT) AS ndv,
+       ROUND(sum(CAST(round(x * 100) AS BIGINT)) * 1.0
+             / count(*) / 100.0, 4) AS mean
+FROM ranked
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style equi-depth histogram of l_extendedprice in
+    {B} buckets: per-bucket bounds, row count, NDV, and mean — the
+    column-statistics artifact a cost-based optimizer consumes for
+    selectivity estimation (the histogram feeding workloads like
+    join_order_advisor; equi-DEPTH rather than equi-width so skewed
+    value ranges can't starve buckets).
+
+    Scale: the exact NTILE is a global sort here; the 100 TB form
+    swaps it for approx-percentile boundary estimation (ONE combiner
+    pass over a quantile sketch — see quantile_tdigest_export) plus
+    a map-only bucket assignment against the 15 broadcast
+    boundaries, with per-bucket NDV from an HLL register set
+    (operators/hll_store.py) instead of exact COUNT DISTINCT. The
+    output table is B rows either way. Determinism: the NTILE order
+    carries the (orderkey, linenumber) total-order tiebreak; bounds
+    pass through unrounded; the mean divides an exact decimal sum.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x"),
+        "l_orderkey", "l_linenumber",
+    )
+    ranked = li.select(
+        "x",
+        F.ntile(_EDH_BUCKETS)
+        .over(W.orderBy("x", "l_orderkey", "l_linenumber"))
+        .alias("bucket"),
+    )
+    return (
+        ranked.groupBy("bucket")
+        .agg(
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("x").cast("bigint").alias("ndv"),
+            F.round(
+                F.sum(F.round(F.col("x") * 100).cast("bigint")) * 1.0
+                / F.count(F.lit(1)) / 100.0,
+                4,
+            ).alias("mean"),
+        )
+        .orderBy("bucket")
+    )

@@ -192,3 +192,182 @@ def table_diff_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# --------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage (m/u log-weight scoring).
+# --------------------------------------------------------------------------
+
+_FS_UNIT = 100000000  # per-field ln weight snapped to 1e-8 BIGINT units
+
+_FS_FIELDS = ("name", "brand", "size", "type")
+
+
+def _fs_w_units(field: str) -> str:
+    """Per-field Fellegi-Sunter log weight in 1e-8 integer units —
+    SHARED SQL text (Spark F.expr + DuckDB parse the same string, so
+    the IEEE op tree is identical). Agreement earns ln(m/u),
+    disagreement ln((1-m)/(1-u)); m and u are Laplace-smoothed from
+    the labeled candidate pairs: m = (t+1)/(n_t+2), u = (f+1)/(n_f+2).
+    Columns: a_{field} BOOLEAN, t_{field}/f_{field} agree counts,
+    n_t/n_f class totals."""
+    m = (f"((t_{field} + cast(1.0 as double))"
+         f" / (n_t + cast(2.0 as double)))")
+    u = (f"((f_{field} + cast(1.0 as double))"
+         f" / (n_f + cast(2.0 as double)))")
+    m1 = (f"((n_t - t_{field} + cast(1.0 as double))"
+          f" / (n_t + cast(2.0 as double)))")
+    u1 = (f"((n_f - f_{field} + cast(1.0 as double))"
+          f" / (n_f + cast(2.0 as double)))")
+    return (
+        f"cast(round(ln(case when a_{field} then {m} / {u}"
+        f" else {m1} / {u1} end) * {_FS_UNIT}) as bigint)"
+    )
+
+
+_FS_SCORE = " + ".join(_fs_w_units(f) for f in _FS_FIELDS)
+
+#: Decision bands on the total log-likelihood ratio (natural-log
+#: units): >= 4.0 nats -> match, >= 0 -> possible, else non-match.
+_FS_HI = 4 * _FS_UNIT
+
+_FS_BAND = (
+    f"case when ({_FS_SCORE}) >= {_FS_HI} then 'match' "
+    f"when ({_FS_SCORE}) >= 0 then 'possible' "
+    f"else 'non_match' end"
+)
+
+_O_FS_CAND = """
+  SELECT (c.p_partkey = d.orig_key) AS is_true,
+         levenshtein(d.name, c.p_name) <= 1 AS a_name,
+         d.brand = c.p_brand AS a_brand,
+         d.size = c.p_size AS a_size,
+         d.type = c.p_type AS a_type
+  FROM (
+    SELECT p_partkey AS orig_key,
+           CASE WHEN p_partkey % 14 = 0
+                THEN substring(p_name, 1, 2) || substring(p_name, 4)
+                ELSE p_name END AS name,
+           p_brand AS brand,
+           CASE WHEN p_partkey % 21 = 0 THEN p_size + 1
+                ELSE p_size END AS size,
+           CASE WHEN p_partkey % 35 = 0 THEN 'MUTANT TYPE'
+                ELSE p_type END AS type
+    FROM part WHERE p_partkey % 7 = 0
+  ) d
+  JOIN part c
+    ON substring(d.name, 1, 2) = substring(c.p_name, 1, 2)
+"""
+
+
+@workload(
+    "record_linkage_fellegi_sunter",
+    oracle=f"""
+WITH cand AS ({_O_FS_CAND}),
+stats AS (
+  SELECT
+    CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+    CAST(sum(CASE WHEN is_true THEN 0 ELSE 1 END) AS BIGINT) AS n_f,
+    {", ".join(
+        f"CAST(sum(CASE WHEN is_true AND a_{f} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS t_{f}, "
+        f"CAST(sum(CASE WHEN NOT is_true AND a_{f} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS f_{f}"
+        for f in _FS_FIELDS)}
+  FROM cand
+)
+SELECT band, is_true, CAST(count(*) AS BIGINT) AS n_pairs,
+       ROUND(sum(score_units) * 1.0 / count(*) / {_FS_UNIT}, 4) AS avg_llr
+FROM (
+  SELECT c.is_true,
+         {_FS_SCORE} AS score_units,
+         {_FS_BAND} AS band
+  FROM cand c CROSS JOIN stats
+)
+GROUP BY band, is_true
+ORDER BY band, is_true
+""",
+)
+def record_linkage_fellegi_sunter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage: a dirty batch
+    (every 7th part, with deterministic field corruptions — name
+    char-drop on 1/2 of them, size off-by-one on 1/3, type replaced
+    on 1/5) links against the clean part table within 2-char name
+    prefix blocks; each candidate pair gets a comparison vector over
+    (name≈, brand=, size=, type=), per-field m/u probabilities are
+    estimated from the labeled pairs (Laplace-smoothed), and the pair
+    score is the classic sum of log-likelihood-ratio weights, banded
+    into match / possible / non-match. Output: pair counts and mean
+    LLR per (band, truth) cell — the linker's quality readout.
+
+    Determinism: m/u are exact rational counts evaluated through ONE
+    shared expression text on both engines; each field weight snaps
+    to 1e-8 BIGINT units before the 4-term sum, so banding compares
+    exact integers. Scale: candidates come only from the blocking
+    equi-join (never all-pairs); the m/u stats are ONE aggregate row
+    broadcast to the scoring pass — two scans of the candidate
+    stream total, no iteration (supervised FS; an EM fit would add
+    bounded re-scoring rounds of the same shape)."""
+    part = t(spark, sf_dir, "part")
+    dirty = part.filter(F.col("p_partkey") % 7 == 0).select(
+        F.col("p_partkey").alias("orig_key"),
+        F.when(
+            F.col("p_partkey") % 14 == 0,
+            F.concat(
+                F.substring("p_name", 1, 2), F.expr("substring(p_name, 4)")
+            ),
+        ).otherwise(F.col("p_name")).alias("name"),
+        F.col("p_brand").alias("brand"),
+        F.when(F.col("p_partkey") % 21 == 0, F.col("p_size") + 1)
+        .otherwise(F.col("p_size")).alias("size"),
+        F.when(F.col("p_partkey") % 35 == 0, F.lit("MUTANT TYPE"))
+        .otherwise(F.col("p_type")).alias("type"),
+    )
+    cand = (
+        dirty.join(
+            part,
+            F.substring(F.col("name"), 1, 2)
+            == F.substring(F.col("p_name"), 1, 2),
+        )
+        .select(
+            (F.col("p_partkey") == F.col("orig_key")).alias("is_true"),
+            (F.levenshtein("name", "p_name") <= 1).alias("a_name"),
+            (F.col("brand") == F.col("p_brand")).alias("a_brand"),
+            (F.col("size") == F.col("p_size")).alias("a_size"),
+            (F.col("type") == F.col("p_type")).alias("a_type"),
+        )
+    )
+    aggs = [
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+        .cast("bigint").alias("n_t"),
+        F.sum(F.when(F.col("is_true"), 0).otherwise(1))
+        .cast("bigint").alias("n_f"),
+    ]
+    for f in _FS_FIELDS:
+        aggs.append(
+            F.sum(F.when(F.col("is_true") & F.col(f"a_{f}"), 1).otherwise(0))
+            .cast("bigint").alias(f"t_{f}")
+        )
+        aggs.append(
+            F.sum(F.when(~F.col("is_true") & F.col(f"a_{f}"), 1).otherwise(0))
+            .cast("bigint").alias(f"f_{f}")
+        )
+    stats = cand.agg(*aggs)
+    scored = cand.crossJoin(F.broadcast(stats)).select(
+        "is_true",
+        F.expr(_FS_SCORE).alias("score_units"),
+        F.expr(_FS_BAND).alias("band"),
+    )
+    return (
+        scored.groupBy("band", "is_true")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum("score_units") * 1.0 / F.count(F.lit(1)) / _FS_UNIT,
+                4,
+            ).alias("avg_llr"),
+        )
+        .orderBy("band", "is_true")
+    )

@@ -2927,3 +2927,177 @@ def ssl_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("accuracy"),
     ).orderBy("label")
     return out
+
+
+# --------------------------------------------------------------------------
+# Binary (sign) quantization + Hamming shortlist + exact rerank.
+# --------------------------------------------------------------------------
+
+_BQ_POOL = 24  # Hamming candidate pool per query, then exact rerank
+
+
+def _s_pack(v: str, lo: int) -> str:
+    """32 sign bits of {v}[lo..lo+31] packed into one BIGINT —
+    Spark-side integer fold (exact: each power occurs at most once,
+    sum < 2^32)."""
+    return (
+        f"aggregate(sequence({lo}, {lo + 31}), 0L, (acc, i) -> acc"
+        f" + (case when element_at({v}, i) >= 0"
+        f" then shiftleft(1L, i - {lo}) else 0L end))"
+    )
+
+
+def _o_pack(v: str, lo: int) -> str:
+    """Same 32-bit sign pack in DuckDB (2.0**k is exact in double for
+    k <= 31, so the list_sum is exact before the BIGINT cast)."""
+    return (
+        f"CAST(list_sum(list_transform(range({lo}, {lo + 32}),"
+        f" i -> CASE WHEN {v}[i] >= 0 THEN 2.0 ** (i - {lo})"
+        f" ELSE 0 END)) AS BIGINT)"
+    )
+
+
+@workload(
+    "embedding_binary_sign_hamming",
+    oracle=f"""
+WITH vecs AS ({_O_VECTORS}),
+packed AS (
+  SELECT vec_id, v,
+         {_o_pack('v', 1)} AS b_lo,
+         {_o_pack('v', 33)} AS b_hi
+  FROM vecs
+),
+q AS (SELECT vec_id AS query_id, v AS qv, b_lo AS q_lo, b_hi AS q_hi
+      FROM packed WHERE vec_id < {_KNN_NQ}),
+ham AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, q.qv, c.v,
+         CAST(bit_count(xor(q.q_lo, c.b_lo))
+              + bit_count(xor(q.q_hi, c.b_hi)) AS BIGINT) AS hd
+  FROM q JOIN packed c ON c.vec_id <> q.query_id
+),
+pool AS (
+  SELECT query_id, neighbor_id, qv, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY hd, neighbor_id) AS rn
+    FROM ham
+  ) WHERE rn <= {_BQ_POOL}
+),
+rerank AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY {_o_cos('qv', 'v')} DESC, neighbor_id) AS rk
+    FROM pool
+  ) WHERE rk <= {_KNN_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_o_cos('q.qv', 'c.v')} DESC, c.vec_id) AS rk
+    FROM q JOIN vecs c ON c.vec_id <> q.query_id
+  ) WHERE rk <= {_KNN_K}
+)
+SELECT e.query_id,
+       CAST(count(r.neighbor_id) AS BIGINT) AS n_hit,
+       ROUND(count(r.neighbor_id) * 1.0 / {_KNN_K}, 6) AS recall_at_k
+FROM exact e
+LEFT JOIN rerank r ON r.query_id = e.query_id
+                  AND r.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+""",
+)
+def embedding_binary_sign_hamming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binary sign quantization for ANN shortlist: each 64-dim float
+    vector compresses to 64 SIGN BITS packed into two BIGINTs (8
+    bytes — 32× smaller than float32), queries shortlist the corpus
+    by Hamming distance (two XOR + popcount instructions a
+    candidate), and only the {pool}-candidate pool pays the exact
+    cosine rerank. Reports measured recall@{k} against the exact
+    top-{k} per query — the self-measuring-approximation convention
+    (cf. eval_auc_histogram, dedup_lsh_recall_eval).
+
+    Scale: this is THE memory-bound regime trade for 100 TB ANN —
+    the packed index is 8 bytes/vector so a billion vectors fit in
+    8 GB of executor memory; Hamming scan is whole-stage-codegen
+    integer ops (no floats touched until the pool), and the rerank
+    cost is |Q|·pool, independent of corpus size. Determinism: the
+    bit pack is an exact integer fold on both engines (each power of
+    two occurs once), Hamming is integer, and both rank windows
+    carry neighbor_id tiebreaks."""
+    from pyspark.sql import Window
+
+    vecs = _vectors(spark, sf_dir)
+    packed = vecs.select(
+        "vec_id", "v",
+        F.expr(_s_pack("v", 1)).alias("b_lo"),
+        F.expr(_s_pack("v", 33)).alias("b_hi"),
+    )
+    q = packed.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("b_lo").alias("q_lo"), F.col("b_hi").alias("q_hi"),
+    )
+    ham = (
+        F.broadcast(q)
+        .join(packed.alias("c"), F.col("c.vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("c.vec_id").alias("neighbor_id"),
+            "qv", "v",
+            F.expr(
+                "cast(bit_count(q_lo ^ b_lo)"
+                " + bit_count(q_hi ^ b_hi) as bigint)"
+            ).alias("hd"),
+        )
+    )
+    wh = Window.partitionBy("query_id").orderBy("hd", "neighbor_id")
+    pool = (
+        ham.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") <= _BQ_POOL)
+        .drop("rn", "hd")
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.expr(_s_cos("qv", "v")).desc(), F.col("neighbor_id")
+    )
+    rerank = (
+        pool.withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= _KNN_K)
+        .select("query_id", "neighbor_id")
+    )
+    exact_scored = (
+        F.broadcast(q.select("query_id", "qv"))
+        .join(vecs.alias("c"), F.col("c.vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("c.vec_id").alias("neighbor_id"),
+            F.expr(_s_cos("qv", "v")).alias("sim"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        exact_scored.withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= _KNN_K)
+        .select("query_id", "neighbor_id")
+    )
+    r = rerank.select(
+        F.col("query_id").alias("r_qid"),
+        F.col("neighbor_id").alias("r_nid"),
+    )
+    return (
+        exact.join(
+            r,
+            (F.col("query_id") == F.col("r_qid"))
+            & (F.col("neighbor_id") == F.col("r_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("r_nid").cast("bigint").alias("n_hit"),
+            F.round(F.count("r_nid") * 1.0 / _KNN_K, 6)
+            .alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

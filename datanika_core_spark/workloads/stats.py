@@ -2578,3 +2578,166 @@ def causal_stratified_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+# --------------------------------------------------------------------------
+# Permutation test (deterministic hash relabeling) on per-user revenue.
+# --------------------------------------------------------------------------
+
+_PERM_B = 200  # permutation replicas
+
+#: Difference-in-means statistic from per-arm BIGINT sums — shared
+#: text so both engines build the identical IEEE tree.
+_PERM_T = ("(s1 * cast(1.0 as double) / n1"
+           " - s0 * cast(1.0 as double) / n0)")
+
+_S_PERM_V = ("cast(conv(substring(md5(concat('perm-', cast(b as string),"
+             " '-', cast(user_id as string))),1,15),16,10) as bigint) % 2")
+_O_PERM_V = ("('0x'||substring(md5('perm-' || CAST(b AS VARCHAR) || '-'"
+             " || CAST(user_id AS VARCHAR)),1,15))::BIGINT % 2")
+
+
+@workload(
+    "abtest_permutation_test",
+    oracle=f"""
+WITH assign AS (
+  SELECT user_id,
+         ('0x'||substring(md5('ab-' || CAST(user_id AS VARCHAR)),1,15))
+           ::BIGINT % 2 AS variant,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END) AS cents
+  FROM events GROUP BY user_id
+),
+obs AS (
+  SELECT
+    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN variant = 0 THEN cents ELSE 0 END) AS BIGINT) AS s0,
+    CAST(sum(CASE WHEN variant = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1
+  FROM assign
+),
+perm AS (
+  SELECT b,
+    CAST(sum(CASE WHEN pv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN pv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN pv = 0 THEN cents ELSE 0 END) AS BIGINT) AS s0,
+    CAST(sum(CASE WHEN pv = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1
+  FROM (
+    SELECT a.cents, r.b, {_O_PERM_V} AS pv
+    FROM assign a, unnest(range(0, {_PERM_B})) AS r(b)
+  )
+  GROUP BY b
+),
+summ AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_extreme
+  FROM perm p CROSS JOIN obs o
+  WHERE abs({_PERM_T.replace('s1', 'p.s1').replace('s0', 'p.s0')
+             .replace('n1', 'p.n1').replace('n0', 'p.n0')})
+        >= abs({_PERM_T.replace('s1', 'o.s1').replace('s0', 'o.s0')
+                .replace('n1', 'o.n1').replace('n0', 'o.n0')})
+)
+SELECT o.n0 + o.n1 AS n_users,
+       ROUND({_PERM_T.replace('s1', 'o.s1').replace('s0', 'o.s0')
+              .replace('n1', 'o.n1').replace('n0', 'o.n0')} / 100.0, 4)
+         AS t_obs,
+       CAST({_PERM_B} AS BIGINT) AS n_perms,
+       s.n_extreme,
+       ROUND((s.n_extreme + 1.0) / ({_PERM_B} + 1.0), 6) AS p_value
+FROM obs o CROSS JOIN summ s
+""",
+)
+def abtest_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-style permutation test of the A/B revenue lift with
+    DETERMINISTIC relabeling: each of {B} replicas reassigns every
+    user to a pseudo-arm via the engine-portable md5 hash of
+    (replica, user_id), recomputes the difference in mean per-user
+    purchase revenue, and the p-value is the add-one-smoothed share
+    of replicas at least as extreme as the observed lift — the
+    distribution-free companion to abtest_welch_readout (no normality
+    assumption, exact under the null of exchangeability) that reruns
+    bit-identically, unlike rand()-shuffled permutation.
+
+    Determinism: per-arm sums are BIGINT cents; each replica's
+    statistic evaluates ONE shared expression text over those exact
+    integers, so the >= comparison agrees across engines bit-for-bit.
+
+    Scale: the replica fanout is explode(sequence(0, B-1)) INSIDE the
+    scan stage, and the per-(replica, arm) partial sums map-side
+    combine to <= 2B rows per partition before the one shuffle — at
+    100 TB the cost is B extra combiner updates per user row, not B
+    data copies; chunk B if memory-bound. The observed row is a
+    broadcast 1-row frame."""
+    ev = t(spark, sf_dir, "events")
+    assign = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("cents")
+        )
+        .select(
+            "user_id", "cents",
+            F.expr(
+                "cast(conv(substring(md5(concat('ab-',"
+                " cast(user_id as string))),1,15),16,10) as bigint) % 2"
+            ).alias("variant"),
+        )
+    )
+    obs = assign.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("variant") == 0, F.col("cents")).otherwise(0))
+        .cast("bigint").alias("s0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint").alias("s1"),
+    )
+    perm = (
+        assign.select(
+            "user_id", "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(_PERM_B - 1))).alias("b"),
+        )
+        .select("cents", "b", F.expr(_S_PERM_V).alias("pv"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("pv") == 0, 1).otherwise(0))
+            .cast("bigint").alias("n0"),
+            F.sum(F.when(F.col("pv") == 1, 1).otherwise(0))
+            .cast("bigint").alias("n1"),
+            F.sum(F.when(F.col("pv") == 0, F.col("cents")).otherwise(0))
+            .cast("bigint").alias("s0"),
+            F.sum(F.when(F.col("pv") == 1, F.col("cents")).otherwise(0))
+            .cast("bigint").alias("s1"),
+        )
+    )
+    o = obs.select(
+        F.col("n0").alias("o_n0"), F.col("n1").alias("o_n1"),
+        F.col("s0").alias("o_s0"), F.col("s1").alias("o_s1"),
+    )
+    t_p = F.expr(_PERM_T)
+    t_o = F.expr(
+        _PERM_T.replace("s1", "o_s1").replace("s0", "o_s0")
+        .replace("n1", "o_n1").replace("n0", "o_n0")
+    )
+    summ = (
+        perm.crossJoin(F.broadcast(o))
+        .filter(F.abs(t_p) >= F.abs(t_o))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_extreme"))
+    )
+    return (
+        obs.crossJoin(F.broadcast(summ))
+        .select(
+            (F.col("n0") + F.col("n1")).cast("bigint").alias("n_users"),
+            F.round(F.expr(_PERM_T) / 100.0, 4).alias("t_obs"),
+            F.lit(_PERM_B).cast("bigint").alias("n_perms"),
+            "n_extreme",
+            F.round(
+                (F.col("n_extreme") + 1.0) / (_PERM_B + 1.0), 6
+            ).alias("p_value"),
+        )
+    )
