@@ -73,7 +73,8 @@ CHECK_FIRST = [
     "eval_decile_lift", "lm_kneser_ney_bigram",
     "classifier_naive_bayes_source", "embedding_binary_sign_hamming",
     "record_linkage_fellegi_sunter", "abtest_permutation_test",
-    "stats_equidepth_histogram",
+    "stats_equidepth_histogram", "gbdt_histogram_split",
+    "table_fingerprint_xor", "dedup_marginal_rate_by_batch",
     # new in round 7
     "pca_top2_deflation", "calibration_isotonic_pav",
     "bootstrap_ci_poisson", "abtest_cuped_readout",

@@ -122,3 +122,67 @@ def cdc_final_state_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Order-insensitive table content fingerprint (xor-folded row hashes).
+# --------------------------------------------------------------------------
+
+#: Engine-portable per-row content hash: md5 of the canonical field
+#: string, first 15 hex chars as a BIGINT (< 2^60, always positive,
+#: so the xor fold never touches the sign bit). Same md5 parity
+#: machinery as operators/minhash.py::spark_hash_expr.
+_FP_ROW = ("concat(cast(o_orderkey as string), '|',"
+           " cast(cast(round(o_totalprice * 100) as bigint) as string),"
+           " '|', o_orderpriority)")
+_S_FP = (f"cast(conv(substring(md5({_FP_ROW}),1,15),16,10) as bigint)")
+_O_FP_ROW = ("CAST(o_orderkey AS VARCHAR) || '|' ||"
+             " CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)"
+             " || '|' || o_orderpriority")
+_O_FP = f"('0x'||substring(md5({_O_FP_ROW}),1,15))::BIGINT"
+
+
+@workload(
+    "table_fingerprint_xor",
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor({_O_FP}) AS BIGINT) AS fingerprint
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def table_fingerprint_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint per order-status
+    partition: every row hashes its canonical field string (md5 →
+    60-bit BIGINT) and the partition fingerprint is the XOR fold of
+    the row hashes plus a row count — the cheap replica-comparison /
+    migration-validation primitive that answers "are these two
+    copies of the table identical?" WITHOUT sorting or shuffling
+    either side (compare |partitions| fingerprint rows instead of
+    100 TB of rows; cf. table_diff_keyed, which is the expensive
+    row-level diagnosis you run only on partitions whose
+    fingerprints disagree).
+
+    Scale: XOR is an abelian group fold — partial fingerprints
+    map-side combine, the shuffle carries one row per (partition,
+    task), and the fingerprint is INCREMENTALLY maintainable: xor-ing
+    a changed row's old hash back out and its new hash in updates
+    the fingerprint in O(delta), the same additive-view discipline
+    as ivm_additive_rollup. Count defends against the xor blind spot
+    (a row appearing an even number of times cancels out).
+    Determinism: md5 is bit-identical on both engines; cents
+    snapping makes the price field integer-exact."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderstatus", F.expr(_S_FP).alias("h")
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("bigint").alias("fingerprint"),
+        )
+        .orderBy("o_orderstatus")
+    )

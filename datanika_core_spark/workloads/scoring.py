@@ -808,3 +808,181 @@ def classifier_naive_bayes_source(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("true_source", "pred_source")
     )
+
+
+# --------------------------------------------------------------------------
+# GBDT histogram split finder (one boosting round, LightGBM-style).
+# --------------------------------------------------------------------------
+
+_GS_BINS = 32
+_F_DIGITS_DUCK2 = "strlen(regexp_replace(text, '[^0-9]', '', 'g')) / 10.0"
+
+#: Shared arithmetic texts (Spark F.expr + DuckDB parse the same
+#: string -> identical IEEE trees).
+_GS_BIN = (
+    f"case when hi = lo then cast(0 as bigint) else"
+    f" least(cast(floor((v - lo) * {_GS_BINS} / (hi - lo)) as bigint),"
+    f" {_GS_BINS - 1}) end"
+)
+_GS_SPLIT_VALUE = f"lo + (bin + 1) * (hi - lo) / {_GS_BINS}"
+#: Variance (Brier) reduction for 0/1 labels from exact integer
+#: counts: SSE(n, p) = p(n-p)/n; gain = parent - left - right.
+_GS_GAIN = (
+    "(pt * cast(1.0 as double) * (nt - pt) / nt)"
+    " - (pl * cast(1.0 as double) * (nl - pl) / nl)"
+    " - (pr * cast(1.0 as double) * (nr - pr) / nr)"
+)
+
+
+@workload(
+    "gbdt_histogram_split",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         {_F_LEN_DUCK} AS f_len,
+         {_F_STOP_DUCK} AS f_stop,
+         {_F_DIGITS_DUCK2} AS f_digits
+  FROM documents
+),
+labeled AS (
+  SELECT *, CASE WHEN f_len + 2 * f_stop - f_digits > 1.0
+                 THEN 1 ELSE 0 END AS y
+  FROM feats
+),
+stacked AS (
+  SELECT 'f_len' AS feature, f_len AS v, y FROM labeled
+  UNION ALL
+  SELECT 'f_stop' AS feature, f_stop AS v, y FROM labeled
+  UNION ALL
+  SELECT 'f_digits' AS feature, f_digits AS v, y FROM labeled
+),
+rng AS (
+  SELECT feature, min(v) AS lo, max(v) AS hi
+  FROM stacked GROUP BY feature
+),
+hist AS (
+  SELECT s.feature, {_GS_BIN} AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM stacked s JOIN rng USING (feature)
+  GROUP BY s.feature, {_GS_BIN}
+),
+pre AS (
+  SELECT feature, bin,
+         CAST(sum(n) OVER w AS BIGINT) AS nl,
+         CAST(sum(pos) OVER w AS BIGINT) AS pl,
+         CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS nt,
+         CAST(sum(pos) OVER (PARTITION BY feature) AS BIGINT) AS pt
+  FROM hist
+  WINDOW w AS (PARTITION BY feature ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cand AS (
+  SELECT feature, bin, nl, pl, nt - nl AS nr, pt - pl AS pr, nt, pt,
+         {_GS_GAIN} AS gain
+  FROM pre WHERE nl < nt
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY feature
+                                 ORDER BY gain DESC, bin) AS rk
+    FROM cand
+  ) WHERE rk = 1
+)
+SELECT b.feature, b.bin AS split_bin,
+       ROUND({_GS_SPLIT_VALUE}, 6) AS split_value,
+       b.nl AS n_left, b.nr AS n_right,
+       b.pl AS pos_left, b.pr AS pos_right,
+       ROUND(b.gain, 6) AS gain
+FROM best b JOIN rng r ON r.feature = b.feature
+ORDER BY b.feature
+""",
+)
+def gbdt_histogram_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of the histogram-based GBDT split search (the
+    LightGBM/XGBoost-hist algorithm): each feature is bucketed into
+    {B} equal-width bins, per-bin (count, positive-count) histograms
+    are built in ONE combiner aggregation, and the best split per
+    feature maximizes the exact variance reduction
+    SSE(parent) − SSE(left) − SSE(right) computed from prefix sums
+    over the bin histogram — never from the raw rows. This is THE
+    distributed-training kernel: at 100 TB the only full-data cost
+    is the histogram build (a groupBy with |features|·|bins| output
+    rows per partition, all map-side combined); the split search
+    itself runs on |features|·|bins| rows, driver-sized regardless
+    of corpus size, which is why histogram GBDT scales where exact
+    split enumeration cannot.
+
+    Determinism: bin ids, counts, and positives are exact integers;
+    the gain evaluates ONE shared expression text over those
+    integers on both engines; argmax ties break on bin id."""
+    docs = t(spark, sf_dir, "documents")
+    labeled = quality_features(docs, "doc_id").withColumn(
+        "y",
+        (
+            F.col("f_len") + 2 * F.col("f_stop") - F.col("f_digits")
+            > F.lit(1.0)
+        ).cast("int"),
+    )
+    stacked = labeled.select(
+        F.expr(
+            "stack(3, 'f_len', f_len, 'f_stop', f_stop,"
+            " 'f_digits', f_digits) as (feature, v)"
+        ),
+        "y",
+    )
+    rng = stacked.groupBy("feature").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    hist = (
+        stacked.join(F.broadcast(rng), "feature")
+        .select("feature", F.expr(_GS_BIN).alias("bin"), "y")
+        .groupBy("feature", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    wcum = (
+        _W.partitionBy("feature")
+        .orderBy("bin")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    wtot = _W.partitionBy("feature")
+    pre = hist.select(
+        "feature", "bin",
+        F.sum("n").over(wcum).cast("bigint").alias("nl"),
+        F.sum("pos").over(wcum).cast("bigint").alias("pl"),
+        F.sum("n").over(wtot).cast("bigint").alias("nt"),
+        F.sum("pos").over(wtot).cast("bigint").alias("pt"),
+    )
+    cand = (
+        pre.filter(F.col("nl") < F.col("nt"))
+        .select(
+            "feature", "bin", "nl", "pl", "nt", "pt",
+            (F.col("nt") - F.col("nl")).alias("nr"),
+            (F.col("pt") - F.col("pl")).alias("pr"),
+        )
+        .withColumn("gain", F.expr(_GS_GAIN))
+    )
+    wbest = _W.partitionBy("feature").orderBy(F.col("gain").desc(), "bin")
+    best = (
+        cand.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+    )
+    return (
+        best.join(F.broadcast(rng), "feature")
+        .select(
+            "feature",
+            F.col("bin").alias("split_bin"),
+            F.round(F.expr(_GS_SPLIT_VALUE), 6).alias("split_value"),
+            F.col("nl").alias("n_left"),
+            F.col("nr").alias("n_right"),
+            F.col("pl").alias("pos_left"),
+            F.col("pr").alias("pos_right"),
+            F.round("gain", 6).alias("gain"),
+        )
+        .orderBy("feature")
+    )

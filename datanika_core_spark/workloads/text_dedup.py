@@ -1662,3 +1662,92 @@ def token_typo_pairs_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok_a", "tok_b", "lev", "n_a", "n_b", "rank")
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup saturation curve: marginal duplicate rate per ingest batch.
+# --------------------------------------------------------------------------
+
+_SAT_BATCH = 50  # doc_ids per ingest batch
+
+
+@workload(
+    "dedup_marginal_rate_by_batch",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id // {_SAT_BATCH} AS batch,
+         md5(lower(trim(text))) AS key
+  FROM documents
+),
+firstb AS (
+  SELECT key, min(batch) AS first_batch FROM keyed GROUP BY key
+)
+SELECT k.batch,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN k.batch > f.first_batch THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_vs_past,
+       ROUND(sum(CASE WHEN k.batch > f.first_batch THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS dup_rate,
+       CAST(count(DISTINCT CASE WHEN k.batch = f.first_batch
+                                THEN k.key END) AS BIGINT) AS n_new_keys
+FROM keyed k
+JOIN firstb f ON f.key = k.key
+GROUP BY k.batch
+ORDER BY k.batch
+""",
+)
+def dedup_marginal_rate_by_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup saturation curve: documents arrive in ingest batches
+    (doc_id ranges standing in for crawl time) and each batch
+    reports how many of its docs exactly duplicate content first
+    seen in an EARLIER batch, plus how many genuinely new content
+    keys it introduces — the marginal-novelty readout that tells a
+    crawl operator when a source is exhausted (dup_rate → 1, new
+    keys → 0) and the per-batch twin of the one-shot
+    dedup_exact_pairs.
+
+    Scale: one groupBy(key) computes each content hash's first
+    batch, one equi-join attributes every doc against it — two
+    shuffles on the hash key regardless of corpus size, the same
+    profile as exact dedup. In production the firstb table IS the
+    persisted dedup index (cf. operators/minhash.py MinHashStore's
+    append-only discipline): a new batch joins against it and
+    appends only its novel keys. Determinism: batch ids and counts
+    are integers; the key is md5 of the normalized text."""
+    docs = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / _SAT_BATCH).cast("bigint").alias("batch"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("key"),
+    )
+    firstb = docs.groupBy("key").agg(F.min("batch").alias("first_batch"))
+    per_batch_key = docs.groupBy("batch", "key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_docs")
+    )
+    joined = per_batch_key.join(firstb, "key")
+    return (
+        joined.groupBy("batch")
+        .agg(
+            F.sum("k_docs").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("batch") > F.col("first_batch"), F.col("k_docs")
+                ).otherwise(0)
+            ).cast("bigint").alias("n_dup_vs_past"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("batch") > F.col("first_batch"),
+                        F.col("k_docs"),
+                    ).otherwise(0)
+                )
+                * 1.0
+                / F.sum("k_docs"),
+                6,
+            ).alias("dup_rate"),
+            F.sum(
+                F.when(F.col("batch") == F.col("first_batch"), 1).otherwise(0)
+            ).cast("bigint").alias("n_new_keys"),
+        )
+        .orderBy("batch")
+    )
