@@ -75,6 +75,7 @@ CHECK_FIRST = [
     "record_linkage_fellegi_sunter", "abtest_permutation_test",
     "stats_equidepth_histogram", "gbdt_histogram_split",
     "table_fingerprint_xor", "dedup_marginal_rate_by_batch",
+    "privacy_randomized_response", "events_out_of_order_depth",
     # new in round 7
     "pca_top2_deflation", "calibration_isotonic_pav",
     "bootstrap_ci_poisson", "abtest_cuped_readout",

@@ -1348,3 +1348,96 @@ def privacy_dp_laplace_release(
             (F.col("release") + 1) * float(_DP_EPS_NUM) / _DP_EPS_DEN, 2
         ).alias("eps_spent"),
     ).orderBy("event_type", "release")
+
+
+# --------------------------------------------------------------------------
+# Warner randomized response: locally-private rate estimation.
+# --------------------------------------------------------------------------
+
+_RR_FLIP_PCT = 25  # flip probability p = 0.25 -> debias factor 1/(1-2p) = 2
+
+_S_RR_COIN = ("cast(conv(substring(md5(concat('rr-',"
+              " cast(user_id as string))),1,15),16,10) as bigint)"
+              " % 100")
+_O_RR_COIN = ("('0x'||substring(md5('rr-' ||"
+              " CAST(user_id AS VARCHAR)),1,15))::BIGINT % 100")
+
+
+@workload(
+    "privacy_randomized_response",
+    oracle=f"""
+WITH users AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS truth
+  FROM events GROUP BY user_id
+),
+reported AS (
+  SELECT user_id % 4 AS cohort, truth,
+         CASE WHEN {_O_RR_COIN} < {_RR_FLIP_PCT}
+              THEN 1 - truth ELSE truth END AS report
+  FROM users
+)
+SELECT cohort,
+       CAST(count(*) AS BIGINT) AS n_users,
+       ROUND(sum(truth) * 1.0 / count(*), 6) AS true_rate,
+       ROUND(sum(report) * 1.0 / count(*), 6) AS observed_rate,
+       ROUND((sum(report) * 1.0 / count(*) - 0.25) / 0.5, 6)
+         AS debiased_estimate,
+       ROUND(abs((sum(report) * 1.0 / count(*) - 0.25) / 0.5
+                 - sum(truth) * 1.0 / count(*)), 6) AS abs_err
+FROM reported
+GROUP BY cohort
+ORDER BY cohort
+""",
+)
+def privacy_randomized_response(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Warner randomized response — the local-DP mechanism: each
+    user reports whether they purchased, but FLIPS the answer with
+    probability p = 1/4 (deterministic md5 coin, so the mechanism
+    replays bit-identically on both engines), giving every
+    individual plausible deniability (ε = ln((1-p)/p) = ln 3 local
+    DP); the aggregate debiases via t = (observed − p)/(1 − 2p).
+    Reported per 4-way user cohort with the TRUE rate and the
+    estimator's actual error alongside — the self-measuring-
+    approximation convention (cf. privacy_dp_laplace_release, which
+    protects the central aggregate; this protects the raw event
+    stream before it is ever collected).
+
+    Scale: one groupBy(user) for the per-user bit, one combiner agg
+    per cohort — the privatized report column is what a client
+    would actually transmit, so the pipeline after it never sees
+    the truth. All counts BIGINT; the debias arithmetic runs once
+    per cohort row."""
+    users = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("bigint").alias("truth")
+        )
+    )
+    reported = users.select(
+        (F.col("user_id") % 4).alias("cohort"),
+        "truth",
+        F.when(
+            F.expr(_S_RR_COIN) < _RR_FLIP_PCT, 1 - F.col("truth")
+        ).otherwise(F.col("truth")).alias("report"),
+    )
+    n = F.count(F.lit(1))
+    obs = F.sum("report") * 1.0 / n
+    tr = F.sum("truth") * 1.0 / n
+    return (
+        reported.groupBy("cohort")
+        .agg(
+            n.cast("bigint").alias("n_users"),
+            F.round(tr, 6).alias("true_rate"),
+            F.round(obs, 6).alias("observed_rate"),
+            F.round((obs - 0.25) / 0.5, 6).alias("debiased_estimate"),
+            F.round(F.abs((obs - 0.25) / 0.5 - tr), 6).alias("abs_err"),
+        )
+        .orderBy("cohort")
+    )

@@ -1468,3 +1468,117 @@ def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("csum") * 1.0 / F.col("n_events") / 100, 6)
         .alias("plain_avg"),
     ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------------
+# Out-of-order depth profile: the watermark-delay advisor.
+# --------------------------------------------------------------------------
+
+_OOO_CAP_MIN = 120       # lateness histogram cap (minutes)
+_OOO_MAX_DELAY_S = 600   # simulated transport delay range [0, 600) s
+
+_S_OOO_DELAY = ("cast(conv(substring(md5(concat('ooo-',"
+                " cast(event_id as string))),1,15),16,10) as bigint)"
+                f" % {_OOO_MAX_DELAY_S}")
+_O_OOO_DELAY = ("('0x'||substring(md5('ooo-' ||"
+                " CAST(event_id AS VARCHAR)),1,15))::BIGINT"
+                f" % {_OOO_MAX_DELAY_S}")
+
+
+@workload(
+    "events_out_of_order_depth",
+    oracle=f"""
+WITH timed AS (
+  SELECT event_id, epoch_us(ts) AS e,
+         epoch_us(ts) + ({_O_OOO_DELAY}) * 1000000 AS arrival
+  FROM events
+),
+arr AS (
+  SELECT e,
+         max(e) OVER (ORDER BY arrival, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS high_water
+  FROM timed
+),
+hist AS (
+  SELECT least((high_water - e) // 60000000, {_OOO_CAP_MIN})
+           AS bucket_min,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM arr GROUP BY 1
+),
+tot AS (SELECT sum(n_events) AS n FROM hist)
+SELECT h.bucket_min, h.n_events,
+       ROUND(h.n_events * 1.0 / t.n, 6) AS share,
+       ROUND(sum(h.n_events) OVER (ORDER BY h.bucket_min) * 1.0 / t.n, 6)
+         AS cum_share
+FROM hist h CROSS JOIN tot t
+ORDER BY h.bucket_min
+""",
+)
+def events_out_of_order_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order depth profile of the event stream — the
+    empirical basis for choosing a Structured Streaming WATERMARK
+    delay: each event's ARRIVAL time is its event time plus a
+    deterministic md5-simulated transport delay (0–10 min — the
+    testdata log is perfectly ordered, so the delay model supplies
+    the disorder a real collection pipeline exhibits); replaying in
+    arrival order tracks the event-time high-water mark and
+    histograms every event's lateness (high_water − event_time) in
+    minute buckets with cumulative shares. The smallest bucket whose
+    cum_share clears your completeness SLO IS the withWatermark()
+    delay: cum_share ≥ 0.99 at bucket 7 means a 7-minute watermark
+    loses under 1% of events (cf. the streaming twins in streaming/,
+    which all need this number).
+
+    Determinism: all arithmetic is integer microseconds (epoch_us on
+    both engines) and the delay coin is the portable md5 hash; the
+    arrival sort carries an event_id tiebreak. Scale: the global
+    running max is the one non-distributable step — production
+    computes the profile per source partition (which is what the
+    watermark actually bounds); the histogram map-side combines to
+    ≤ {_OOO_CAP_MIN}+1 rows."""
+    from pyspark.sql import Window as _W
+
+    timed = t(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.expr(_S_OOO_DELAY) * 1000000
+        ).alias("arrival"),
+        "event_id",
+    )
+    arr = timed.select(
+        "e",
+        F.max("e")
+        .over(
+            _W.orderBy("arrival", "event_id").rowsBetween(
+                _W.unboundedPreceding, _W.currentRow
+            )
+        )
+        .alias("high_water"),
+    )
+    hist = (
+        arr.select(
+            F.least(
+                F.expr("(high_water - e) div 60000000"),
+                F.lit(_OOO_CAP_MIN).cast("bigint"),
+            ).alias("bucket_min")
+        )
+        .groupBy("bucket_min")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    tot = hist.agg(F.sum("n_events").alias("n"))
+    wc = _W.orderBy("bucket_min").rowsBetween(
+        _W.unboundedPreceding, _W.currentRow
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket_min", "n_events",
+            F.round(F.col("n_events") * 1.0 / F.col("n"), 6).alias("share"),
+            F.round(
+                F.sum("n_events").over(wc) * 1.0 / F.col("n"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("bucket_min")
+    )
