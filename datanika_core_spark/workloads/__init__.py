@@ -76,6 +76,7 @@ CHECK_FIRST = [
     "stats_equidepth_histogram", "gbdt_histogram_split",
     "table_fingerprint_xor", "dedup_marginal_rate_by_batch",
     "privacy_randomized_response", "events_out_of_order_depth",
+    "search_prf_rocchio",
     # new in round 7
     "pca_top2_deflation", "calibration_isotonic_pav",
     "bootstrap_ci_poisson", "abtest_cuped_readout",

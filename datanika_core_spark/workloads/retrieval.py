@@ -529,3 +529,202 @@ def eval_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rbo"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rocchio pseudo-relevance feedback (two-pass BM25 query expansion).
+# --------------------------------------------------------------------------
+
+_PRF_FEEDBACK = 10   # pseudo-relevant depth (stage-1 top-k)
+_PRF_EXPAND = 3      # expansion terms adopted
+_PRF_W_EXP = 0.5     # Rocchio beta: expansion-term weight
+_PRF_TOPK = 15
+_PRF_UNIT = 100000000  # score contributions snapped to 1e-8 units
+
+#: Generalized per-(doc, query-term) BM25 contribution in integer
+#: units — ONE shared text (identical IEEE tree on both engines).
+#: Columns: tf, dfq (term document frequency), nn (corpus size),
+#: dl, avgdl, w (query-term weight).
+_PRF_CONTRIB = (
+    f"cast(round(w * ln(1.0 + (nn - dfq + 0.5) / (dfq + 0.5))"
+    f" * (tf * ({_BM25_K1} + 1.0))"
+    f" / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+    f" * {_PRF_UNIT}) as bigint)"
+)
+#: Expansion-term evidence: tf·idf snapped to units.
+_PRF_TFIDF = (
+    f"cast(round(tf * ln(nn * cast(1.0 as double) / dfq)"
+    f" * {_PRF_UNIT}) as bigint)"
+)
+
+_PRF_BASE_SQL = ", ".join(f"('{w}')" for w in _BM25_TERMS)
+_PRF_NOT_BASE_T = " AND ".join(
+    f"t.term <> '{w}'" for w in _BM25_TERMS)
+
+
+@workload(
+    "search_prf_rocchio",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_O_TOKS}) AS term FROM documents
+),
+tf_all AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+dls AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf_all GROUP BY doc_id
+),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS nn,
+         sum(dl) * 1.0 / count(*) AS avgdl
+  FROM dls
+),
+dfs AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS dfq
+  FROM tf_all GROUP BY term
+),
+qbase AS (SELECT term, cast(1.0 as double) AS w
+          FROM (VALUES {_PRF_BASE_SQL}) b(term)),
+score1 AS (
+  SELECT t.doc_id,
+         CAST(sum({_PRF_CONTRIB}) AS BIGINT) AS units
+  FROM tf_all t
+  JOIN qbase q ON q.term = t.term
+  JOIN dfs ON dfs.term = t.term
+  JOIN dls ON dls.doc_id = t.doc_id
+  CROSS JOIN corpus
+  GROUP BY t.doc_id
+),
+feedback AS (
+  SELECT doc_id FROM score1
+  ORDER BY units DESC, doc_id LIMIT {_PRF_FEEDBACK}
+),
+expansion AS (
+  SELECT term, cast({_PRF_W_EXP} as double) AS w
+  FROM (
+    SELECT t.term,
+           CAST(sum({_PRF_TFIDF}) AS BIGINT) AS ev
+    FROM tf_all t
+    JOIN feedback f ON f.doc_id = t.doc_id
+    JOIN dfs ON dfs.term = t.term
+    CROSS JOIN corpus
+    WHERE length(t.term) >= 4 AND {_PRF_NOT_BASE_T}
+    GROUP BY t.term
+    ORDER BY ev DESC, t.term LIMIT {_PRF_EXPAND}
+  )
+),
+q2 AS (SELECT * FROM qbase UNION ALL SELECT * FROM expansion),
+score2 AS (
+  SELECT t.doc_id,
+         CAST(sum({_PRF_CONTRIB}) AS BIGINT) AS units
+  FROM tf_all t
+  JOIN q2 q ON q.term = t.term
+  JOIN dfs ON dfs.term = t.term
+  JOIN dls ON dls.doc_id = t.doc_id
+  CROSS JOIN corpus
+  GROUP BY t.doc_id
+)
+SELECT doc_id,
+       ROUND(units * 1.0 / {_PRF_UNIT}, 6) AS score,
+       CAST(row_number() OVER (ORDER BY units DESC, doc_id) AS BIGINT)
+         AS rank
+FROM score2
+ORDER BY units DESC, doc_id
+LIMIT {_PRF_TOPK}
+""",
+)
+def search_prf_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback — the classic two-pass
+    query expansion: BM25 with the base query finds the top-{fb}
+    pseudo-relevant docs, the {ex} highest summed-tf·idf terms of
+    those docs (length ≥ 4, base terms excluded) join the query at
+    Rocchio weight β = {beta}, and the expanded query re-scores the
+    corpus. Unlike bm25_topk_docs' compile-time term columns, the
+    scoring kernel here is the GENERALIZED inverted-index form —
+    (doc, term, tf) equi-joined against a dynamic weighted term
+    table — which is the shape a real query engine runs for
+    arbitrary queries.
+
+    Determinism: every per-(doc, term) BM25 contribution and every
+    expansion tf·idf snaps to 1e-8 BIGINT units through ONE shared
+    expression text, so the per-doc sums and both top-k cutoffs
+    compare exact integers with doc_id / term tiebreaks.
+
+    Scale: tf_all is the inverted index (one explode+groupBy — the
+    thing you'd persist); each pass is an equi-join of that index
+    against a ≤6-row broadcast term table, partial-aggregated
+    map-side. df lookups join only the query terms. The feedback
+    set never leaves the cluster (semi-join restricts the expansion
+    scan); two index scans total, zero cartesians."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), _TOKS).alias("toks"),
+    )
+    tf_all = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dls = tf_all.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("dl")
+    )
+    corpus = dls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfs = tf_all.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dfq")
+    )
+
+    def _score(qterms: DataFrame) -> DataFrame:
+        return (
+            tf_all.join(F.broadcast(qterms), "term")
+            .join(dfs, "term")
+            .join(dls, "doc_id")
+            .crossJoin(F.broadcast(corpus))
+            .select("doc_id", F.expr(_PRF_CONTRIB).alias("c"))
+            .groupBy("doc_id")
+            .agg(F.sum("c").cast("bigint").alias("units"))
+        )
+
+    qbase = spark.createDataFrame(
+        [(w, 1.0) for w in _BM25_TERMS], "term string, w double"
+    )
+    feedback = (
+        _score(qbase)
+        .orderBy(F.col("units").desc(), "doc_id")
+        .limit(_PRF_FEEDBACK)
+        .select("doc_id")
+    )
+    expansion = (
+        tf_all.join(feedback, "doc_id", "left_semi")
+        .filter(
+            (F.length("term") >= 4)
+            & ~F.col("term").isin(*_BM25_TERMS)
+        )
+        .join(dfs, "term")
+        .crossJoin(F.broadcast(corpus))
+        .select("term", F.expr(_PRF_TFIDF).alias("ev_u"))
+        .groupBy("term")
+        .agg(F.sum("ev_u").cast("bigint").alias("ev"))
+        .orderBy(F.col("ev").desc(), "term")
+        .limit(_PRF_EXPAND)
+        .select("term", F.lit(_PRF_W_EXP).cast("double").alias("w"))
+    )
+    q2 = qbase.unionAll(expansion)
+    from pyspark.sql import Window as _W
+
+    return (
+        _score(q2)
+        .orderBy(F.col("units").desc(), "doc_id")
+        .limit(_PRF_TOPK)
+        .select(
+            "doc_id",
+            F.round(F.col("units") * 1.0 / _PRF_UNIT, 6).alias("score"),
+            F.row_number()
+            .over(_W.orderBy(F.col("units").desc(), "doc_id"))
+            .cast("bigint")
+            .alias("rank"),
+        )
+    )
