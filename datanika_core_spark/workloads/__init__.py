@@ -76,7 +76,9 @@ CHECK_FIRST = [
     "stats_equidepth_histogram", "gbdt_histogram_split",
     "table_fingerprint_xor", "dedup_marginal_rate_by_batch",
     "privacy_randomized_response", "events_out_of_order_depth",
-    "search_prf_rocchio",
+    "search_prf_rocchio", "shard_rebalance_hrw",
+    "feature_woe_iv_binning", "events_user_lifecycle",
+    "anomaly_histogram_density",
     # new in round 7
     "pca_top2_deflation", "calibration_isotonic_pav",
     "bootstrap_ci_poisson", "abtest_cuped_readout",

@@ -1076,3 +1076,102 @@ def select_max_coverage_greedy(
         "sel_rank", "doc_id", "gain", "cum_coverage",
         F.round("coverage_pct", 6).alias("coverage_pct"),
     ).orderBy("sel_rank")
+
+
+# --------------------------------------------------------------------------
+# Rendezvous (HRW) reshard advisor: who moves when shards scale out?
+# --------------------------------------------------------------------------
+
+_HRW_OLD = 8
+_HRW_NEW = 10
+
+_S_HRW_H = ("cast(conv(substring(md5(concat('hrw-', cast(s as string),"
+            " '-', cast(doc_id as string))),1,15),16,10) as bigint)")
+_O_HRW_H = ("('0x'||substring(md5('hrw-' || CAST(s AS VARCHAR) || '-'"
+            " || CAST(doc_id AS VARCHAR)),1,15))::BIGINT")
+
+
+def _o_hrw_assign(k: int, alias: str) -> str:
+    return f"""
+  SELECT doc_id, s AS {alias}
+  FROM (
+    SELECT d.doc_id, r.s, {_O_HRW_H} AS h,
+           row_number() OVER (PARTITION BY d.doc_id
+                              ORDER BY {_O_HRW_H} DESC, r.s) AS rn
+    FROM (SELECT doc_id FROM documents) d,
+         unnest(range(0, {k})) AS r(s)
+  ) WHERE rn = 1
+"""
+
+
+@workload(
+    "shard_rebalance_hrw",
+    oracle=f"""
+WITH old_a AS ({_o_hrw_assign(_HRW_OLD, "old_shard")}),
+new_a AS ({_o_hrw_assign(_HRW_NEW, "new_shard")})
+SELECT n.new_shard AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN o.old_shard = n.new_shard
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_stayed,
+       CAST(sum(CASE WHEN o.old_shard <> n.new_shard
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in,
+       ROUND(sum(CASE WHEN o.old_shard <> n.new_shard THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS moved_frac
+FROM new_a n JOIN old_a o ON o.doc_id = n.doc_id
+GROUP BY n.new_shard
+ORDER BY n.new_shard
+""",
+)
+def shard_rebalance_hrw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing reshard advisor:
+    assign every doc to its HRW shard under the OLD ({old}) and NEW
+    ({new}) shard counts — shard(d) = argmax_s md5(s, d) — and report
+    per new shard how many docs stayed vs moved. HRW's guarantee is
+    the point: scaling {old} → {new} moves ONLY the docs whose argmax
+    landed on a new shard (≈ 2/{new} of the corpus), while modulo
+    sharding (doc_id % k, cf. export_shard_manifest) would reshuffle
+    ~{old}/{new} of everything — this table is the migration bill for
+    a reshard, computed before you commit to it.
+
+    Determinism: the weight is the portable md5 hash; the argmax
+    window carries a shard-id tiebreak. Scale: the assignment is a
+    k-way map fanout + per-doc argmax (map-side top-1 via the
+    window on the doc-partitioned grid — at 100 TB compute it as a
+    scan-stage array fold over k inline hashes, no explode, which is
+    the same arithmetic); old/new assignments join on doc_id."""
+    from pyspark.sql import Window as _W
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def _assign(k: int, alias: str) -> DataFrame:
+        grid = docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("s"),
+        ).withColumn("h", F.expr(_S_HRW_H))
+        w = _W.partitionBy("doc_id").orderBy(F.col("h").desc(), "s")
+        return (
+            grid.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("s").alias(alias))
+        )
+
+    old_a = _assign(_HRW_OLD, "old_shard")
+    new_a = _assign(_HRW_NEW, "new_shard")
+    joined = new_a.join(old_a, "doc_id")
+    moved = F.sum(
+        F.when(F.col("old_shard") != F.col("new_shard"), 1).otherwise(0)
+    )
+    return (
+        joined.groupBy(F.col("new_shard").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("old_shard") == F.col("new_shard"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_stayed"),
+            moved.cast("bigint").alias("n_moved_in"),
+            F.round(moved * 1.0 / F.count(F.lit(1)), 6).alias("moved_frac"),
+        )
+        .orderBy("shard")
+    )

@@ -1582,3 +1582,139 @@ def events_out_of_order_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_min")
     )
+
+
+# --------------------------------------------------------------------------
+# Growth accounting: new / retained / resurrected / churned per week.
+# --------------------------------------------------------------------------
+
+_WEEK_US = 604800000000  # 7 * 86400 * 1e6
+
+
+@workload(
+    "events_user_lifecycle",
+    oracle=f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS week
+  FROM events
+),
+maxw AS (SELECT max(week) AS mw FROM uw),
+lagged AS (
+  SELECT user_id, week,
+         lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev,
+         lead(week) OVER (PARTITION BY user_id ORDER BY week) AS nxt
+  FROM uw
+),
+states AS (
+  SELECT week,
+         CASE WHEN prev IS NULL THEN 'new'
+              WHEN week = prev + 1 THEN 'retained'
+              ELSE 'resurrected' END AS state
+  FROM lagged
+),
+churn AS (
+  SELECT l.week + 1 AS week, CAST(count(*) AS BIGINT) AS n_churned
+  FROM lagged l CROSS JOIN maxw
+  WHERE (l.nxt IS NULL OR l.nxt > l.week + 1) AND l.week + 1 <= maxw.mw
+  GROUP BY l.week + 1
+),
+acts AS (
+  SELECT week,
+         CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_retained,
+         CAST(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_resurrected
+  FROM states GROUP BY week
+)
+SELECT a.week - (SELECT min(week) FROM uw) AS week_idx,
+       a.n_new, a.n_retained, a.n_resurrected,
+       coalesce(c.n_churned, 0) AS n_churned,
+       ROUND((a.n_retained) * 1.0
+             / nullif(a.n_retained + coalesce(c.n_churned, 0), 0), 6)
+         AS retention_rate
+FROM acts a LEFT JOIN churn c ON c.week = a.week
+ORDER BY week_idx
+""",
+)
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (the Social-Capital / a16z standard): every
+    active (user, week) cell classifies as NEW (first week ever),
+    RETAINED (also active the previous week) or RESURRECTED (active
+    before, but not last week), and each week also counts CHURNED
+    (active last week, silent this week). retention_rate =
+    retained / (retained + churned) is the week's survival of last
+    week's actives — the curve every growth dashboard tracks; the
+    identity actives(w) = new + retained + resurrected makes the
+    table self-auditing. Weeks are integer epoch-microsecond
+    divisions (calendar-free, so both engines agree exactly).
+
+    Scale: one distinct on (user, week) — the same shuffle
+    sessionization pays — then lag/lead windows PER USER (bounded
+    state, arbitrarily parallel across users) and a |weeks|-row
+    aggregate. No self-joins: churn comes from each row's lead, not
+    from joining week w against w+1."""
+    from pyspark.sql import Window as _W
+
+    uw = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(f"unix_micros(cast(ts as timestamp)) div {_WEEK_US}")
+            .alias("week"),
+        )
+        .distinct()
+    )
+    minmax = uw.agg(
+        F.min("week").alias("w0"), F.max("week").alias("mw")
+    )
+    w = _W.partitionBy("user_id").orderBy("week")
+    lagged = uw.select(
+        "week",
+        F.lag("week").over(w).alias("prev"),
+        F.lead("week").over(w).alias("nxt"),
+    )
+    states = lagged.select(
+        "week",
+        F.when(F.col("prev").isNull(), "new")
+        .when(F.col("week") == F.col("prev") + 1, "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    acts = states.groupBy("week").agg(
+        F.sum(F.when(F.col("state") == "new", 1).otherwise(0))
+        .cast("bigint").alias("n_new"),
+        F.sum(F.when(F.col("state") == "retained", 1).otherwise(0))
+        .cast("bigint").alias("n_retained"),
+        F.sum(F.when(F.col("state") == "resurrected", 1).otherwise(0))
+        .cast("bigint").alias("n_resurrected"),
+    )
+    churn = (
+        lagged.crossJoin(F.broadcast(minmax.select("mw")))
+        .filter(
+            (F.col("nxt").isNull() | (F.col("nxt") > F.col("week") + 1))
+            & (F.col("week") + 1 <= F.col("mw"))
+        )
+        .groupBy((F.col("week") + 1).alias("week"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    return (
+        acts.join(churn, "week", "left")
+        .crossJoin(F.broadcast(minmax.select("w0")))
+        .select(
+            (F.col("week") - F.col("w0")).cast("bigint").alias("week_idx"),
+            "n_new", "n_retained", "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).cast("bigint")
+            .alias("n_churned"),
+            F.round(
+                F.col("n_retained")
+                * 1.0
+                / F.expr(
+                    "nullif(n_retained + coalesce(n_churned, 0), 0)"
+                ),
+                6,
+            ).alias("retention_rate"),
+        )
+        .orderBy("week_idx")
+    )

@@ -986,3 +986,280 @@ def gbdt_histogram_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+# --------------------------------------------------------------------------
+# Weight-of-evidence / information-value feature binning.
+# --------------------------------------------------------------------------
+
+_WOE_BINS = 8
+_WOE_UNIT = 100000000
+
+_WOE_BIN = (
+    f"case when hi = lo then cast(0 as bigint) else"
+    f" least(cast(floor((v - lo) * {_WOE_BINS} / (hi - lo)) as bigint),"
+    f" {_WOE_BINS - 1}) end"
+)
+#: WoE in 1e-8 units from exact integer bin counts (0.5-smoothed):
+#: woe = ln( (pos_b + .5)/(pos_tot + .5B) / ((neg_b + .5)/(neg_tot
+#: + .5B)) ). Shared text -> identical IEEE tree.
+_WOE_EXPR = (
+    f"cast(round(ln("
+    f"((pos + cast(0.5 as double)) / (pt + cast({_WOE_BINS * 0.5} as double)))"
+    f" / ((neg + cast(0.5 as double)) / (nt + cast({_WOE_BINS * 0.5} as double)))"
+    f") * {_WOE_UNIT}) as bigint)"
+)
+#: IV contribution of a bin, in the same units: (p% - n%) * woe.
+_IV_EXPR = (
+    f"cast(round("
+    f"((pos + cast(0.5 as double)) / (pt + cast({_WOE_BINS * 0.5} as double))"
+    f" - (neg + cast(0.5 as double)) / (nt + cast({_WOE_BINS * 0.5} as double)))"
+    f" * (woe_units * cast(1.0 as double) / {_WOE_UNIT})"
+    f" * {_WOE_UNIT}) as bigint)"
+)
+
+
+@workload(
+    "feature_woe_iv_binning",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         {_F_LEN_DUCK} AS f_len,
+         {_F_STOP_DUCK} AS f_stop,
+         {_F_DIGITS_DUCK2} AS f_digits
+  FROM documents
+),
+labeled AS (
+  SELECT *, CASE WHEN f_len + 2 * f_stop - f_digits > 1.0
+                 THEN 1 ELSE 0 END AS y
+  FROM feats
+),
+stacked AS (
+  SELECT 'f_len' AS feature, f_len AS v, y FROM labeled
+  UNION ALL
+  SELECT 'f_stop' AS feature, f_stop AS v, y FROM labeled
+),
+rng AS (
+  SELECT feature, min(v) AS lo, max(v) AS hi FROM stacked GROUP BY feature
+),
+hist AS (
+  SELECT s.feature, {_WOE_BIN} AS bin,
+         CAST(sum(y) AS BIGINT) AS pos,
+         CAST(sum(1 - y) AS BIGINT) AS neg
+  FROM stacked s JOIN rng USING (feature)
+  GROUP BY s.feature, {_WOE_BIN}
+),
+tot AS (
+  SELECT feature,
+         CAST(sum(pos) AS BIGINT) AS pt,
+         CAST(sum(neg) AS BIGINT) AS nt
+  FROM hist GROUP BY feature
+),
+woed AS (
+  SELECT h.feature, h.bin, h.pos, h.neg,
+         {_WOE_EXPR} AS woe_units
+  FROM hist h JOIN tot USING (feature)
+),
+ived AS (
+  SELECT w.feature, w.bin, w.pos, w.neg, w.woe_units,
+         {_IV_EXPR} AS iv_units
+  FROM woed w JOIN tot USING (feature)
+)
+SELECT feature, bin, pos, neg,
+       ROUND(woe_units * 1.0 / {_WOE_UNIT}, 6) AS woe,
+       ROUND(sum(iv_units) OVER (PARTITION BY feature) * 1.0
+             / {_WOE_UNIT}, 6) AS iv_total
+FROM ived
+ORDER BY feature, bin
+""",
+)
+def feature_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value feature audit — the
+    credit-scoring-standard univariate screen: each feature is cut
+    into {B} equal-width bins, every bin gets its 0.5-smoothed WoE =
+    ln(P(bin|pos) / P(bin|neg)), and the feature's total IV =
+    Σ (p% − n%)·WoE says whether the feature is worth keeping
+    (IV < 0.02 useless, > 0.5 suspect/leaky). Complements
+    feature_infogain_label (MI says HOW MUCH dependence; WoE says
+    WHERE in the feature's range it lives and in which direction —
+    it is also the monotone-encoding table logistic scorecards
+    consume, cf. feature_target_encoding_oof).
+
+    Determinism: bin counts are exact integers; WoE and IV evaluate
+    shared expression texts snapped to 1e-8 BIGINT units. Scale: ONE
+    combiner aggregation builds all histograms (|features|·{B}
+    output rows); everything after runs on the histogram."""
+    docs = t(spark, sf_dir, "documents")
+    labeled = quality_features(docs, "doc_id").withColumn(
+        "y",
+        (
+            F.col("f_len") + 2 * F.col("f_stop") - F.col("f_digits")
+            > F.lit(1.0)
+        ).cast("int"),
+    )
+    stacked = labeled.select(
+        F.expr(
+            "stack(2, 'f_len', f_len, 'f_stop', f_stop) as (feature, v)"
+        ),
+        "y",
+    )
+    rng = stacked.groupBy("feature").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    hist = (
+        stacked.join(F.broadcast(rng), "feature")
+        .select("feature", F.expr(_WOE_BIN).alias("bin"), "y")
+        .groupBy("feature", "bin")
+        .agg(
+            F.sum("y").cast("bigint").alias("pos"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("neg"),
+        )
+    )
+    tot = hist.groupBy("feature").agg(
+        F.sum("pos").cast("bigint").alias("pt"),
+        F.sum("neg").cast("bigint").alias("nt"),
+    )
+    woed = hist.join(F.broadcast(tot), "feature").withColumn(
+        "woe_units", F.expr(_WOE_EXPR)
+    )
+    ived = woed.withColumn("iv_units", F.expr(_IV_EXPR))
+    from pyspark.sql import Window as _W
+
+    return (
+        ived.select(
+            "feature", "bin", "pos", "neg",
+            F.round(F.col("woe_units") * 1.0 / _WOE_UNIT, 6).alias("woe"),
+            F.round(
+                F.sum("iv_units").over(_W.partitionBy("feature")) * 1.0
+                / _WOE_UNIT,
+                6,
+            ).alias("iv_total"),
+        )
+        .orderBy("feature", "bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# Histogram-density anomaly score (multivariate NB-density surprise).
+# --------------------------------------------------------------------------
+
+_AD_BINS = 16
+_AD_TOPK = 20
+_AD_UNIT = 100000000
+
+_AD_BIN = (
+    f"case when hi = lo then cast(0 as bigint) else"
+    f" least(cast(floor((v - lo) * {_AD_BINS} / (hi - lo)) as bigint),"
+    f" {_AD_BINS - 1}) end"
+)
+#: Per-feature surprise in 1e-8 units: -ln Laplace-smoothed bin mass.
+_AD_NLL = (
+    f"cast(round(-ln((cnt + cast(1.0 as double))"
+    f" / (n + cast({_AD_BINS} as double))) * {_AD_UNIT}) as bigint)"
+)
+
+
+@workload(
+    "anomaly_histogram_density",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         {_F_LEN_DUCK} AS f_len,
+         {_F_STOP_DUCK} AS f_stop,
+         {_F_DIGITS_DUCK2} AS f_digits
+  FROM documents
+),
+stacked AS (
+  SELECT doc_id, 'f_len' AS feature, f_len AS v FROM feats
+  UNION ALL
+  SELECT doc_id, 'f_stop' AS feature, f_stop AS v FROM feats
+  UNION ALL
+  SELECT doc_id, 'f_digits' AS feature, f_digits AS v FROM feats
+),
+rng AS (
+  SELECT feature, min(v) AS lo, max(v) AS hi FROM stacked GROUP BY feature
+),
+binned AS (
+  SELECT s.doc_id, s.feature, {_AD_BIN} AS bin
+  FROM stacked s JOIN rng USING (feature)
+),
+hist AS (
+  SELECT feature, bin, CAST(count(*) AS BIGINT) AS cnt
+  FROM binned GROUP BY feature, bin
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feats),
+scored AS (
+  SELECT b.doc_id,
+         CAST(sum({_AD_NLL}) AS BIGINT) AS units
+  FROM binned b
+  JOIN hist h ON h.feature = b.feature AND h.bin = b.bin
+  CROSS JOIN tot
+  GROUP BY b.doc_id
+)
+SELECT doc_id,
+       ROUND(units * 1.0 / {_AD_UNIT}, 6) AS nll_score,
+       CAST(row_number() OVER (ORDER BY units DESC, doc_id) AS BIGINT)
+         AS rank
+FROM scored
+ORDER BY units DESC, doc_id
+LIMIT {_AD_TOPK}
+""",
+)
+def anomaly_histogram_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-density anomaly detection — the multivariate
+    complement of events_mad_outliers' univariate z-scores: model
+    each quality feature's marginal as a {B}-bin histogram, score
+    every doc by its summed negative log bin mass (a naive-Bayes
+    density estimate; Laplace-smoothed so empty bins stay finite),
+    and surface the top-{K} least-probable docs. Docs that are
+    unremarkable on every single feature but sit in RARE bins of
+    several at once rank high — exactly what per-feature thresholds
+    miss.
+
+    Determinism: bin ids and counts are exact integers; each
+    feature's −ln mass snaps to 1e-8 BIGINT units through one shared
+    text, so per-doc sums and the top-k cutoff compare exact
+    integers. Scale: histograms build in ONE combiner aggregation
+    (|features|·{B} rows — broadcast back); scoring joins each doc's
+    3 bins against that broadcast table map-side; top-k is
+    TakeOrdered. Two scans, no wide shuffle beyond the per-doc sum."""
+    docs = t(spark, sf_dir, "documents")
+    feats = quality_features(docs, "doc_id")
+    stacked = feats.select(
+        "doc_id",
+        F.expr(
+            "stack(3, 'f_len', f_len, 'f_stop', f_stop,"
+            " 'f_digits', f_digits) as (feature, v)"
+        ),
+    )
+    rng = stacked.groupBy("feature").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    binned = stacked.join(F.broadcast(rng), "feature").select(
+        "doc_id", "feature", F.expr(_AD_BIN).alias("bin")
+    )
+    hist = binned.groupBy("feature", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = feats.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    scored = (
+        binned.join(F.broadcast(hist), ["feature", "bin"])
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.expr(_AD_NLL).alias("u"))
+        .groupBy("doc_id")
+        .agg(F.sum("u").cast("bigint").alias("units"))
+    )
+    from pyspark.sql import Window as _W
+
+    return (
+        scored.orderBy(F.col("units").desc(), "doc_id")
+        .limit(_AD_TOPK)
+        .select(
+            "doc_id",
+            F.round(F.col("units") * 1.0 / _AD_UNIT, 6).alias("nll_score"),
+            F.row_number()
+            .over(_W.orderBy(F.col("units").desc(), "doc_id"))
+            .cast("bigint")
+            .alias("rank"),
+        )
+    )
