@@ -823,3 +823,90 @@ def test_label_propagation_round_shape(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "Scan ExistingRDD" in p
+
+
+# ---------------------------------------------------------------------------
+# Pins for the round-7 session-3 additions (link prediction, binary
+# ANN, PRF retrieval, NB classifier, FS linkage, GBDT kernel, ...).
+# ---------------------------------------------------------------------------
+
+_R7S3_FAMILIES = [
+    "link_prediction_adamic_adar",
+    "graph_local_clustering",
+    "embedding_binary_sign_hamming",
+    "search_prf_rocchio",
+    "classifier_naive_bayes_source",
+    "record_linkage_fellegi_sunter",
+    "gbdt_histogram_split",
+    "lm_kneser_ney_bigram",
+    "table_fingerprint_xor",
+    "dedup_marginal_rate_by_batch",
+    "stats_equidepth_histogram",
+    "abtest_permutation_test",
+    "privacy_randomized_response",
+    "events_out_of_order_depth",
+    "events_user_lifecycle",
+    "shard_rebalance_hrw",
+    "feature_woe_iv_binning",
+    "anomaly_histogram_density",
+    "eval_decile_lift",
+]
+
+
+@pytest.fixture(scope="module")
+def r7s3_plans(spark):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    reg = load_all()
+    try:
+        return {n: _plan(reg[n].fn(spark, SF)) for n in _R7S3_FAMILIES}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_r7s3_no_cartesian(r7s3_plans):
+    offenders = [
+        n for n, p in r7s3_plans.items() if "CartesianProduct" in p
+    ]
+    assert offenders == []
+
+
+def test_adamic_adar_wedges_are_equi_joins(r7s3_plans):
+    """Wedge enumeration and the existing-edge anti-join must both
+    be hash equi-joins — a nested loop over the adjacency list is
+    the quadratic failure the degree cap exists to prevent."""
+    p = r7s3_plans["link_prediction_adamic_adar"]
+    assert "HashJoin" in p or "SortMergeJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_binary_hamming_query_side_broadcasts(r7s3_plans):
+    """The Hamming scan pairs the corpus against the ≤|Q|-row query
+    frame under a non-equi condition — that must be a broadcast
+    nested loop over the TINY side (the kNN convention), never a
+    shuffled product."""
+    p = r7s3_plans["embedding_binary_sign_hamming"]
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_prf_index_joins_are_hash_joins(r7s3_plans):
+    """Both scoring passes equi-join the (doc, term, tf) inverted
+    index against broadcast term/stat frames."""
+    p = r7s3_plans["search_prf_rocchio"]
+    assert "BroadcastHashJoin" in p
+
+
+def test_fingerprint_is_joinless_single_agg(r7s3_plans):
+    """The xor fingerprint must stay scan → one hash aggregate —
+    any Join or extra exchange means the fold degraded."""
+    p = r7s3_plans["table_fingerprint_xor"]
+    assert "Join" not in p
+
+
+def test_gbdt_and_woe_histograms_join_broadcast_ranges(r7s3_plans):
+    """Feature binning joins each stacked row against the
+    |features|-row min/max frame — must broadcast."""
+    for name in ("gbdt_histogram_split", "feature_woe_iv_binning",
+                 "anomaly_histogram_density"):
+        p = r7s3_plans[name]
+        assert "BroadcastHashJoin" in p, name
