@@ -78,7 +78,8 @@ CHECK_FIRST = [
     "privacy_randomized_response", "events_out_of_order_depth",
     "search_prf_rocchio", "shard_rebalance_hrw",
     "feature_woe_iv_binning", "events_user_lifecycle",
-    "anomaly_histogram_density",
+    "anomaly_histogram_density", "regression_ols_normal_eq",
+    "eval_brier_decomposition", "triplet_mining_semihard",
     # new in round 7
     "pca_top2_deflation", "calibration_isotonic_pav",
     "bootstrap_ci_poisson", "abtest_cuped_readout",

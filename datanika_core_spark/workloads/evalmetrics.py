@@ -1046,3 +1046,153 @@ def eval_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# Brier score with Murphy decomposition (reliability / resolution).
+# --------------------------------------------------------------------------
+
+_BRIER_BINS = 10
+_BRIER_UNIT = 100000000
+
+#: Per-doc squared error in units; p_units is the 1e-8-snapped
+#: predicted probability (exact BIGINT), y in {{0,1}}.
+_BRIER_SQ = (
+    f"cast(round(pow(p_units * cast(1.0 as double) / {_BRIER_UNIT} - y, 2)"
+    f" * {_BRIER_UNIT}) as bigint)"
+)
+#: Per-bin reliability / resolution terms in units (nk, spu, sy are
+#: the bin's exact integer count / prob-unit sum / positive count;
+#: syt, nt the global ones).
+_BRIER_REL = (
+    f"cast(round(nk * pow(spu * cast(1.0 as double) / nk / {_BRIER_UNIT}"
+    f" - sy * cast(1.0 as double) / nk, 2) * {_BRIER_UNIT}) as bigint)"
+)
+_BRIER_RES = (
+    f"cast(round(nk * pow(sy * cast(1.0 as double) / nk"
+    f" - syt * cast(1.0 as double) / nt, 2) * {_BRIER_UNIT}) as bigint)"
+)
+
+
+@workload(
+    "eval_brier_decomposition",
+    oracle=f"""
+WITH labeled AS ({_O_LABELED}),
+scored AS (
+  SELECT y,
+         CAST(round(1.0 / (1.0 + exp(-z)) * {_BRIER_UNIT}) AS BIGINT)
+           AS p_units
+  FROM labeled
+),
+perdoc AS (
+  SELECT y, p_units,
+         least(p_units * {_BRIER_BINS} // {_BRIER_UNIT},
+               {_BRIER_BINS - 1}) AS bin,
+         {_BRIER_SQ} AS sq_units
+  FROM scored
+),
+bins AS (
+  SELECT bin,
+         CAST(count(*) AS BIGINT) AS nk,
+         CAST(sum(p_units) AS BIGINT) AS spu,
+         CAST(sum(y) AS BIGINT) AS sy
+  FROM perdoc GROUP BY bin
+),
+gstats AS (
+  SELECT CAST(sum(nk) AS BIGINT) AS nt,
+         CAST(sum(sy) AS BIGINT) AS syt,
+         (SELECT CAST(sum(sq_units) AS BIGINT) FROM perdoc) AS sqt
+  FROM bins
+),
+terms AS (
+  SELECT CAST(sum({_BRIER_REL}) AS BIGINT) AS rel_u,
+         CAST(sum({_BRIER_RES}) AS BIGINT) AS res_u
+  FROM bins CROSS JOIN gstats
+)
+SELECT g.nt AS n_docs,
+       ROUND(g.sqt * 1.0 / g.nt / {_BRIER_UNIT}, 6) AS brier,
+       ROUND(t.rel_u * 1.0 / g.nt / {_BRIER_UNIT}, 6) AS reliability,
+       ROUND(t.res_u * 1.0 / g.nt / {_BRIER_UNIT}, 6) AS resolution,
+       ROUND((g.syt * 1.0 / g.nt) * (1.0 - g.syt * 1.0 / g.nt), 6)
+         AS uncertainty,
+       ROUND(g.sqt * 1.0 / g.nt / {_BRIER_UNIT}
+             - (t.rel_u * 1.0 / g.nt / {_BRIER_UNIT}
+                - t.res_u * 1.0 / g.nt / {_BRIER_UNIT}
+                + (g.syt * 1.0 / g.nt) * (1.0 - g.syt * 1.0 / g.nt)),
+             6) AS decomp_gap
+FROM gstats g CROSS JOIN terms t
+""",
+)
+def eval_brier_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brier score of the frozen quality model with the MURPHY
+    DECOMPOSITION: Brier ≈ reliability − resolution + uncertainty,
+    where reliability (lower = better-calibrated) penalizes bins
+    whose mean prediction drifts from their hit rate, resolution
+    (higher = sharper) rewards bins that separate from the base
+    rate, and uncertainty is the label's own variance floor. The
+    decomposition residual (decomp_gap — nonzero because predictions
+    vary WITHIN a bin) ships in the same row, so the {B}-bin knob is
+    self-measuring (the eval_auc_histogram convention). Complements
+    eval_calibration_quality_model (per-bin curve) with the
+    single-number summary a model gate consumes.
+
+    Determinism: probabilities snap to 1e-8 BIGINT units at scoring;
+    per-doc squared errors and per-bin terms snap through shared
+    texts; every division happens once per output figure. Scale: one
+    map-only scoring pass + one {B}-row combiner histogram — the
+    whole decomposition runs on {B}+1 driver-sized rows."""
+    labeled = _labeled(spark, sf_dir)
+    scored = labeled.select(
+        "y",
+        F.round(1.0 / (1.0 + F.exp(-F.col("z"))) * _BRIER_UNIT)
+        .cast("bigint")
+        .alias("p_units"),
+    )
+    perdoc = scored.select(
+        "y", "p_units",
+        F.least(
+            F.expr(f"p_units * {_BRIER_BINS} div {_BRIER_UNIT}"),
+            F.lit(_BRIER_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+        F.expr(_BRIER_SQ).alias("sq_units"),
+    )
+    bins = perdoc.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+        F.sum("p_units").cast("bigint").alias("spu"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    glob = (
+        bins.agg(
+            F.sum("nk").cast("bigint").alias("nt"),
+            F.sum("sy").cast("bigint").alias("syt"),
+        )
+        .crossJoin(
+            F.broadcast(
+                perdoc.agg(
+                    F.sum("sq_units").cast("bigint").alias("sqt")
+                )
+            )
+        )
+    )
+    terms = (
+        bins.crossJoin(F.broadcast(glob))
+        .agg(
+            F.sum(F.expr(_BRIER_REL)).cast("bigint").alias("rel_u"),
+            F.sum(F.expr(_BRIER_RES)).cast("bigint").alias("res_u"),
+        )
+    )
+    base = F.col("syt") * 1.0 / F.col("nt")
+    brier = F.col("sqt") * 1.0 / F.col("nt") / _BRIER_UNIT
+    rel = F.col("rel_u") * 1.0 / F.col("nt") / _BRIER_UNIT
+    res = F.col("res_u") * 1.0 / F.col("nt") / _BRIER_UNIT
+    unc = base * (1.0 - base)
+    return glob.crossJoin(F.broadcast(terms)).select(
+        F.col("nt").alias("n_docs"),
+        F.round(brier, 6).alias("brier"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(brier - (rel - res + unc), 6).alias("decomp_gap"),
+    )

@@ -3101,3 +3101,144 @@ def embedding_binary_sign_hamming(
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Semi-hard triplet mining (FaceNet band) for metric-learning batches.
+# --------------------------------------------------------------------------
+
+_TRIP_MARGIN = "cast(0.1 as double)"
+_TRIP_NQ = 10  # vec_id < 10 anchor
+
+
+@workload(
+    "triplet_mining_semihard",
+    oracle=f"""
+WITH vecs AS ({_O_VECTORS}),
+a AS (SELECT vec_id AS anchor_id, label AS a_label, v AS av
+      FROM vecs WHERE vec_id < {_TRIP_NQ}),
+sims AS (
+  SELECT a.anchor_id, a.a_label, c.vec_id, c.label,
+         {_o_cos('a.av', 'c.v')} AS sim
+  FROM a JOIN vecs c ON c.vec_id <> a.anchor_id
+),
+pos AS (
+  SELECT anchor_id, vec_id AS pos_id, sim AS pos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY sim DESC, vec_id) AS rn
+    FROM sims WHERE label = a_label
+  ) WHERE rn = 1
+),
+semihard AS (
+  SELECT s.anchor_id, s.vec_id, s.sim, p.pos_id, p.pos_sim
+  FROM sims s JOIN pos p ON p.anchor_id = s.anchor_id
+  WHERE s.label <> s.a_label
+    AND s.sim < p.pos_sim
+    AND s.sim > p.pos_sim - {_TRIP_MARGIN}
+),
+hardest AS (
+  SELECT anchor_id, vec_id AS hard_neg_id, sim AS hard_neg_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY sim DESC, vec_id) AS rn
+    FROM semihard
+  ) WHERE rn = 1
+),
+counts AS (
+  SELECT anchor_id, CAST(count(*) AS BIGINT) AS n_semihard
+  FROM semihard GROUP BY anchor_id
+)
+SELECT p.anchor_id, p.pos_id,
+       ROUND(p.pos_sim, 6) AS pos_sim,
+       coalesce(c.n_semihard, 0) AS n_semihard,
+       h.hard_neg_id,
+       ROUND(h.hard_neg_sim, 6) AS hard_neg_sim
+FROM pos p
+LEFT JOIN counts c ON c.anchor_id = p.anchor_id
+LEFT JOIN hardest h ON h.anchor_id = p.anchor_id
+ORDER BY p.anchor_id
+""",
+)
+def triplet_mining_semihard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-hard triplet mining (the FaceNet recipe) over the labeled
+    embedding space: for each anchor, the positive is its nearest
+    same-label neighbor, and candidate negatives are different-label
+    vectors INSIDE the semi-hard band — less similar than the
+    positive but by no more than the margin (0.1) — the negatives
+    that produce informative, non-collapsing gradients. Reports each
+    anchor's positive, its semi-hard count (band emptiness tells you
+    the margin is exhausted), and the hardest in-band negative —
+    the triple a metric-learning trainer would consume.
+
+    Determinism: cosines evaluate the shared expression text over
+    double-cast vectors; both argmax windows and the band
+    comparisons use those identical doubles with vec_id tiebreaks.
+    Scale: anchors broadcast against the corpus scan (the kNN
+    convention — corpus never shuffles); the band filter reduces
+    |A|·|corpus| scored rows to the mined triplets before any wide
+    operation; per-anchor argmaxes are window top-1s on the
+    anchor-partitioned stream. At 100 TB mining runs per
+    training-batch shard, which this plan is exactly."""
+    from pyspark.sql import Window
+
+    vecs = _vectors(spark, sf_dir)
+    a = vecs.filter(F.col("vec_id") < _TRIP_NQ).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("v").alias("av"),
+    )
+    sims = (
+        F.broadcast(a)
+        .join(vecs.alias("c"), F.col("c.vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id", "a_label",
+            F.col("c.vec_id").alias("vec_id"),
+            F.col("c.label").alias("label"),
+            F.expr(_s_cos("av", "v")).alias("sim"),
+        )
+    )
+    wtop = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), "vec_id"
+    )
+    pos = (
+        sims.filter(F.col("label") == F.col("a_label"))
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("pos_id"),
+            F.col("sim").alias("pos_sim"),
+        )
+    )
+    semihard = (
+        sims.filter(F.col("label") != F.col("a_label"))
+        .join(F.broadcast(pos), "anchor_id")
+        .filter(
+            (F.col("sim") < F.col("pos_sim"))
+            & (F.col("sim") > F.col("pos_sim") - F.expr(_TRIP_MARGIN))
+        )
+    )
+    hardest = (
+        semihard.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("hard_neg_id"),
+            F.col("sim").alias("hard_neg_sim"),
+        )
+    )
+    counts = semihard.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_semihard")
+    )
+    return (
+        pos.join(counts, "anchor_id", "left")
+        .join(hardest, "anchor_id", "left")
+        .select(
+            "anchor_id", "pos_id",
+            F.round("pos_sim", 6).alias("pos_sim"),
+            F.coalesce("n_semihard", F.lit(0)).cast("bigint")
+            .alias("n_semihard"),
+            "hard_neg_id",
+            F.round("hard_neg_sim", 6).alias("hard_neg_sim"),
+        )
+        .orderBy("anchor_id")
+    )

@@ -2741,3 +2741,141 @@ def abtest_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# OLS via normal equations (closed-form distributed regression).
+# --------------------------------------------------------------------------
+
+#: The 3x3 normal-equations solve by Cramer's rule — SHARED texts
+#: evaluated over the double-cast moments (the integer moments are
+#: exact BIGINTs; casting each ONCE to double is the same IEEE
+#: rounding on both engines, and keeps the triple products inside
+#: double range where BIGINT products would overflow).
+_OLS_CAST = ", ".join(
+    f"cast({c} as double) AS {c}"
+    for c in ("n", "sx1", "sx2", "s11", "s12", "s22",
+              "sy", "sy1", "sy2", "syy")
+)
+_OLS_DET = (
+    "(n * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2)"
+    " + sx2 * (sx1 * s12 - s11 * sx2))"
+)
+_OLS_B0 = (
+    "(sy * (s11 * s22 - s12 * s12) - sx1 * (sy1 * s22 - s12 * sy2)"
+    " + sx2 * (sy1 * s12 - s11 * sy2)) / ({det})"
+)
+_OLS_B1 = (
+    "(n * (sy1 * s22 - s12 * sy2) - sy * (sx1 * s22 - s12 * sx2)"
+    " + sx2 * (sx1 * sy2 - sy1 * sx2)) / ({det})"
+)
+_OLS_B2 = (
+    "(n * (s11 * sy2 - sy1 * s12) - sx1 * (sx1 * sy2 - sy1 * sx2)"
+    " + sy * (sx1 * s12 - s11 * sx2)) / ({det})"
+)
+
+
+@workload(
+    "regression_ols_normal_eq",
+    oracle=f"""
+WITH per_order AS (
+  SELECT l_orderkey,
+         CAST(count(*) AS BIGINT) AS x1,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2,
+         CAST(sum(CAST(round(l_extendedprice) AS BIGINT))
+              AS BIGINT) AS y
+  FROM lineitem GROUP BY l_orderkey
+),
+mi AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS sx1,
+         CAST(sum(x2) AS BIGINT) AS sx2,
+         CAST(sum(x1 * x1) AS BIGINT) AS s11,
+         CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * x1) AS BIGINT) AS sy1,
+         CAST(sum(y * x2) AS BIGINT) AS sy2,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM per_order
+),
+m AS (SELECT {_OLS_CAST} FROM mi),
+beta AS (
+  SELECT n, sy, syy, sy1, sy2,
+         {_OLS_B0.format(det=_OLS_DET)} AS b0,
+         {_OLS_B1.format(det=_OLS_DET)} AS b1,
+         {_OLS_B2.format(det=_OLS_DET)} AS b2
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       ROUND(b0, 4) AS beta0_dollars,
+       ROUND(b1, 4) AS beta1_per_item,
+       ROUND(b2, 4) AS beta2_per_qty,
+       ROUND(1.0 - (syy - b0 * sy - b1 * sy1 - b2 * sy2)
+                   / (syy - sy * sy / n), 6) AS r2
+FROM beta
+""",
+)
+def regression_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression solved in CLOSED FORM via the
+    normal equations: order revenue (whole dollars) on line-count
+    and total quantity. ONE aggregation pass collects the ten exact
+    integer moments of (1, x1, x2, y) — X'X and X'y — and Cramer's
+    rule solves the 3×3 system on that single row; R² comes from the
+    same moments (TSS/RSS identity), no residual pass. This is THE
+    distributed-OLS shape: at 100 TB the only data-sized cost is the
+    moment aggregation (map-side combined to one row per partition);
+    the solve is O(p³) on p+1 scalars regardless of row count, and a
+    wider model feeds the same moments to a driver-side Cholesky
+    (cf. pca_top_component's gram-matrix-in-one-pass discipline).
+
+    Determinism: moments are exact BIGINTs; each casts ONCE to
+    double (identical IEEE rounding on both engines — and the cast
+    is load-bearing: triple moment products overflow int64), then
+    the determinant/betas/R² evaluate shared expression texts."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice")).cast("bigint").alias("c"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x1"),
+        F.sum("q").cast("bigint").alias("x2"),
+        F.sum("c").cast("bigint").alias("y"),
+    )
+    mi = per_order.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("sx1"),
+        F.sum("x2").cast("bigint").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("x1")).cast("bigint").alias("sy1"),
+        F.sum(F.col("y") * F.col("x2")).cast("bigint").alias("sy2"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    m = mi.selectExpr(*_OLS_CAST.split(", "))
+    beta = m.select(
+        "n", "sy", "syy", "sy1", "sy2",
+        F.expr(_OLS_B0.format(det=_OLS_DET)).alias("b0"),
+        F.expr(_OLS_B1.format(det=_OLS_DET)).alias("b1"),
+        F.expr(_OLS_B2.format(det=_OLS_DET)).alias("b2"),
+    )
+    return beta.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round("b0", 4).alias("beta0_dollars"),
+        F.round("b1", 4).alias("beta1_per_item"),
+        F.round("b2", 4).alias("beta2_per_qty"),
+        F.round(
+            1.0
+            - (
+                F.col("syy")
+                - F.col("b0") * F.col("sy")
+                - F.col("b1") * F.col("sy1")
+                - F.col("b2") * F.col("sy2")
+            )
+            / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")),
+            6,
+        ).alias("r2"),
+    )
