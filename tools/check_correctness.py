@@ -69,12 +69,18 @@ def main() -> int:
     registry = load_all()
     failures = []
     checked = 0
+    from datanika_core_spark.blocks import release_blocks
+
     for name, wl in sorted(registry.items()):
         if name_filter and not any(f in name for f in name_filter):
             continue
         sdf = wl.fn(spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
         scols = list(sdf.columns)
+        # bench.py discipline: sweep cached/checkpointed blocks after
+        # each fully-collected query so a 285-query session can't
+        # accumulate storage toward a heap OOM under memory pressure
+        release_blocks(spark)
         if not wl.oracle:
             print(f"  ~ {name}: rows-only ({len(srows)} rows)")
             checked += 1
