@@ -80,6 +80,7 @@ CHECK_FIRST = [
     "feature_woe_iv_binning", "events_user_lifecycle",
     "anomaly_histogram_density", "regression_ols_normal_eq",
     "eval_brier_decomposition", "triplet_mining_semihard",
+    "quantile_confidence_interval", "fit_exponential_interarrival",
     # new in round 7
     "pca_top2_deflation", "calibration_isotonic_pav",
     "bootstrap_ci_poisson", "abtest_cuped_readout",

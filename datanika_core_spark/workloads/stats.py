@@ -2879,3 +2879,255 @@ def regression_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution-free quantile confidence interval (order statistics).
+# --------------------------------------------------------------------------
+
+_QCI_Q = "cast(0.9 as double)"   # the quantile
+_QCI_Z = "cast(1.96 as double)"  # 95% normal critical value
+
+#: Order-statistic indices (1-based) — shared texts over the exact
+#: BIGINT group size n.
+_QCI_K = f"cast(ceil(n * {_QCI_Q}) as bigint)"
+_QCI_LO = (
+    f"greatest(cast(floor(n * {_QCI_Q}"
+    f" - {_QCI_Z} * sqrt(n * {_QCI_Q} * (1.0 - {_QCI_Q}))) as bigint), 1)"
+)
+_QCI_HI = (
+    f"least(cast(ceil(n * {_QCI_Q}"
+    f" + {_QCI_Z} * sqrt(n * {_QCI_Q} * (1.0 - {_QCI_Q}))) as bigint)"
+    f" + 1, n)"
+)
+
+
+@workload(
+    "quantile_confidence_interval",
+    oracle=f"""
+WITH vals AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(round(value * 100) AS BIGINT),
+                                     event_id) AS rk
+  FROM events
+),
+sizes AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+  FROM vals GROUP BY event_type
+),
+idx AS (
+  SELECT event_type, n,
+         {_QCI_K} AS k, {_QCI_LO} AS klo, {_QCI_HI} AS khi
+  FROM sizes
+)
+SELECT i.event_type, i.n,
+       ROUND(max(CASE WHEN v.rk = i.k THEN v.cents END) / 100.0, 2)
+         AS p90,
+       ROUND(max(CASE WHEN v.rk = i.klo THEN v.cents END) / 100.0, 2)
+         AS ci_lo,
+       ROUND(max(CASE WHEN v.rk = i.khi THEN v.cents END) / 100.0, 2)
+         AS ci_hi
+FROM idx i
+JOIN vals v ON v.event_type = i.event_type
+           AND v.rk IN (i.k, i.klo, i.khi)
+GROUP BY i.event_type, i.n
+ORDER BY i.event_type
+""",
+)
+def quantile_confidence_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distribution-free 95% confidence interval for the per-type
+    p90 of event value, from ORDER STATISTICS: the number of
+    observations below the true quantile is Binomial(n, q), so the
+    interval is simply the values at ranks floor(nq − z√(nq(1−q)))
+    and ceil(nq + z√(nq(1−q)))+1 — no normality assumption about the
+    VALUES, no bootstrap resampling (cf. bootstrap_ci_poisson, which
+    buys the same kind of CI for the MEAN with B replicas; for
+    quantiles the binomial argument gives it in one pass). Wide
+    intervals flag types whose p90 dashboards shouldn't be trusted.
+
+    Determinism: values snap to integer cents; ranks have an
+    event_id tiebreak (the selected VALUE at a rank is tie-invariant
+    anyway); the three indices evaluate one shared text over the
+    exact BIGINT n. Scale: one shuffle to rank within type, then a
+    3-rows-per-type semi-join — at 100 TB replace the full rank with
+    two passes (count, then select the 3 target ranks per type with
+    a filtered TakeOrdered), same output."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    vals = ev.select(
+        "event_type", "cents",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy("cents", "event_id")
+        )
+        .alias("rk"),
+    )
+    sizes = vals.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    idx = sizes.select(
+        "event_type", "n",
+        F.expr(_QCI_K).alias("k"),
+        F.expr(_QCI_LO).alias("klo"),
+        F.expr(_QCI_HI).alias("khi"),
+    )
+    joined = vals.join(F.broadcast(idx), "event_type").filter(
+        (F.col("rk") == F.col("k"))
+        | (F.col("rk") == F.col("klo"))
+        | (F.col("rk") == F.col("khi"))
+    )
+    return (
+        joined.groupBy("event_type", "n")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rk") == F.col("k"), F.col("cents")))
+                / 100.0,
+                2,
+            ).alias("p90"),
+            F.round(
+                F.max(F.when(F.col("rk") == F.col("klo"), F.col("cents")))
+                / 100.0,
+                2,
+            ).alias("ci_lo"),
+            F.round(
+                F.max(F.when(F.col("rk") == F.col("khi"), F.col("cents")))
+                / 100.0,
+                2,
+            ).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exponential MLE + one-sample KS goodness-of-fit on inter-arrivals.
+# --------------------------------------------------------------------------
+
+#: Fitted exponential CDF at the gap, with lambda = n / sum(gaps) —
+#: shared text over exact integer microsecond moments.
+_EXP_CDF = (
+    "(1.0 - exp(-(n * cast(1.0 as double) / sg) * gap_us))"
+)
+
+
+@workload(
+    "fit_exponential_interarrival",
+    oracle=f"""
+WITH gaps AS (
+  SELECT event_type,
+         lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id)
+           - epoch_us(ts) AS gap_us
+  FROM events
+),
+g AS (SELECT event_type, CAST(gap_us AS BIGINT) AS gap_us
+      FROM gaps WHERE gap_us IS NOT NULL),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(gap_us) AS BIGINT) AS sg
+  FROM g GROUP BY event_type
+),
+ranked AS (
+  SELECT g.event_type, g.gap_us, m.n, m.sg,
+         row_number() OVER (PARTITION BY g.event_type
+                            ORDER BY g.gap_us, g.rowid_tb) AS i
+  FROM (SELECT event_type, gap_us,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY gap_us) AS rowid_tb
+        FROM g) g
+  JOIN m ON m.event_type = g.event_type
+),
+ks AS (
+  SELECT event_type, n, sg,
+         max(greatest(
+           abs(i * cast(1.0 as double) / n - {_EXP_CDF}),
+           abs((i - 1) * cast(1.0 as double) / n - {_EXP_CDF})
+         )) AS d
+  FROM ranked GROUP BY event_type, n, sg
+)
+SELECT event_type, n AS n_gaps,
+       ROUND(n * cast(1.0 as double) / sg * 60000000, 4)
+         AS lambda_per_min,
+       ROUND(d, 6) AS ks_stat,
+       CAST(d > 1.358 / sqrt(n) AS BOOLEAN) AS reject_exp_05
+FROM ks
+ORDER BY event_type
+""",
+)
+def fit_exponential_interarrival(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parametric distribution fitting with a goodness-of-fit gate:
+    per event type, fit an exponential to the inter-arrival gaps by
+    MLE (λ = n/Σgaps — one exact integer moment) and test the fit
+    with a ONE-SAMPLE Kolmogorov-Smirnov statistic against the
+    fitted CDF (sup over the sorted gaps of the ECDF-vs-F distance,
+    both one-sided steps). reject_exp_05 flags types whose arrivals
+    are NOT Poisson — burstiness that invalidates the exponential
+    capacity model (the parametric complement of
+    events_dispersion_index, and the fitted-model upgrade of
+    drift_ks_two_period's two-sample form).
+
+    Determinism: gaps are exact integer microseconds; λ enters every
+    CDF evaluation through one shared text over (n, sg); the sup is
+    a MAX (order-free) over per-row doubles computed identically;
+    rank ties on equal gaps permute identical (i, x) pairs. Scale:
+    lag within type (the sessionization shuffle), one moment
+    aggregate, one ranked pass — the KS sup map-side combines."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e"),
+    )
+    wt = Window.partitionBy("event_type").orderBy("e", "event_id")
+    g = (
+        ev.select(
+            "event_type",
+            (F.lead("e").over(wt) - F.col("e")).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .select("event_type", F.col("gap_us").cast("bigint").alias("gap_us"))
+    )
+    m = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("gap_us").cast("bigint").alias("sg"),
+    )
+    ranked = (
+        g.select(
+            "event_type", "gap_us",
+            F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("gap_us"))
+            .alias("i"),
+        )
+        .join(F.broadcast(m), "event_type")
+    )
+    d_expr = F.max(
+        F.greatest(
+            F.abs(
+                F.col("i") * F.expr("cast(1.0 as double)") / F.col("n")
+                - F.expr(_EXP_CDF)
+            ),
+            F.abs(
+                (F.col("i") - 1) * F.expr("cast(1.0 as double)") / F.col("n")
+                - F.expr(_EXP_CDF)
+            ),
+        )
+    )
+    ks = ranked.groupBy("event_type", "n", "sg").agg(d_expr.alias("d"))
+    return ks.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.round(
+            F.col("n") * F.expr("cast(1.0 as double)") / F.col("sg")
+            * 60000000,
+            4,
+        ).alias("lambda_per_min"),
+        F.round("d", 6).alias("ks_stat"),
+        (F.col("d") > 1.358 / F.sqrt(F.col("n"))).alias("reject_exp_05"),
+    ).orderBy("event_type")
