@@ -81,6 +81,7 @@ CHECK_FIRST = [
     "anomaly_histogram_density", "regression_ols_normal_eq",
     "eval_brier_decomposition", "triplet_mining_semihard",
     "quantile_confidence_interval", "fit_exponential_interarrival",
+    "multimodal_scene_segmentation",
     # new in round 7
     "pca_top2_deflation", "calibration_isotonic_pav",
     "bootstrap_ci_poisson", "abtest_cuped_readout",

@@ -309,3 +309,108 @@ def multimodal_shard_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "shard_no")
     )
+
+
+# --------------------------------------------------------------------------
+# Scene segmentation over the frame-energy series (shot detection).
+# --------------------------------------------------------------------------
+
+_SCENE_CUT = 2147483648  # |energy delta| above this = scene cut (2^31)
+
+
+@workload(
+    "multimodal_scene_segmentation",
+    oracle=f"""
+WITH frames AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(CAST(ceil(strlen(text) / 256.0) AS INT), 1)))
+           AS frame_idx,
+         text
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, frame_idx,
+         ('0x'||substring(md5(substr(text, frame_idx * 256 + 1, 256)),
+          1, 8))::BIGINT AS energy
+  FROM frames
+),
+cuts AS (
+  SELECT doc_id, frame_idx,
+         CASE WHEN abs(energy - lag(energy) OVER w) > {_SCENE_CUT}
+              THEN 1 ELSE 0 END AS cut
+  FROM scored
+  WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+),
+scenes AS (
+  SELECT doc_id, frame_idx,
+         sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS scene_id
+  FROM cuts
+),
+per_scene AS (
+  SELECT doc_id, scene_id, CAST(count(*) AS BIGINT) AS scene_len
+  FROM scenes GROUP BY doc_id, scene_id
+)
+SELECT doc_id,
+       CAST(sum(scene_len) AS BIGINT) AS n_frames,
+       CAST(count(*) AS BIGINT) AS n_scenes,
+       CAST(max(scene_len) AS BIGINT) AS longest_scene
+FROM per_scene
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def multimodal_scene_segmentation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shot/scene segmentation skeleton: the per-frame energy series
+    (same md5 fake-decoder as multimodal_keyframe_select) is cut
+    wherever consecutive frames differ by more than the threshold,
+    and consecutive runs become scenes — per clip: frame count,
+    scene count, longest scene. This is the standard shot-detection
+    shape a video curation pipeline runs before per-scene keyframe
+    extraction; with real codecs the energy swaps to a Pandas-UDF
+    frame-difference decode and the windows are UNCHANGED.
+
+    Scale: frame explode (bounded by payload/256) then two
+    per-clip ordered windows — lag for the cut flags, running sum
+    for scene ids — each clip's frames are one window partition, so
+    parallelism is per-clip and state per partition is one frame.
+    All arithmetic is exact integers."""
+    from pyspark.sql import Window
+
+    frames = sample_frames(
+        _media(spark, sf_dir), "content",
+        frame_bytes=256, every_n=1, id_cols=("doc_id",),
+    )
+    scored = frames.withColumn(
+        "energy",
+        F.expr("cast(conv(substring(md5(frame), 1, 8), 16, 10) as bigint)"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    cuts = scored.select(
+        "doc_id", "frame_idx",
+        F.when(
+            F.abs(F.col("energy") - F.lag("energy").over(w)) > _SCENE_CUT,
+            1,
+        ).otherwise(0).alias("cut"),
+    )
+    scenes = cuts.select(
+        "doc_id",
+        F.sum("cut")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("scene_id"),
+    )
+    per_scene = scenes.groupBy("doc_id", "scene_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("scene_len")
+    )
+    return (
+        per_scene.groupBy("doc_id")
+        .agg(
+            F.sum("scene_len").cast("bigint").alias("n_frames"),
+            F.count(F.lit(1)).cast("bigint").alias("n_scenes"),
+            F.max("scene_len").cast("bigint").alias("longest_scene"),
+        )
+        .orderBy("doc_id")
+    )
