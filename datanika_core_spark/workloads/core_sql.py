@@ -1454,6 +1454,7 @@ def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         F.ntile(_EDH_BUCKETS)
         .over(W.orderBy("x", "l_orderkey", "l_linenumber"))
+        .cast("bigint")
         .alias("bucket"),
     )
     return (

@@ -1152,7 +1152,7 @@ def shard_rebalance_hrw(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             grid.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("doc_id", F.col("s").alias(alias))
+            .select("doc_id", F.col("s").cast("bigint").alias(alias))
         )
 
     old_a = _assign(_HRW_OLD, "old_shard")

@@ -1017,6 +1017,7 @@ def eval_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         F.ntile(10)
         .over(_W.orderBy(F.col("z").desc(), "doc_id"))
+        .cast("bigint")
         .alias("decile"),
     )
     per = deciled.groupBy("decile").agg(
