@@ -81,7 +81,8 @@ CHECK_FIRST = [
     "anomaly_histogram_density", "regression_ols_normal_eq",
     "eval_brier_decomposition", "triplet_mining_semihard",
     "quantile_confidence_interval", "fit_exponential_interarrival",
-    "multimodal_scene_segmentation",
+    "multimodal_scene_segmentation", "trajectory_similarity_topk",
+    "text_sentiment_lexicon",
     # new in round 7
     "pca_top2_deflation", "calibration_isotonic_pav",
     "bootstrap_ci_poisson", "abtest_cuped_readout",

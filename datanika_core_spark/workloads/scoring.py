@@ -1263,3 +1263,102 @@ def anomaly_histogram_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Lexicon sentiment scoring (EDBT'16 Spark sentiment-pipeline shape).
+# --------------------------------------------------------------------------
+
+_SENT_POS = ("good", "great", "fast", "new", "best")
+_SENT_NEG = ("bad", "slow", "old", "error", "broken")
+
+_SENT_POS_SQL = ", ".join(f"'{w}'" for w in _SENT_POS)
+_SENT_NEG_SQL = ", ".join(f"'{w}'" for w in _SENT_NEG)
+
+
+@workload(
+    "text_sentiment_lexicon",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, {_O_TOKS} AS toks FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         CAST(len(toks) AS BIGINT) AS n_toks,
+         CAST(len(list_filter(toks, x -> x IN ({_SENT_POS_SQL})))
+              AS BIGINT) AS n_pos,
+         CAST(len(list_filter(toks, x -> x IN ({_SENT_NEG_SQL})))
+              AS BIGINT) AS n_neg
+  FROM tok WHERE len(toks) > 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_pos) AS BIGINT) AS pos_hits,
+       CAST(sum(n_neg) AS BIGINT) AS neg_hits,
+       ROUND(sum((n_pos - n_neg) * 1000000 // n_toks) * 1.0
+             / count(*) / 1000000, 6) AS mean_polarity,
+       ROUND(sum(CASE WHEN n_pos > n_neg THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS share_positive
+FROM scored
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment per ingest source — the EDBT'16
+    large-scale-Spark-sentiment shape (PAPERS.md): per-doc polarity
+    = (positive hits − negative hits) / tokens from two fixed word
+    lists, evaluated as scan-stage array folds (the
+    quality_classifier_hashed discipline — no shuffle until the
+    per-source rollup), then aggregated to mean polarity and the
+    share of net-positive docs per source. The lexicons are
+    placeholders; a real list is a broadcast set with the identical
+    plan.
+
+    Determinism: hit counts are exact integers; per-doc polarity
+    snaps to integer ppm via integer division before the sum, so the
+    per-source mean is exact integer arithmetic until the single
+    final division. Scale: map-only scoring + one combiner rollup
+    keyed by source — sentiment at 100 TB is scan throughput."""
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source",
+            F.split(F.lower(F.trim(F.col("text"))), _TOKS).alias("toks"),
+        )
+        .filter(F.size("toks") > 0)
+    )
+    pos_list = ", ".join(f"'{w}'" for w in _SENT_POS)
+    neg_list = ", ".join(f"'{w}'" for w in _SENT_NEG)
+    scored = tok.select(
+        "source",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        F.expr(f"size(filter(toks, x -> x in ({pos_list})))")
+        .cast("bigint").alias("n_pos"),
+        F.expr(f"size(filter(toks, x -> x in ({neg_list})))")
+        .cast("bigint").alias("n_neg"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_pos").cast("bigint").alias("pos_hits"),
+            F.sum("n_neg").cast("bigint").alias("neg_hits"),
+            F.round(
+                F.sum(F.expr("(n_pos - n_neg) * 1000000 div n_toks"))
+                * 1.0
+                / F.count(F.lit(1))
+                / 1000000,
+                6,
+            ).alias("mean_polarity"),
+            F.round(
+                F.sum(
+                    F.when(F.col("n_pos") > F.col("n_neg"), 1).otherwise(0)
+                )
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("share_positive"),
+        )
+        .orderBy("source")
+    )

@@ -3242,3 +3242,130 @@ def triplet_mining_semihard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Trajectory similarity top-k (cell-set Jaccard, inverted-index pruned).
+# --------------------------------------------------------------------------
+
+_TRAJ_NQ = 5   # user_id < 5 are the query trajectories
+_TRAJ_K = 5
+
+
+@workload(
+    "trajectory_similarity_topk",
+    oracle=f"""
+WITH cells AS (
+  SELECT DISTINCT user_id,
+         event_type || ':' ||
+         CAST((epoch_us(ts) // 3600000000) % 168 AS VARCHAR) AS cell
+  FROM events
+),
+sizes AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS sz
+  FROM cells GROUP BY user_id
+),
+q AS (SELECT user_id AS qid, cell FROM cells WHERE user_id < {_TRAJ_NQ}),
+inter AS (
+  SELECT q.qid, c.user_id AS cand,
+         CAST(count(*) AS BIGINT) AS isect
+  FROM q JOIN cells c ON c.cell = q.cell AND c.user_id <> q.qid
+  GROUP BY q.qid, c.user_id
+),
+scored AS (
+  SELECT i.qid, i.cand, i.isect,
+         sq.sz AS q_sz, sc.sz AS c_sz,
+         i.isect * 1000000 // (sq.sz + sc.sz - i.isect) AS jac_ppm
+  FROM inter i
+  JOIN sizes sq ON sq.user_id = i.qid
+  JOIN sizes sc ON sc.user_id = i.cand
+)
+SELECT qid, cand, isect, q_sz, c_sz,
+       ROUND(jac_ppm / 1000000.0, 6) AS jaccard,
+       CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+             ORDER BY jac_ppm DESC, cand) AS rk
+  FROM scored
+) WHERE rk <= {_TRAJ_K}
+ORDER BY qid, rank
+""",
+)
+def trajectory_similarity_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distributed top-k trajectory similarity in the REPOSE shape
+    (ICDE'21 — PAPERS.md): each user's behavioral trajectory is its
+    set of (event_type, hour-of-week) grid cells, candidates for a
+    query trajectory are generated ONLY through the inverted cell
+    index (an equi-join on shared cells — the reference-point
+    pruning idea: trajectories sharing zero cells are never paired),
+    and the Jaccard over cell sets ranks the top-{k} most similar
+    users per query. The same shape handles geo trajectories with
+    spatial cells.
+
+    Determinism: cell sets and intersections are exact integers;
+    the ranking key is the integer-div Jaccard in ppm (no float
+    sort); ties break on candidate id. Scale: the cell inventory is
+    one distinct per user (the sessionization shuffle); candidate
+    generation joins the query cells against the inverted index —
+    cost bounded by cell co-occupancy, never |users|² — and the
+    per-query top-k is a window over the candidates only."""
+    from pyspark.sql import Window
+
+    cells = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.concat(
+                F.col("event_type"), F.lit(":"),
+                (
+                    F.expr("unix_micros(cast(ts as timestamp))"
+                           " div 3600000000") % 168
+                ).cast("string"),
+            ).alias("cell"),
+        )
+        .distinct()
+    )
+    sizes = cells.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    q = cells.filter(F.col("user_id") < _TRAJ_NQ).select(
+        F.col("user_id").alias("qid"), "cell"
+    )
+    inter = (
+        q.join(
+            cells.select(F.col("user_id").alias("cand"), "cell"),
+            "cell",
+        )
+        .filter(F.col("cand") != F.col("qid"))
+        .groupBy("qid", "cand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("isect"))
+    )
+    scored = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("user_id").alias("qid"),
+                                     F.col("sz").alias("q_sz"))),
+            "qid",
+        )
+        .join(
+            sizes.select(F.col("user_id").alias("cand"),
+                         F.col("sz").alias("c_sz")),
+            "cand",
+        )
+        .withColumn(
+            "jac_ppm",
+            F.expr("isect * 1000000 div (q_sz + c_sz - isect)"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("jac_ppm").desc(), "cand")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TRAJ_K)
+        .select(
+            "qid", "cand", "isect", "q_sz", "c_sz",
+            F.round(F.col("jac_ppm") / 1000000.0, 6).alias("jaccard"),
+            F.col("rk").cast("bigint").alias("rank"),
+        )
+        .orderBy("qid", "rank")
+    )
