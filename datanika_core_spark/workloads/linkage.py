@@ -371,3 +371,134 @@ def record_linkage_fellegi_sunter(
         )
         .orderBy("band", "is_true")
     )
+
+
+# --------------------------------------------------------------------------
+# Reciprocal best match: mutual-nearest-neighbor entity resolution.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "linkage_reciprocal_best",
+    oracle=f"""
+WITH clean AS (
+  SELECT p_partkey, p_name FROM part
+), dirty AS (
+  SELECT p_partkey + 10000 AS dirty_id, p_partkey AS orig_key,
+         substring(p_name, 1, 2) || substring(p_name, 4) AS name
+  FROM part WHERE p_partkey % 10 = 0
+), cand AS (
+  SELECT d.dirty_id, d.orig_key, c.p_partkey,
+         levenshtein(d.name, c.p_name) AS dist
+  FROM dirty d JOIN clean c
+    ON substring(d.name, 1, 2) = substring(c.p_name, 1, 2)
+  WHERE levenshtein(d.name, c.p_name) <= {_LEV_MAX}
+),
+best_dc AS (
+  SELECT dirty_id, orig_key, p_partkey FROM (
+    SELECT *, row_number() OVER (PARTITION BY dirty_id
+               ORDER BY dist, p_partkey) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+best_cd AS (
+  SELECT p_partkey, dirty_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY p_partkey
+               ORDER BY dist, dirty_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+mutual AS (
+  SELECT b.dirty_id, b.orig_key, b.p_partkey
+  FROM best_dc b
+  JOIN best_cd r ON r.p_partkey = b.p_partkey
+                AND r.dirty_id = b.dirty_id
+)
+SELECT CAST((SELECT count(*) FROM dirty) AS BIGINT) AS n_dirty,
+       CAST((SELECT count(*) FROM best_dc) AS BIGINT) AS n_one_way,
+       CAST(count(*) AS BIGINT) AS n_mutual,
+       CAST(sum(CASE WHEN p_partkey = orig_key THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       ROUND(sum(CASE WHEN p_partkey = orig_key THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS precision,
+       ROUND(sum(CASE WHEN p_partkey = orig_key THEN 1 ELSE 0 END)
+             * 1.0 / (SELECT count(*) FROM dirty), 6) AS recall
+FROM mutual
+""",
+)
+def linkage_reciprocal_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-best-match entity resolution — the
+    mutual-nearest-neighbor tightening of entity_fuzzy_match: a link
+    survives only if the dirty record's best clean match ALSO picks
+    that dirty record as ITS best within the block, which kills the
+    one-to-many collisions a one-way argmin happily emits. Reports
+    one-way vs mutual match counts and (truth is known by
+    construction) the mutual set's precision/recall — the
+    self-measuring convention.
+
+    Scale: candidates come only from the 2-char-prefix blocking
+    equi-join; both argmins are windows over the SAME candidate
+    frame (scanned once per direction); the mutual filter is an
+    equi-join of two ≤|entities|-row frames. Determinism: integer
+    edit distances, key tiebreaks on both windows."""
+    from pyspark.sql import Window
+
+    clean = t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    dirty = clean.filter(F.col("p_partkey") % 10 == 0).select(
+        (F.col("p_partkey") + 10000).alias("dirty_id"),
+        F.col("p_partkey").alias("orig_key"),
+        F.concat(
+            F.substring("p_name", 1, 2), F.expr("substring(p_name, 4)")
+        ).alias("name"),
+    )
+    cand = (
+        dirty.join(
+            clean,
+            F.substring(dirty.name, 1, 2) == F.substring(clean.p_name, 1, 2),
+        )
+        .withColumn("dist", F.levenshtein("name", "p_name"))
+        .filter(F.col("dist") <= _LEV_MAX)
+        .select("dirty_id", "orig_key", "p_partkey", "dist")
+    )
+    w_dc = Window.partitionBy("dirty_id").orderBy("dist", "p_partkey")
+    best_dc = (
+        cand.withColumn("rn", F.row_number().over(w_dc))
+        .filter(F.col("rn") == 1)
+        .select("dirty_id", "orig_key", "p_partkey")
+    )
+    w_cd = Window.partitionBy("p_partkey").orderBy("dist", "dirty_id")
+    best_cd = (
+        cand.withColumn("rn", F.row_number().over(w_cd))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("p_partkey").alias("r_key"),
+            F.col("dirty_id").alias("r_dirty"),
+        )
+    )
+    mutual = best_dc.join(
+        best_cd,
+        (F.col("p_partkey") == F.col("r_key"))
+        & (F.col("dirty_id") == F.col("r_dirty")),
+    )
+    n_dirty = dirty.agg(F.count(F.lit(1)).cast("bigint").alias("n_dirty"))
+    n_oneway = best_dc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_one_way")
+    )
+    correct = F.sum(
+        F.when(F.col("p_partkey") == F.col("orig_key"), 1).otherwise(0)
+    )
+    return (
+        mutual.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_mutual"),
+            correct.cast("bigint").alias("n_correct"),
+        )
+        .crossJoin(F.broadcast(n_dirty))
+        .crossJoin(F.broadcast(n_oneway))
+        .select(
+            "n_dirty", "n_one_way", "n_mutual", "n_correct",
+            F.round(F.col("n_correct") * 1.0 / F.col("n_mutual"), 6)
+            .alias("precision"),
+            F.round(F.col("n_correct") * 1.0 / F.col("n_dirty"), 6)
+            .alias("recall"),
+        )
+    )
