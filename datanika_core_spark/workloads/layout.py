@@ -354,3 +354,104 @@ def zorder_skip_rate_sampled_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-table run (tests/test_layout_sample.py keeps that accuracy
     contract pinned separately)."""
     return zorder_skip_rate_sampled(spark, sf_dir, fraction=0.1)
+
+
+# --------------------------------------------------------------------------
+# Small-files compaction plan (sorted round-robin bin assignment).
+# --------------------------------------------------------------------------
+
+_CPT_TARGET = 32768  # target output file size (bytes; n_chars proxy)
+
+
+@workload(
+    "compaction_plan_advisor",
+    oracle=f"""
+WITH files AS (
+  SELECT source, doc_id, n_chars AS bytes FROM documents
+),
+per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(bytes) AS BIGINT) AS total_bytes,
+         greatest(CAST(ceil(sum(bytes) * 1.0 / {_CPT_TARGET}) AS BIGINT),
+                  1) AS n_bins
+  FROM files GROUP BY source
+),
+assigned AS (
+  SELECT f.source, f.bytes, p.n_bins,
+         (row_number() OVER (PARTITION BY f.source
+                             ORDER BY f.bytes DESC, f.doc_id) - 1)
+           % p.n_bins AS bin
+  FROM files f JOIN per_src p ON p.source = f.source
+),
+loads AS (
+  SELECT source, bin, CAST(sum(bytes) AS BIGINT) AS bin_bytes
+  FROM assigned GROUP BY source, bin
+)
+SELECT p.source, p.n_files, p.total_bytes, p.n_bins,
+       CAST(max(l.bin_bytes) AS BIGINT) AS max_bin_bytes,
+       ROUND(max(l.bin_bytes) * 1.0 * p.n_bins / p.total_bytes, 4)
+         AS balance_ratio
+FROM per_src p JOIN loads l ON l.source = p.source
+GROUP BY p.source, p.n_files, p.total_bytes, p.n_bins
+ORDER BY p.source
+""",
+)
+def compaction_plan_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction plan — the operational answer to the
+    classic Spark/HDFS small-files problem: per ingest source,
+    choose n_bins = ceil(total/target) output files and assign input
+    files to bins ROUND-ROBIN IN SIZE-DESCENDING ORDER (the LPT-style
+    greedy: big files spread first, small ones backfill), then report
+    the worst bin's overshoot vs the ideal even split
+    (balance_ratio → 1.0 = perfectly balanced compaction). This is
+    the plan a compaction job executes with one
+    repartitionByRange/custom-partitioner pass; the advisor costs
+    one rank window + one aggregate.
+
+    Determinism: sizes and bin ids are exact integers (rank has a
+    doc_id tiebreak); the only division is the final reported ratio.
+    Scale: per-source windows parallelize across sources; file
+    MANIFESTS (not data) are what's ranked — even a 100 TB lake's
+    manifest is millions of rows, trivially one executor's work per
+    source. The data movement itself is the separate compaction job
+    this plan feeds."""
+    from pyspark.sql import Window
+
+    files = t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").alias("bytes")
+    )
+    per_src = files.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+        F.greatest(
+            F.ceil(F.sum("bytes") * 1.0 / _CPT_TARGET).cast("bigint"),
+            F.lit(1).cast("bigint"),
+        ).alias("n_bins"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("bytes").desc(), "doc_id"
+    )
+    assigned = (
+        files.join(F.broadcast(per_src.select("source", "n_bins")), "source")
+        .select(
+            "source", "bytes", "n_bins",
+            ((F.row_number().over(w) - 1) % F.col("n_bins")).alias("bin"),
+        )
+    )
+    loads = assigned.groupBy("source", "bin").agg(
+        F.sum("bytes").cast("bigint").alias("bin_bytes")
+    )
+    return (
+        loads.join(F.broadcast(per_src), "source")
+        .groupBy("source", "n_files", "total_bytes", "n_bins")
+        .agg(
+            F.max("bin_bytes").cast("bigint").alias("max_bin_bytes"),
+            F.round(
+                F.max("bin_bytes") * 1.0 * F.col("n_bins")
+                / F.col("total_bytes"),
+                4,
+            ).alias("balance_ratio"),
+        )
+        .orderBy("source")
+    )
