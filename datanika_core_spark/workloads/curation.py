@@ -1175,3 +1175,146 @@ def shard_rebalance_hrw(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# B-cubed cluster-quality evaluation: band-0 buckets vs verified CC truth.
+# --------------------------------------------------------------------------
+
+_B3_UNIT = 100000000
+
+#: B³ F1 from the exact integer (p_units, r_units, n) — shared text;
+#: 2.0 leads so the products run in double (p_u·r_u overflows int64).
+_B3_F1 = (
+    f"cast(2.0 as double) * p_u * r_u / (p_u + r_u) / n / {_B3_UNIT}"
+)
+
+
+@workload(
+    "dedup_bcubed_cluster_eval",
+    oracle=f"""
+WITH RECURSIVE {O_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+canon AS (
+  SELECT u AS doc_id, least(min(v), u) AS truth FROM reach GROUP BY u
+),
+assigned AS (
+  SELECT s.doc_id,
+         coalesce(c.truth, s.doc_id) AS truth,
+         b.bh AS cand
+  FROM sigs s
+  LEFT JOIN canon c ON c.doc_id = s.doc_id
+  JOIN bands b ON b.doc_id = s.doc_id AND b.b = 0
+),
+cells AS (
+  SELECT cand, truth, CAST(count(*) AS BIGINT) AS n_ct
+  FROM assigned GROUP BY cand, truth
+),
+csz AS (SELECT cand, CAST(sum(n_ct) AS BIGINT) AS n_c
+        FROM cells GROUP BY cand),
+tsz AS (SELECT truth, CAST(sum(n_ct) AS BIGINT) AS n_t
+        FROM cells GROUP BY truth),
+terms AS (
+  SELECT CAST(sum(n_ct * n_ct * {_B3_UNIT} // n_c) AS BIGINT) AS p_u,
+         CAST(sum(n_ct * n_ct * {_B3_UNIT} // n_t) AS BIGINT) AS r_u,
+         CAST(sum(n_ct) AS BIGINT) AS n
+  FROM cells JOIN csz USING (cand) JOIN tsz USING (truth)
+)
+SELECT n AS n_docs,
+       ROUND(p_u * 1.0 / n / {_B3_UNIT}, 6) AS bcubed_precision,
+       ROUND(r_u * 1.0 / n / {_B3_UNIT}, 6) AS bcubed_recall,
+       ROUND({_B3_F1}, 6) AS bcubed_f1
+FROM terms
+""",
+)
+def dedup_bcubed_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed evaluation of a CHEAP clustering against the verified
+    truth: candidate clusters are the single-band-0 LSH buckets (zero
+    verification cost — what a one-pass dedup would use), truth
+    clusters are the connected components over the fully verified
+    MinHash pair set (dedup_cc_canonical's output), and B³
+    precision/recall/F1 score the candidate per ELEMENT: for doc d,
+    P(d) = |C(d)∩T(d)|/|C(d)|, R(d) = |C(d)∩T(d)|/|T(d)| — the
+    standard cluster-quality metric that, unlike pairwise recall
+    (dedup_lsh_recall_eval), weights every document once and
+    penalizes both over-merging and fragmentation. The whole metric
+    reduces to the (candidate, truth) CONTINGENCY CELLS:
+    B³P = Σ n_ct²/n_c / N, B³R = Σ n_ct²/n_t / N.
+
+    Determinism: cell counts are exact integers; each cell's term is
+    integer-div snapped to 1e-8 units; F1 evaluates one shared text
+    over the exact unit sums. Scale: two cluster-assignment columns
+    + ONE groupBy to cells (≤ |docs| rows) + two size rollups — the
+    eval costs one shuffle regardless of corpus size; the truth CC
+    is the expensive input and is exactly what you'd have already
+    materialized to act on."""
+    from datanika_core_spark.operators.minhash import (
+        MH_K, MH_P, MH_R, SHINGLES_EXPR,
+    )
+    from datanika_core_spark.workloads.text_dedup import _with_toks
+
+    corpus = _with_toks(_corpus_neardup(spark, sf_dir))
+    sh = corpus.filter(F.size("toks") >= 3).withColumn(
+        "shingles", F.expr(SHINGLES_EXPR)
+    )
+    sigs = sh.select(
+        "doc_id",
+        F.expr(
+            f"transform(array(transform(shingles, sh -> "
+            f"{_spark_hash('sh')})), hs -> "
+            f"transform(sequence(0, {MH_K - 1}), s -> "
+            f"array_min(transform(hs, h -> "
+            f"((h % {MH_P}) * (2*s + 1) + s) % {MH_P}))))[0]"
+        ).alias("sig"),
+    )
+    cand = sigs.select(
+        "doc_id",
+        F.expr(
+            f"md5(concat_ws(',', transform(slice(sig, 1, {MH_R}),"
+            f" x -> cast(x as string))))"
+        ).alias("cand"),
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs).select(
+        "doc_id", F.col("canonical_id").alias("truth")
+    )
+    assigned = cand.join(cc, "doc_id", "left").select(
+        "cand",
+        F.coalesce("truth", F.col("doc_id")).alias("truth"),
+    )
+    cells = assigned.groupBy("cand", "truth").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ct")
+    )
+    csz = cells.groupBy("cand").agg(
+        F.sum("n_ct").cast("bigint").alias("n_c")
+    )
+    tsz = cells.groupBy("truth").agg(
+        F.sum("n_ct").cast("bigint").alias("n_t")
+    )
+    terms = (
+        cells.join(csz, "cand")
+        .join(tsz, "truth")
+        .agg(
+            F.sum(F.expr(f"n_ct * n_ct * {_B3_UNIT} div n_c"))
+            .cast("bigint").alias("p_u"),
+            F.sum(F.expr(f"n_ct * n_ct * {_B3_UNIT} div n_t"))
+            .cast("bigint").alias("r_u"),
+            F.sum("n_ct").cast("bigint").alias("n"),
+        )
+    )
+    return terms.select(
+        F.col("n").alias("n_docs"),
+        F.round(F.col("p_u") * 1.0 / F.col("n") / _B3_UNIT, 6)
+        .alias("bcubed_precision"),
+        F.round(F.col("r_u") * 1.0 / F.col("n") / _B3_UNIT, 6)
+        .alias("bcubed_recall"),
+        F.round(F.expr(_B3_F1), 6).alias("bcubed_f1"),
+    )
