@@ -84,6 +84,7 @@ CHECK_FIRST = [
     "multimodal_scene_segmentation", "trajectory_similarity_topk",
     "text_sentiment_lexicon", "linkage_reciprocal_best",
     "compaction_plan_advisor", "dedup_bcubed_cluster_eval",
+    "cluster_davies_bouldin",
     # new in round 7
     "pca_top2_deflation", "calibration_isotonic_pav",
     "bootstrap_ci_poisson", "abtest_cuped_readout",

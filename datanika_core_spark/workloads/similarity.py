@@ -3369,3 +3369,144 @@ def trajectory_similarity_topk(
         )
         .orderBy("qid", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Davies-Bouldin cluster-validity index over the deterministic Lloyd fit.
+# --------------------------------------------------------------------------
+
+_DB_UNIT = 100000000
+
+#: Scatter-ratio term for cluster pair (i, j): (s_i + s_j) / d_ij,
+#: with s = mean member-to-centroid distance reconstructed from the
+#: exact integer unit sums — ONE shared text, identical IEEE tree.
+_DB_TERM = (
+    f"(su_i * cast(1.0 as double) / n_i / {_DB_UNIT}"
+    f" + su_j * cast(1.0 as double) / n_j / {_DB_UNIT}) / sqrt(dsq)"
+)
+
+
+@workload(
+    "cluster_davies_bouldin",
+    oracle=f"""
+WITH vecs AS ({_O_VECTORS}),
+c0 AS (SELECT vec_id AS cid, v AS cvec FROM vecs WHERE vec_id < {_KM_K}),
+a1 AS ({_o_km_assign('vecs', 'c0')}),
+c1 AS ({_O_KM_RECOMPUTE.format(src='a1', rnd=_KM_ROUND)}),
+a2 AS ({_o_km_assign('vecs', 'c1')}),
+c2 AS ({_O_KM_RECOMPUTE.format(src='a2', rnd=_KM_ROUND)}),
+a3 AS ({_o_km_assign('vecs', 'c2')}),
+sstats AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(sqrt(dist) * {_DB_UNIT}) AS BIGINT))
+              AS BIGINT) AS su
+  FROM a3 GROUP BY cid
+),
+cpair AS (
+  SELECT a.cid AS i, b.cid AS j,
+         {_O_SQD.format(a='a.cvec', b='b.cvec', n=_DIM)} AS dsq
+  FROM c2 a JOIN c2 b ON a.cid <> b.cid
+),
+terms AS (
+  SELECT p.i,
+         max({_DB_TERM}) AS r_i
+  FROM cpair p
+  JOIN (SELECT cid, n AS n_i, su AS su_i FROM sstats) si ON si.cid = p.i
+  JOIN (SELECT cid, n AS n_j, su AS su_j FROM sstats) sj ON sj.cid = p.j
+  GROUP BY p.i
+),
+dbx AS (
+  SELECT CAST(sum(CAST(round(r_i * {_DB_UNIT}) AS BIGINT)) AS BIGINT)
+           AS db_u,
+         CAST(count(*) AS BIGINT) AS k
+  FROM terms
+)
+SELECT s.cid AS cluster_id, s.n AS n_vecs,
+       ROUND(s.su * 1.0 / s.n / {_DB_UNIT}, 6) AS mean_dist,
+       ROUND(t.r_i, 6) AS db_term,
+       ROUND(d.db_u * 1.0 / d.k / {_DB_UNIT}, 6) AS db_index
+FROM sstats s
+JOIN terms t ON t.i = s.cid
+CROSS JOIN dbx d
+ORDER BY s.cid
+""",
+)
+def cluster_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin cluster-validity index over the SAME
+    deterministic 2-iteration Lloyd fit as kmeans_lloyd_embeddings:
+    per cluster the scatter s_i (mean member→centroid distance) and
+    its worst similarity ratio R_i = max_j (s_i+s_j)/d_ij against
+    every other centroid; DB = mean R_i (lower = tighter, better
+    separated — the k-selection gate you'd run after each candidate
+    k). The per-cluster db_term also names each cluster's most
+    confusable neighbor ratio — the merge candidate.
+
+    Determinism: assignments replay the oracle-verified Lloyd chain;
+    member distances snap to 1e-8 BIGINT units before the per-cluster
+    sums; centroid pair distances evaluate the shared squared-L2 fold
+    on the 6dp-rounded centroid literals; each R_i re-snaps before
+    the final mean. Scale: the only corpus-sized work is the
+    assignment scan the k-means fit already pays; everything after
+    runs on k rows (scatters) and k² pairs."""
+    vecs = _vectors(spark, sf_dir)
+    cents = {
+        int(r.vec_id): list(r.v)
+        for r in vecs.filter(F.col("vec_id") < _KM_K).collect()
+    }
+    for _ in range(2):
+        assigned = _km_assign(vecs, cents)
+        cents = _km_recompute(assigned)
+    final = _km_assign(vecs, cents)
+    sstats = final.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.round(F.sqrt("dist") * _DB_UNIT).cast("bigint")
+        ).cast("bigint").alias("su"),
+    )
+    cents_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in sorted(cents.items())],
+        "cid bigint, cvec array<double>",
+    )
+    a = cents_df.select(F.col("cid").alias("i"), F.col("cvec").alias("va"))
+    b = cents_df.select(F.col("cid").alias("j"), F.col("cvec").alias("vb"))
+    cpair = (
+        F.broadcast(a)
+        .join(F.broadcast(b), F.col("i") != F.col("j"))
+        .select(
+            "i", "j",
+            F.expr(_S_SQD.format(a="va", b="vb")).alias("dsq"),
+        )
+    )
+    si = sstats.select(
+        F.col("cid").alias("i"),
+        F.col("n").alias("n_i"), F.col("su").alias("su_i"),
+    )
+    sj = sstats.select(
+        F.col("cid").alias("j"),
+        F.col("n").alias("n_j"), F.col("su").alias("su_j"),
+    )
+    terms = (
+        cpair.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .groupBy("i")
+        .agg(F.max(F.expr(_DB_TERM)).alias("r_i"))
+    )
+    dbx = terms.agg(
+        F.sum(F.round(F.col("r_i") * _DB_UNIT).cast("bigint"))
+        .cast("bigint").alias("db_u"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return (
+        sstats.join(terms, sstats.cid == terms.i)
+        .crossJoin(F.broadcast(dbx))
+        .select(
+            F.col("cid").alias("cluster_id"),
+            F.col("n").alias("n_vecs"),
+            F.round(F.col("su") * 1.0 / F.col("n") / _DB_UNIT, 6)
+            .alias("mean_dist"),
+            F.round("r_i", 6).alias("db_term"),
+            F.round(F.col("db_u") * 1.0 / F.col("k") / _DB_UNIT, 6)
+            .alias("db_index"),
+        )
+        .orderBy("cluster_id")
+    )
