@@ -84,7 +84,7 @@ CHECK_FIRST = [
     "multimodal_scene_segmentation", "trajectory_similarity_topk",
     "text_sentiment_lexicon", "linkage_reciprocal_best",
     "compaction_plan_advisor", "dedup_bcubed_cluster_eval",
-    "cluster_davies_bouldin",
+    "cluster_davies_bouldin", "lm_greedy_bigram_decode",
     # new in round 7
     "pca_top2_deflation", "calibration_isotonic_pav",
     "bootstrap_ci_poisson", "abtest_cuped_readout",

@@ -1799,3 +1799,121 @@ def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Greedy bigram decoding: the LM-family generation capstone.
+# --------------------------------------------------------------------------
+
+_GEN_STEPS = 8
+
+
+def _o_gen_step(i: int) -> str:
+    """Unrolled greedy step i as a DuckDB CTE: the argmax
+    continuation of step i-1's token (count desc, token asc).
+    Unrolled rather than recursive: a correlated scalar subquery
+    inside a recursive arm hits the documented relation-API
+    silent-stop gotcha."""
+    return f"""
+g{i} AS (
+  SELECT {i} AS step, y AS tok, c2 AS cnt FROM bg
+  WHERE x = (SELECT tok FROM g{i - 1})
+  ORDER BY c2 DESC, y LIMIT 1
+)"""
+
+
+@workload(
+    "lm_greedy_bigram_decode",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({_O_TOKS}) AS term FROM documents
+),
+uni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY term
+),
+bg AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS c2
+  FROM (
+    SELECT toks[i] AS x, toks[i + 1] AS y
+    FROM (SELECT {_O_TOKS} AS toks FROM documents),
+         unnest(range(1, len(toks))) AS u(i)
+  )
+  GROUP BY x, y
+),
+g0 AS (
+  SELECT 0 AS step, term AS tok, c1 AS cnt FROM uni
+  ORDER BY c1 DESC, term LIMIT 1
+),
+{", ".join(_o_gen_step(i) for i in range(1, _GEN_STEPS + 1))}
+SELECT CAST(step AS BIGINT) AS step, tok, cnt
+FROM ({" UNION ALL ".join(f"SELECT * FROM g{i}"
+                          for i in range(0, _GEN_STEPS + 1))})
+ORDER BY step
+""",
+)
+def lm_greedy_bigram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy decoding from the corpus bigram LM — the generation
+    capstone of the LM family (count → smooth → eval → GENERATE):
+    seed with the corpus's most frequent token, then {k} steps of
+    argmax-next-token against the bigram count table (count desc,
+    token asc tiebreak — fully deterministic, the temperature-0
+    decode). The emitted chain is the corpus's modal phrase — a
+    quick qualitative probe of what the LM has absorbed (boilerplate
+    loops show up instantly as 2-cycles).
+
+    Scale: the MODEL build (one explode+groupBy) is the only
+    corpus-sized work; each decode step is a 1-row broadcast join +
+    top-1 against the bigram table — the same probe-the-model shape
+    as serving, unrolled IN-PLAN (no driver round-trips, no collect
+    between steps). Determinism: counts are exact integers and both
+    argmaxes carry token tiebreaks; the oracle unrolls the identical
+    steps as CTEs."""
+    docs = t(spark, sf_dir, "documents").select(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    )
+    uni = (
+        docs.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    pair_expr = (
+        "explode(transform(sequence(1, size(toks) - 1),"
+        " i -> struct(element_at(toks, i) as x,"
+        " element_at(toks, i + 1) as y)))"
+    )
+    bg = (
+        docs.filter(F.size("toks") >= 2)
+        .select(F.expr(pair_expr).alias("p"))
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    )
+    seed = (
+        uni.orderBy(F.col("c1").desc(), "term")
+        .limit(1)
+        .select(
+            F.lit(0).cast("bigint").alias("step"),
+            F.col("term").alias("tok"),
+            F.col("c1").alias("cnt"),
+        )
+    )
+    frames = [seed]
+    prev = seed
+    for i in range(1, _GEN_STEPS + 1):
+        nxt = (
+            prev.select(F.col("tok").alias("x0"))
+            .join(bg, F.col("x") == F.col("x0"))
+            .orderBy(F.col("c2").desc(), "y")
+            .limit(1)
+            .select(
+                F.lit(i).cast("bigint").alias("step"),
+                F.col("y").alias("tok"),
+                F.col("c2").alias("cnt"),
+            )
+        )
+        frames.append(nxt)
+        prev = nxt
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("step")
