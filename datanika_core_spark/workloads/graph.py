@@ -1527,128 +1527,6 @@ def graph_degree_assortativity(
 
 
 # --------------------------------------------------------------------------
-# Link prediction: Adamic-Adar over the co-purchase graph.
-# --------------------------------------------------------------------------
-
-#: Wedge centers with degree above this cap are skipped when scoring
-#: Adamic-Adar. A hub of degree d generates C(d,2) candidate pairs but
-#: contributes only 1/ln(d) ≈ 0 to each score, so production link
-#: predictors cap the center degree to bound the quadratic wedge
-#: blow-up (the LinkBench / Twitter WTF convention). The SAME cap is
-#: applied in the oracle, so results stay bit-identical; at sf0.01 no
-#: co-purchase node reaches it.
-_AA_DEG_CAP = 512
-
-#: 1/ln(deg) snapped to 1e-9 integer units before summing so the
-#: per-pair sums are order-free BIGINT arithmetic (the _BLM_UNIT
-#: trick from the LM workloads).
-_AA_UNIT = 1_000_000_000
-
-
-@workload(
-    "link_prediction_adamic_adar",
-    oracle=f"""
-WITH edges AS (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-),
-nbrs AS (
-  SELECT u AS node, v AS nbr FROM edges
-  UNION ALL
-  SELECT v AS node, u AS nbr FROM edges
-),
-deg AS (
-  SELECT node, CAST(count(*) AS BIGINT) AS d FROM nbrs GROUP BY node
-),
-wedge AS (
-  SELECT n1.nbr AS x, n2.nbr AS y,
-         CAST(round({_AA_UNIT} / ln(d.d)) AS BIGINT) AS aa_units
-  FROM nbrs n1
-  JOIN nbrs n2 ON n1.node = n2.node AND n1.nbr < n2.nbr
-  JOIN deg d ON d.node = n1.node
-  WHERE d.d <= {_AA_DEG_CAP}
-),
-cand AS (
-  SELECT w.x, w.y,
-         CAST(count(*) AS BIGINT) AS n_common,
-         CAST(sum(w.aa_units) AS BIGINT) AS units
-  FROM wedge w
-  LEFT JOIN edges e ON e.u = w.x AND e.v = w.y
-  WHERE e.u IS NULL
-  GROUP BY w.x, w.y
-)
-SELECT x, y, n_common,
-       ROUND(units * 1.0 / {_AA_UNIT}, 4) AS aa_score
-FROM cand
-ORDER BY units DESC, x, y
-LIMIT 20
-""",
-)
-def link_prediction_adamic_adar(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Adamic-Adar link prediction on the co-purchase part graph:
-    score every NON-adjacent pair (x, y) by sum over common
-    neighbors z of 1/ln(deg(z)) — the classic common-neighbor
-    predictor where rare shared neighbors count more than hubs —
-    and return the 20 strongest predicted links.
-
-    Scale: candidate pairs come only from wedge enumeration at the
-    common neighbor (an equi-join of the adjacency list with itself
-    on the center node — never an all-pairs product), and centers
-    above _AA_DEG_CAP are skipped: a degree-d hub costs C(d,2)
-    wedges yet adds only 1/ln(d) per score, so capping bounds the
-    quadratic term with negligible score loss (the standard
-    production trade). Existing edges drop via one left-anti join
-    against the canonical edge list. Determinism: each wedge's
-    1/ln(deg) snaps to 1e-9 BIGINT units before the per-pair sum,
-    so accumulation order can't flip a bit; top-20 is ordered by
-    the exact integer score with a (x, y) tiebreak."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
-    nbrs = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
-        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-    )
-    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    n1 = nbrs.select("node", F.col("nbr").alias("x"))
-    n2 = nbrs.select(F.col("node").alias("node2"), F.col("nbr").alias("y"))
-    wedge = (
-        n1.join(n2, (F.col("node") == F.col("node2")) & (F.col("x") < F.col("y")))
-        .join(deg.filter(F.col("d") <= _AA_DEG_CAP), "node")
-        .select(
-            "x", "y",
-            F.round(F.lit(_AA_UNIT) / F.log("d")).cast("bigint").alias("aa_units"),
-        )
-    )
-    cand = wedge.join(
-        edges,
-        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
-        "left_anti",
-    )
-    return (
-        cand.groupBy("x", "y")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_common"),
-            F.sum("aa_units").cast("bigint").alias("units"),
-        )
-        .orderBy(F.col("units").desc(), "x", "y")
-        .limit(20)
-        .select(
-            "x", "y", "n_common",
-            F.round(F.col("units") * 1.0 / _AA_UNIT, 4).alias("aa_score"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
 # Per-node local clustering coefficient (co-purchase graph).
 # --------------------------------------------------------------------------
 
@@ -1784,4 +1662,163 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.col("_k").desc(), "node")
         .limit(20)
         .drop("_k")
+    )
+
+
+# --------------------------------------------------------------------------
+# Link prediction: per-query Adamic-Adar over the co-purchase graph.
+# --------------------------------------------------------------------------
+
+_AA_NQ = 10        # query nodes: the 10 smallest part keys in the graph
+_AA_TOPK = 5       # predicted links returned per query node
+#: Wedge centers above this degree are skipped: a degree-d hub costs
+#: d candidate fan-outs per query yet adds only 1/ln(d) ≈ 0 to each
+#: score — the standard production cap. Applied identically in the
+#: oracle.
+_AA_DEG_CAP = 512
+#: 1/ln(deg) snapped to 1e-9 integer units before summing (the
+#: _BLM_UNIT trick), so per-pair sums are order-free BIGINTs.
+_AA_UNIT = 1_000_000_000
+
+
+@workload(
+    "link_prediction_adamic_adar",
+    oracle=f"""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+nbrs AS (
+  SELECT u AS node, v AS nbr FROM edges
+  UNION ALL
+  SELECT v AS node, u AS nbr FROM edges
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM nbrs GROUP BY node
+),
+qset AS (SELECT node AS q FROM deg ORDER BY node LIMIT {_AA_NQ}),
+wedge AS (
+  SELECT h1.q, h2.nbr AS y,
+         CAST(round({_AA_UNIT} / ln(d.d)) AS BIGINT) AS aa_units
+  FROM (SELECT qset.q, n.nbr AS z FROM qset
+        JOIN nbrs n ON n.node = qset.q) h1
+  JOIN nbrs h2 ON h2.node = h1.z
+  JOIN deg d ON d.node = h1.z
+  WHERE h2.nbr <> h1.q AND d.d <= {_AA_DEG_CAP}
+),
+cand AS (
+  SELECT w.q, w.y,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(w.aa_units) AS BIGINT) AS units
+  FROM wedge w
+  LEFT JOIN edges e ON e.u = least(w.q, w.y) AND e.v = greatest(w.q, w.y)
+  WHERE e.u IS NULL
+  GROUP BY w.q, w.y
+)
+SELECT q, y, n_common,
+       ROUND(units * 1.0 / {_AA_UNIT}, 4) AS aa_score,
+       CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q
+             ORDER BY units DESC, y) AS rk
+  FROM cand
+) WHERE rk <= {_AA_TOPK}
+ORDER BY q, rank
+""",
+)
+def link_prediction_adamic_adar(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Adamic-Adar link prediction, PER-QUERY form: for each of the
+    {nq} query parts, score every non-adjacent 2-hop part y by
+    Σ_z 1/ln(deg(z)) over shared neighbors z — rare shared neighbors
+    count more than hubs — and return the top-{k} predicted links
+    per query (the recommendation-serving shape).
+
+    Scale — and why per-query, not all-pairs: the co-purchase graph
+    is DENSE (median degree ~115 at every SF), so materializing all
+    C(d,2) wedges at every center is ~1.5·10⁸ rows at sf0.1 and
+    O(|V|·d²) at 100 TB — measured to exhaust executor memory here
+    before any cap a meaningful score survives would bind. Scoring
+    per query node bounds the work to the 2-hop neighborhood
+    (Σ_{{z∈N(q)}} deg(z) ≈ 13k rows per query on this graph),
+    independent of |V| — which is also precisely how link prediction
+    is served. Hub centers above _AA_DEG_CAP are additionally
+    skipped (1/ln(d) ≈ 0 for hubs; same cap in the oracle).
+    Existing edges drop via one anti-join on the canonical
+    (min, max) edge key. Determinism: each wedge's 1/ln(deg) snaps
+    to 1e-9 BIGINT units; ranking compares exact integers with a
+    node tiebreak."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    # edges feeds SIX plan branches (nbrs both directions ×2 uses,
+    # degrees, the query set, the anti-join probe). Unlike the
+    # triangle count's 4-branch recompute (measured cheaper there),
+    # here the un-materialized lineage re-broadcasts the lineitem
+    # scan per branch and exhausted the driver's memory store at
+    # sf0.1 — materialize ONCE; callers sweep the blocks
+    # (release_blocks, the bench/check-tool convention).
+    edges = edges.localCheckpoint(eager=True)
+    nbrs = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    qset = deg.select(F.col("node").alias("q")).orderBy("q").limit(_AA_NQ)
+    hop1 = F.broadcast(qset).join(
+        nbrs, F.col("node") == F.col("q")
+    ).select("q", F.col("nbr").alias("z"))
+    # hop1 is |Q|·deg(q) rows (~1.2k) — ALWAYS the broadcast side.
+    # Without the hint the 64m session threshold lets Catalyst
+    # broadcast the 2·|E|-row adjacency list instead, whose
+    # HashedRelation build blew the driver at sf0.1.
+    wedge = (
+        F.broadcast(hop1)
+        .join(
+            nbrs.select(F.col("node").alias("z"), F.col("nbr").alias("y")),
+            "z",
+        )
+        .filter(F.col("y") != F.col("q"))
+        .join(
+            F.broadcast(
+                deg.filter(F.col("d") <= _AA_DEG_CAP)
+                .select(F.col("node").alias("z"), "d")
+            ),
+            "z",
+        )
+        .select(
+            "q", "y",
+            F.round(F.lit(_AA_UNIT) / F.log("d")).cast("bigint")
+            .alias("aa_units"),
+        )
+    )
+    cand = wedge.join(
+        edges,
+        (F.least("q", "y") == F.col("u"))
+        & (F.greatest("q", "y") == F.col("v")),
+        "left_anti",
+    )
+    scored = cand.groupBy("q", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.sum("aa_units").cast("bigint").alias("units"),
+    )
+    w = Window.partitionBy("q").orderBy(F.col("units").desc(), "y")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _AA_TOPK)
+        .select(
+            "q", "y", "n_common",
+            F.round(F.col("units") * 1.0 / _AA_UNIT, 4).alias("aa_score"),
+            F.col("rk").cast("bigint").alias("rank"),
+        )
+        .orderBy("q", "rank")
     )
