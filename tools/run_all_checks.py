@@ -23,7 +23,7 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 
 
-def run(label: str, cmd: list[str], timeout: int = 900) -> tuple[str, bool, str]:
+def run(label: str, cmd: list[str], timeout: int = 2400) -> tuple[str, bool, str]:
     t0 = time.perf_counter()
     try:
         p = subprocess.run(
