@@ -3131,3 +3131,130 @@ def fit_exponential_interarrival(
         F.round("d", 6).alias("ks_stat"),
         (F.col("d") > 1.358 / F.sqrt(F.col("n"))).alias("reject_exp_05"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Uplift by activity decile + Qini curve (incremental-impact targeting).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "uplift_qini_by_decile",
+    oracle="""
+WITH users AS (
+  SELECT user_id,
+         ('0x'||substring(md5('ab-' || CAST(user_id AS VARCHAR)),1,15))
+           ::BIGINT % 2 AS variant,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS converted
+  FROM events GROUP BY user_id
+),
+deciled AS (
+  SELECT variant, converted,
+         CAST(ntile(10) OVER (ORDER BY n_events DESC, user_id)
+              AS BIGINT) AS decile
+  FROM users
+),
+per AS (
+  SELECT decile,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+              AS BIGINT) AS conv_t,
+         CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+              AS BIGINT) AS conv_c
+  FROM deciled GROUP BY decile
+),
+cum AS (
+  SELECT decile, n_t, n_c, conv_t, conv_c,
+         sum(n_t) OVER w AS cnt, sum(n_c) OVER w AS cnc,
+         sum(conv_t) OVER w AS cct, sum(conv_c) OVER w AS ccc
+  FROM per
+  WINDOW w AS (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT decile, n_t, n_c,
+       ROUND(conv_t * 1.0 / n_t, 6) AS rate_t,
+       ROUND(conv_c * 1.0 / n_c, 6) AS rate_c,
+       ROUND(conv_t * 1.0 / n_t - conv_c * 1.0 / n_c, 6) AS uplift,
+       ROUND(cct - ccc * 1.0 * cnt / cnc, 4) AS qini
+FROM cum
+ORDER BY decile
+""",
+)
+def uplift_qini_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift modeling readout — WHO should be targeted, not just
+    whether the treatment works (the question CUPED/DiD/ATT answer):
+    users are ranked into activity deciles, each decile reports its
+    treatment-vs-control conversion-rate difference (the T-learner
+    per-segment uplift), and the running Qini value — cumulative
+    incremental conversions cct − ccc·cnt/cnc — traces the
+    incremental-impact curve whose shape says how deep to target
+    (flat tail = stop; the area vs the random-targeting diagonal is
+    the Qini coefficient, readable off these 10 points). Assignment
+    is the portable md5 hash shared with every abtest workload.
+
+    Determinism: all counts are exact BIGINTs; the decile NTILE has
+    a user_id tiebreak; each reported figure divides once. Scale:
+    one groupBy(user) (the sessionization shuffle) + an exact decile
+    rank (at 100 TB: approx-quantile boundaries + map-only binning,
+    cf. eval_decile_lift) + a 10-row windowed rollup."""
+    users = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("bigint").alias("converted"),
+        )
+        .select(
+            "user_id", "n_events", "converted",
+            F.expr(
+                "cast(conv(substring(md5(concat('ab-',"
+                " cast(user_id as string))),1,15),16,10) as bigint) % 2"
+            ).alias("variant"),
+        )
+    )
+    deciled = users.select(
+        "variant", "converted",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("n_events").desc(), "user_id"))
+        .cast("bigint")
+        .alias("decile"),
+    )
+    per = deciled.groupBy("decile").agg(
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_t"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_c"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint").alias("conv_t"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint").alias("conv_c"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "decile", "n_t", "n_c", "conv_t", "conv_c",
+        F.sum("n_t").over(wc).alias("cnt"),
+        F.sum("n_c").over(wc).alias("cnc"),
+        F.sum("conv_t").over(wc).alias("cct"),
+        F.sum("conv_c").over(wc).alias("ccc"),
+    )
+    return cum.select(
+        "decile", "n_t", "n_c",
+        F.round(F.col("conv_t") * 1.0 / F.col("n_t"), 6).alias("rate_t"),
+        F.round(F.col("conv_c") * 1.0 / F.col("n_c"), 6).alias("rate_c"),
+        F.round(
+            F.col("conv_t") * 1.0 / F.col("n_t")
+            - F.col("conv_c") * 1.0 / F.col("n_c"),
+            6,
+        ).alias("uplift"),
+        F.round(
+            F.col("cct") - F.col("ccc") * 1.0 * F.col("cnt") / F.col("cnc"),
+            4,
+        ).alias("qini"),
+    ).orderBy("decile")
