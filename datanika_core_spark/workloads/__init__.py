@@ -85,7 +85,7 @@ CHECK_FIRST = [
     "text_sentiment_lexicon", "linkage_reciprocal_best",
     "compaction_plan_advisor", "dedup_bcubed_cluster_eval",
     "cluster_davies_bouldin", "lm_greedy_bigram_decode",
-    "uplift_qini_by_decile",
+    "uplift_qini_by_decile", "graph_harmonic_centrality",
     # new in round 7
     "pca_top2_deflation", "calibration_isotonic_pav",
     "bootstrap_ci_poisson", "abtest_cuped_readout",

@@ -1822,3 +1822,138 @@ def link_prediction_adamic_adar(
         )
         .orderBy("q", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Harmonic centrality (k-hop bounded, per-query) on the co-purchase graph.
+# --------------------------------------------------------------------------
+
+_HC_NQ_MOD = 200   # query candidates: part keys ≡ 0 mod 200 ...
+_HC_NQ = 10        # ... capped to the 10 smallest (bounds the labeled
+                   # frontier at every SF)
+_HC_MAX_HOP = 3
+_HC_UNIT = 100000000
+
+
+@workload(
+    "graph_harmonic_centrality",
+    oracle=f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+qs AS (SELECT DISTINCT u AS q FROM und WHERE u % {_HC_NQ_MOD} = 0
+       ORDER BY u LIMIT {_HC_NQ}),
+reach(q, node, lvl) AS (
+  SELECT q, q AS node, 0 AS lvl FROM qs
+  UNION
+  SELECT r.q, und.v, r.lvl + 1
+  FROM reach r JOIN und ON und.u = r.node
+  WHERE r.lvl < {_HC_MAX_HOP}
+),
+dist AS (
+  SELECT q, node, CAST(min(lvl) AS BIGINT) AS d
+  FROM reach GROUP BY q, node
+),
+per AS (
+  SELECT q,
+         CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1hop,
+         CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_2hop,
+         CAST(sum(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_3hop,
+         CAST(sum(CASE WHEN d > 0 THEN {_HC_UNIT} // d ELSE 0 END)
+              AS BIGINT) AS h_units
+  FROM dist GROUP BY q
+)
+SELECT q AS node, n_1hop, n_2hop, n_3hop,
+       ROUND(h_units * 1.0 / {_HC_UNIT}, 4) AS harmonic
+FROM per
+ORDER BY q
+""",
+)
+def graph_harmonic_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Harmonic centrality, {k}-hop-bounded and per-query — the
+    distance-based centrality (Σ 1/d(q, v), unreachable = 0) next to
+    the repo's spectral (eigenvector), flow (PageRank) and local
+    (clustering-coefficient) measures: query parts ≡0 mod {m} each
+    run a labeled BFS and report their per-ring reach plus the
+    harmonic sum. Bounding the radius is the production form —
+    beyond a few hops 1/d contributions vanish and exact all-pairs
+    distances are infeasible; the per-query restriction is the same
+    serving-shape argument as link_prediction_adamic_adar.
+
+    Scale: the frontier carries (query, node) labels, so one
+    level-synchronous BFS serves all queries simultaneously — each
+    hop is ONE equi-join of the labeled frontier into the cached
+    symmetric edge list + a per-query visited anti-join, with
+    RollingCheckpoint keeping O(1) blocks across hops (the khop/
+    PageRank discipline). Determinism: distances are exact integer
+    hop counts; 1/d snaps to integer units via div before the sum."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).cache()
+    visited = (
+        und.select("u").distinct()
+        .filter(F.col("u") % _HC_NQ_MOD == 0)
+        .orderBy("u")
+        .limit(_HC_NQ)
+        .select(F.col("u").alias("q"), F.col("u").alias("node"))
+        .withColumn("lvl", F.lit(0))
+    )
+    frontier = visited.select("q", "node")
+    roll = RollingCheckpoint(spark)
+    for hop in range(1, _HC_MAX_HOP + 1):
+        # no broadcast hints: unlike khop's node-sized frontier,
+        # the LABELED frontier is (q, node)-sized — on this dense
+        # graph hop 2 already reaches ~|Q|·|V| rows, and a forced
+        # broadcast OOM'd the 8g driver at sf0.1; AQE sizes the
+        # joins from the measured frontier instead
+        nxt = (
+            frontier
+            .join(und, F.col("node") == F.col("u"))
+            .select("q", F.col("v").alias("node"))
+            .distinct()
+            .join(
+                visited.select("q", "node"),
+                ["q", "node"],
+                "left_anti",
+            )
+            .withColumn("lvl", F.lit(hop))
+        )
+        visited = visited.unionByName(nxt)
+        if hop < _HC_MAX_HOP:
+            visited = roll(visited)
+            frontier = visited.filter(F.col("lvl") == hop).select("q", "node")
+    per = visited.groupBy("q").agg(
+        F.sum(F.when(F.col("lvl") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_1hop"),
+        F.sum(F.when(F.col("lvl") == 2, 1).otherwise(0))
+        .cast("bigint").alias("n_2hop"),
+        F.sum(F.when(F.col("lvl") == 3, 1).otherwise(0))
+        .cast("bigint").alias("n_3hop"),
+        F.sum(
+            F.when(
+                F.col("lvl") > 0, F.expr(f"{_HC_UNIT} div lvl")
+            ).otherwise(0)
+        ).cast("bigint").alias("h_units"),
+    )
+    return (
+        per.select(
+            F.col("q").alias("node"),
+            "n_1hop", "n_2hop", "n_3hop",
+            F.round(F.col("h_units") * 1.0 / _HC_UNIT, 4).alias("harmonic"),
+        )
+        .orderBy("node")
+    )
