@@ -86,6 +86,7 @@ CHECK_FIRST = [
     "compaction_plan_advisor", "dedup_bcubed_cluster_eval",
     "cluster_davies_bouldin", "lm_greedy_bigram_decode",
     "uplift_qini_by_decile", "graph_harmonic_centrality",
+    "fit_zero_inflated_poisson", "timeseries_cross_correlation",
     # new in round 7
     "pca_top2_deflation", "calibration_isotonic_pav",
     "bootstrap_ci_poisson", "abtest_cuped_readout",

@@ -3258,3 +3258,109 @@ def uplift_qini_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("qini"),
     ).orderBy("decile")
+
+
+# --------------------------------------------------------------------------
+# Zero-inflated Poisson moment fit (count-data overdispersion split).
+# --------------------------------------------------------------------------
+
+#: Closed-form ZIP method-of-moments from exact integer sums:
+#: lambda = mean + var/mean − 1,  pi = 1 − mean/lambda.  Shared
+#: texts over (n, s, ss) = count / Σx / Σx² BIGINTs.
+_ZIP_MEAN = "(s * cast(1.0 as double) / n)"
+_ZIP_VAR = ("((ss * cast(1.0 as double)"
+            " - s * cast(1.0 as double) * s / n) / (n - 1))")
+_ZIP_LAMBDA = f"({_ZIP_MEAN} + {_ZIP_VAR} / {_ZIP_MEAN} - 1.0)"
+_ZIP_PI = f"(1.0 - {_ZIP_MEAN} / {_ZIP_LAMBDA})"
+
+
+@workload(
+    "fit_zero_inflated_poisson",
+    oracle=f"""
+WITH grid AS (
+  SELECT u.user_id, t.event_type,
+         CAST(coalesce(c.k, 0) AS BIGINT) AS k
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+  LEFT JOIN (
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS k
+    FROM events GROUP BY user_id, event_type
+  ) c ON c.user_id = u.user_id AND c.event_type = t.event_type
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(k) AS BIGINT) AS s,
+         CAST(sum(k * k) AS BIGINT) AS ss,
+         CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+  FROM grid GROUP BY event_type
+)
+SELECT event_type, n AS n_users,
+       ROUND({_ZIP_MEAN}, 4) AS mean_k,
+       ROUND({_ZIP_VAR}, 4) AS var_k,
+       ROUND({_ZIP_LAMBDA}, 4) AS lambda_hat,
+       ROUND({_ZIP_PI}, 6) AS pi_hat,
+       ROUND(n_zero * 1.0 / n, 6) AS zero_share_obs,
+       ROUND({_ZIP_PI} + (1.0 - {_ZIP_PI}) * exp(-{_ZIP_LAMBDA}), 6)
+         AS zero_share_fit
+FROM m
+ORDER BY event_type
+""",
+)
+def fit_zero_inflated_poisson(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Zero-inflated Poisson fit by the method of moments — the
+    count-data answer to events_dispersion_index's diagnosis: when
+    per-user event counts are overdispersed BECAUSE a structural-zero
+    class never engages, ZIP splits the two regimes in closed form
+    from two exact moments (λ = m + v/m − 1, π = 1 − m/λ — no
+    iteration, no likelihood loop), and the fitted-vs-observed zero
+    share in the same row says whether the split actually explains
+    the zeros (the self-measuring convention). π̂ is the actionable
+    number: the share of users structurally out of market per event
+    type.
+
+    Determinism: the (user × type) count grid is exact integers
+    (absent combinations are real zeros — the dense grid via one
+    cross of two distinct lists); n/Σk/Σk² are BIGINTs; every fitted
+    quantity evaluates ONE shared text over them. Scale: one
+    groupBy(user, type) with map-side combine + a |users|×|types|
+    dense-grid left join (types are single digits; at 100 TB the
+    grid is the per-user profile table you already materialize) →
+    |types| moment rows."""
+    ev = t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    grid = (
+        users.crossJoin(F.broadcast(types))
+        .join(counts, ["user_id", "event_type"], "left")
+        .select(
+            "event_type",
+            F.coalesce("k", F.lit(0)).cast("bigint").alias("k"),
+        )
+    )
+    m = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("s"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("ss"),
+        F.sum(F.when(F.col("k") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_zero"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.round(F.expr(_ZIP_MEAN), 4).alias("mean_k"),
+        F.round(F.expr(_ZIP_VAR), 4).alias("var_k"),
+        F.round(F.expr(_ZIP_LAMBDA), 4).alias("lambda_hat"),
+        F.round(F.expr(_ZIP_PI), 6).alias("pi_hat"),
+        F.round(F.col("n_zero") * 1.0 / F.col("n"), 6)
+        .alias("zero_share_obs"),
+        F.round(
+            F.expr(f"{_ZIP_PI} + (1.0 - {_ZIP_PI}) * exp(-{_ZIP_LAMBDA})"),
+            6,
+        ).alias("zero_share_fit"),
+    ).orderBy("event_type")

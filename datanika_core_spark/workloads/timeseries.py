@@ -1081,3 +1081,108 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(disp, 4).alias("dispersion_index"),
         (disp > 1.5).alias("overdispersed"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Lagged cross-correlation between two event-type daily series.
+# --------------------------------------------------------------------------
+
+_XC_X = "click"
+_XC_Y = "purchase"
+_XC_MAX_LAG = 3
+
+#: Pearson r from exact integer paired moments (n, sx, sy, sxy,
+#: sxx, syy) — shared text.
+_XC_R = (
+    "((n * sxy - sx * sy) * cast(1.0 as double)"
+    " / sqrt((n * sxx - sx * sx) * cast(1.0 as double)"
+    " * (n * syy - sy * sy)))"
+)
+
+
+@workload(
+    "timeseries_cross_correlation",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = '{_XC_X}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = '{_XC_Y}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+lags AS (SELECT unnest(range(-{_XC_MAX_LAG}, {_XC_MAX_LAG} + 1)) AS lag),
+paired AS (
+  SELECT l.lag, a.x, b.y
+  FROM lags l
+  JOIN daily a ON true
+  JOIN daily b ON b.day = a.day + to_days(CAST(l.lag AS INT))
+),
+m AS (
+  SELECT lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM paired GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+       ROUND({_XC_R}, 6) AS r
+FROM m
+ORDER BY lag
+""",
+)
+def timeseries_cross_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lagged cross-correlation between the daily {x} and {y}
+    series: Pearson r of (x_t, y_(t+lag)) for lags −{L}..+{L} — the
+    lead-lag detector (the argmax-|r| positive lag is how many days
+    {x} activity LEADS {y}; cf. events_day_over_day_change for
+    single-series dynamics). The lag join is on the calendar-day
+    key, so missing days pair only where both sides exist.
+
+    Determinism: daily counts and all six paired moments are exact
+    BIGINTs per lag; r evaluates one shared text over them (one
+    sqrt, one division). Scale: the corpus collapses to the
+    |days|-row daily grid FIRST (one combiner groupBy — the
+    timeseries-family discipline), and the 2L+1 lag fanout runs on
+    that grid, never on events."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == _XC_X, 1).otherwise(0))
+            .cast("bigint").alias("x"),
+            F.sum(F.when(F.col("event_type") == _XC_Y, 1).otherwise(0))
+            .cast("bigint").alias("y"),
+        )
+    )
+    lags = spark.range(-_XC_MAX_LAG, _XC_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select("day", "x")
+    b = daily.select(F.col("day").alias("day_y"), "y")
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.expr("date_add(day, lag)") == F.col("day_y"),
+        )
+        .select("lag", "x", "y")
+    )
+    m = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return m.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").alias("n_days"),
+        F.round(F.expr(_XC_R), 6).alias("r"),
+    ).orderBy("lag")
