@@ -87,6 +87,7 @@ CHECK_FIRST = [
     "cluster_davies_bouldin", "lm_greedy_bigram_decode",
     "uplift_qini_by_decile", "graph_harmonic_centrality",
     "fit_zero_inflated_poisson", "timeseries_cross_correlation",
+    "corpus_heaps_law",
     # new in round 7
     "pca_top2_deflation", "calibration_isotonic_pav",
     "bootstrap_ci_poisson", "abtest_cuped_readout",

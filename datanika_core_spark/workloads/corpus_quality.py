@@ -1441,3 +1441,140 @@ def privacy_randomized_response(
         )
         .orderBy("cohort")
     )
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law vocabulary growth: V(n) = K·n^beta over ingest deciles.
+# --------------------------------------------------------------------------
+
+_HL_POINTS = 10
+_HL_UNIT = 100000000
+
+#: log-log OLS slope from the snapped integer moments (k points;
+#: sx/sy/sxy/sxx are BIGINT unit sums) — shared text.
+_HL_BETA = (
+    "((k * sxy - sx * sy) * cast(1.0 as double)"
+    " / (k * sxx - sx * sx))"
+)
+
+
+@workload(
+    "corpus_heaps_law",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY doc_id) AS r,
+         (SELECT count(*) FROM documents) AS nd
+  FROM documents
+),
+firstr AS (
+  SELECT term, CAST(min(rk.r) AS BIGINT) AS first_r
+  FROM (SELECT doc_id, unnest({_O_TOKS}) AS term FROM documents) tk
+  JOIN ranked rk ON rk.doc_id = tk.doc_id
+  GROUP BY term
+),
+pts AS (
+  SELECT i AS decile,
+         CAST((SELECT nd FROM ranked LIMIT 1) * i // {_HL_POINTS}
+              AS BIGINT) AS n_docs
+  FROM unnest(range(1, {_HL_POINTS} + 1)) AS g(i)
+),
+vg AS (
+  SELECT p.decile, p.n_docs,
+         CAST((SELECT count(*) FROM firstr f WHERE f.first_r <= p.n_docs)
+              AS BIGINT) AS vocab
+  FROM pts p
+),
+lg AS (
+  SELECT decile, n_docs, vocab,
+         CAST(round(ln(n_docs) * {_HL_UNIT}) AS BIGINT) AS xu,
+         CAST(round(ln(vocab) * {_HL_UNIT}) AS BIGINT) AS yu
+  FROM vg
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(xu) AS BIGINT) AS sx,
+         CAST(sum(yu) AS BIGINT) AS sy,
+         CAST(sum(xu // 10000 * (yu // 10000)) AS BIGINT) AS sxy,
+         CAST(sum(xu // 10000 * (xu // 10000)) AS BIGINT) AS sxx
+  FROM lg
+)
+SELECT l.decile, l.n_docs, l.vocab,
+       ROUND({_HL_BETA.replace('sx * sy', 'sx // 10000 * (sy // 10000)')
+              .replace('sx * sx', 'sx // 10000 * (sx // 10000)')}, 6)
+         AS heaps_beta
+FROM lg l CROSS JOIN mom
+ORDER BY l.decile
+""",
+)
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: the corpus's distinct-term count
+    V(n) at each ingest decile, plus the fitted power-law exponent β
+    (log-log OLS over the 10 checkpoints) — the companion diagnostic
+    to zipf_slope_terms: β near the English-corpus 0.4-0.6 band
+    means healthy lexical growth, β collapsing toward 0 means the
+    crawl is saturating into boilerplate/duplicates (the same signal
+    dedup_marginal_rate_by_batch reads per batch, here as ONE
+    corpus-level exponent).
+
+    Determinism: V(n) comes from each term's FIRST ingest rank (one
+    groupBy min — no sequential scan), checkpoint sizes are integer
+    divisions, and the regression moments are 1e-4-snapped integer
+    products of 1e-8-snapped logs (exact BIGINTs; the final slope is
+    one shared-text division). Scale: explode → per-term min rank is
+    the only corpus-sized pass (map-side combined); the fit runs on
+    10 rows."""
+    docs = t(spark, sf_dir, "documents")
+    nd = docs.count()
+    ranked = docs.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("doc_id")).alias("r"),
+    )
+    firstr = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("term"),
+        )
+        .join(ranked, "doc_id")
+        .groupBy("term")
+        .agg(F.min("r").cast("bigint").alias("first_r"))
+    )
+    pts = spark.range(1, _HL_POINTS + 1).select(
+        F.col("id").cast("bigint").alias("decile"),
+        (F.lit(nd) * F.col("id") / _HL_POINTS).cast("bigint")
+        .alias("n_docs"),
+    )
+    vg = (
+        F.broadcast(pts)
+        .join(firstr, F.col("first_r") <= F.col("n_docs"))
+        .groupBy("decile", "n_docs")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    )
+    lg = vg.select(
+        "decile", "n_docs", "vocab",
+        F.round(F.log("n_docs") * _HL_UNIT).cast("bigint").alias("xu"),
+        F.round(F.log("vocab") * _HL_UNIT).cast("bigint").alias("yu"),
+    )
+    mom = lg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("xu").cast("bigint").alias("sx"),
+        F.sum("yu").cast("bigint").alias("sy"),
+        F.sum(F.expr("xu div 10000 * (yu div 10000)"))
+        .cast("bigint").alias("sxy"),
+        F.sum(F.expr("xu div 10000 * (xu div 10000)"))
+        .cast("bigint").alias("sxx"),
+    )
+    beta = F.expr(
+        _HL_BETA.replace("sx * sy", "sx div 10000 * (sy div 10000)")
+        .replace("sx * sx", "sx div 10000 * (sx div 10000)")
+    )
+    return (
+        lg.crossJoin(F.broadcast(mom))
+        .select(
+            "decile", "n_docs", "vocab",
+            F.round(beta, 6).alias("heaps_beta"),
+        )
+        .orderBy("decile")
+    )
