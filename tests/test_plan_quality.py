@@ -850,6 +850,19 @@ _R7S3_FAMILIES = [
     "feature_woe_iv_binning",
     "anomaly_histogram_density",
     "eval_decile_lift",
+    "uplift_qini_by_decile",
+    "graph_harmonic_centrality",
+    "fit_zero_inflated_poisson",
+    "timeseries_cross_correlation",
+    "corpus_heaps_law",
+    "dedup_bcubed_cluster_eval",
+    "cluster_davies_bouldin",
+    "lm_greedy_bigram_decode",
+    "compaction_plan_advisor",
+    "linkage_reciprocal_best",
+    "trajectory_similarity_topk",
+    "text_sentiment_lexicon",
+    "multimodal_scene_segmentation",
 ]
 
 
