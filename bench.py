@@ -16,10 +16,11 @@ broadcast OOM and produced no numbers at all):
   broadcast build. Safe exactly here because the noop write has
   fully executed the plan before the sweep runs.
 
-Repeat-median mode: $SPARK_GRAFT_BENCH_REPS=k (default 1) runs the
+Repeat-median mode: $SPARK_GRAFT_BENCH_REPS=k (default 3) runs the
 whole headline loop k times; "queries" reports per-query MEDIANS and
 "spread" reports [min, max] so noise is visible (single-run noise at
-sf0.1 was measured at ±20-90% in rounds 4-5).
+sf0.1 was measured at ±20-90% in rounds 4-5; the r7 driver artifact
+swung +47% on zero plan changes, hence medians by default).
 """
 
 from __future__ import annotations
@@ -45,7 +46,7 @@ def _execute_fully(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     # Belt and braces: spark.driver.memory only applies at JVM
     # launch. build_spark's conf does reach spark-submit (pyspark's

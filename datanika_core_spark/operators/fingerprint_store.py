@@ -68,7 +68,16 @@ class FingerprintStore:
         """Fold a batch's (grp, h) rows into the stored fingerprints.
         Commutative and associative across any batch split; NOT
         idempotent (xor self-cancels), so redelivered batch ids are
-        skipped via the watermark."""
+        skipped via the watermark.
+
+        Durability: the overwrite is non-atomic (same O(k)-rows
+        collect-then-overwrite convention as the CMS/MG stores), so a
+        crash mid-write can lose the store. Recovery path: the store
+        is a pure function of the source — rebuild by replaying
+        ``batch_fingerprint`` over the full table (one scan), which
+        is exactly what the replica-audit consumer does on a cold
+        start. On a lakehouse provider the overwrite is a single
+        atomic commit and the window disappears."""
         wm = self.last_batch_id()
         if batch_id is not None and wm is not None and batch_id <= wm:
             return  # replayed batch — already folded in

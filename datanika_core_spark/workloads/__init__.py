@@ -191,7 +191,7 @@ CHECK_FIRST = [
     "corpus_gini_concentration", "multimodal_keyframe_select",
     "phrase_search_threeway", "quota_greedy_per_source",
     "quality_classifier_trained",
-    # new in round 9 (this session) — LAST on purpose: the recorded-
+    # new in round 7 (session 3) — LAST on purpose: the recorded-
     # evidence backlog drains before net-new additions take window
     # slots
     "graph_triangle_doulion_multi_p", "quantile_tdigest_export",

@@ -1474,9 +1474,14 @@ firstr AS (
   GROUP BY term
 ),
 pts AS (
+  -- greatest(..., 1): on degenerate corpora (< 10 docs) early
+  -- deciles would size to 0, which the engine's non-equi join drops
+  -- while a correlated count keeps with vocab=0 (then ln(0));
+  -- pinning n_docs >= 1 keeps both engines on the same rows
   SELECT i AS decile,
-         CAST((SELECT nd FROM ranked LIMIT 1) * i // {_HL_POINTS}
-              AS BIGINT) AS n_docs
+         greatest(CAST((SELECT nd FROM ranked LIMIT 1) * i
+                       // {_HL_POINTS} AS BIGINT),
+                  CAST(1 AS BIGINT)) AS n_docs
   FROM unnest(range(1, {_HL_POINTS} + 1)) AS g(i)
 ),
 vg AS (
@@ -1484,6 +1489,8 @@ vg AS (
          CAST((SELECT count(*) FROM firstr f WHERE f.first_r <= p.n_docs)
               AS BIGINT) AS vocab
   FROM pts p
+  -- drop vocab=0 deciles exactly like the engine's inner join does
+  WHERE (SELECT count(*) FROM firstr f WHERE f.first_r <= p.n_docs) >= 1
 ),
 lg AS (
   SELECT decile, n_docs, vocab,
@@ -1541,10 +1548,14 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.min("r").cast("bigint").alias("first_r"))
     )
+    # greatest(..., 1) mirrors the oracle: degenerate corpora
+    # (< 10 docs) would otherwise size early deciles to 0 docs.
     pts = spark.range(1, _HL_POINTS + 1).select(
         F.col("id").cast("bigint").alias("decile"),
-        (F.lit(nd) * F.col("id") / _HL_POINTS).cast("bigint")
-        .alias("n_docs"),
+        F.greatest(
+            (F.lit(nd) * F.col("id") / _HL_POINTS).cast("bigint"),
+            F.lit(1).cast("bigint"),
+        ).alias("n_docs"),
     )
     vg = (
         F.broadcast(pts)

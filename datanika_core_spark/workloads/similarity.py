@@ -2352,10 +2352,12 @@ sgn AS (
   SELECT CASE WHEN w < 0 THEN -1.0 ELSE 1.0 END AS s
   FROM wfin ORDER BY abs(w) DESC, i LIMIT 1
 )
+-- "+ 0.0" canonicalizes a rounded -0.0 to +0.0 (IEEE) so a
+-- noise-floor loading can't hash-format as "-0.0" on one engine.
 SELECT CAST(f.i AS INT) AS dim,
-       ROUND(sgn.s * f.w, 6) AS loading,
-       ROUND(lam.lam / {_PCA_SCALE * _PCA_SCALE}, 6) AS eigenvalue,
-       ROUND(lam.lam / tr.tr, 6) AS evr
+       ROUND(sgn.s * f.w, 6) + 0.0 AS loading,
+       ROUND(lam.lam / {_PCA_SCALE * _PCA_SCALE}, 6) + 0.0 AS eigenvalue,
+       ROUND(lam.lam / tr.tr, 6) + 0.0 AS evr
 FROM wfin f, sgn, lam, tr
 ORDER BY dim
 """,
@@ -2403,11 +2405,13 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
          for i in range(_DIM)],
         "dim int, loading double, eigenvalue double, evr double",
     )
+    # "+ 0.0" canonicalizes a rounded -0.0 to +0.0 (IEEE), matching
+    # the oracle's identical normalization.
     return out.select(
         "dim",
-        F.round("loading", 6).alias("loading"),
-        F.round("eigenvalue", 6).alias("eigenvalue"),
-        F.round("evr", 6).alias("evr"),
+        (F.round("loading", 6) + F.lit(0.0)).alias("loading"),
+        (F.round("eigenvalue", 6) + F.lit(0.0)).alias("eigenvalue"),
+        (F.round("evr", 6) + F.lit(0.0)).alias("evr"),
     ).orderBy("dim")
 
 
@@ -2502,13 +2506,18 @@ ortho AS (
   SELECT sum(f1.w * f2.w) AS dot12
   FROM wfin f1 JOIN w2fin f2 ON f2.i = f1.i
 )
+-- every rounded float gets "+ 0.0" so a noise-floor negative that
+-- rounds to -0.0 normalizes to +0.0 (IEEE: -0.0 + 0.0 = +0.0) —
+-- the driver hashes formatted values, and "-0.0" != "0.0" even
+-- though they compare equal numerically. eig2/evr2/dot12 sit at
+-- the deflation-residual noise floor, so they round at 4 dp.
 SELECT CAST(f1.i AS INT) AS dim,
-       ROUND(sgn1.s * f1.w, 6) AS pc1_loading,
-       ROUND(sgn2.s * f2.w, 6) AS pc2_loading,
-       ROUND(lam.lam / {_PCA_SCALE * _PCA_SCALE}, 6) AS eig1,
-       ROUND(lam2.lam2 / {_PCA_SCALE * _PCA_SCALE}, 6) AS eig2,
-       ROUND((lam.lam + lam2.lam2) / tr.tr, 6) AS evr2,
-       ROUND(ortho.dot12, 6) AS dot12
+       ROUND(sgn1.s * f1.w, 6) + 0.0 AS pc1_loading,
+       ROUND(sgn2.s * f2.w, 6) + 0.0 AS pc2_loading,
+       ROUND(lam.lam / {_PCA_SCALE * _PCA_SCALE}, 6) + 0.0 AS eig1,
+       ROUND(lam2.lam2 / {_PCA_SCALE * _PCA_SCALE}, 4) + 0.0 AS eig2,
+       ROUND((lam.lam + lam2.lam2) / tr.tr, 4) + 0.0 AS evr2,
+       ROUND(ortho.dot12, 4) + 0.0 AS dot12
 FROM wfin f1
 JOIN w2fin f2 ON f2.i = f1.i
 CROSS JOIN sgn1 CROSS JOIN sgn2
@@ -2574,14 +2583,17 @@ def pca_top2_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim int, pc1_loading double, pc2_loading double,"
         " eig1 double, eig2 double, evr2 double, dot12 double",
     )
+    # "+ 0.0" canonicalizes -0.0 (a noise-floor negative rounds to
+    # -0.0, which hash-formats as "-0.0" but compares equal to 0.0);
+    # eig2/evr2/dot12 are deflation-residual noise-floor, so 4 dp.
     return out.select(
         "dim",
-        F.round("pc1_loading", 6).alias("pc1_loading"),
-        F.round("pc2_loading", 6).alias("pc2_loading"),
-        F.round("eig1", 6).alias("eig1"),
-        F.round("eig2", 6).alias("eig2"),
-        F.round("evr2", 6).alias("evr2"),
-        F.round("dot12", 6).alias("dot12"),
+        (F.round("pc1_loading", 6) + F.lit(0.0)).alias("pc1_loading"),
+        (F.round("pc2_loading", 6) + F.lit(0.0)).alias("pc2_loading"),
+        (F.round("eig1", 6) + F.lit(0.0)).alias("eig1"),
+        (F.round("eig2", 4) + F.lit(0.0)).alias("eig2"),
+        (F.round("evr2", 4) + F.lit(0.0)).alias("evr2"),
+        (F.round("dot12", 4) + F.lit(0.0)).alias("dot12"),
     ).orderBy("dim")
 
 

@@ -36,7 +36,6 @@ def test_fs_unique_prefixes_make_every_candidate_true(spark, tmp_path):
     all-agreement positives."""
     rows = []
     for i in range(1, 141):
-        prefix = chr(65 + (i // 26) % 26) + chr(97 + i % 26)
         # unique prefix per part: combine two cycling chars with i
         prefix = chr(65 + i % 26) + chr(65 + (i // 26) % 26)
         rows.append((i, f"{prefix}name{i:04d}", f"B{i % 5}",

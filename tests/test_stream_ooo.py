@@ -6,6 +6,7 @@ first twin whose parity depends on cross-batch ORDER state."""
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import functions as F
@@ -80,9 +81,12 @@ def test_stream_ingest_matches_batch(spark, tmp_path):
     for i, b in enumerate((b1, b2)):
         staged = tmp_path / f"s{i}"
         b.coalesce(1).write.parquet(str(staged))
-        shutil.copy(
-            next(staged.glob("part-*.parquet")), src / f"f{i}.parquet"
-        )
+        dst = src / f"f{i}.parquet"
+        shutil.copy(next(staged.glob("part-*.parquet")), dst)
+        # The file source orders micro-batches by mtime; two quick
+        # copies can share an mtime on coarse-granularity filesystems,
+        # so pin distinct mtimes to make arrival order deterministic.
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
     mon = StreamOOOMonitor(spark, "t_ooo_stream")
     stats = stream_ooo_monitor(
         spark, str(src), mon, checkpoint_dir=str(tmp_path / "ck")
