@@ -46,6 +46,31 @@ def topo_order(graph: dict[str, set[str]], subset: set[str] | None = None) -> li
         raise ValidationError(f"model graph has a cycle: {exc}") from exc
 
 
+def topo_levels(
+    graph: dict[str, set[str]], subset: set[str] | None = None
+) -> list[list[str]]:
+    """Topological LEVELS: each level is the sorted list of nodes
+    whose in-subset dependencies are all satisfied by earlier levels.
+    Models within a level are independent of each other, so a runner
+    may execute them concurrently (dbt ``threads: 4`` parity —
+    reference dbt_project.py:231 generates that profile setting).
+    Concatenating the levels yields a valid topological order."""
+    nodes = subset if subset is not None else set(graph)
+    ts = TopologicalSorter()
+    for n in sorted(nodes):
+        ts.add(n, *sorted(d for d in graph.get(n, ()) if d in nodes))
+    try:
+        ts.prepare()
+    except Exception as exc:  # CycleError
+        raise ValidationError(f"model graph has a cycle: {exc}") from exc
+    levels: list[list[str]] = []
+    while ts.is_active():
+        ready = sorted(ts.get_ready())
+        levels.append(ready)
+        ts.done(*ready)
+    return levels
+
+
 def _ancestors(graph: dict[str, set[str]], name: str) -> set[str]:
     out: set[str] = set()
     stack = list(graph.get(name, ()))

@@ -5,20 +5,28 @@ rows_affected accounting (T10) and per-node logs.
 Reference: ``dbtRunner().invoke([command, --select, --full-refresh])``
 in-process (dbt_project.py:262-311); rows summed across result nodes
 (dbt_project.py:63-77). Here each node executes as Spark SQL in
-dependency order; independent models could run concurrently via
-Spark scheduler pools (the driver submits jobs; executors already
-parallelize within each job).
+dependency order; INDEPENDENT models run concurrently (dbt
+``threads: 4`` parity — the reference's generated profile,
+dbt_project.py:231): the DAG is cut into topological levels and each
+level's models are submitted from a thread pool, one Spark FAIR
+scheduler pool per worker so a wide level's jobs time-share executors
+instead of queuing FIFO behind each other. Reporting stays
+deterministic — results merge in level order (names sorted within a
+level, which concatenates to a valid topo order), and a failure
+raises the alphabetically-first failed model's error after its level
+drains.
 """
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 
 from datanika_core_spark.errors import ValidationError
 from datanika_core_spark.operators.scd2 import SnapshotRunner
-from datanika_core_spark.plans.dag import build_graph, select
+from datanika_core_spark.plans.dag import build_graph, select, topo_levels
 from datanika_core_spark.plans.materialize import Materializer
 from datanika_core_spark.plans.model_tests import TestResult, run_test
 from datanika_core_spark.plans.models import Model, ModelRegistry
@@ -52,6 +60,7 @@ class ModelRunner:
         command: str,
         selector: str | None = None,
         full_refresh: bool = False,
+        threads: int = 4,
     ) -> RunReport:
         if command not in COMMANDS:
             raise ValidationError(f"command must be one of {COMMANDS}")
@@ -70,29 +79,110 @@ class ModelRunner:
                 report.logs.append(f"compiled {name}")
             return report
 
-        for name in names:
+        # Level-wise execution: models within a topo level share no
+        # edges, so they run concurrently (dbt threads parity). A
+        # later level never starts until the whole previous level —
+        # including failures — has drained, so a failure can never
+        # race its own downstream.
+        for level in topo_levels(graph, set(names)):
+            results = self._run_level(
+                level, command, full_refresh, max(1, int(threads))
+            )
+            first_err: BaseException | None = None
+            for name, executed, rows, trs, logs, exc in results:
+                report.logs.extend(logs)
+                if exc is not None:
+                    if first_err is None:
+                        first_err = exc
+                    continue
+                if executed:
+                    report.executed.append(name)
+                    report.rows_affected += rows
+                report.test_results.extend(trs)
+            if first_err is not None:
+                raise first_err
+        return report
+
+    def _run_level(
+        self,
+        level: list[str],
+        command: str,
+        full_refresh: bool,
+        threads: int,
+    ):
+        """Execute one topo level, concurrently when it is wide.
+        Returns per-model result tuples IN LEVEL (sorted-name) order
+        regardless of completion order, so reports are deterministic."""
+        if threads <= 1 or len(level) <= 1:
+            return [
+                self._run_node(name, command, full_refresh, pool=None)
+                for name in level
+            ]
+        with ThreadPoolExecutor(
+            max_workers=min(threads, len(level)),
+            thread_name_prefix="model-runner",
+        ) as pool:
+            futures = [
+                pool.submit(
+                    self._run_node, name, command, full_refresh,
+                    f"models-{i % threads}",
+                )
+                for i, name in enumerate(level)
+            ]
+            return [f.result() for f in futures]
+
+    def _run_node(
+        self,
+        name: str,
+        command: str,
+        full_refresh: bool,
+        pool: str | None,
+    ):
+        """Materialize + test ONE model; never raises — the exception
+        travels in the result tuple so the level can drain and the
+        caller can fail deterministically. Sets a per-worker Spark
+        FAIR-pool local property (thread-local under pinned-thread
+        mode) so a wide level's jobs time-share executors."""
+        sc = self.spark.sparkContext
+        if pool is not None:
+            sc.setLocalProperty("spark.scheduler.pool", pool)
+        executed = False
+        rows = 0
+        trs: list[TestResult] = []
+        logs: list[str] = []
+        try:
             model = self.registry.get(name)
             if command in ("run", "build"):
-                res = self.materializer.run_model(name, full_refresh=full_refresh)
+                res = self.materializer.run_model(
+                    name, full_refresh=full_refresh
+                )
                 if res.action != "skipped(ephemeral)":
-                    report.executed.append(name)
-                    report.rows_affected += res.rows_affected
-                report.logs.append(
-                    f"{res.action} {name} -> {res.target} ({res.rows_affected} rows)"
+                    executed = True
+                    rows = res.rows_affected
+                logs.append(
+                    f"{res.action} {name} -> {res.target}"
+                    f" ({res.rows_affected} rows)"
                 )
             if command in ("test", "build"):
                 if model.materialization == "ephemeral":
-                    continue
+                    return (name, executed, rows, trs, logs, None)
                 for ct in model.tests:
                     tr = run_test(
-                        self.spark, model.target, ct.column, ct.test, ct.params
+                        self.spark, model.target, ct.column, ct.test,
+                        ct.params,
                     )
-                    report.test_results.append(tr)
-                    report.logs.append(
+                    trs.append(tr)
+                    logs.append(
                         f"test {ct.test}({model.name}.{ct.column}):"
                         f" {'PASS' if tr.passed else f'FAIL ({tr.violations})'}"
                     )
-        return report
+            return (name, executed, rows, trs, logs, None)
+        except BaseException as exc:  # noqa: BLE001 — re-raised by caller
+            logs.append(f"error {name}: {exc}")
+            return (name, executed, rows, trs, logs, exc)
+        finally:
+            if pool is not None:
+                sc.setLocalProperty("spark.scheduler.pool", None)
 
     def _run_seeds(self) -> RunReport:
         """dbt seed: load each registered CSV as {schema}.{name}

@@ -1,0 +1,100 @@
+"""Concurrent model execution (dbt ``threads: 4`` parity —
+reference dbt_project.py:231 generates that profile setting).
+
+Independent models in one topo level must OVERLAP in wall-clock;
+dependent models must still strictly follow their upstreams; failures
+surface deterministically (alphabetically-first failed model of the
+level) after the level drains. The materializer is faked so these
+tests measure the runner's scheduling, not Spark job latency.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pytest
+
+from datanika_core_spark.plans.materialize import MaterializeResult
+from datanika_core_spark.plans.models import Model, ModelRegistry
+from datanika_core_spark.plans.runner import ModelRunner
+
+_SLEEP = 0.35
+
+
+class FakeMaterializer:
+    """Records (start, end) monotonic intervals per model."""
+
+    def __init__(self, fail: set[str] | None = None):
+        self.calls: dict[str, tuple[float, float]] = {}
+        self.fail = fail or set()
+        self._lock = threading.Lock()
+
+    def run_model(self, name: str, full_refresh: bool = False):
+        start = time.monotonic()
+        time.sleep(_SLEEP)
+        end = time.monotonic()
+        with self._lock:
+            self.calls[name] = (start, end)
+        if name in self.fail:
+            raise ValueError(f"boom:{name}")
+        return MaterializeResult(name, f"an.{name}", "view", 1)
+
+
+@pytest.fixture()
+def diamond_registry():
+    r = ModelRegistry()
+    r.add(Model("a", "SELECT 1 AS x", materialization="view", schema="an"))
+    r.add(Model("b", "SELECT 2 AS x", materialization="view", schema="an"))
+    r.add(Model(
+        "c",
+        "SELECT * FROM {{ ref('a') }} UNION ALL SELECT * FROM {{ ref('b') }}",
+        materialization="view", schema="an",
+    ))
+    return r
+
+
+def test_independent_models_overlap(spark, diamond_registry):
+    runner = ModelRunner(spark, diamond_registry)
+    fake = FakeMaterializer()
+    runner.materializer = fake
+    report = runner.invoke("run", threads=4)
+
+    # deterministic report: level order, names sorted within a level
+    assert report.executed == ["a", "b", "c"]
+    assert report.rows_affected == 3
+
+    (a0, a1), (b0, b1) = fake.calls["a"], fake.calls["b"]
+    c0, _ = fake.calls["c"]
+    # a and b are one level: their intervals must overlap (each takes
+    # _SLEEP; sequential execution would put one strictly after the
+    # other with a 2*_SLEEP span)
+    assert max(a0, b0) < min(a1, b1), "level-mates did not overlap"
+    # c depends on both: it must start only after the level drains
+    assert c0 >= max(a1, b1)
+
+
+def test_sequential_threads_1_still_works(spark, diamond_registry):
+    runner = ModelRunner(spark, diamond_registry)
+    fake = FakeMaterializer()
+    runner.materializer = fake
+    report = runner.invoke("run", threads=1)
+    assert report.executed == ["a", "b", "c"]
+    (a0, a1), (b0, b1) = fake.calls["a"], fake.calls["b"]
+    assert b0 >= a1 or a0 >= b1  # no overlap when threads=1
+
+
+def test_level_failure_is_deterministic_and_blocks_downstream(
+    spark, diamond_registry
+):
+    runner = ModelRunner(spark, diamond_registry)
+    # BOTH level-mates fail: the raised error must be the
+    # alphabetically-first one, every time.
+    fake = FakeMaterializer(fail={"a", "b"})
+    runner.materializer = fake
+    with pytest.raises(ValueError, match="boom:a"):
+        runner.invoke("run", threads=4)
+    # the whole level drained (sibling b still ran) ...
+    assert set(fake.calls) == {"a", "b"}
+    # ... but the downstream model never started
+    assert "c" not in fake.calls
