@@ -197,6 +197,11 @@ CHECK_FIRST = [
     "graph_triangle_doulion_multi_p", "quantile_tdigest_export",
     "dedup_winnowing_df_capped", "zorder_file_skipping",
     "eval_cohens_kappa_raters", "eval_rbo_rankings",
+    # new in round 8 — kept BELOW the recorded-evidence backlog so
+    # the 27 pending entries drain first (27 + these ≤ 50 window)
+    "stats_cramers_v", "stats_ljung_box", "abtest_group_sequential",
+    "bandit_ucb1_daily_choice", "eval_pass_at_k",
+    "interval_union_coverage",
 ]
 
 

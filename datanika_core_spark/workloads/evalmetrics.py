@@ -1197,3 +1197,84 @@ def eval_brier_decomposition(
         F.round(unc, 6).alias("uncertainty"),
         F.round(brier - (rel - res + unc), 6).alias("decomp_gap"),
     )
+
+
+# --------------------------------------------------------------------------
+# pass@k estimator over grouped trials (round 8).
+# --------------------------------------------------------------------------
+
+_PK_KS = (1, 2, 5, 10)
+
+
+@workload(
+    "eval_pass_at_k",
+    oracle=f"""
+WITH task AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM events GROUP BY user_id
+),
+ks AS (SELECT unnest(ARRAY{list(_PK_KS)}) AS k),
+per_task AS (
+  SELECT ks.k, task.user_id,
+         1.0 - list_product(list_transform(range(ks.k),
+             i -> greatest(task.n - task.c - i, 0) * 1.0 / (task.n - i)))
+           AS p
+  FROM task JOIN ks ON task.n >= ks.k
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_tasks,
+       ROUND(sum(CAST(round(p * 100000000) AS BIGINT))
+             / 100000000.0 / count(*), 6) AS pass_at_k
+FROM per_task
+GROUP BY k
+ORDER BY k
+""",
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbiased pass@k estimator (Chen et al. 2021, HumanEval):
+    for each task (= user) with n trials of which c succeeded
+    (= purchase events), pass@k = 1 − C(n−c, k)/C(n, k), computed as
+    the overflow-free telescoped product Π (n−c−i)/(n−i) for
+    i = 0..k−1 — THE standard eval aggregate for code/reasoning
+    model sampling, here exercised as a grouped-trial corpus metric.
+    Tasks with n < k are excluded (the estimator is undefined);
+    a term hitting 0 (n−c < k) makes pass@k exactly 1.
+
+    Determinism: n and c are exact BIGINTs; the ≤k-term product
+    folds left-to-right from identical rationals in both engines;
+    per-task values snap to 1e-8 integer units before the mean so
+    summation order can't flip a bit.
+
+    Scale: one user groupBy (map-side combinable) + a k-way explode
+    of the task table — linear, no shuffle beyond the groupBy."""
+    ev = t(spark, sf_dir, "events")
+    task = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("bigint").alias("c"),
+    )
+    per_k = task.select(
+        "n", "c",
+        F.explode(
+            F.array(*[F.lit(k).cast("bigint") for k in _PK_KS])
+        ).alias("k"),
+    ).filter(F.col("n") >= F.col("k"))
+    p = F.lit(1.0) - F.expr(
+        "aggregate(sequence(0, int(k) - 1), cast(1.0 as double),"
+        " (acc, i) -> acc * greatest(n - c - i, 0L) / (n - i))"
+    )
+    return (
+        per_k.select("k", F.round(p * 100000000).cast("bigint").alias("pu"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tasks"),
+            F.round(
+                F.sum("pu") / 100000000.0 / F.count(F.lit(1)), 6
+            ).alias("pass_at_k"),
+        )
+        .orderBy("k")
+    )

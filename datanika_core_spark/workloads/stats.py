@@ -3364,3 +3364,552 @@ def fit_zero_inflated_poisson(
             6,
         ).alias("zero_share_fit"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Cramér's V: effect size for the lang × source chi² (round 8).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "stats_cramers_v",
+    oracle="""
+WITH obs AS (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+),
+lt AS (SELECT lang, sum(o) AS row_tot FROM obs GROUP BY lang),
+st AS (SELECT source, sum(o) AS col_tot FROM obs GROUP BY source),
+n AS (SELECT sum(o) AS total FROM obs),
+cells AS (
+  SELECT coalesce(obs.o, 0) AS o,
+         lt.row_tot * st.col_tot * 1.0 / n.total AS e
+  FROM lt CROSS JOIN st CROSS JOIN n
+  LEFT JOIN obs ON obs.lang = lt.lang AND obs.source = st.source
+),
+chi AS (
+  SELECT sum(CAST(round((o - e) * (o - e) / e * 100000000) AS BIGINT))
+         / 100000000.0 AS chi2
+  FROM cells
+)
+SELECT CAST(n.total AS BIGINT) AS n,
+       CAST(least((SELECT count(*) FROM lt) - 1,
+                  (SELECT count(*) FROM st) - 1) AS BIGINT) AS min_dim,
+       ROUND(chi.chi2, 4) AS chi2,
+       ROUND(sqrt(chi.chi2 / (n.total * least(
+           (SELECT count(*) FROM lt) - 1,
+           (SELECT count(*) FROM st) - 1))), 6) AS cramers_v
+FROM chi CROSS JOIN n
+""",
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the [0,1] effect size the chi² workload lacks
+    (χ² grows with n even for a fixed association strength; V
+    normalizes by n·min(r−1, c−1) so 'is the lang mix source-
+    dependent ENOUGH TO CARE' is answerable at any corpus size).
+    Same integer-1e-8 per-cell summation as
+    chi2_lang_source_independence; sqrt is correctly rounded by
+    IEEE spec, so V is bit-deterministic before display rounding.
+
+    Scale: identical plan to the chi² workload — one corpus groupBy,
+    then k×k marginal arithmetic on broadcast frames."""
+    docs = t(spark, sf_dir, "documents")
+    obs = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .cache()
+    )
+    lt = obs.groupBy("lang").agg(F.sum("o").alias("row_tot"))
+    st = obs.groupBy("source").agg(F.sum("o").alias("col_tot"))
+    total = obs.agg(F.sum("o")).first()[0]
+    min_dim = min(lt.count(), st.count()) - 1
+    cells = (
+        lt.crossJoin(F.broadcast(st))
+        .join(obs, ["lang", "source"], "left")
+        .select(
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (
+                F.col("row_tot") * F.col("col_tot") * F.lit(1.0)
+                / F.lit(total)
+            ).alias("e"),
+        )
+    )
+    term = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    chi = cells.agg(
+        (
+            F.sum(F.round(term * 100000000).cast("bigint")) / 100000000.0
+        ).alias("chi2")
+    )
+    return chi.select(
+        F.lit(total).cast("bigint").alias("n"),
+        F.lit(min_dim).cast("bigint").alias("min_dim"),
+        F.round("chi2", 4).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2") / F.lit(float(total * min_dim))), 6
+        ).alias("cramers_v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ljung-Box autocorrelation test on the daily event-count series.
+# --------------------------------------------------------------------------
+
+_LB_LAGS = 7
+
+
+@workload(
+    "stats_ljung_box",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+  FROM daily
+),
+dev AS (
+  -- d_t = n*x_t - S: the n-scaled deviation is an exact BIGINT, so
+  -- every autocorrelation moment below is integer-exact
+  SELECT day, mom.n AS n, mom.n * x - mom.s AS d
+  FROM daily CROSS JOIN mom
+),
+lagprod AS (
+  SELECT k.k AS k, d.n AS n,
+         d.d * lag(d.d, k.k) OVER (
+             PARTITION BY k.k ORDER BY d.day) AS p
+  FROM dev d CROSS JOIN (
+    SELECT unnest(range(1, {_LB_LAGS} + 1)) AS k) k
+),
+lagged AS (
+  SELECT k, n, CAST(sum(p) AS BIGINT) AS num
+  FROM lagprod GROUP BY k, n
+),
+den AS (SELECT CAST(sum(d * d) AS BIGINT) AS den FROM dev),
+rho AS (
+  SELECT l.k, l.n, l.num * 1.0 / den.den AS rho
+  FROM lagged l CROSS JOIN den
+),
+q AS (
+  SELECT k, n, rho,
+         n * (n + 2.0) * sum(rho * rho / (n - k)) OVER (
+             ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS q
+  FROM rho
+)
+SELECT CAST(k AS BIGINT) AS lag,
+       CAST(n AS BIGINT) AS n_days,
+       ROUND(rho, 6) + 0.0 AS rho,
+       ROUND(q, 4) + 0.0 AS q_stat
+FROM q
+ORDER BY lag
+""",
+)
+def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the daily event-count series:
+    is the arrival process white noise, or does it carry structure
+    (weekly seasonality, ramp, drift) that the forecasting workloads
+    should model? Reports the autocorrelation at lags 1..{lags} and
+    the cumulative Q statistic n(n+2)·Σ ρ²_k/(n−k).
+
+    Determinism: deviations use the n-scaled form d_t = n·x_t − Σx
+    (exact BIGINT, no rational mean), every autocovariance moment is
+    an exact integer, and Q accumulates its {lags} per-lag doubles in
+    fixed lag order via a running window, so both engines add in the
+    same sequence. ROUND(...)+0.0 canonicalizes a noise-floor -0.0.
+
+    Scale: the corpus-sized work is ONE day groupBy (map-side
+    combinable); the lag windows run over the tiny day-level series
+    (3 orders smaller than the corpus), where a single-partition
+    window is the right plan."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    dev = daily.crossJoin(F.broadcast(mom)).select(
+        "day", "n", (F.col("n") * F.col("x") - F.col("s")).alias("d")
+    )
+    w = Window.orderBy("day")
+    lag_cols = [
+        (F.col("d") * F.lag("d", k).over(w)).alias(f"p{k}")
+        for k in range(1, _LB_LAGS + 1)
+    ]
+    prods = dev.select("n", (F.col("d") * F.col("d")).alias("dd"), *lag_cols)
+    agg = prods.agg(
+        F.max("n").alias("n"),
+        F.sum("dd").cast("bigint").alias("den"),
+        *[
+            F.sum(f"p{k}").cast("bigint").alias(f"num{k}")
+            for k in range(1, _LB_LAGS + 1)
+        ],
+    )
+    per_lag = agg.select(
+        "n", "den",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("bigint").alias("lag"),
+                        F.col(f"num{k}").alias("num"),
+                    )
+                    for k in range(1, _LB_LAGS + 1)
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        F.col("e.lag").alias("lag"), "n",
+        (F.col("e.num") * F.lit(1.0) / F.col("den")).alias("rho"),
+    )
+    wq = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    out = per_lag.select(
+        "lag",
+        F.col("n").alias("n_days"),
+        "rho",
+        (
+            F.col("n") * (F.col("n") + F.lit(2.0))
+            * F.sum(
+                F.col("rho") * F.col("rho") / (F.col("n") - F.col("lag"))
+            ).over(wq)
+        ).alias("q"),
+    )
+    return out.select(
+        "lag", "n_days",
+        (F.round("rho", 6) + F.lit(0.0)).alias("rho"),
+        (F.round("q", 4) + F.lit(0.0)).alias("q_stat"),
+    ).orderBy("lag")
+
+
+# --------------------------------------------------------------------------
+# Group-sequential A/B readout with an O'Brien-Fleming-shaped boundary.
+# --------------------------------------------------------------------------
+
+_GS_LOOKS = 5
+#: final-look two-sided z boundary (α≈0.05) — the OBF spending shape
+#: scales it by sqrt(K/k) at interim look k
+_GS_C = 2.04
+
+
+@workload(
+    "abtest_group_sequential",
+    oracle=f"""
+WITH looks AS (
+  SELECT day, CAST(ntile({_GS_LOOKS}) OVER (ORDER BY day) AS BIGINT) AS look
+  FROM (SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
+),
+pe AS (
+  SELECT date_trunc('day', ts) AS day,
+         ('0x'||substring(md5('ab-' || CAST(user_id AS VARCHAR)),1,15))
+           ::BIGINT % 2 AS variant,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+lk AS (
+  SELECT l.look, p.variant,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(p.cents) AS BIGINT) AS s,
+         CAST(sum(p.cents * p.cents) AS BIGINT) AS ss
+  FROM pe p JOIN looks l ON l.day = p.day
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT look, variant,
+         CAST(sum(n) OVER w AS BIGINT) AS n,
+         CAST(sum(s) OVER w AS BIGINT) AS s,
+         CAST(sum(ss) OVER w AS BIGINT) AS ss
+  FROM lk
+  WINDOW w AS (PARTITION BY variant ORDER BY look
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+wide AS (
+  SELECT look,
+         max(CASE WHEN variant = 0 THEN n END) AS n0,
+         max(CASE WHEN variant = 1 THEN n END) AS n1,
+         max(CASE WHEN variant = 0 THEN s END) AS s0,
+         max(CASE WHEN variant = 1 THEN s END) AS s1,
+         max(CASE WHEN variant = 0 THEN ss END) AS ss0,
+         max(CASE WHEN variant = 1 THEN ss END) AS ss1
+  FROM cum GROUP BY look
+),
+zrow AS (
+  SELECT look, n0, n1,
+         (s1 * 1.0 / n1 - s0 * 1.0 / n0)
+           / sqrt((n0 * ss0 - s0 * s0) * 1.0 / (n0 * n0 * (n0 - 1))
+                  + (n1 * ss1 - s1 * s1) * 1.0 / (n1 * n1 * (n1 - 1))) AS z,
+         {_GS_C} * sqrt({_GS_LOOKS} * 1.0 / look) AS boundary
+  FROM wide
+),
+flagged AS (
+  SELECT *, CASE WHEN abs(z) >= boundary THEN 1 ELSE 0 END AS crossed
+  FROM zrow
+),
+stopd AS (
+  SELECT coalesce(min(look) FILTER (WHERE crossed = 1), 0) AS stop_look
+  FROM flagged
+)
+SELECT CAST(f.look AS BIGINT) AS look,
+       f.n0 AS n_control, f.n1 AS n_treatment,
+       ROUND(f.z, 6) + 0.0 AS z,
+       ROUND(f.boundary, 6) AS boundary,
+       CAST(f.crossed AS BIGINT) AS crossed,
+       CAST(stopd.stop_look AS BIGINT) AS stop_look
+FROM flagged f CROSS JOIN stopd
+ORDER BY look
+""",
+)
+def abtest_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential experiment monitoring: the purchase-revenue
+    Welch z recomputed at 5 calendar-based interim looks (days split
+    into equal-count ntile chunks) against an O'Brien-Fleming-shaped
+    boundary c·sqrt(K/k) — spend almost no alpha early, full alpha
+    at the last look. Reports each look's cumulative arms, z, the
+    boundary, whether it crossed, and the first crossing look (0 =
+    never) — the 'can we stop the experiment early' readout that
+    peeking at the fixed-horizon z every day gets wrong
+    (abtest_sprt_sequential is the per-observation cousin; this is
+    the industry-standard calendar-look form).
+
+    Determinism: all moments are exact BIGINTs accumulated per look
+    via ≤2·K-row windows; the z at each look follows the
+    abtest_welch_readout IEEE sequence; looks assign by ntile over
+    the tiny distinct-day frame with identical SQL semantics in both
+    engines. ROUND(z)+0.0 canonicalizes -0.0.
+
+    Scale: one filtered scan → day×variant groupBy (map-side
+    combinable); everything after runs on K·2 rows. The day→look
+    broadcast join adds no shuffle."""
+    ev = t(spark, sf_dir, "events")
+    days = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+        .select(
+            "day",
+            F.ntile(_GS_LOOKS).over(Window.orderBy("day"))
+            .cast("bigint").alias("look"),
+        )
+    )
+    pe = ev.filter(F.col("event_type") == "purchase").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.expr(
+            "pmod("
+            + _spark_hash("concat('ab-', cast(user_id as string))")
+            + ", 2)"
+        ).alias("variant"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    lk = (
+        pe.join(F.broadcast(days), "day")
+        .groupBy("look", "variant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("s"),
+            F.sum(F.col("cents") * F.col("cents")).cast("bigint")
+            .alias("ss"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("variant").orderBy("look")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = lk.select(
+        "look", "variant",
+        F.sum("n").over(wcum).cast("bigint").alias("n"),
+        F.sum("s").over(wcum).cast("bigint").alias("s"),
+        F.sum("ss").over(wcum).cast("bigint").alias("ss"),
+    )
+
+    def pick(v: int, c: str, alias: str):
+        return F.max(F.when(F.col("variant") == v, F.col(c))).alias(alias)
+
+    wide = cum.groupBy("look").agg(
+        pick(0, "n", "n0"), pick(1, "n", "n1"),
+        pick(0, "s", "s0"), pick(1, "s", "s1"),
+        pick(0, "ss", "ss0"), pick(1, "ss", "ss1"),
+    )
+    m0 = F.col("s0") * 1.0 / F.col("n0")
+    m1 = F.col("s1") * 1.0 / F.col("n1")
+    var0 = (
+        (F.col("n0") * F.col("ss0") - F.col("s0") * F.col("s0")) * 1.0
+        / (F.col("n0") * F.col("n0") * (F.col("n0") - 1))
+    )
+    var1 = (
+        (F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1")) * 1.0
+        / (F.col("n1") * F.col("n1") * (F.col("n1") - 1))
+    )
+    zrow = wide.select(
+        "look", "n0", "n1",
+        ((m1 - m0) / F.sqrt(var0 + var1)).alias("z"),
+        (
+            F.lit(_GS_C)
+            * F.sqrt(F.lit(float(_GS_LOOKS)) / F.col("look"))
+        ).alias("boundary"),
+    )
+    flagged = zrow.withColumn(
+        "crossed",
+        F.when(F.abs(F.col("z")) >= F.col("boundary"), 1).otherwise(0)
+        .cast("bigint"),
+    )
+    stop = flagged.agg(
+        F.coalesce(
+            F.min(F.when(F.col("crossed") == 1, F.col("look"))), F.lit(0)
+        ).cast("bigint").alias("stop_look")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(stop))
+        .select(
+            F.col("look").cast("bigint").alias("look"),
+            F.col("n0").alias("n_control"),
+            F.col("n1").alias("n_treatment"),
+            (F.round("z", 6) + F.lit(0.0)).alias("z"),
+            F.round("boundary", 6).alias("boundary"),
+            "crossed",
+            "stop_look",
+        )
+        .orderBy("look")
+    )
+
+
+# --------------------------------------------------------------------------
+# UCB1 bandit replay: which arm would the policy pull each day?
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "bandit_ucb1_daily_choice",
+    oracle="""
+WITH ev AS (
+  SELECT date_trunc('day', ts) AS day, event_type AS arm,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+thr AS (
+  -- reward threshold = global mean in cents; the comparison below is
+  -- cents * n > S, so the rational mean is never materialized
+  SELECT CAST(sum(cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM ev
+),
+rewarded AS (
+  SELECT ev.day, ev.arm,
+         CASE WHEN ev.cents * thr.n > thr.s THEN 1 ELSE 0 END AS r
+  FROM ev CROSS JOIN thr
+),
+armday AS (
+  SELECT day, arm, CAST(count(*) AS BIGINT) AS pulls,
+         CAST(sum(r) AS BIGINT) AS wins
+  FROM rewarded GROUP BY day, arm
+),
+cum AS (
+  SELECT day, arm,
+         CAST(sum(pulls) OVER w AS BIGINT) AS n_arm,
+         CAST(sum(wins) OVER w AS BIGINT) AS s_arm
+  FROM armday
+  WINDOW w AS (PARTITION BY arm ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (
+  SELECT day, CAST(sum(n_arm) AS BIGINT) AS n_tot
+  FROM cum GROUP BY day
+),
+scored AS (
+  SELECT c.day, c.arm, c.n_arm,
+         s_arm * 1.0 / n_arm + sqrt(2.0 * ln(t.n_tot) / n_arm) AS ucb
+  FROM cum c JOIN tot t ON t.day = c.day
+),
+full_days AS (
+  -- UCB1 is defined once every arm has been pulled; restrict to days
+  -- where the cumulative table has all arms
+  SELECT day FROM cum GROUP BY day
+  HAVING count(*) = (SELECT count(DISTINCT arm) FROM armday)
+),
+ranked AS (
+  SELECT s.day, s.arm, s.ucb,
+         row_number() OVER (PARTITION BY s.day
+                            ORDER BY s.ucb DESC, s.arm) AS rk
+  FROM scored s JOIN full_days f ON f.day = s.day
+)
+SELECT CAST(day AS DATE) AS day, arm AS chosen_arm,
+       ROUND(ucb, 6) AS ucb
+FROM ranked WHERE rk = 1
+ORDER BY day
+""",
+)
+def bandit_ucb1_daily_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit replay over the event log: arms are event types,
+    a pull's reward is 1 when its value beats the global mean
+    (integer-exact compare cents·n > Σcents — no rational mean), and
+    for each day the workload reports which arm the UCB1 policy
+    (mean + sqrt(2·ln N / n) over cumulative counts) would choose
+    next. The offline what-would-the-policy-do replay that gates a
+    bandit rollout — e.g. choosing which data source to crawl next
+    under an explore/exploit budget.
+
+    Determinism: cumulative pulls/wins are exact BIGINTs; ucb scores
+    are single IEEE expressions of those integers, so cross-engine
+    doubles are identical and the (ucb DESC, arm) tiebreak picks the
+    same row. Days before every arm has a pull are excluded (UCB1's
+    init phase plays each arm once).
+
+    Scale: one day×arm groupBy over the corpus (map-side
+    combinable), then windows over the tiny day×arm grid."""
+    ev = t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("event_type").alias("arm"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    thr = ev.agg(
+        F.sum("cents").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    rewarded = ev.crossJoin(F.broadcast(thr)).select(
+        "day", "arm",
+        F.when(F.col("cents") * F.col("n") > F.col("s"), 1)
+        .otherwise(0).alias("r"),
+    )
+    armday = rewarded.groupBy("day", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pulls"),
+        F.sum("r").cast("bigint").alias("wins"),
+    )
+    wcum = (
+        Window.partitionBy("arm").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = armday.select(
+        "day", "arm",
+        F.sum("pulls").over(wcum).cast("bigint").alias("n_arm"),
+        F.sum("wins").over(wcum).cast("bigint").alias("s_arm"),
+    )
+    tot = cum.groupBy("day").agg(
+        F.sum("n_arm").cast("bigint").alias("n_tot")
+    )
+    n_arms = armday.select("arm").distinct().count()
+    full_days = (
+        cum.groupBy("day").agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") == n_arms)
+        .select("day")
+    )
+    scored = (
+        cum.join(tot, "day")
+        .join(F.broadcast(full_days), "day")
+        .select(
+            "day", "arm",
+            (
+                F.col("s_arm") * 1.0 / F.col("n_arm")
+                + F.sqrt(
+                    2.0 * F.log(F.col("n_tot")) / F.col("n_arm")
+                )
+            ).alias("ucb"),
+        )
+    )
+    rk = Window.partitionBy("day").orderBy(
+        F.col("ucb").desc(), F.col("arm")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(F.col("day").cast("date").alias("day"),
+                F.col("arm").alias("chosen_arm"),
+                F.round("ucb", 6).alias("ucb"))
+        .orderBy("day")
+    )

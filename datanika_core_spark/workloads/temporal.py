@@ -396,3 +396,144 @@ def interval_overlap_supplier_transit(
         )
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Interval-union coverage: merged in-transit days per supplier
+# (round 8) — the union-length companion of the overlap join above.
+# --------------------------------------------------------------------------
+
+_IUC_TOPK = 20
+
+
+@workload(
+    "interval_union_coverage",
+    oracle=f"""
+WITH iv AS (
+  SELECT l_suppkey AS s, l_orderkey AS ok, l_linenumber AS ln,
+         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+           AS lo,
+         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+           + CAST(l_quantity AS INT) % 28 + 1 AS hi
+  FROM lineitem
+),
+flagged AS (
+  SELECT s, lo, hi,
+         CASE WHEN lo > max(hi) OVER (
+             PARTITION BY s ORDER BY lo, ok, ln
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT s, lo, hi,
+         sum(new_island) OVER (
+             PARTITION BY s ORDER BY lo, hi
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM flagged
+),
+merged AS (
+  SELECT s, isl,
+         CAST(max(hi) - min(lo) + 1 AS BIGINT) AS cov
+  FROM islands GROUP BY s, isl
+),
+per_s AS (
+  SELECT m.s,
+         CAST(count(*) AS BIGINT) AS n_islands,
+         CAST(sum(m.cov) AS BIGINT) AS covered_days
+  FROM merged m GROUP BY m.s
+),
+meta AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS n_shipments,
+         CAST(max(hi) - min(lo) + 1 AS BIGINT) AS span_days
+  FROM iv GROUP BY s
+)
+SELECT p.s AS suppkey, meta.n_shipments, p.n_islands,
+       p.covered_days, meta.span_days,
+       ROUND(p.covered_days * 1.0 / meta.span_days, 6) AS utilization,
+       CAST(row_number() OVER (ORDER BY p.covered_days DESC, p.s)
+            AS BIGINT) AS rank
+FROM per_s p JOIN meta ON meta.s = p.s
+QUALIFY rank <= {_IUC_TOPK}
+ORDER BY rank
+""",
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-UNION length per supplier: how many distinct calendar
+    days had at least one shipment in transit (same synthetic
+    transit window as interval_overlap_supplier_transit), plus the
+    merged-busy-period count and span utilization — the classic
+    sweep-line union-of-intervals aggregate (uptime, occupancy,
+    SLA-coverage) that neither an overlap join nor a plain groupBy
+    expresses.
+
+    Plan: ONE window pass per supplier — an interval starts a new
+    island when its lo exceeds the running max(hi) of all earlier
+    intervals (ties touch → merge, intervals are inclusive days);
+    island ids are a running sum of those flags; each island
+    contributes max(hi)−min(lo)+1 days. All arithmetic is integer
+    days, so the engines agree bit-for-bit.
+
+    Scale: windows partition by supplier (the natural key, millions
+    of small partitions — no global sort, no skew beyond business
+    reality); island merge is a groupBy on (supplier, island). The
+    explode-to-weeks trick the overlap join needs is unnecessary
+    here because union length is a per-supplier linear sweep."""
+    from pyspark.sql import Window as _W
+
+    li = t(spark, sf_dir, "lineitem")
+    epoch_days = F.datediff(
+        F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    iv = li.select(
+        F.col("l_suppkey").alias("s"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        epoch_days.alias("lo"),
+        (
+            epoch_days
+            + F.col("l_quantity").cast("int") % 28 + F.lit(1)
+        ).alias("hi"),
+    )
+    wprev = (
+        _W.partitionBy("s").orderBy("lo", "ok", "ln")
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "s", "lo", "hi",
+        F.when(F.col("lo") > F.max("hi").over(wprev), 1)
+        .otherwise(0).alias("new_island"),
+    )
+    wisl = (
+        _W.partitionBy("s").orderBy("lo", "hi")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "s", "lo", "hi", F.sum("new_island").over(wisl).alias("isl")
+    )
+    merged = islands.groupBy("s", "isl").agg(
+        (F.max("hi") - F.min("lo") + 1).cast("bigint").alias("cov")
+    )
+    per_s = merged.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum("cov").cast("bigint").alias("covered_days"),
+    )
+    meta = iv.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shipments"),
+        (F.max("hi") - F.min("lo") + 1).cast("bigint").alias("span_days"),
+    )
+    joined = per_s.join(meta, "s").select(
+        F.col("s").alias("suppkey"), "n_shipments", "n_islands",
+        "covered_days", "span_days",
+        F.round(
+            F.col("covered_days") * 1.0 / F.col("span_days"), 6
+        ).alias("utilization"),
+    )
+    wr = _W.orderBy(F.col("covered_days").desc(), F.col("suppkey"))
+    return (
+        joined.withColumn(
+            "rank", F.row_number().over(wr).cast("bigint")
+        )
+        .filter(F.col("rank") <= _IUC_TOPK)
+        .orderBy("rank")
+    )
