@@ -201,7 +201,9 @@ CHECK_FIRST = [
     # the 27 pending entries drain first (27 + these ≤ 50 window)
     "stats_cramers_v", "stats_ljung_box", "abtest_group_sequential",
     "bandit_ucb1_daily_choice", "eval_pass_at_k",
-    "interval_union_coverage",
+    "interval_union_coverage", "quality_gopher_wordlevel",
+    "ccnet_perplexity_buckets", "curation_dsir_importance",
+    "text_keyphrase_rake", "pack_ffd_compaction",
 ]
 
 

@@ -1318,3 +1318,145 @@ def dedup_bcubed_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bcubed_recall"),
         F.round(F.expr(_B3_F1), 6).alias("bcubed_f1"),
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights: hashed-unigram log-likelihood ratio of a
+# target domain vs the raw pool (round 8).
+# --------------------------------------------------------------------------
+
+_DSIR_B = 1024  # hashed feature buckets
+_DSIR_UNIT = 100000000  # 1e-8 log-ratio snap
+_DSIR_TOPK = 50
+_DSIR_TARGET_LANG = "en"
+_DSIR_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+
+@workload(
+    "curation_dsir_importance",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         ('0x'||substring(md5(t.term),1,15))::BIGINT % {_DSIR_B} AS b
+  FROM (SELECT doc_id, lang, unnest({_DSIR_TOKS}) AS term
+        FROM documents) t
+),
+raw_b AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tok GROUP BY b
+),
+tgt_b AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS ct
+  FROM tok WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b
+),
+norms AS (
+  SELECT (SELECT sum(cr) FROM raw_b) AS nr,
+         (SELECT coalesce(sum(ct), 0) FROM tgt_b) AS nt
+),
+lr AS (
+  SELECT r.b,
+         CAST(round((ln(coalesce(t.ct, 0) + 1) - ln(norms.nt + {_DSIR_B})
+                     - ln(r.cr + 1) + ln(norms.nr + {_DSIR_B}))
+                    * {_DSIR_UNIT}) AS BIGINT) AS lr_units
+  FROM raw_b r LEFT JOIN tgt_b t ON t.b = r.b
+  CROSS JOIN norms
+),
+docw AS (
+  SELECT tok.doc_id, tok.lang,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(lr.lr_units) AS BIGINT) AS w_units
+  FROM tok JOIN lr ON lr.b = tok.b
+  GROUP BY tok.doc_id, tok.lang
+)
+SELECT doc_id, lang, n_tok,
+       ROUND(w_units / {_DSIR_UNIT}.0 / n_tok, 6) + 0.0 AS dsir_weight,
+       CAST(row_number() OVER (
+           ORDER BY w_units * 1.0 / n_tok DESC, doc_id) AS BIGINT) AS rank
+FROM docw
+WHERE lang <> '{_DSIR_TARGET_LANG}'
+QUALIFY rank <= {_DSIR_TOPK}
+ORDER BY rank
+""",
+)
+def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, Data Selection via Importance
+    Resampling): estimate importance weights for raw-pool documents
+    as the log-likelihood ratio of a TARGET domain's hashed-unigram
+    LM over the raw pool's — here target = the English slice, pool =
+    the whole corpus, features = md5-hashed token buckets (B=1024,
+    add-one smoothed). Reports the top-k non-target documents by
+    per-token mean log-ratio: the docs DSIR would up-sample to make
+    the pool look like the target. Length-normalizing the ratio
+    removes the long-doc bias of the raw sum.
+
+    Determinism: bucket counts are exact BIGINTs, per-bucket
+    log-ratios snap to 1e-8 integer units BEFORE the per-doc sum, so
+    summation order can't flip a bit; ROUND()+0.0 canonicalizes
+    -0.0; ties break on doc_id.
+
+    Scale: one explode + bucket groupBy for each distribution
+    (map-side combinable, B=1024 rows out); the doc-scoring join is
+    tokens→lr on the bucket key with a BROADCAST of the 1024-row
+    ratio table — map-only scoring, exactly how DSIR streams the
+    pool at pretraining scale."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("term"),
+    ).select(
+        "doc_id", "lang",
+        F.expr(
+            "pmod(cast(conv(substring(md5(term),1,15),16,10) as bigint),"
+            f" {_DSIR_B})"
+        ).alias("b"),
+    )
+    raw_b = tok.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cr")
+    )
+    tgt_b = tok.filter(F.col("lang") == _DSIR_TARGET_LANG).groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    )
+    nr = raw_b.agg(F.sum("cr")).first()[0]
+    nt = tgt_b.agg(F.sum("ct")).first()[0] or 0
+    lr = (
+        raw_b.join(tgt_b, "b", "left")
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    - F.log(F.lit(float(nt + _DSIR_B)))
+                    - F.log(F.col("cr") + 1)
+                    + F.log(F.lit(float(nr + _DSIR_B)))
+                ) * _DSIR_UNIT
+            ).cast("bigint").alias("lr_units"),
+        )
+    )
+    docw = (
+        tok.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum("lr_units").cast("bigint").alias("w_units"),
+        )
+        .filter(F.col("lang") != _DSIR_TARGET_LANG)
+    )
+    wr = Window.orderBy(
+        (F.col("w_units") * 1.0 / F.col("n_tok")).desc(), F.col("doc_id")
+    )
+    return (
+        docw.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= _DSIR_TOPK)
+        .select(
+            "doc_id", "lang", "n_tok",
+            (
+                F.round(
+                    F.col("w_units") / float(_DSIR_UNIT) / F.col("n_tok"),
+                    6,
+                ) + F.lit(0.0)
+            ).alias("dsir_weight"),
+            "rank",
+        )
+        .orderBy("rank")
+    )

@@ -1917,3 +1917,168 @@ def lm_greedy_bigram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionAll(f)
     return out.orderBy("step")
+
+
+# --------------------------------------------------------------------------
+# RAKE keyphrase extraction (round 8) — the phrase-level companion of
+# keyword_textrank (token-level) and collocation_pmi_bigrams.
+# --------------------------------------------------------------------------
+
+_RAKE_STOPS = "'the', 'a', 'and', 'of', 'to', 'is'"
+_RAKE_MAX_LEN = 4
+_RAKE_TOPK = 20
+_RAKE_UNIT = 100000000
+
+
+@workload(
+    "text_keyphrase_rake",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {_O_TOKS} AS toks FROM documents
+),
+tokp AS (
+  SELECT doc_id, u.p AS pos, u.tok AS tok,
+         CASE WHEN u.tok IN ({_RAKE_STOPS}) OR u.tok = ''
+              THEN 1 ELSE 0 END AS is_stop
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(toks)),
+                  i -> {{'p': i, 'tok': toks[i + 1]}})) AS u
+    FROM d
+  )
+),
+ph AS (
+  SELECT doc_id, pos, tok, is_stop,
+         sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS phrase_id
+  FROM tokp
+),
+mem AS (SELECT doc_id, phrase_id, pos, tok FROM ph WHERE is_stop = 0),
+plen AS (
+  SELECT doc_id, phrase_id, CAST(count(*) AS BIGINT) AS n_words
+  FROM mem GROUP BY 1, 2
+),
+memk AS (
+  SELECT m.doc_id, m.phrase_id, m.pos, m.tok, k.n_words
+  FROM mem m
+  JOIN (SELECT * FROM plen
+        WHERE n_words BETWEEN 1 AND {_RAKE_MAX_LEN}) k
+    USING (doc_id, phrase_id)
+),
+wstat AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(n_words) AS BIGINT) AS deg
+  FROM memk GROUP BY tok
+),
+pscore AS (
+  SELECT m.doc_id, m.phrase_id,
+         CAST(sum(CAST(round(w.deg * 1.0 / w.freq * {_RAKE_UNIT})
+                       AS BIGINT)) AS BIGINT) AS units,
+         string_agg(m.tok, ' ' ORDER BY m.pos) AS phrase,
+         CAST(max(m.n_words) AS BIGINT) AS n_words
+  FROM memk m JOIN wstat w ON w.tok = m.tok
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT phrase, max(n_words) AS n_words,
+         CAST(count(*) AS BIGINT) AS occurrences,
+         CAST(max(units) AS BIGINT) AS units
+  FROM pscore GROUP BY phrase
+)
+SELECT phrase, n_words, occurrences,
+       ROUND(units / {_RAKE_UNIT}.0, 6) AS rake_score,
+       CAST(row_number() OVER (ORDER BY units DESC, phrase) AS BIGINT)
+         AS rank
+FROM agg
+QUALIFY rank <= {_RAKE_TOPK}
+ORDER BY rank
+""",
+)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rose et al. 2010) keyphrase extraction: candidate
+    phrases are maximal stopword-free token runs (length ≤ 4), each
+    word scores deg/freq over the candidate corpus (deg = summed
+    length of phrases containing it — favors words that live in long
+    phrases), and a phrase scores the sum of its words' scores.
+    Reports the global top-k phrases with occurrence counts — the
+    third keyword lens next to TextRank (graph centrality) and PMI
+    (pairwise surprise), and the cheapest of the three (no
+    iteration, no pair explosion).
+
+    Determinism: phrase segmentation is a per-doc running sum of
+    stopword flags over token positions (integer); word deg/freq are
+    exact BIGINTs; per-word scores snap to 1e-8 units before the
+    per-phrase sum; top-k orders by (units DESC, phrase).
+
+    Scale: one posexplode; the segmentation window partitions by
+    doc_id (parallel, no global sort); word stats and phrase
+    grouping are combiner-friendly groupBys keyed by token /
+    (doc, phrase) — every stage is linear in token count."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+    )
+    tokp = d.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).select(
+        "doc_id", "pos", "tok",
+        F.when(
+            F.expr(f"tok IN ({_RAKE_STOPS})") | (F.col("tok") == ""), 1
+        ).otherwise(0).alias("is_stop"),
+    )
+    wseg = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ph = tokp.select(
+        "doc_id", "pos", "tok", "is_stop",
+        F.sum("is_stop").over(wseg).alias("phrase_id"),
+    )
+    mem = ph.filter(F.col("is_stop") == 0).select(
+        "doc_id", "phrase_id", "pos", "tok"
+    )
+    plen = mem.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words")
+    ).filter(F.col("n_words").between(1, _RAKE_MAX_LEN))
+    memk = mem.join(plen, ["doc_id", "phrase_id"])
+    wstat = memk.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("n_words").cast("bigint").alias("deg"),
+    )
+    pscore = (
+        memk.join(wstat, "tok")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("deg") * 1.0 / F.col("freq") * _RAKE_UNIT
+                ).cast("bigint")
+            ).cast("bigint").alias("units"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(pos, tok))), s -> s.tok)"
+                ),
+            ).alias("phrase"),
+            F.max("n_words").cast("bigint").alias("n_words"),
+        )
+    )
+    agg = pscore.groupBy("phrase").agg(
+        F.max("n_words").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("occurrences"),
+        F.max("units").alias("units"),
+    )
+    wr = Window.orderBy(F.col("units").desc(), F.col("phrase"))
+    return (
+        agg.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= _RAKE_TOPK)
+        .select(
+            "phrase", "n_words", "occurrences",
+            F.round(F.col("units") / float(_RAKE_UNIT), 6)
+            .alias("rake_score"),
+            "rank",
+        )
+        .orderBy("rank")
+    )

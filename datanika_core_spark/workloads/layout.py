@@ -455,3 +455,118 @@ def compaction_plan_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# First-fit-decreasing compaction packing (round 8) — the DO step
+# after compaction_plan_advisor's WHICH step.
+# --------------------------------------------------------------------------
+
+_FFD_MAX_ITEMS = 24  # oracle unroll bound (sources are ~20 at any sf)
+
+
+def _ffd_oracle() -> str:
+    """Unrolled first-fit-decreasing: step i assigns the i-th largest
+    item to the lowest-id bin with room (or opens a new bin). Same
+    generated-CTE-chain technique as the k-center oracle
+    (similarity._kc_oracle)."""
+    steps = []
+    for i in range(1, _FFD_MAX_ITEMS + 1):
+        steps.append(f"""
+a{i} AS MATERIALIZED (
+  SELECT it.source, it.sz,
+         coalesce((SELECT min(b.bin_id) FROM b{i - 1} b CROSS JOIN cap
+                   WHERE b.load + it.sz <= cap.c),
+                  (SELECT coalesce(max(bin_id), 0) + 1 FROM b{i - 1}))
+           AS bin_id
+  FROM (SELECT source, sz FROM items WHERE rn = {i}) it
+),
+b{i} AS MATERIALIZED (
+  SELECT bin_id, CAST(sum(load) AS BIGINT) AS load FROM (
+    SELECT bin_id, load FROM b{i - 1}
+    UNION ALL
+    SELECT bin_id, sz AS load FROM a{i}
+  ) GROUP BY bin_id
+)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT * FROM a{i}" for i in range(1, _FFD_MAX_ITEMS + 1)
+    )
+    return f"""
+WITH items AS MATERIALIZED (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS sz,
+         row_number() OVER (ORDER BY sum(n_chars) DESC, source) AS rn
+  FROM documents GROUP BY source
+),
+cap AS MATERIALIZED (SELECT CAST(max(sz) * 2 AS BIGINT) AS c FROM items),
+b0 AS (SELECT CAST(NULL AS BIGINT) AS bin_id,
+              CAST(NULL AS BIGINT) AS load WHERE 1 = 0),{",".join(steps)},
+assign AS ({unions}),
+final_bins AS (SELECT * FROM b{_FFD_MAX_ITEMS}),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bins FROM final_bins)
+SELECT a.source, CAST(a.sz AS BIGINT) AS sz,
+       CAST(a.bin_id AS BIGINT) AS bin_id,
+       fb.load AS bin_load, nb.n_bins
+FROM assign a
+JOIN final_bins fb ON fb.bin_id = a.bin_id
+CROSS JOIN nb
+ORDER BY a.source
+"""
+
+
+@workload("pack_ffd_compaction", oracle=_ffd_oracle())
+def pack_ffd_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing bin packing of per-source byte totals
+    into compaction targets of capacity 2·max(size) — the classic
+    small-files compaction planner (FFD is the textbook 11/9·OPT+1
+    heuristic): sort items by size descending, put each into the
+    first bin with room. Reports every source's bin assignment, the
+    final bin loads, and the bin count.
+
+    Determinism: item sizes are exact BIGINT char totals; order is
+    (size DESC, source); first-fit picks the LOWEST bin id — the
+    whole run is integer arithmetic, and the oracle replays the
+    identical sequential recurrence as an unrolled CTE chain (the
+    k-center technique).
+
+    Scale: the cluster does ONE combiner-friendly groupBy to the
+    per-source totals; packing runs on the ≤|sources| driver rows
+    (O(k) driver state, global rule 4 of docs/SCALE.md) — at 100 TB
+    the items are file-group manifests (thousands), still driver
+    trivia, while the data never moves until the plan executes."""
+    sizes = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("bigint").alias("sz"))
+        .collect()
+    )
+    items = sorted(sizes, key=lambda r: (-r["sz"], r["source"]))
+    if len(items) > _FFD_MAX_ITEMS:
+        raise ValueError(
+            f"FFD oracle unrolls {_FFD_MAX_ITEMS} steps;"
+            f" got {len(items)} sources"
+        )
+    cap = 2 * max(r["sz"] for r in items)
+    loads: list[int] = []
+    assign: list[tuple[str, int, int]] = []
+    for r in items:
+        placed = None
+        for b, ld in enumerate(loads):
+            if ld + r["sz"] <= cap:
+                placed = b
+                break
+        if placed is None:
+            loads.append(r["sz"])
+            placed = len(loads) - 1
+        else:
+            loads[placed] += r["sz"]
+        assign.append((r["source"], int(r["sz"]), placed + 1))
+    n_bins = len(loads)
+    out = spark.createDataFrame(
+        [
+            (s, sz, b, int(loads[b - 1]), n_bins)
+            for (s, sz, b) in assign
+        ],
+        "source string, sz bigint, bin_id bigint,"
+        " bin_load bigint, n_bins bigint",
+    )
+    return out.orderBy("source")

@@ -24,7 +24,7 @@ All are map-only or single-aggregation shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datanika_core_spark.operators.minhash import TOKS_PATTERN as _TOKS
@@ -1361,4 +1361,257 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_positive"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher word-level quality rules (round 8) — the companion of
+# corpus_gopher_repetition (which covers the repetition rules).
+# --------------------------------------------------------------------------
+
+_GW_MIN_TOK = 30
+_GW_MAX_TOK = 100_000
+_GW_MWL_LO = 3.0
+_GW_MWL_HI = 10.0
+_GW_ALPHA_MIN = 0.8
+_GW_STOP_MIN = 2
+_GW_STOPS = "'the', 'a', 'and', 'of', 'to', 'is'"
+
+
+@workload(
+    "quality_gopher_wordlevel",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, {_O_TOKS} AS toks FROM documents
+),
+sig AS (
+  SELECT source,
+         CAST(len(toks) AS BIGINT) AS n_tok,
+         CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT)
+           AS n_chars,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(toks, x -> x IN ({_GW_STOPS})))
+              AS BIGINT) AS n_stop
+  FROM d
+),
+rules AS (
+  SELECT source,
+         CASE WHEN n_tok BETWEEN {_GW_MIN_TOK} AND {_GW_MAX_TOK}
+              THEN 1 ELSE 0 END AS ok_len,
+         -- exact rational compares: n_chars/n_tok in [lo, hi]
+         CASE WHEN n_chars >= {_GW_MWL_LO} * n_tok
+               AND n_chars <= {_GW_MWL_HI} * n_tok
+              THEN 1 ELSE 0 END AS ok_mwl,
+         CASE WHEN n_alpha * 1.0 >= {_GW_ALPHA_MIN} * n_tok
+              THEN 1 ELSE 0 END AS ok_alpha,
+         CASE WHEN n_stop >= {_GW_STOP_MIN} THEN 1 ELSE 0 END AS ok_stop
+  FROM sig
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(sum(ok_len) * 1.0 / count(*), 6) AS pass_len,
+       ROUND(sum(ok_mwl) * 1.0 / count(*), 6) AS pass_word_len,
+       ROUND(sum(ok_alpha) * 1.0 / count(*), 6) AS pass_alpha,
+       ROUND(sum(ok_stop) * 1.0 / count(*), 6) AS pass_stopword,
+       ROUND(sum(ok_len * ok_mwl * ok_alpha * ok_stop) * 1.0 / count(*), 6)
+         AS pass_all
+FROM rules
+GROUP BY source
+ORDER BY source
+""",
+)
+def quality_gopher_wordlevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher (Rae et al. 2021) word-level quality rules the
+    repetition workload doesn't cover: token-count bounds, mean word
+    length in [3, 10], ≥80% of words containing an alphabetic
+    character, and ≥2 stopwords — reported as per-source pass rates
+    plus the all-rules pass share (the filter a pretraining pipeline
+    applies before dedup). Every rule evaluates as an exact integer
+    compare (mean word length tests n_chars against bound·n_tok, no
+    division), so cross-engine parity is arithmetic identity.
+
+    Scale: map-only per-document signals (per-row lambdas inside
+    whole-stage codegen — no explode, no token shuffle) + one
+    source-level combiner aggregate."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.split(F.lower(F.trim(F.col("text"))), _TOKS).alias("toks"),
+    )
+    sig = d.select(
+        "source",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        F.expr(
+            "aggregate(toks, 0L, (acc, x) -> acc + length(x))"
+        ).cast("bigint").alias("n_chars"),
+        F.expr(
+            "size(filter(toks, x -> x rlike '[a-z]'))"
+        ).cast("bigint").alias("n_alpha"),
+        F.expr(
+            f"size(filter(toks, x -> x IN ({_GW_STOPS})))"
+        ).cast("bigint").alias("n_stop"),
+    )
+    rules = sig.select(
+        "source",
+        F.when(
+            F.col("n_tok").between(_GW_MIN_TOK, _GW_MAX_TOK), 1
+        ).otherwise(0).alias("ok_len"),
+        F.when(
+            (F.col("n_chars") >= _GW_MWL_LO * F.col("n_tok"))
+            & (F.col("n_chars") <= _GW_MWL_HI * F.col("n_tok")),
+            1,
+        ).otherwise(0).alias("ok_mwl"),
+        F.when(
+            F.col("n_alpha") * 1.0 >= _GW_ALPHA_MIN * F.col("n_tok"), 1
+        ).otherwise(0).alias("ok_alpha"),
+        F.when(F.col("n_stop") >= _GW_STOP_MIN, 1).otherwise(0)
+        .alias("ok_stop"),
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        rules.groupBy("source")
+        .agg(
+            cnt.cast("bigint").alias("n_docs"),
+            F.round(F.sum("ok_len") * 1.0 / cnt, 6).alias("pass_len"),
+            F.round(F.sum("ok_mwl") * 1.0 / cnt, 6).alias("pass_word_len"),
+            F.round(F.sum("ok_alpha") * 1.0 / cnt, 6).alias("pass_alpha"),
+            F.round(F.sum("ok_stop") * 1.0 / cnt, 6).alias("pass_stopword"),
+            F.round(
+                F.sum(
+                    F.col("ok_len") * F.col("ok_mwl")
+                    * F.col("ok_alpha") * F.col("ok_stop")
+                ) * 1.0 / cnt,
+                6,
+            ).alias("pass_all"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity buckets per language (round 8).
+# --------------------------------------------------------------------------
+
+_CC_BUCKETS = 3
+_CC_UNIT = 100000000  # 1e-8 log-prob snap
+
+
+@workload(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, {_O_TOKS} AS toks FROM documents
+),
+tok AS (SELECT doc_id, lang, unnest(toks) AS term FROM d),
+lm AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY lang, term
+),
+norm AS (
+  SELECT lang, CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS v
+  FROM lm GROUP BY lang
+),
+scored AS (
+  SELECT tk.doc_id, tk.lang,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(CAST(round((ln(lm.cnt + 1) - ln(norm.n + norm.v))
+                             * {_CC_UNIT}) AS BIGINT)) AS BIGINT) AS lp_units
+  FROM tok tk
+  JOIN lm ON lm.lang = tk.lang AND lm.term = tk.term
+  JOIN norm ON norm.lang = tk.lang
+  GROUP BY tk.doc_id, tk.lang
+),
+ppl AS (
+  SELECT doc_id, lang, n_tok,
+         exp(-(lp_units * 1.0 / {_CC_UNIT}) / n_tok) AS ppl
+  FROM scored
+),
+bucketed AS (
+  SELECT lang, ppl,
+         CAST(ntile({_CC_BUCKETS}) OVER (
+             PARTITION BY lang ORDER BY ppl, doc_id) AS BIGINT) AS bucket
+  FROM ppl
+)
+SELECT lang, bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(sum(CAST(round(ppl * 10000) AS BIGINT)) / 10000.0
+             / count(*), 4) AS avg_ppl
+FROM bucketed
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+""",
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's (Wenzek et al. 2020) head/middle/tail split: fit an
+    add-one unigram LM PER LANGUAGE on the corpus itself, score each
+    document's perplexity under its own language's LM, and cut each
+    language into {n} equal-count quality buckets (head = lowest
+    perplexity). The per-(lang, bucket) doc counts and mean
+    perplexities are the knobs a pretraining mixture tunes (keep
+    head+middle, drop tail — the canonical Common Crawl curation
+    recipe).
+
+    Determinism: per-token log-probs ln(c+1) − ln(N+V) derive from
+    exact BIGINTs and snap to 1e-8 integer units before the per-doc
+    sum (summation order can't flip a bit); ntile orders by the
+    identical ppl double with a doc_id tiebreak; bucket means snap
+    ppl to 1e-4 units.
+
+    Scale: token counts are one explode + (lang, term) groupBy
+    (map-side combinable); scoring joins tokens to the LM on the
+    (lang, term) equi-key — a bucketable shuffle join (CCNet shards
+    by language for exactly this reason); the ntile runs per
+    language over doc-level rows only."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.split(F.lower(F.trim(F.col("text"))), _TOKS).alias("toks"),
+    )
+    tok = d.select("doc_id", "lang", F.explode("toks").alias("term"))
+    lm = tok.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    norm = lm.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    scored = (
+        tok.join(lm, ["lang", "term"])
+        .join(F.broadcast(norm), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum(
+                F.round(
+                    (
+                        F.log(F.col("cnt") + 1)
+                        - F.log(F.col("n") + F.col("v"))
+                    ) * _CC_UNIT
+                ).cast("bigint")
+            ).cast("bigint").alias("lp_units"),
+        )
+    )
+    ppl = scored.select(
+        "doc_id", "lang",
+        F.exp(
+            -(F.col("lp_units") * 1.0 / _CC_UNIT) / F.col("n_tok")
+        ).alias("ppl"),
+    )
+    bucketed = ppl.select(
+        "lang", "ppl",
+        F.ntile(_CC_BUCKETS).over(
+            Window.partitionBy("lang").orderBy("ppl", "doc_id")
+        ).cast("bigint").alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.round(F.col("ppl") * 10000).cast("bigint"))
+                / 10000.0 / F.count(F.lit(1)),
+                4,
+            ).alias("avg_ppl"),
+        )
+        .orderBy("lang", "bucket")
     )
