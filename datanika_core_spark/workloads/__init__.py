@@ -204,6 +204,7 @@ CHECK_FIRST = [
     "interval_union_coverage", "quality_gopher_wordlevel",
     "ccnet_perplexity_buckets", "curation_dsir_importance",
     "text_keyphrase_rake", "pack_ffd_compaction",
+    "graph_kcore_bounded",
 ]
 
 

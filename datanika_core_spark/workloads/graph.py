@@ -25,7 +25,7 @@ redistributed uniformly, exactly as in the canonical formulation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datanika_core_spark.blocks import RollingCheckpoint
@@ -1957,3 +1957,161 @@ def graph_harmonic_centrality(
         )
         .orderBy("node")
     )
+
+
+# --------------------------------------------------------------------------
+# Bounded k-core peeling on the co-purchase graph (round 8).
+# --------------------------------------------------------------------------
+
+_KC_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel rounds (the FFD/k-center generated-CTE-chain
+    technique): round r keeps nodes whose degree within round r-1's
+    surviving subgraph is >= K, where K = the discrete median of the
+    initial degrees (adaptive to sf, identical in both engines)."""
+    steps = []
+    for r in range(1, _KC_ROUNDS + 1):
+        steps.append(f"""
+d{r} AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM e{r - 1} UNION ALL SELECT v AS node FROM e{r - 1}
+  ) GROUP BY node
+),
+n{r} AS MATERIALIZED (
+  SELECT d{r}.node FROM d{r} CROSS JOIN kk WHERE d{r}.d >= kk.k
+),
+e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r - 1} e
+  JOIN n{r} a ON a.node = e.u
+  JOIN n{r} b ON b.node = e.v
+)""")
+    rows = ["SELECT 0 AS round, (SELECT count(*) FROM d1) AS n_nodes,"
+            " (SELECT count(*) FROM e0) AS n_edges"]
+    for r in range(1, _KC_ROUNDS + 1):
+        rows.append(
+            f"SELECT {r}, (SELECT count(*) FROM n{r}),"
+            f" (SELECT count(*) FROM e{r})"
+        )
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+d0 AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0
+  ) GROUP BY node
+),
+kk AS MATERIALIZED (
+  SELECT greatest((d * 4) // 5, 1) AS k FROM (
+    SELECT d, row_number() OVER (ORDER BY d, node) AS rn,
+           count(*) OVER () AS n
+    FROM d0
+  ) WHERE rn = (n + 1) // 4
+),{",".join(steps)},
+summary AS ({" UNION ALL ".join(rows)})
+SELECT CAST(s.round AS BIGINT) AS round,
+       CAST(s.n_nodes AS BIGINT) AS n_nodes,
+       CAST(s.n_edges AS BIGINT) AS n_edges,
+       CAST(kk.k AS BIGINT) AS k,
+       CAST(CASE WHEN (SELECT count(*) FROM n{_KC_ROUNDS})
+                    = (SELECT count(*) FROM n{_KC_ROUNDS - 1})
+                 THEN 1 ELSE 0 END AS BIGINT) AS converged
+FROM summary s CROSS JOIN kk
+ORDER BY round
+"""
+
+
+@workload("graph_kcore_bounded", oracle=_kcore_oracle())
+def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling on the co-purchase part graph: drop
+    every node whose degree in the surviving subgraph falls below K
+    (K = 80% of the discrete lower-quartile initial degree — adapts
+    to sf while staying a deterministic integer; the co-purchase
+    graph has a sharp core threshold near Q1, so Q1 itself peels to
+    empty while 0.8·Q1 retains a dense core), repeat for a FIXED number of
+    rounds, and report the per-round node/edge counts plus whether
+    the peel converged inside the budget (fixed-round semantics,
+    like the PageRank/eigenvector iteration workloads — the honest
+    distributed form: convergence detection is itself a round).
+    The k-core is the standard dense-subgraph preprocessing cut
+    (community mining, spam-graph pruning, visualization layers).
+
+    Determinism: degrees and the median-K are exact integers; each
+    round is a pure set operation, so round counts are
+    engine-independent. Oracle replays the identical rounds as a
+    generated CTE chain.
+
+    Scale: each round is one degree groupBy + two semi-join-shaped
+    equi-joins on the surviving edge set (monotonically shrinking);
+    RollingCheckpoint truncates the per-round lineage so round N
+    never recomputes rounds 1..N-1 (the graph_khop_reach
+    discipline). Edge construction shuffles on the natural order
+    key."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        )
+
+    from datanika_core_spark.blocks import RollingCheckpoint
+
+    roll = RollingCheckpoint(spark)
+    e = roll(edges)
+    d0 = degrees(e)
+    wk = Window.orderBy("d", "node")
+    kk = (
+        d0.select(
+            "d",
+            F.row_number().over(wk).alias("rn"),
+            F.count(F.lit(1)).over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 4"))
+        .select(F.greatest(F.expr("(d * 4) div 5"), F.lit(1)).alias("k"))
+    )
+    k = int(kk.first()["k"])
+    counts = [(0, d0.count(), e.count())]
+    prev_nodes = counts[0][1]
+    converged = 0
+    for r in range(1, _KC_ROUNDS + 1):
+        surv = degrees(e).filter(F.col("d") >= k).select("node")
+        # count survivors BEFORE rolling: roll() frees the previous
+        # round's checkpoint blocks, which surv's lineage reads
+        n_nodes = surv.count()
+        e = roll(
+            e.join(surv.withColumnRenamed("node", "u"), "u")
+            .join(surv.withColumnRenamed("node", "v"), "v")
+            .select("u", "v")
+        )
+        counts.append((r, n_nodes, e.count()))
+        if r == _KC_ROUNDS and n_nodes == prev_nodes:
+            converged = 1
+        if r < _KC_ROUNDS:
+            prev_nodes = n_nodes
+    out = spark.createDataFrame(
+        [(r, n, m, k, converged) for (r, n, m) in counts],
+        "round bigint, n_nodes bigint, n_edges bigint,"
+        " k bigint, converged bigint",
+    )
+    return out.orderBy("round")
