@@ -98,3 +98,41 @@ def test_level_failure_is_deterministic_and_blocks_downstream(
     assert set(fake.calls) == {"a", "b"}
     # ... but the downstream model never started
     assert "c" not in fake.calls
+
+
+def test_concurrent_build_real_models(spark):
+    """End-to-end: four independent REAL table models + a downstream
+    union, built with threads=4 against the live SparkSession —
+    validates catalog/writer thread-safety, not just scheduling."""
+    from datanika_core_spark.operators.writers import drop_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS an")
+    drop_table(spark, "raw_conc")
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 9)], "id int, v int"
+    ).write.mode("overwrite").saveAsTable("raw_conc")
+
+    r = ModelRegistry()
+    r.add_source("raw", "conc", "raw_conc")
+    for q in range(4):
+        r.add(Model(
+            f"part{q}",
+            "SELECT id, v FROM {{ source('raw','conc') }}"
+            f" WHERE id % 4 = {q}",
+            materialization="table", schema="an",
+        ))
+    r.add(Model(
+        "conc_union",
+        " UNION ALL ".join(
+            "SELECT * FROM {{ ref('part%d') }}" % q for q in range(4)
+        ),
+        materialization="table", schema="an",
+    ))
+    report = ModelRunner(spark, r).invoke("build", threads=4)
+    assert report.executed == [f"part{q}" for q in range(4)] + ["conc_union"]
+    got = spark.table("an.conc_union").agg({"v": "sum"}).collect()[0][0]
+    assert got == sum(i * 10 for i in range(1, 9))
+    for q in range(4):
+        drop_table(spark, f"an.part{q}")
+    drop_table(spark, "an.conc_union")
+    drop_table(spark, "raw_conc")
