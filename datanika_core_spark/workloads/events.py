@@ -1718,3 +1718,234 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard over the same censored lifetimes as KM.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "survival_nelson_aalen",
+    oracle=f"""
+WITH span AS (
+  SELECT user_id,
+         CAST(min(ts) AS DATE) AS first_d,
+         CAST(max(ts) AS DATE) AS last_d
+  FROM events GROUP BY user_id
+),
+w AS (SELECT CAST(max(ts) AS DATE) AS wend FROM events),
+life AS (
+  SELECT user_id,
+         CAST(datediff('day', first_d, last_d) AS BIGINT) AS t,
+         CASE WHEN datediff('day', last_d, w.wend) < {_KM_CENSOR_DAYS}
+              THEN 1 ELSE 0 END AS censored
+  FROM span CROSS JOIN w
+),
+grp AS (
+  SELECT t,
+         CAST(sum(1 - censored) AS BIGINT) AS d_events,
+         CAST(sum(censored) AS BIGINT) AS c_censored
+  FROM life GROUP BY t
+),
+risk AS (
+  SELECT t, d_events, c_censored,
+         CAST((SELECT count(*) FROM life)
+              - coalesce(sum(d_events + c_censored) OVER (
+                    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM grp
+),
+terms AS (
+  SELECT t, d_events, c_censored, n_risk,
+         CAST(round(d_events * 100000000.0 / n_risk) AS BIGINT) AS h_units,
+         CAST(round(d_events * 1000000000000.0 / n_risk / n_risk)
+              AS BIGINT) AS v_units
+  FROM risk
+)
+SELECT t AS t_days, n_risk, d_events, c_censored,
+       ROUND(sum(h_units) OVER cum / 100000000.0, 6) AS cum_hazard,
+       ROUND(exp(-(sum(h_units) OVER cum / 100000000.0)), 6) AS na_survival,
+       ROUND(sqrt(sum(v_units) OVER cum / 1000000000000.0), 6) AS hazard_se
+FROM terms
+WINDOW cum AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+ORDER BY t_days
+""",
+)
+def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over the same censored
+    user lifetimes as survival_kaplan_meier: H(t) = Σ dᵢ/nᵢ over
+    death times ≤ t, with Var[H] = Σ dᵢ/nᵢ² (Aalen 1978) and the
+    Fleming-Harrington survival exp(−H) — the additive counterpart of
+    KM's product-limit curve, preferred when hazards feed downstream
+    regression (Cox residuals, piecewise-exponential fits) because
+    sums of per-interval hazards stay additive across cohorts.
+
+    Determinism: per-step hazard terms snap to 1e-8 integer units and
+    variance terms to 1e-12 BEFORE the cumulative sums (the KM log
+    trick, additively), so both engines accumulate identical BIGINTs;
+    exp/sqrt apply to identical doubles.
+
+    Scale: identical to KM — one user groupBy over the corpus, then
+    all windows run on the |distinct lifetimes| grid (≤ window
+    days)."""
+    ev = t(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_d"),
+        F.max("ts").cast("date").alias("last_d"),
+    )
+    wend = ev.agg(F.max("ts").cast("date").alias("wend"))
+    life = span.crossJoin(F.broadcast(wend)).select(
+        F.datediff("last_d", "first_d").cast("bigint").alias("t"),
+        F.when(
+            F.datediff("wend", "last_d") < _KM_CENSOR_DAYS, 1
+        ).otherwise(0).alias("censored"),
+    )
+    grp = life.groupBy("t").agg(
+        F.sum(1 - F.col("censored")).cast("bigint").alias("d_events"),
+        F.sum("censored").cast("bigint").alias("c_censored"),
+    )
+    from pyspark.sql import Window as _W
+
+    prev = _W.orderBy("t").rowsBetween(_W.unboundedPreceding, -1)
+    cum = _W.orderBy("t").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    total = life.count()
+    risk = grp.withColumn(
+        "n_risk",
+        (
+            F.lit(total)
+            - F.coalesce(
+                F.sum(F.col("d_events") + F.col("c_censored")).over(prev),
+                F.lit(0),
+            )
+        ).cast("bigint"),
+    )
+    terms = risk.withColumn(
+        "h_units",
+        F.round(
+            F.col("d_events") * 100000000.0 / F.col("n_risk")
+        ).cast("bigint"),
+    ).withColumn(
+        "v_units",
+        F.round(
+            F.col("d_events") * 1000000000000.0
+            / F.col("n_risk") / F.col("n_risk")
+        ).cast("bigint"),
+    )
+    return (
+        terms.select(
+            F.col("t").alias("t_days"),
+            "n_risk", "d_events", "c_censored",
+            F.round(F.sum("h_units").over(cum) / 100000000.0, 6)
+            .alias("cum_hazard"),
+            F.round(
+                F.exp(-(F.sum("h_units").over(cum) / 100000000.0)), 6
+            ).alias("na_survival"),
+            F.round(
+                F.sqrt(F.sum("v_units").over(cum) / 1000000000000.0), 6
+            ).alias("hazard_se"),
+        )
+        .orderBy("t_days")
+    )
+
+
+# --------------------------------------------------------------------------
+# Classic cohort retention triangle: signup week x age week.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "cohort_retention_triangle",
+    oracle="""
+WITH origin AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events),
+firsts AS (
+  SELECT user_id,
+         CAST(datediff('day', origin.d0, CAST(min(ts) AS DATE)) // 7
+              AS BIGINT) AS cohort_week
+  FROM events CROSS JOIN origin GROUP BY user_id, origin.d0
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         CAST(datediff('day', origin.d0, CAST(e.ts AS DATE)) // 7
+              AS BIGINT) AS week
+  FROM events e CROSS JOIN origin
+),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+  FROM firsts GROUP BY cohort_week
+),
+tri AS (
+  SELECT f.cohort_week, a.week - f.cohort_week AS age_week,
+         CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+  FROM activity a JOIN firsts f ON f.user_id = a.user_id
+  GROUP BY 1, 2
+)
+SELECT t.cohort_week, t.age_week, s.cohort_users, t.active_users,
+       ROUND(t.active_users * 1.0 / s.cohort_users, 4) AS retention
+FROM tri t JOIN sizes s ON s.cohort_week = t.cohort_week
+ORDER BY t.cohort_week, t.age_week
+""",
+)
+def cohort_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic cohort retention triangle: users grouped by signup
+    week (first event, weeks since the window origin), tracked by
+    activity at each age-in-weeks — the calendar-cohort view that
+    complements survival_kaplan_meier's user-age view (KM handles
+    censoring; the triangle shows WHICH cohort changed, the shape
+    product analytics reads first). retention = active/cohort_size;
+    age 0 is 1.0 by construction (a tested invariant).
+
+    Determinism: pure integer arithmetic (day arithmetic, integer
+    division by 7, distinct counts); one 4-dp display ratio.
+
+    Scale: one user groupBy for first-seen (map-side combinable), one
+    DISTINCT over (user, week) — both shuffle on user_id, so AQE
+    coalesces them into the same exchange; the triangle itself is
+    |cohorts| x |ages| rows. The firsts-side of the activity join is
+    a user-keyed equi-join that co-partitions with the DISTINCT."""
+    ev = t(spark, sf_dir, "events")
+    origin = ev.agg(F.min("ts").cast("date").alias("d0"))
+    firsts = (
+        ev.crossJoin(F.broadcast(origin))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.datediff(F.min("ts").cast("date"), F.first("d0"))
+                .cast("bigint") / 7
+            ).cast("bigint").alias("cohort_week")
+        )
+    )
+    activity = (
+        ev.crossJoin(F.broadcast(origin))
+        .select(
+            "user_id",
+            (
+                F.datediff(F.col("ts").cast("date"), F.col("d0"))
+                .cast("bigint") / 7
+            ).cast("bigint").alias("week"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    tri = (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("age_week"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint")
+             .alias("active_users"))
+    )
+    return (
+        tri.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week", "age_week", "cohort_users", "active_users",
+            F.round(
+                F.col("active_users") * 1.0 / F.col("cohort_users"), 4
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "age_week")
+    )

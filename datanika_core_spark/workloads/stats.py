@@ -3913,3 +3913,262 @@ def bandit_ucb1_daily_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("ucb", 6).alias("ucb"))
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the signs of day-over-day changes.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "stats_runs_test",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+signs AS (
+  SELECT event_type, day,
+         CASE WHEN x > lag(x) OVER w THEN 1
+              WHEN x < lag(x) OVER w THEN -1
+              ELSE NULL END AS s
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+nz AS (SELECT event_type, day, s FROM signs WHERE s IS NOT NULL),
+runs AS (
+  SELECT event_type, day, s,
+         CASE WHEN lag(s) OVER (PARTITION BY event_type ORDER BY day)
+                   IS DISTINCT FROM s THEN 1 ELSE 0 END AS brk
+  FROM nz
+),
+agg AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         CAST(sum(brk) AS BIGINT) AS runs
+  FROM runs GROUP BY event_type
+)
+SELECT event_type, n_pos, n_neg, runs,
+       ROUND(2.0 * n_pos * n_neg / (n_pos + n_neg) + 1, 4) AS e_runs,
+       CASE WHEN n_pos = 0 OR n_neg = 0
+                 OR 2 * n_pos * n_neg * (2 * n_pos * n_neg - n_pos - n_neg)
+                    = 0
+            THEN NULL
+            ELSE ROUND((runs - (2.0 * n_pos * n_neg / (n_pos + n_neg) + 1))
+                 / sqrt(2.0 * n_pos * n_neg
+                        * (2 * n_pos * n_neg - n_pos - n_neg)
+                        / ((n_pos + n_neg) * 1.0 * (n_pos + n_neg)
+                           * (n_pos + n_neg)
+                           * ((n_pos + n_neg) - 1))), 4) + 0.0
+       END AS z
+FROM agg
+ORDER BY event_type
+""",
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type: are the SIGNS of the
+    day-over-day changes in daily arrival counts randomly ordered, or
+    do they run in streaks (momentum / mean-reversion) that the
+    i.i.d.-noise assumption behind the z-score and CUSUM monitors
+    would violate? Zero-change days drop (the standard treatment);
+    the first break indicator on each sign sequence is 1, so
+    ``sum(brk)`` IS the run count.
+
+    Determinism: n_pos / n_neg / runs are exact BIGINTs; E[R] and
+    Var[R] use one fixed parenthesization on both sides, so z is a
+    deterministic double before display rounding (``+ 0.0``
+    canonicalizes a potential -0.0 when R sits exactly at E[R]).
+
+    Scale: one map-side-combinable day groupBy over the corpus; the
+    sign/run windows operate on the |types| x |days| daily grid —
+    thousands of rows regardless of corpus size."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    signs = daily.select(
+        "event_type", "day",
+        F.when(F.col("x") > F.lag("x").over(w), 1)
+        .when(F.col("x") < F.lag("x").over(w), -1)
+        .alias("s"),
+    ).filter(F.col("s").isNotNull())
+    runs = signs.select(
+        "event_type", "s",
+        F.when(
+            ~F.lag("s").over(w).eqNullSafe(F.col("s")), 1
+        ).otherwise(0).alias("brk"),
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_pos"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("bigint").alias("n_neg"),
+        F.sum("brk").cast("bigint").alias("runs"),
+    )
+    np_, nn, r = F.col("n_pos"), F.col("n_neg"), F.col("runs")
+    n = np_ + nn
+    e_runs = 2.0 * np_ * nn / n + 1
+    var_num = 2 * np_ * nn * (2 * np_ * nn - np_ - nn)
+    var = var_num / (n * 1.0 * n * n * (n - 1))
+    return agg.select(
+        "event_type", "n_pos", "n_neg", "runs",
+        F.round(e_runs, 4).alias("e_runs"),
+        F.when(
+            (np_ == 0) | (nn == 0) | (var_num == 0), F.lit(None)
+        ).otherwise(
+            F.round((r - e_runs) / F.sqrt(var), 4) + 0.0
+        ).alias("z"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Two-sample Hodges-Lehmann shift estimate on the dollar-binned grid.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "stats_hodges_lehmann",
+    oracle="""
+WITH assign AS (
+  SELECT event_type,
+         ('0x'||substring(md5('ab-' || CAST(user_id AS VARCHAR)),1,15))
+           ::BIGINT % 2 AS variant,
+         CAST(round(value) AS BIGINT) AS dollar
+  FROM events
+),
+ga AS (
+  SELECT event_type, dollar, CAST(count(*) AS BIGINT) AS cnt
+  FROM assign WHERE variant = 1 GROUP BY 1, 2
+),
+gb AS (
+  SELECT event_type, dollar, CAST(count(*) AS BIGINT) AS cnt
+  FROM assign WHERE variant = 0 GROUP BY 1, 2
+),
+pairs AS (
+  SELECT ga.event_type, ga.dollar - gb.dollar AS diff,
+         CAST(sum(ga.cnt * gb.cnt) AS BIGINT) AS w
+  FROM ga JOIN gb ON ga.event_type = gb.event_type
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, diff, w,
+         sum(w) OVER (PARTITION BY event_type ORDER BY diff
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cw,
+         sum(w) OVER (PARTITION BY event_type) AS tw
+  FROM pairs
+),
+hl AS (
+  SELECT event_type, CAST(min(diff) AS BIGINT) AS hl_shift
+  FROM cum WHERE 2 * cw >= tw GROUP BY event_type
+),
+moments AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_a,
+         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_b,
+         CAST(sum(CASE WHEN variant = 1 THEN dollar ELSE 0 END) AS BIGINT)
+             AS s_a,
+         CAST(sum(CASE WHEN variant = 0 THEN dollar ELSE 0 END) AS BIGINT)
+             AS s_b
+  FROM assign GROUP BY event_type
+)
+SELECT m.event_type, m.n_a, m.n_b, hl.hl_shift,
+       ROUND(s_a * 1.0 / n_a - s_b * 1.0 / n_b, 4) + 0.0 AS mean_shift
+FROM moments m JOIN hl ON hl.event_type = m.event_type
+ORDER BY m.event_type
+""",
+)
+def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Hodges-Lehmann shift estimator per event type — the
+    POINT-ESTIMATE companion of the Mann-Whitney U test (which only
+    answers "is there a shift?"): HL = median of all pairwise
+    differences (treatment value − control value), robust to the
+    heavy right tail that drags the plain mean difference around.
+    Values bin to integer dollars first, so the pair distribution
+    collapses onto the |dollar grid|² lattice — the same
+    collapsed-grid trick as weighted_median_price_brand.
+
+    Determinism: pure integer arithmetic end to end — pair weights
+    are products of BIGINT bin counts, the estimator is the smallest
+    diff whose doubled cumulative weight reaches the total (the
+    lower weighted median, a selection, not an accumulation); the
+    only doubles are the display-side mean shift.
+
+    Scale: two map-side bin groupBys over the corpus, then the
+    pair lattice is |bins_a| x |bins_b| per type — bounded by the
+    (fixed) value range, NOT by corpus size, so the plan is
+    constant-cost at 100 TB where the naive all-pairs median is
+    O(n²). The lattice join is per-type equi-join on broadcast-sized
+    frames."""
+    ev = t(spark, sf_dir, "events")
+    assign = ev.select(
+        "event_type",
+        F.expr(
+            "cast(conv(substring(md5(concat('ab-',"
+            " cast(user_id as string))),1,15),16,10) as bigint) % 2"
+        ).alias("variant"),
+        F.round("value").cast("bigint").alias("dollar"),
+    )
+    ga = (
+        assign.filter(F.col("variant") == 1)
+        .groupBy("event_type", "dollar")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    gb = (
+        assign.filter(F.col("variant") == 0)
+        .groupBy("event_type", "dollar")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    pairs = (
+        ga.alias("a")
+        .join(gb.alias("b"), "event_type")
+        .groupBy(
+            "event_type",
+            (F.col("a.dollar") - F.col("b.dollar")).alias("diff"),
+        )
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt"))
+             .cast("bigint").alias("w"))
+    )
+    wc = Window.partitionBy("event_type").orderBy("diff").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("event_type")
+    cum = pairs.select(
+        "event_type", "diff",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    hl = (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("event_type")
+        .agg(F.min("diff").cast("bigint").alias("hl_shift"))
+    )
+    moments = assign.groupBy("event_type").agg(
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("dollar")).otherwise(0))
+        .cast("bigint").alias("s_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("dollar")).otherwise(0))
+        .cast("bigint").alias("s_b"),
+    )
+    return (
+        moments.join(hl, "event_type")
+        .select(
+            "event_type", "n_a", "n_b", "hl_shift",
+            (
+                F.round(
+                    F.col("s_a") * 1.0 / F.col("n_a")
+                    - F.col("s_b") * 1.0 / F.col("n_b"),
+                    4,
+                ) + 0.0
+            ).alias("mean_shift"),
+        )
+        .orderBy("event_type")
+    )

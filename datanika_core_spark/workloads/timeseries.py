@@ -1186,3 +1186,318 @@ def timeseries_cross_correlation(
         F.col("n").alias("n_days"),
         F.round(F.expr(_XC_R), 6).alias("r"),
     ).orderBy("lag")
+
+
+# --------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis over the hourly series.
+# --------------------------------------------------------------------------
+
+#: R/S block sizes (log-spaced over the ~720-hour window)
+_HURST_NS = (8, 24, 72, 216)
+
+
+@workload(
+    "timeseries_hurst_exponent",
+    oracle=f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY hr) AS i, x FROM hourly
+),
+blocked AS (
+  SELECT n.n AS n, (i - 1) // n.n AS blk,
+         row_number() OVER (PARTITION BY n.n, (i - 1) // n.n
+                            ORDER BY i) AS t,
+         x
+  FROM idx CROSS JOIN (
+    SELECT unnest([{", ".join(str(n) for n in _HURST_NS)}]) AS n) n
+),
+walks AS (
+  SELECT n, blk, t, x,
+         sum(x) OVER (PARTITION BY n, blk ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         sum(x) OVER (PARTITION BY n, blk) AS s,
+         count(*) OVER (PARTITION BY n, blk) AS cnt
+  FROM blocked
+),
+per_block AS (
+  SELECT n, blk,
+         CAST(max(n * cum - t * s) - min(n * cum - t * s) AS BIGINT)
+             AS r_int,
+         CAST(n * sum(x * x) - max(s) * max(s) AS BIGINT) AS var_int
+  FROM walks WHERE cnt = n
+  GROUP BY n, blk
+),
+rs AS (
+  SELECT n, CAST(round(r_int * 1000000000.0 / sqrt(var_int))
+                 AS BIGINT) AS rs_units
+  FROM per_block WHERE var_int > 0
+),
+avg_rs AS (
+  SELECT CAST(n AS BIGINT) AS block_n,
+         CAST(count(*) AS BIGINT) AS n_blocks,
+         sum(rs_units) / count(*) / 1000000000.0 AS avg_rs
+  FROM rs GROUP BY n
+),
+pts AS (
+  SELECT block_n, n_blocks, avg_rs,
+         CAST(round(ln(block_n) * 1000000) AS BIGINT) AS xu,
+         CAST(round(ln(avg_rs) * 1000000) AS BIGINT) AS yu
+  FROM avg_rs
+),
+slope AS (
+  SELECT (count(*) * sum(xu * yu) - sum(xu) * sum(yu)) * 1.0
+         / (count(*) * sum(xu * xu) - sum(xu) * sum(xu)) AS h
+  FROM pts
+)
+SELECT block_n, n_blocks, ROUND(avg_rs, 6) AS avg_rs,
+       ROUND(slope.h, 4) AS hurst
+FROM pts CROSS JOIN slope
+ORDER BY block_n
+""",
+)
+def timeseries_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the hourly arrival series via rescaled-range
+    analysis (Hurst 1951; Mandelbrot & Wallis 1969): split the ranked
+    hourly counts into blocks of n ∈ {ns}, compute each block's
+    rescaled range R/S (range of the mean-adjusted cumulative walk
+    over the population stddev), and fit H as the log-log slope of
+    avg(R/S) against n. H ≈ 0.5 is memoryless; H > 0.5 means
+    long-range dependence (bursty traffic whose variance grows
+    superlinearly under aggregation — the property that decides
+    whether per-shard rate forecasts can assume i.i.d. noise).
+
+    Determinism: the walk deviation is the n-scaled BIGINT
+    d_t = n·cum_t − t·S, R is a BIGINT range, n·Σx²−S² keeps the
+    variance integer, so each block's R/S is one BIGINT-by-sqrt(BIGINT)
+    division — identical doubles on both engines; block R/S values
+    snap to 1e-9 units before averaging and the regression runs on
+    1e-6-snapped log coordinates, so H is integer-exact arithmetic
+    until two final divisions. Constant blocks (S²=n·Σx²) drop on
+    both sides.
+
+    Scale: the corpus-sized work is ONE hourly groupBy (map-side
+    combinable); blocking, walks, and the 4-point regression all run
+    on the |hours| grid (~720 rows/month regardless of corpus size),
+    where the single-partition rank window is the right plan."""
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    idx = hourly.select(
+        F.row_number().over(Window.orderBy("hr")).alias("i"), "x"
+    )
+    blocked = idx.select(
+        F.explode(
+            F.array(*[F.lit(n) for n in _HURST_NS])
+        ).alias("n"),
+        "i", "x",
+    ).select(
+        "n", "x",
+        ((F.col("i") - 1) - ((F.col("i") - 1) % F.col("n")))
+        .alias("blk_scaled"),
+        "i",
+    ).select(
+        "n", "x", "i",
+        (F.col("blk_scaled") / F.col("n")).cast("bigint").alias("blk"),
+    )
+    wb = Window.partitionBy("n", "blk").orderBy("i")
+    wall = Window.partitionBy("n", "blk")
+    walks = blocked.select(
+        "n", "blk", "x",
+        F.row_number().over(wb).alias("t"),
+        F.sum("x").over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("x").over(wall).alias("s"),
+        F.count(F.lit(1)).over(wall).alias("cnt"),
+    )
+    d = F.col("n") * F.col("cum") - F.col("t") * F.col("s")
+    per_block = (
+        walks.filter(F.col("cnt") == F.col("n"))
+        .groupBy("n", "blk")
+        .agg(
+            (F.max(d) - F.min(d)).cast("bigint").alias("r_int"),
+            (
+                F.max("n") * F.sum(F.col("x") * F.col("x"))
+                - F.max("s") * F.max("s")
+            ).cast("bigint").alias("var_int"),
+        )
+    )
+    rs = per_block.filter(F.col("var_int") > 0).select(
+        "n",
+        F.round(
+            F.col("r_int") * 1000000000.0 / F.sqrt(F.col("var_int"))
+        ).cast("bigint").alias("rs_units"),
+    )
+    avg_rs = rs.groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        (
+            F.sum("rs_units") / F.count(F.lit(1)) / 1000000000.0
+        ).alias("avg_rs"),
+    ).select(
+        F.col("n").cast("bigint").alias("block_n"), "n_blocks", "avg_rs"
+    )
+    pts = avg_rs.select(
+        "block_n", "n_blocks", "avg_rs",
+        F.round(F.log("block_n") * 1000000).cast("bigint").alias("xu"),
+        F.round(F.log("avg_rs") * 1000000).cast("bigint").alias("yu"),
+    )
+    slope = pts.agg(
+        (
+            (
+                F.count(F.lit(1)) * F.sum(F.col("xu") * F.col("yu"))
+                - F.sum("xu") * F.sum("yu")
+            ) * 1.0
+            / (
+                F.count(F.lit(1)) * F.sum(F.col("xu") * F.col("xu"))
+                - F.sum("xu") * F.sum("xu")
+            )
+        ).alias("h")
+    )
+    return (
+        pts.crossJoin(F.broadcast(slope))
+        .select(
+            "block_n", "n_blocks",
+            F.round("avg_rs", 6).alias("avg_rs"),
+            F.round("h", 4).alias("hurst"),
+        )
+        .orderBy("block_n")
+    )
+
+
+# --------------------------------------------------------------------------
+# Page-Hinkley drift detector on the daily mean-value series.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "drift_page_hinkley",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, day, cents * 1.0 / cnt AS x,
+         row_number() OVER w AS i,
+         sum(cents * 1.0 / cnt) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+u AS (
+  SELECT event_type, day,
+         sum(x - cx / i) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ut
+  FROM m
+),
+ph AS (
+  SELECT event_type, day, ut,
+         ut - min(ut) OVER cum AS ph_inc,
+         max(ut) OVER cum - ut AS ph_dec
+  FROM u
+  WINDOW cum AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+best AS (
+  SELECT event_type, day, ph_inc, ph_dec,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ph_inc DESC, day) AS ri,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ph_dec DESC, day) AS rd,
+         count(*) OVER (PARTITION BY event_type) AS n_days
+  FROM ph
+)
+SELECT i.event_type, CAST(i.n_days AS BIGINT) AS n_days,
+       ROUND(i.ph_inc / 100.0, 4) + 0.0 AS ph_inc,
+       CAST(i.day AS DATE) AS inc_day,
+       ROUND(d.ph_dec / 100.0, 4) + 0.0 AS ph_dec,
+       CAST(d.day AS DATE) AS dec_day
+FROM best i JOIN best d
+  ON d.event_type = i.event_type AND d.rd = 1
+WHERE i.ri = 1
+ORDER BY i.event_type
+""",
+)
+def drift_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detector (Page 1954; the sequential test
+    stream-mining uses for concept drift) on each event type's daily
+    mean value: U_t = Σ(x_i − x̄_i) accumulates deviations from the
+    RUNNING mean, PH⁺ = U_t − min U_s flags an upward level shift,
+    PH⁻ = max U_s − U_t a downward one. Reports each type's peak
+    statistic and the day it peaked — the day a threshold-λ monitor
+    would alarm. Complements CUSUM (fixed reference mean) by
+    self-centering: no training period needs pinning.
+
+    Determinism: daily means come from exact BIGINT cents; every
+    accumulation (running mean, U, prefix min/max) is an ORDERED
+    window, so both engines execute the identical IEEE sequence —
+    bit-exact before display rounding (ROUND + 0.0 canonicalizes the
+    -0.0 a zero-drift type would hit). Argmax days tie-break earliest.
+
+    Scale: one map-side-combinable day groupBy over the corpus;
+    every window runs on the |types| x |days| daily grid."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint").alias("cents"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    x = F.col("cents") * 1.0 / F.col("cnt")
+    m = daily.select(
+        "event_type", "day", x.alias("x"),
+        F.row_number().over(w).alias("i"),
+        F.sum(x).over(cum).alias("cx"),
+    )
+    u = m.select(
+        "event_type", "day",
+        F.sum(F.col("x") - F.col("cx") / F.col("i")).over(cum).alias("ut"),
+    )
+    ph = u.select(
+        "event_type", "day", "ut",
+        (F.col("ut") - F.min("ut").over(cum)).alias("ph_inc"),
+        (F.max("ut").over(cum) - F.col("ut")).alias("ph_dec"),
+    )
+    best = ph.select(
+        "event_type", "day", "ph_inc", "ph_dec",
+        F.row_number().over(
+            Window.partitionBy("event_type")
+            .orderBy(F.col("ph_inc").desc(), "day")
+        ).alias("ri"),
+        F.row_number().over(
+            Window.partitionBy("event_type")
+            .orderBy(F.col("ph_dec").desc(), "day")
+        ).alias("rd"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type")
+        ).alias("n_days"),
+    )
+    inc = best.filter(F.col("ri") == 1).select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        (F.round(F.col("ph_inc") / 100.0, 4) + 0.0).alias("ph_inc"),
+        F.col("day").cast("date").alias("inc_day"),
+    )
+    dec = best.filter(F.col("rd") == 1).select(
+        "event_type",
+        (F.round(F.col("ph_dec") / 100.0, 4) + 0.0).alias("ph_dec"),
+        F.col("day").cast("date").alias("dec_day"),
+    )
+    return (
+        inc.join(dec, "event_type")
+        .select("event_type", "n_days", "ph_inc", "inc_day",
+                "ph_dec", "dec_day")
+        .orderBy("event_type")
+    )
