@@ -1589,3 +1589,130 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# MATTR lexical diversity — the windowed type-token ratio.
+# --------------------------------------------------------------------------
+
+#: MATTR sliding-window width (tokens)
+_MATTR_W = 25
+
+
+@workload(
+    "text_mattr_diversity",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term,
+         generate_subscripts(
+             regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, lang, term, pos,
+         count(*) OVER (PARTITION BY doc_id) AS len,
+         coalesce(lag(pos) OVER (PARTITION BY doc_id, term
+                                 ORDER BY pos), 0) AS prev
+  FROM tok
+),
+contrib AS (
+  SELECT doc_id, lang, term, len, len - {_MATTR_W} + 1 AS nwin,
+         greatest(0, least(pos, len - {_MATTR_W} + 1)
+                     - greatest(prev, pos - {_MATTR_W}, 0)) AS c
+  FROM sized WHERE len >= {_MATTR_W}
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(sum(c) AS BIGINT) AS firsts,
+         CAST(max(nwin) AS BIGINT) AS nwin,
+         CAST(count(*) AS BIGINT) AS toks
+  FROM contrib GROUP BY 1, 2
+),
+lang_types AS (
+  SELECT lang, CAST(count(DISTINCT term) AS BIGINT) AS n_types
+  FROM contrib GROUP BY lang
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.nwin) AS BIGINT) AS n_windows,
+       ROUND(sum(d.firsts) * 1.0 / sum(d.nwin) / {_MATTR_W}, 6) AS mattr,
+       ROUND(max(lt.n_types) * 1.0 / sum(d.toks), 6) AS ttr
+FROM per_doc d JOIN lang_types lt ON lt.lang = d.lang
+GROUP BY d.lang
+ORDER BY d.lang
+""",
+)
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR lexical diversity per language (Covington & McFall
+    2010): the plain type-token ratio (TTR) shrinks with document
+    length (Heaps' law), so corpora of different lengths aren't
+    comparable — MATTR fixes it by averaging the distinct-token
+    count over every sliding window of W={_MATTR_W} tokens. Low
+    MATTR flags repetitive/templated text the quality filters
+    should down-weight; TTR is reported alongside to show the bias.
+
+    The trick that makes it ONE pass instead of L windows per doc:
+    token at position j is the first occurrence within a window
+    starting at s iff prev(j) < s ≤ j and the window covers j, so
+    its total contribution to Σ_windows distinct is
+    max(0, min(j, nwin) − max(prev_j, j−W, 0)) — pure integer
+    arithmetic off one lag window, no per-window expansion. MATTR =
+    Σ contributions / (n_windows · W) exactly.
+
+    Determinism: integer counts end to end, two display ratios.
+
+    Scale: one shuffle on (doc_id, term) for the lag, one lang
+    groupBy — both map-side combinable; nothing materializes the
+    window × token cross product (docs shorter than W drop on both
+    sides)."""
+    docs = t(spark, sf_dir, "documents")
+    W = _MATTR_W
+    tok = docs.select(
+        "doc_id", "lang",
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("pos0", "term"),
+    ).select("doc_id", "lang", "term", (F.col("pos0") + 1).alias("pos"))
+    wdoc = Window.partitionBy("doc_id")
+    wterm = Window.partitionBy("doc_id", "term").orderBy("pos")
+    sized = tok.select(
+        "doc_id", "lang", "term", "pos",
+        F.count(F.lit(1)).over(wdoc).alias("len"),
+        F.coalesce(F.lag("pos").over(wterm), F.lit(0)).alias("prev"),
+    )
+    contrib = sized.filter(F.col("len") >= W).select(
+        "doc_id", "lang", "term",
+        (F.col("len") - W + 1).alias("nwin"),
+        F.greatest(
+            F.lit(0),
+            F.least(F.col("pos"), F.col("len") - W + 1)
+            - F.greatest(
+                F.col("prev"), F.col("pos") - W, F.lit(0)
+            ),
+        ).alias("c"),
+    )
+    per_doc = contrib.groupBy("doc_id", "lang").agg(
+        F.sum("c").cast("bigint").alias("firsts"),
+        F.max("nwin").cast("bigint").alias("nwin"),
+        F.count(F.lit(1)).cast("bigint").alias("toks"),
+    )
+    lang_types = contrib.groupBy("lang").agg(
+        F.count_distinct("term").cast("bigint").alias("n_types")
+    )
+    return (
+        per_doc.join(F.broadcast(lang_types), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nwin").cast("bigint").alias("n_windows"),
+            F.round(
+                F.sum("firsts") * 1.0 / F.sum("nwin") / W, 6
+            ).alias("mattr"),
+            F.round(
+                F.max("n_types") * 1.0 / F.sum("toks"), 6
+            ).alias("ttr"),
+        )
+        .select("lang", "n_docs", "n_windows", "mattr", "ttr")
+        .orderBy("lang")
+    )

@@ -1460,3 +1460,157 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR two-LM KL diagnostics: per-source domain distance to the target.
+# --------------------------------------------------------------------------
+
+#: 1e-12 per-cell KL-term snap (terms are O(1e-2); 1024 cells keep
+#: the BIGINT sum far from overflow)
+_DSIR_KL_UNIT = 1000000000000
+
+
+@workload(
+    "curation_dsir_kl_diagnostics",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, lang,
+         ('0x'||substring(md5(t.term),1,15))::BIGINT % {_DSIR_B} AS b
+  FROM (SELECT source, lang, unnest({_DSIR_TOKS}) AS term
+        FROM documents) t
+),
+tgt AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS ct
+  FROM tok WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b
+),
+nt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM tgt),
+srcs AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS ns FROM tok GROUP BY source
+),
+sb AS (
+  SELECT source, b, CAST(count(*) AS BIGINT) AS cs
+  FROM tok GROUP BY source, b
+),
+grid AS (
+  SELECT s.source, s.ns, g.b
+  FROM srcs s CROSS JOIN (SELECT unnest(range({_DSIR_B})) AS b) g
+),
+cell AS (
+  SELECT grid.source, grid.ns,
+         (coalesce(tgt.ct, 0) + 1) * 1.0 / (nt.nt + {_DSIR_B}) AS pt,
+         (coalesce(sb.cs, 0) + 1) * 1.0 / (grid.ns + {_DSIR_B}) AS qs
+  FROM grid
+  LEFT JOIN sb ON sb.source = grid.source AND sb.b = grid.b
+  LEFT JOIN tgt ON tgt.b = grid.b
+  CROSS JOIN nt
+),
+terms AS (
+  SELECT source, ns,
+         CAST(round(pt * (ln(pt) - ln(qs)) * {_DSIR_KL_UNIT})
+              AS BIGINT) AS kl_ts_u,
+         CAST(round(qs * (ln(qs) - ln(pt)) * {_DSIR_KL_UNIT})
+              AS BIGINT) AS kl_st_u
+  FROM cell
+)
+SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+       ROUND(sum(kl_ts_u) / {_DSIR_KL_UNIT}.0, 6) AS kl_target_source,
+       ROUND(sum(kl_st_u) / {_DSIR_KL_UNIT}.0, 6) AS kl_source_target,
+       ROUND((sum(kl_ts_u) + sum(kl_st_u)) / {_DSIR_KL_UNIT}.0, 6)
+           AS jeffreys
+FROM terms GROUP BY source
+ORDER BY source
+""",
+)
+def curation_dsir_kl_diagnostics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The source-level diagnostic DSIR's paper (Xie et al. 2023)
+    computes before resampling: per-source KL divergence between each
+    source's hashed-unigram LM and the target domain's (here: the
+    English slice), both directions plus the symmetric Jeffreys sum.
+    curation_dsir_importance ranks DOCUMENTS for resampling; this
+    ranks SOURCES for mixture decisions — which feeds to up/down-
+    weight wholesale before any per-doc work. Add-one smoothing over
+    the same B={_DSIR_B} md5 buckets as the importance workload, so
+    the two read the same feature space.
+
+    Determinism: bucket counts are exact BIGINTs; each of the
+    source x {_DSIR_B} KL terms snaps to 1e-12 integer units before
+    the per-source sum, so cross-engine summation order can't move a
+    bit.
+
+    Scale: ONE token-bucket groupBy over the corpus (map-side
+    combinable, {_DSIR_B} x |sources| cells max), then all KL
+    arithmetic runs on the dense |sources| x {_DSIR_B} grid — a few
+    thousand rows regardless of corpus size; the target distribution
+    ({_DSIR_B} rows) broadcasts."""
+    docs = t(spark, sf_dir, "documents")
+    B = _DSIR_B
+    tok = docs.select(
+        "source", "lang",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("term"),
+    ).select(
+        "source", "lang",
+        F.expr(
+            "cast(conv(substring(md5(term),1,15),16,10) as bigint)"
+            f" % {B}"
+        ).alias("b"),
+    )
+    tgt = (
+        tok.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    nt = tgt.agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).cast("bigint").alias("nt")
+    )
+    srcs = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns")
+    )
+    sb = tok.groupBy("source", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cs")
+    )
+    grid = srcs.crossJoin(
+        F.broadcast(spark.range(B).select(F.col("id").alias("b")))
+    )
+    cell = (
+        grid.join(F.broadcast(sb), ["source", "b"], "left")
+        .join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "source", "ns",
+            (
+                (F.coalesce(F.col("ct"), F.lit(0)) + 1) * 1.0
+                / (F.col("nt") + B)
+            ).alias("pt"),
+            (
+                (F.coalesce(F.col("cs"), F.lit(0)) + 1) * 1.0
+                / (F.col("ns") + B)
+            ).alias("qs"),
+        )
+    )
+    u = float(_DSIR_KL_UNIT)
+    terms = cell.select(
+        "source", "ns",
+        F.round(
+            F.col("pt") * (F.log("pt") - F.log("qs")) * u
+        ).cast("bigint").alias("kl_ts_u"),
+        F.round(
+            F.col("qs") * (F.log("qs") - F.log("pt")) * u
+        ).cast("bigint").alias("kl_st_u"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("ns").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("kl_ts_u") / u, 6).alias("kl_target_source"),
+            F.round(F.sum("kl_st_u") / u, 6).alias("kl_source_target"),
+            F.round(
+                (F.sum("kl_ts_u") + F.sum("kl_st_u")) / u, 6
+            ).alias("jeffreys"),
+        )
+        .orderBy("source")
+    )
