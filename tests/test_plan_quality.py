@@ -923,3 +923,116 @@ def test_gbdt_and_woe_histograms_join_broadcast_ranges(r7s3_plans):
                  "anomaly_histogram_density"):
         p = r7s3_plans[name]
         assert "BroadcastHashJoin" in p, name
+
+
+# --------------------------------------------------------------------------
+# Round-8 additions (both builder sessions): registry-wide audit plus
+# targeted shape pins for the new families.
+# --------------------------------------------------------------------------
+
+_R8_FAMILIES = [
+    # session 1
+    "stats_cramers_v",
+    "stats_ljung_box",
+    "abtest_group_sequential",
+    "bandit_ucb1_daily_choice",
+    "eval_pass_at_k",
+    "interval_union_coverage",
+    "quality_gopher_wordlevel",
+    "ccnet_perplexity_buckets",
+    "curation_dsir_importance",
+    "text_keyphrase_rake",
+    "pack_ffd_compaction",
+    "graph_kcore_bounded",
+    # session 2
+    "stats_runs_test",
+    "stats_hodges_lehmann",
+    "survival_nelson_aalen",
+    "cohort_retention_triangle",
+    "timeseries_hurst_exponent",
+    "drift_page_hinkley",
+    "text_mattr_diversity",
+    "curation_dsir_kl_diagnostics",
+]
+
+
+@pytest.fixture(scope="module")
+def r8_plans(spark):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    reg = load_all()
+    try:
+        return {n: _plan(reg[n].fn(spark, SF)) for n in _R8_FAMILIES}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_r8_no_cartesian(r8_plans):
+    offenders = [
+        n for n, p in r8_plans.items() if "CartesianProduct" in p
+    ]
+    assert offenders == []
+
+
+def test_hodges_lehmann_pairs_are_type_equi_join(r8_plans):
+    """The pair lattice joins the two dollar-bin grids on event_type
+    (a hash equi-join over range-bounded frames) — a nested loop
+    here means the collapsed-grid trick silently degraded to
+    all-pairs."""
+    p = r8_plans["stats_hodges_lehmann"]
+    assert "HashJoin" in p or "SortMergeJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_runs_test_is_joinless(r8_plans):
+    """The runs test runs entirely on the daily grid: scan → day
+    groupBy → windows. Any join is a regression."""
+    assert "Join" not in r8_plans["stats_runs_test"]
+
+
+def test_page_hinkley_joins_only_the_type_grid(r8_plans):
+    """Page-Hinkley's only join is the final inc/dec readout merge
+    on event_type (|types| rows, broadcast); the corpus never joins
+    anything."""
+    p = r8_plans["drift_page_hinkley"]
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_hurst_blocks_stay_joinless_until_slope(r8_plans):
+    """Hurst = one hourly groupBy, block windows, and ONE 4-row
+    slope broadcast back onto the points — no shuffled join and
+    no cartesian over the hourly grid."""
+    p = r8_plans["timeseries_hurst_exponent"]
+    assert "SortMergeJoin" not in p
+
+
+def test_dsir_kl_grid_joins_broadcast(r8_plans):
+    """The dense source × bucket grid left-joins per-source and
+    target bucket counts — both must broadcast (each ≤ |sources|·B
+    rows); the target distribution is 1024 rows by construction."""
+    p = r8_plans["curation_dsir_kl_diagnostics"]
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_mattr_contributions_are_window_only(r8_plans):
+    """MATTR's one-pass contribution formula needs exactly the
+    (doc, term) lag window and the per-doc length window — the
+    per-window token expansion it replaces would appear as a join
+    or explode-driven shuffle growth."""
+    p = r8_plans["text_mattr_diversity"]
+    assert "Window" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_retention_triangle_sizes_broadcast(r8_plans):
+    """Cohort sizes (≤ |weeks| rows) must broadcast into the
+    triangle; the activity-firsts join shuffles on user_id (the
+    natural key) and must stay an equi-join."""
+    p = r8_plans["cohort_retention_triangle"]
+    assert "BroadcastHashJoin" in p
+    # the only nested-loop is the 1-row window-origin broadcast (the
+    # scalar cross-join convention); a real product would surface as
+    # CartesianProduct, pinned registry-wide above
+    assert "CartesianProduct" not in p
