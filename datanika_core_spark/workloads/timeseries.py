@@ -1453,6 +1453,14 @@ def drift_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("cents"),
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
     )
+    return _page_hinkley_report(daily)
+
+
+def _page_hinkley_report(daily: DataFrame) -> DataFrame:
+    """PH readout from a (event_type, day, cents, cnt) daily grid —
+    shared verbatim by the batch workload and the streaming monitor
+    (streaming/ph.py), so their reports are the SAME plan over the
+    same grid: exact parity by construction."""
     w = Window.partitionBy("event_type").orderBy("day")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     x = F.col("cents") * 1.0 / F.col("cnt")
