@@ -210,7 +210,8 @@ CHECK_FIRST = [
     "stats_runs_test", "stats_hodges_lehmann", "survival_nelson_aalen",
     "cohort_retention_triangle", "timeseries_hurst_exponent",
     "drift_page_hinkley", "text_mattr_diversity",
-    "curation_dsir_kl_diagnostics",
+    "curation_dsir_kl_diagnostics", "stats_mann_kendall",
+    "sample_pps_ht_estimate",
 ]
 
 

@@ -1614,3 +1614,145 @@ def curation_dsir_kl_diagnostics(
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Horvitz-Thompson estimation from the systematic PPS sample.
+# --------------------------------------------------------------------------
+
+#: 1e-6 snap for per-winner HT terms (terms are O(total/n); the
+#: ≤n-winner sum stays far from BIGINT range)
+_HT_UNIT = 1000000
+
+
+@workload(
+    "sample_pps_ht_estimate",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+              AS BIGINT) AS toks
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, weight, toks,
+         sum(weight) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS c,
+         sum(weight) OVER () AS total
+  FROM w
+),
+hits AS (
+  SELECT doc_id, weight, toks, total,
+         CAST((c * {_PPS_N}) // total
+              - ((c - weight) * {_PPS_N}) // total AS BIGINT) AS n_hits
+  FROM cum
+  WHERE (c * {_PPS_N}) // total > ((c - weight) * {_PPS_N}) // total
+),
+terms AS (
+  SELECT n_hits,
+         CAST(round(n_hits * toks * total * 1.0
+                    / ({_PPS_N} * weight) * {_HT_UNIT}) AS BIGINT)
+             AS tok_u,
+         CAST(round(n_hits * total * 1.0
+                    / ({_PPS_N} * weight) * {_HT_UNIT}) AS BIGINT)
+             AS doc_u
+  FROM hits
+),
+truth AS (
+  SELECT CAST(sum(toks) AS BIGINT) AS true_tokens,
+         CAST(count(*) AS BIGINT) AS true_docs
+  FROM w
+)
+SELECT CAST(sum(n_hits) AS BIGINT) AS n_sample,
+       truth.true_tokens,
+       ROUND(sum(tok_u) / {_HT_UNIT}.0, 2) AS ht_tokens,
+       ROUND(abs(sum(tok_u) / {_HT_UNIT}.0 - truth.true_tokens)
+             / truth.true_tokens, 6) AS tok_rel_err,
+       truth.true_docs,
+       ROUND(sum(doc_u) / {_HT_UNIT}.0, 2) AS ht_docs,
+       ROUND(abs(sum(doc_u) / {_HT_UNIT}.0 - truth.true_docs)
+             / truth.true_docs, 6) AS doc_rel_err
+FROM terms CROSS JOIN truth
+GROUP BY truth.true_tokens, truth.true_docs
+""",
+)
+def sample_pps_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimation from the systematic PPS sample —
+    the ESTIMATOR the sampler exists for: with inclusion expectation
+    E[hits_i] = n·wᵢ/W, Ŷ = Σ_winners hits·yᵢ·W/(n·wᵢ) is unbiased
+    for any y. Estimates the corpus token total (y = tokens, weight
+    = chars — correlated, so PPS variance is small) and the doc
+    count (y = 1 — anti-correlated with weight, showing where PPS is
+    the WRONG design), each with measured relative error vs the full
+    scan: the pps sampler's eval twin, in the recall-eval tradition
+    (the full-scan truth is the eval harness, not the production
+    path — production reads only the ≤n winners).
+
+    Determinism: sample membership is the sampler's pure-BIGINT
+    quota rule; per-winner HT terms snap to 1e-6 units before the
+    ≤n-row sum, so summation order can't move a bit.
+
+    Scale: the sampler's one scan + global prefix sum; the estimator
+    adds arithmetic on ≤n winner rows. The truth branch is one
+    map-side-combinable aggregate of the same scan."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("weight"),
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast("bigint").alias("toks"),
+    )
+    wcum = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy(F.lit(1))
+    cum = w.select(
+        "doc_id", "weight", "toks",
+        F.sum("weight").over(wcum).alias("c"),
+        F.sum("weight").over(wall).alias("total"),
+    )
+    hi = F.expr(f"(c * {_PPS_N}) div total")
+    lo = F.expr(f"((c - weight) * {_PPS_N}) div total")
+    hits = cum.filter(hi > lo).select(
+        "weight", "toks", "total", (hi - lo).alias("n_hits")
+    )
+    u = float(_HT_UNIT)
+    terms = hits.select(
+        "n_hits",
+        F.round(
+            F.col("n_hits") * F.col("toks") * F.col("total") * 1.0
+            / (_PPS_N * F.col("weight")) * u
+        ).cast("bigint").alias("tok_u"),
+        F.round(
+            F.col("n_hits") * F.col("total") * 1.0
+            / (_PPS_N * F.col("weight")) * u
+        ).cast("bigint").alias("doc_u"),
+    )
+    truth = w.agg(
+        F.sum("toks").cast("bigint").alias("true_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("true_docs"),
+    )
+    est = terms.agg(
+        F.sum("n_hits").cast("bigint").alias("n_sample"),
+        F.sum("tok_u").alias("tok_us"),
+        F.sum("doc_u").alias("doc_us"),
+    )
+    return est.crossJoin(F.broadcast(truth)).select(
+        "n_sample",
+        "true_tokens",
+        F.round(F.col("tok_us") / u, 2).alias("ht_tokens"),
+        F.round(
+            F.abs(F.col("tok_us") / u - F.col("true_tokens"))
+            / F.col("true_tokens"),
+            6,
+        ).alias("tok_rel_err"),
+        "true_docs",
+        F.round(F.col("doc_us") / u, 2).alias("ht_docs"),
+        F.round(
+            F.abs(F.col("doc_us") / u - F.col("true_docs"))
+            / F.col("true_docs"),
+            6,
+        ).alias("doc_rel_err"),
+    )

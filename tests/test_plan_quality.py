@@ -953,6 +953,8 @@ _R8_FAMILIES = [
     "drift_page_hinkley",
     "text_mattr_diversity",
     "curation_dsir_kl_diagnostics",
+    "stats_mann_kendall",
+    "sample_pps_ht_estimate",
 ]
 
 
@@ -1036,3 +1038,19 @@ def test_retention_triangle_sizes_broadcast(r8_plans):
     # scalar cross-join convention); a real product would surface as
     # CartesianProduct, pinned registry-wide above
     assert "CartesianProduct" not in p
+
+
+def test_mann_kendall_pairs_join_on_type(r8_plans):
+    """The |days|² pair comparison must hash-join on event_type
+    (day inequality as a post-filter) — never a nested loop over
+    the daily grid."""
+    p = r8_plans["stats_mann_kendall"]
+    assert "HashJoin" in p or "SortMergeJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ht_estimate_has_no_shuffled_join(r8_plans):
+    """HT estimation adds only a 1-row truth broadcast to the
+    sampler's prefix-sum plan — any SortMergeJoin means the winner
+    set got joined the expensive way."""
+    assert "SortMergeJoin" not in r8_plans["sample_pps_ht_estimate"]

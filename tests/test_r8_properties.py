@@ -299,3 +299,61 @@ def test_dsir_kl_ranks_alien_source_farthest(spark, tmp_path):
         )
     assert b["jeffreys"] > 5 * max(a["jeffreys"], 1e-6)
     assert b["jeffreys"] > 1.0  # disjoint vocab is far in nats
+
+
+# -- Mann-Kendall ----------------------------------------------------------------
+
+
+def test_mann_kendall_detects_planted_trend(spark, tmp_path):
+    """Strictly increasing daily counts over 12 days → S = C(12,2) =
+    66 with zero ties (18·Var = 12·11·29 = 3828) and verdict
+    'increasing'; a constant series is all ties → variance 0 and
+    verdict 'undefined'."""
+    rows, eid = [], 0
+    for d in range(12):
+        for _ in range(d + 1):
+            eid += 1
+            rows.append((eid, _day(d), 1, "up", 1.0, "{}"))
+        for _ in range(7):
+            eid += 1
+            rows.append((eid, _day(d), 2, "flat", 1.0, "{}"))
+    _write(_events(spark, rows), str(tmp_path), "events")
+    got = {
+        r["event_type"]: r
+        for r in load_all()["stats_mann_kendall"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    up, flat = got["up"], got["flat"]
+    assert up["s_stat"] == 66 and up["var18"] == 3828
+    assert up["trend"] == "increasing" and up["z"] > 1.96
+    assert flat["s_stat"] == 0 and flat["var18"] == 0
+    assert flat["trend"] == "undefined" and flat["z"] is None
+
+
+# -- Horvitz-Thompson ---------------------------------------------------------------
+
+
+def test_ht_estimate_is_exact_on_uniform_weights(spark, tmp_path):
+    """Equal-weight docs with n = population size: every doc is hit
+    exactly once and each HT term telescopes to its own y — both
+    estimates EQUAL the truth with zero relative error."""
+    rows = [
+        (i, " ".join(f"a{i:02d}b{j:02d}" for j in range(9)), "en", "s", 0)
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    _write(docs, str(tmp_path), "documents")
+    got = load_all()["sample_pps_ht_estimate"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_sample"] == 20
+    assert r["true_tokens"] == 180 and r["ht_tokens"] == 180.0
+    assert r["tok_rel_err"] == 0.0
+    assert r["true_docs"] == 20 and r["ht_docs"] == 20.0
+    assert r["doc_rel_err"] == 0.0
