@@ -205,8 +205,8 @@ CHECK_FIRST = [
     "ccnet_perplexity_buckets", "curation_dsir_importance",
     "text_keyphrase_rake", "pack_ffd_compaction",
     "graph_kcore_bounded",
-    # round-8 session 2 — also below the backlog; 39 pending + 8 = 47
-    # stays within the driver's 50-slot window
+    # round-8 session 2 — also below the backlog; 39 pending + these
+    # 10 = 49, inside the driver's 50-slot window with 1 slot spare
     "stats_runs_test", "stats_hodges_lehmann", "survival_nelson_aalen",
     "cohort_retention_triangle", "timeseries_hurst_exponent",
     "drift_page_hinkley", "text_mattr_diversity",

@@ -1650,11 +1650,14 @@ hits AS (
 ),
 terms AS (
   SELECT n_hits,
-         CAST(round(n_hits * toks * total * 1.0
-                    / ({_PPS_N} * weight) * {_HT_UNIT}) AS BIGINT)
+         -- promote to double BEFORE multiplying by the corpus-wide
+         -- total: n_hits*toks*total as a BIGINT product overflows at
+         -- warehouse scale (total ~ corpus chars)
+         CAST(round(n_hits * toks * 1.0
+                    / ({_PPS_N} * weight) * total * {_HT_UNIT}) AS BIGINT)
              AS tok_u,
-         CAST(round(n_hits * total * 1.0
-                    / ({_PPS_N} * weight) * {_HT_UNIT}) AS BIGINT)
+         CAST(round(n_hits * 1.0
+                    / ({_PPS_N} * weight) * total * {_HT_UNIT}) AS BIGINT)
              AS doc_u
   FROM hits
 ),
@@ -1721,13 +1724,15 @@ def sample_pps_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = float(_HT_UNIT)
     terms = hits.select(
         "n_hits",
+        # double promotion before the * total keeps the product out
+        # of BIGINT range at warehouse scale (oracle mirrors the order)
         F.round(
-            F.col("n_hits") * F.col("toks") * F.col("total") * 1.0
-            / (_PPS_N * F.col("weight")) * u
+            F.col("n_hits") * F.col("toks") * 1.0
+            / (_PPS_N * F.col("weight")) * F.col("total") * u
         ).cast("bigint").alias("tok_u"),
         F.round(
-            F.col("n_hits") * F.col("total") * 1.0
-            / (_PPS_N * F.col("weight")) * u
+            F.col("n_hits") * 1.0
+            / (_PPS_N * F.col("weight")) * F.col("total") * u
         ).cast("bigint").alias("doc_u"),
     )
     truth = w.agg(

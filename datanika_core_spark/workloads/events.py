@@ -1236,6 +1236,44 @@ def events_concurrency_time_weighted(
 _KM_CENSOR_DAYS = 3  # still active within N days of window end ⇒ censored
 
 
+def _censored_risk_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared survival-analysis input: censored user lifetimes
+    collapsed to the (t, d_events, c_censored, n_risk) grid — the
+    risk-set table both Kaplan-Meier and Nelson-Aalen estimate from
+    (one definition of the censoring rule, so the two estimators can
+    never silently diverge; the _page_hinkley_report pattern)."""
+    ev = t(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_d"),
+        F.max("ts").cast("date").alias("last_d"),
+    )
+    wend = ev.agg(F.max("ts").cast("date").alias("wend"))
+    life = span.crossJoin(F.broadcast(wend)).select(
+        F.datediff("last_d", "first_d").cast("bigint").alias("t"),
+        F.when(
+            F.datediff("wend", "last_d") < _KM_CENSOR_DAYS, 1
+        ).otherwise(0).alias("censored"),
+    )
+    grp = life.groupBy("t").agg(
+        F.sum(1 - F.col("censored")).cast("bigint").alias("d_events"),
+        F.sum("censored").cast("bigint").alias("c_censored"),
+    )
+    from pyspark.sql import Window as _W
+
+    prev = _W.orderBy("t").rowsBetween(_W.unboundedPreceding, -1)
+    total = life.count()
+    return grp.withColumn(
+        "n_risk",
+        (
+            F.lit(total)
+            - F.coalesce(
+                F.sum(F.col("d_events") + F.col("c_censored")).over(prev),
+                F.lit(0),
+            )
+        ).cast("bigint"),
+    )
+
+
 @workload(
     "survival_kaplan_meier",
     oracle=f"""
@@ -1307,37 +1345,10 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one groupBy(user) for the spans (map-side combine), then
     everything runs on |distinct lifetimes| rows (≤ window days) —
     the cumulative windows are over that tiny frame, not events."""
-    ev = t(spark, sf_dir, "events")
-    span = ev.groupBy("user_id").agg(
-        F.min("ts").cast("date").alias("first_d"),
-        F.max("ts").cast("date").alias("last_d"),
-    )
-    wend = ev.agg(F.max("ts").cast("date").alias("wend"))
-    life = span.crossJoin(F.broadcast(wend)).select(
-        F.datediff("last_d", "first_d").cast("bigint").alias("t"),
-        F.when(
-            F.datediff("wend", "last_d") < _KM_CENSOR_DAYS, 1
-        ).otherwise(0).alias("censored"),
-    )
-    grp = life.groupBy("t").agg(
-        F.sum(1 - F.col("censored")).cast("bigint").alias("d_events"),
-        F.sum("censored").cast("bigint").alias("c_censored"),
-    )
     from pyspark.sql import Window as _W
 
-    prev = _W.orderBy("t").rowsBetween(_W.unboundedPreceding, -1)
     cum = _W.orderBy("t").rowsBetween(_W.unboundedPreceding, _W.currentRow)
-    total = life.count()
-    risk = grp.withColumn(
-        "n_risk",
-        (
-            F.lit(total)
-            - F.coalesce(
-                F.sum(F.col("d_events") + F.col("c_censored")).over(prev),
-                F.lit(0),
-            )
-        ).cast("bigint"),
-    )
+    risk = _censored_risk_grid(spark, sf_dir)
     terms = risk.withColumn(
         "lnu",
         F.when(F.col("d_events") == 0, F.lit(0).cast("bigint"))
@@ -1790,37 +1801,10 @@ def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical to KM — one user groupBy over the corpus, then
     all windows run on the |distinct lifetimes| grid (≤ window
     days)."""
-    ev = t(spark, sf_dir, "events")
-    span = ev.groupBy("user_id").agg(
-        F.min("ts").cast("date").alias("first_d"),
-        F.max("ts").cast("date").alias("last_d"),
-    )
-    wend = ev.agg(F.max("ts").cast("date").alias("wend"))
-    life = span.crossJoin(F.broadcast(wend)).select(
-        F.datediff("last_d", "first_d").cast("bigint").alias("t"),
-        F.when(
-            F.datediff("wend", "last_d") < _KM_CENSOR_DAYS, 1
-        ).otherwise(0).alias("censored"),
-    )
-    grp = life.groupBy("t").agg(
-        F.sum(1 - F.col("censored")).cast("bigint").alias("d_events"),
-        F.sum("censored").cast("bigint").alias("c_censored"),
-    )
     from pyspark.sql import Window as _W
 
-    prev = _W.orderBy("t").rowsBetween(_W.unboundedPreceding, -1)
     cum = _W.orderBy("t").rowsBetween(_W.unboundedPreceding, _W.currentRow)
-    total = life.count()
-    risk = grp.withColumn(
-        "n_risk",
-        (
-            F.lit(total)
-            - F.coalesce(
-                F.sum(F.col("d_events") + F.col("c_censored")).over(prev),
-                F.lit(0),
-            )
-        ).cast("bigint"),
-    )
+    risk = _censored_risk_grid(spark, sf_dir)
     terms = risk.withColumn(
         "h_units",
         F.round(
@@ -1906,27 +1890,24 @@ def cohort_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     a user-keyed equi-join that co-partitions with the DISTINCT."""
     ev = t(spark, sf_dir, "events")
     origin = ev.agg(F.min("ts").cast("date").alias("d0"))
-    firsts = (
-        ev.crossJoin(F.broadcast(origin))
-        .groupBy("user_id")
-        .agg(
-            (
-                F.datediff(F.min("ts").cast("date"), F.first("d0"))
-                .cast("bigint") / 7
-            ).cast("bigint").alias("cohort_week")
-        )
-    )
-    activity = (
+    # `div` is true integral division (docs/NEXT.md cast rule: never
+    # round-trip a result-path integer through a double)
+    dd = (
         ev.crossJoin(F.broadcast(origin))
         .select(
             "user_id",
-            (
-                F.datediff(F.col("ts").cast("date"), F.col("d0"))
-                .cast("bigint") / 7
-            ).cast("bigint").alias("week"),
+            F.datediff(F.col("ts").cast("date"), F.col("d0"))
+            .cast("bigint").alias("dd"),
         )
-        .distinct()
     )
+    firsts = (
+        dd.groupBy("user_id")
+        .agg(F.min("dd").alias("dd0"))
+        .select("user_id", F.expr("dd0 div 7").alias("cohort_week"))
+    )
+    activity = dd.select(
+        "user_id", F.expr("dd div 7").alias("week")
+    ).distinct()
     sizes = firsts.groupBy("cohort_week").agg(
         F.count(F.lit(1)).cast("bigint").alias("cohort_users")
     )

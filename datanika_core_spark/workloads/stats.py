@@ -3960,7 +3960,6 @@ SELECT event_type, n_pos, n_neg, runs,
                  / sqrt(2.0 * n_pos * n_neg
                         * (2 * n_pos * n_neg - n_pos - n_neg)
                         / ((n_pos + n_neg) * 1.0 * (n_pos + n_neg)
-                           * (n_pos + n_neg)
                            * ((n_pos + n_neg) - 1))), 4) + 0.0
        END AS z
 FROM agg
@@ -4012,7 +4011,7 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = np_ + nn
     e_runs = 2.0 * np_ * nn / n + 1
     var_num = 2 * np_ * nn * (2 * np_ * nn - np_ - nn)
-    var = var_num / (n * 1.0 * n * n * (n - 1))
+    var = var_num / (n * 1.0 * n * (n - 1))
     return agg.select(
         "event_type", "n_pos", "n_neg", "runs",
         F.round(e_runs, 4).alias("e_runs"),
@@ -4048,8 +4047,12 @@ gb AS (
   FROM assign WHERE variant = 0 GROUP BY 1, 2
 ),
 pairs AS (
+  -- pair weights are products of bin counts; their total is
+  -- n_a·n_b, which outgrows BIGINT at warehouse scale — keep the
+  -- lattice arithmetic in HUGEINT (DuckDB's native sum width;
+  -- the Spark side mirrors with DECIMAL(38,0))
   SELECT ga.event_type, ga.dollar - gb.dollar AS diff,
-         CAST(sum(ga.cnt * gb.cnt) AS BIGINT) AS w
+         sum(CAST(ga.cnt AS HUGEINT) * gb.cnt) AS w
   FROM ga JOIN gb ON ga.event_type = gb.event_type
   GROUP BY 1, 2
 ),
@@ -4131,8 +4134,10 @@ def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             (F.col("a.dollar") - F.col("b.dollar")).alias("diff"),
         )
-        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt"))
-             .cast("bigint").alias("w"))
+        # DECIMAL(38,0) keeps the pair-count lattice exact past the
+        # BIGINT ceiling (total weight = n_a·n_b pairs per type)
+        .agg(F.sum(F.col("a.cnt").cast("decimal(38,0)") * F.col("b.cnt"))
+             .alias("w"))
     )
     wc = Window.partitionBy("event_type").orderBy("diff").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

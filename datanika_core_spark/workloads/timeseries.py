@@ -1224,10 +1224,14 @@ walks AS (
   FROM blocked
 ),
 per_block AS (
+  -- x² and S² outgrow BIGINT once hourly counts reach ~3e9, so the
+  -- variance stays in HUGEINT (the Spark side mirrors with
+  -- DECIMAL(38,0)); the walk range R is safely BIGINT
   SELECT n, blk,
          CAST(max(n * cum - t * s) - min(n * cum - t * s) AS BIGINT)
              AS r_int,
-         CAST(n * sum(x * x) - max(s) * max(s) AS BIGINT) AS var_int
+         n * sum(CAST(x AS HUGEINT) * x)
+             - CAST(max(s) AS HUGEINT) * max(s) AS var_int
   FROM walks WHERE cnt = n
   GROUP BY n, blk
 ),
@@ -1321,10 +1325,13 @@ def timeseries_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n", "blk")
         .agg(
             (F.max(d) - F.min(d)).cast("bigint").alias("r_int"),
+            # DECIMAL(38,0) keeps n·Σx² − S² exact past the BIGINT
+            # ceiling (x² alone overflows at hourly counts ~3e9)
             (
-                F.max("n") * F.sum(F.col("x") * F.col("x"))
-                - F.max("s") * F.max("s")
-            ).cast("bigint").alias("var_int"),
+                F.max("n")
+                * F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+                - F.max("s").cast("decimal(38,0)") * F.max("s")
+            ).alias("var_int"),
         )
     )
     rs = per_block.filter(F.col("var_int") > 0).select(

@@ -8,39 +8,21 @@ give."""
 from __future__ import annotations
 
 import datetime as dt
-import hashlib
 
 import pytest
 
 from datanika_core_spark.workloads import load_all
+from tests.planted import (  # noqa: F401
+    _ab_variant,
+    _day,
+    _docs,
+    _events,
+    _write,
+)
 
 pytestmark = pytest.mark.usefixtures("spark")
 
 SF = "/root/testdata/sf0.001"
-
-
-def _write(df, path, name):
-    df.sparkSession.conf.set(
-        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-    )
-    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/{name}.parquet")
-
-
-def _day(d, hour=12):
-    return dt.datetime(2024, 3, 1 + d, hour)
-
-
-def _events(spark, rows):
-    return spark.createDataFrame(
-        rows, "event_id long, ts timestamp, user_id long,"
-        " event_type string, value double, props string"
-    )
-
-
-def _ab_variant(user_id: int) -> int:
-    """The engine's md5 arm assignment, replicated bit-for-bit."""
-    h = hashlib.md5(f"ab-{user_id}".encode()).hexdigest()
-    return int(h[:15], 16) % 2
 
 
 # -- runs test ---------------------------------------------------------------
@@ -68,7 +50,9 @@ def test_runs_test_alternating_vs_monotonic(spark, tmp_path):
     alt, mono = got["alt"], got["mono"]
     assert alt["n_pos"] + alt["n_neg"] == 11
     assert alt["runs"] == 11  # every consecutive sign differs
-    assert alt["z"] is not None and alt["z"] > 0
+    # hand-computed Wald-Wolfowitz z for a=6, b=5, R=11:
+    # E[R] = 60/11 + 1, Var[R] = 60·49/(121·10) → z = 2.9161
+    assert alt["z"] == 2.9161
     assert mono["n_pos"] == 11 and mono["n_neg"] == 0
     assert mono["runs"] == 1
     assert mono["z"] is None

@@ -7,46 +7,20 @@ behavioral check the DuckDB parity gate cannot give."""
 
 from __future__ import annotations
 
-import datetime as dt
-import hashlib
-
 import pytest
 
 from datanika_core_spark.workloads import load_all
+from tests.planted import (  # noqa: F401
+    _ab_variant,
+    _day,
+    _docs,
+    _events,
+    _write,
+)
 
 pytestmark = pytest.mark.usefixtures("spark")
 
 SF = "/root/testdata/sf0.001"
-
-
-def _write(df, path, name):
-    df.sparkSession.conf.set(
-        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-    )
-    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/{name}.parquet")
-
-
-def _day(d, hour=12):
-    return dt.datetime(2024, 3, 1 + d, hour)
-
-
-def _events(spark, rows):
-    return spark.createDataFrame(
-        rows, "event_id long, ts timestamp, user_id long,"
-        " event_type string, value double, props string"
-    )
-
-
-def _docs(spark, rows):
-    return spark.createDataFrame(
-        rows, "doc_id long, text string, lang string, source string,"
-        " n_chars long",
-    )
-
-
-def _ab_variant(user_id: int) -> int:
-    h = hashlib.md5(f"ab-{user_id}".encode()).hexdigest()
-    return int(h[:15], 16) % 2
 
 
 # -- Cramér's V ----------------------------------------------------------------
