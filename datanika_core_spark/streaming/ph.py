@@ -1,5 +1,8 @@
 """Streaming Page-Hinkley drift monitor — the incremental twin of
-the batch ``drift_page_hinkley`` workload.
+the batch ``drift_page_hinkley`` workload — and, because the state it
+persists is the generic (event_type, day) counter grid, of the
+``stats_runs_test`` and ``stats_mann_kendall`` daily monitors too
+(``report_runs_test()`` / ``report_mann_kendall()``).
 
 Design: the PH statistic is a path-dependent fold over the DAILY
 mean series, so the monitor does NOT try to fold PH itself across
@@ -111,21 +114,15 @@ class StreamPageHinkleyMonitor:
         )
         spark.catalog.refreshTable(self.counters_table)
 
-    def report(self) -> DataFrame:
-        """Same columns and math as the batch workload: (event_type,
-        n_days, ph_inc, inc_day, ph_dec, dec_day)."""
-        from datanika_core_spark.workloads.timeseries import (
-            _page_hinkley_report,
-        )
-
-        daily = (
+    def _daily(self) -> DataFrame:
+        """The stored grid with the calendar day rebuilt; the report
+        helpers only need `day` ordered + castable to DATE, matching
+        the batch side's date_trunc('day') exactly."""
+        return (
             self.spark.table(self.counters_table)
             .filter(F.col("day") >= 0)
             .select(
                 "event_type",
-                # rebuild the calendar day; _page_hinkley_report only
-                # needs it ordered + castable to DATE, matching the
-                # batch side's date_trunc('day') exactly
                 F.date_add(
                     F.lit("1970-01-01").cast("date"),
                     F.col("day").cast("int"),
@@ -134,7 +131,39 @@ class StreamPageHinkleyMonitor:
                 "cnt",
             )
         )
-        return _page_hinkley_report(daily)
+
+    def report(self) -> DataFrame:
+        """Same columns and math as the batch workload: (event_type,
+        n_days, ph_inc, inc_day, ph_dec, dec_day)."""
+        from datanika_core_spark.workloads.timeseries import (
+            _page_hinkley_report,
+        )
+
+        return _page_hinkley_report(self._daily())
+
+    def report_runs_test(self) -> DataFrame:
+        """The SAME persisted grid also powers the Wald-Wolfowitz
+        runs-test readout — one counter table, three daily monitors
+        (PH drift, runs, Mann-Kendall), each replaying its batch
+        twin's exact plan."""
+        from datanika_core_spark.workloads.stats import _runs_test_report
+
+        return _runs_test_report(
+            self._daily().select("event_type", "day",
+                                 F.col("cnt").alias("x"))
+        )
+
+    def report_mann_kendall(self) -> DataFrame:
+        """Mann-Kendall trend readout from the stored grid — exact
+        batch parity for the same reason as report()."""
+        from datanika_core_spark.workloads.timeseries import (
+            _mann_kendall_report,
+        )
+
+        return _mann_kendall_report(
+            self._daily().select("event_type", "day",
+                                 F.col("cnt").alias("x"))
+        )
 
 
 def stream_page_hinkley(

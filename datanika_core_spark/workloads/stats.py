@@ -3987,6 +3987,13 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    return _runs_test_report(daily)
+
+
+def _runs_test_report(daily: DataFrame) -> DataFrame:
+    """Runs-test readout from a (event_type, day, x) daily-count grid
+    — shared verbatim by the batch workload and the streaming daily
+    monitor (streaming/ph.py), the _page_hinkley_report pattern."""
     w = Window.partitionBy("event_type").orderBy("day")
     signs = daily.select(
         "event_type", "day",

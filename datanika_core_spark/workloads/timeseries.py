@@ -1593,6 +1593,13 @@ def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    return _mann_kendall_report(daily)
+
+
+def _mann_kendall_report(daily: DataFrame) -> DataFrame:
+    """Mann-Kendall readout from a (event_type, day, x) daily-count
+    grid — shared verbatim by the batch workload and the streaming
+    daily monitor (streaming/ph.py)."""
     a, b = daily.alias("a"), daily.alias("b")
     pairs = (
         a.join(

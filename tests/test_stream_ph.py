@@ -98,3 +98,27 @@ def test_stream_ph_day_counters_merge_exactly(spark, tmp_path):
         spark.table("ph_mon2").filter(F.col("day") >= 0)
     )
     assert got == want
+
+
+def test_stream_daily_grid_powers_runs_and_mk(spark, tmp_path):
+    """The SAME persisted counter grid must reproduce the runs-test
+    and Mann-Kendall batch reports exactly — three monitors, one
+    state table."""
+    from datanika_core_spark.workloads.stats import stats_runs_test
+    from datanika_core_spark.workloads.timeseries import (
+        stats_mann_kendall,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS ph_mon3")
+    release_blocks(spark)
+    ev, src = _split_mid(spark, tmp_path, "ph_src3")
+    mon = StreamPageHinkleyMonitor(spark, "ph_mon3")
+    stream_page_hinkley(
+        spark, str(src), mon, checkpoint_dir=str(tmp_path / "ckph3")
+    )
+    assert _rows(mon.report_runs_test()) == _rows(
+        stats_runs_test(spark, SF)
+    )
+    assert _rows(mon.report_mann_kendall()) == _rows(
+        stats_mann_kendall(spark, SF)
+    )
