@@ -215,19 +215,23 @@ CHECK_FIRST = [
 ]
 
 
-def _recorded_names() -> set[str]:
+def _recorded_names() -> dict[str, int]:
     """Workload names with a PASSING driver CORRECTNESS row (any
-    round). A row counts as recorded only if it passed: no error and
-    no explicit mismatch — failed rows sink back into the un-recorded
-    pool so a fix gets re-checked in the very next round instead of
-    waiting behind the whole backlog. Missing/invalid files mean 'no
-    rows yet', never an import error."""
+    round), mapped to the MOST RECENT round whose row passed. A row
+    counts as recorded only if it passed: no error and no explicit
+    mismatch — failed rows sink back into the un-recorded pool so a
+    fix gets re-checked in the very next round instead of waiting
+    behind the whole backlog. Missing/invalid files mean 'no rows
+    yet', never an import error."""
     import json
+    import re
     from pathlib import Path
 
-    names: set[str] = set()
+    latest: dict[str, int] = {}
     root = Path(__file__).resolve().parents[2]
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             data = json.loads(f.read_text())
         except Exception:
@@ -235,20 +239,18 @@ def _recorded_names() -> set[str]:
         if not isinstance(data, dict):
             continue
         for name, row in data.items():
-            if not isinstance(row, dict):
-                # legacy list-of-names format: treat as recorded
-                names.add(name)
-                continue
-            if row.get("err") is not None:
-                continue
-            if row.get("hash_match") is False:
-                continue
-            if row.get("rows_match") is False:
-                continue
-            if row.get("schema_match") is False:
-                continue
-            names.add(name)
-    return names
+            if isinstance(row, dict):
+                if row.get("err") is not None:
+                    continue
+                if row.get("hash_match") is False:
+                    continue
+                if row.get("rows_match") is False:
+                    continue
+                if row.get("schema_match") is False:
+                    continue
+            # legacy list-of-names format falls through: recorded
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def load_all() -> dict[str, Workload]:
@@ -287,14 +289,18 @@ def load_all() -> dict[str, Workload]:
 
     # Auto-rotation: any workload that already has a recorded row in a
     # CORRECTNESS_r*.json sinks BELOW ones that don't, so the driver's
-    # first-50 check window always prioritizes unverified queries. The
-    # manual CHECK_FIRST list breaks ties (newest additions first);
+    # first-50 check window always prioritizes unverified queries.
+    # Within the recorded group, STALEST EVIDENCE FIRST: entries whose
+    # most recent passing row is oldest float to the top, so the
+    # 50-slot window re-verifies the whole registry on a rolling
+    # ~|registry|/50-round cycle even when nothing is new. The manual
+    # CHECK_FIRST list breaks remaining ties (newest additions first);
     # within each group the ordering is stable.
     recorded = _recorded_names()
     pri = {n: i for i, n in enumerate(CHECK_FIRST)}
 
     def sort_key(item):
         n = item[0]
-        return (n in recorded, pri.get(n, len(pri)))
+        return (n in recorded, recorded.get(n, 0), pri.get(n, len(pri)))
 
     return dict(sorted(REGISTRY.items(), key=sort_key))

@@ -418,7 +418,7 @@ WITH iv AS (
   FROM lineitem
 ),
 flagged AS (
-  SELECT s, lo, hi,
+  SELECT s, lo, hi, ok, ln,
          CASE WHEN lo > max(hi) OVER (
              PARTITION BY s ORDER BY lo, ok, ln
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -426,9 +426,13 @@ flagged AS (
   FROM iv
 ),
 islands AS (
+  -- SAME ordering key (lo, ok, ln) as the flag window: with any
+  -- other key (e.g. lo, hi) a tie at an island boundary can place
+  -- the flagged row after an unflagged twin, attributing the twin
+  -- to the previous island and bridging a genuine coverage gap
   SELECT s, lo, hi,
          sum(new_island) OVER (
-             PARTITION BY s ORDER BY lo, hi
+             PARTITION BY s ORDER BY lo, ok, ln
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
   FROM flagged
 ),
@@ -500,12 +504,15 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(_W.unboundedPreceding, -1)
     )
     flagged = iv.select(
-        "s", "lo", "hi",
+        "s", "lo", "hi", "ok", "ln",
         F.when(F.col("lo") > F.max("hi").over(wprev), 1)
         .otherwise(0).alias("new_island"),
     )
+    # the island-id running sum MUST use the same ordering key as
+    # the flag window — a different key (e.g. lo, hi) mis-attributes
+    # tie-at-boundary rows to the previous island (see oracle note)
     wisl = (
-        _W.partitionBy("s").orderBy("lo", "hi")
+        _W.partitionBy("s").orderBy("lo", "ok", "ln")
         .rowsBetween(_W.unboundedPreceding, 0)
     )
     islands = flagged.select(

@@ -110,14 +110,16 @@ def test_auto_rotation_sinks_recorded_workloads(monkeypatch):
     pool = set(all_names[:3])
     base = set(all_names) - pool
 
-    monkeypatch.setattr(w, "_recorded_names", lambda: set(base))
+    monkeypatch.setattr(
+        w, "_recorded_names", lambda: {n: 1 for n in base}
+    )
     order_before = list(w.load_all())
     target = order_before[0]
     assert target in pool  # unrecorded entries lead the window
 
     # now the target earns a row: it must sink below the other two
     monkeypatch.setattr(
-        w, "_recorded_names", lambda: base | {target}
+        w, "_recorded_names", lambda: {n: 1 for n in base | {target}}
     )
     order_after = list(w.load_all())
     assert order_after[0] != target
@@ -131,12 +133,15 @@ def test_auto_rotation_sinks_recorded_workloads(monkeypatch):
 
 def test_auto_rotation_everything_recorded_uses_check_first(monkeypatch):
     """When the evidence backlog is empty (all workloads recorded —
-    the real repo state since round 6), rotation degrades to pure
-    CHECK_FIRST priority order: newest additions lead the window."""
+    the real repo state since round 6) and all evidence is equally
+    fresh, rotation degrades to pure CHECK_FIRST priority order:
+    newest additions lead the window."""
     import datanika_core_spark.workloads as w
 
     all_names = set(w.load_all())
-    monkeypatch.setattr(w, "_recorded_names", lambda: all_names)
+    monkeypatch.setattr(
+        w, "_recorded_names", lambda: {n: 1 for n in all_names}
+    )
     order = list(w.load_all())
     pri = {n: i for i, n in enumerate(w.CHECK_FIRST)}
     ranks = [pri.get(n, len(pri)) for n in order]
@@ -144,3 +149,69 @@ def test_auto_rotation_everything_recorded_uses_check_first(monkeypatch):
     # the head of the window is exactly the head of CHECK_FIRST
     in_registry = [n for n in w.CHECK_FIRST if n in all_names]
     assert order[: len(in_registry)] == in_registry
+
+
+def test_auto_rotation_stalest_evidence_first(monkeypatch):
+    """Within the recorded group, entries whose most recent passing
+    CORRECTNESS row is OLDEST lead the window, so the 50-slot check
+    window cycles through the whole registry over successive rounds
+    instead of re-verifying the same recently-checked entries.
+    Unrecorded entries still jump the whole queue."""
+    import datanika_core_spark.workloads as w
+
+    all_names = list(w.load_all())
+    assert len(all_names) >= 4
+    stale, fresh_a, fresh_b, unrecorded = all_names[:4]
+    rounds = {n: 8 for n in all_names}
+    rounds[stale] = 2
+    rounds[fresh_a] = 8
+    rounds[fresh_b] = 5
+    del rounds[unrecorded]
+
+    monkeypatch.setattr(w, "_recorded_names", lambda: dict(rounds))
+    order = list(w.load_all())
+    pos = {n: i for i, n in enumerate(order)}
+    # unrecorded first, then oldest-evidence-first within recorded
+    assert pos[unrecorded] == 0
+    assert pos[stale] < pos[fresh_b] < pos[fresh_a]
+    # recorded group is globally sorted by last-recorded round
+    recorded_order = [n for n in order if n in rounds]
+    assert [rounds[n] for n in recorded_order] == sorted(
+        rounds[n] for n in recorded_order
+    )
+
+
+def test_recorded_names_returns_latest_passing_round():
+    """_recorded_names reads the real CORRECTNESS_r*.json artifacts:
+    every value is a positive round number no greater than the newest
+    artifact on disk, and a name recorded in several rounds maps to
+    the most recent one."""
+    import re
+    from pathlib import Path
+
+    import datanika_core_spark.workloads as w
+
+    rec = w._recorded_names()
+    assert isinstance(rec, dict) and rec
+    root = Path(w.__file__).resolve().parents[2]
+    max_round = max(
+        int(re.search(r"CORRECTNESS_r(\d+)\.json$", f.name).group(1))
+        for f in root.glob("CORRECTNESS_r*.json")
+    )
+    assert all(0 < r <= max_round for r in rec.values())
+    # spot-check recency: names in the newest artifact map to it
+    import json
+
+    newest = json.loads(
+        (root / f"CORRECTNESS_r{max_round:02d}.json").read_text()
+    )
+    for name, row in newest.items():
+        if isinstance(row, dict) and (
+            row.get("err") is not None
+            or row.get("hash_match") is False
+            or row.get("rows_match") is False
+            or row.get("schema_match") is False
+        ):
+            continue
+        if name in rec:
+            assert rec[name] == max_round

@@ -187,6 +187,44 @@ def test_interval_union_merges_and_splits_islands(spark, tmp_path):
     assert s2["span_days"] == 13
 
 
+def test_interval_union_tie_at_island_boundary(spark, tmp_path):
+    """Hand-planted tie at an island boundary: after a gap, TWO
+    intervals start the same day (lo ties) and the row that sorts
+    first by the flag-window key (lo, ok, ln) has the LARGER hi.
+    If the island-id running sum used any other ordering (the old
+    (lo, hi) key), the smaller-hi twin would sort before the flagged
+    row, land in the PREVIOUS island, and bridge the gap —
+    overcounting covered_days 14 → 24. Both windows must share the
+    (lo, ok, ln) key.
+
+    Intervals (supplier 1): [D, D+2] (q=1), then a 7-day gap, then
+    the tie pair [D+10, D+20] (ok=6, q=9 — flagged, bigger hi) and
+    [D+10, D+12] (ok=7, q=1 — unflagged, smaller hi).
+    Correct: islands {[D,D+2]}, {[D+10,D+20]∪[D+10,D+12]} →
+    covered = 3 + 11 = 14 of span 21."""
+    li = spark.createDataFrame(
+        [
+            (5, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _day(0)),
+            (6, 1, 1, 1, 9.0, 1.0, 0.0, 0.0, "N", "O", _day(10)),
+            (7, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _day(10)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    _write(li, str(tmp_path), "lineitem")
+    got = load_all()["interval_union_coverage"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_islands"] == 2
+    assert r["covered_days"] == 14
+    assert r["span_days"] == 21
+    assert r["utilization"] == round(14 / 21, 6)
+
+
 # -- Gopher word-level rules --------------------------------------------------------
 
 
