@@ -36,8 +36,18 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: watermark sentinel: day == -1 carries the last merged batch_id
+#: watermark sentinel row: BOTH keys must match — day == _WM_DAY AND
+#: event_type == _WM_TYPE — so a real event dated 1969-12-31
+#: (epoch day -1) can never be read as the watermark, and negative
+#: epoch days flow through the grid instead of being dropped
 _WM_DAY = -1
+_WM_TYPE = "__batch watermark__"
+
+_GRID_SCHEMA = "event_type string, day bigint, cents bigint, cnt bigint"
+
+
+def _is_wm():
+    return (F.col("day") == _WM_DAY) & (F.col("event_type") == _WM_TYPE)
 
 
 @dataclass
@@ -59,7 +69,7 @@ class StreamPageHinkleyMonitor:
             return None
         rows = (
             self.spark.table(self.counters_table)
-            .filter(F.col("day") == _WM_DAY)
+            .filter(_is_wm())
             .select("cnt")
             .collect()
         )
@@ -86,7 +96,7 @@ class StreamPageHinkleyMonitor:
         if spark.catalog.tableExists(self.counters_table):
             merged = (
                 spark.table(self.counters_table)
-                .filter(F.col("day") >= 0)
+                .filter(~_is_wm())
                 .unionByName(delta)
                 .groupBy("event_type", "day")
                 .agg(
@@ -104,11 +114,8 @@ class StreamPageHinkleyMonitor:
             (x for x in (wm, batch_id) if x is not None), default=None
         )
         if new_wm is not None:
-            rows.append(("__batch watermark__", _WM_DAY, -1, int(new_wm)))
-        out = spark.createDataFrame(
-            rows,
-            "event_type string, day bigint, cents bigint, cnt bigint",
-        )
+            rows.append((_WM_TYPE, _WM_DAY, -1, int(new_wm)))
+        out = spark.createDataFrame(rows, _GRID_SCHEMA)
         out.write.format("parquet").mode("overwrite").saveAsTable(
             self.counters_table
         )
@@ -117,10 +124,17 @@ class StreamPageHinkleyMonitor:
     def _daily(self) -> DataFrame:
         """The stored grid with the calendar day rebuilt; the report
         helpers only need `day` ordered + castable to DATE, matching
-        the batch side's date_trunc('day') exactly."""
+        the batch side's date_trunc('day') exactly. Before the first
+        absorb (no counters table yet) this is the EMPTY grid with
+        the same schema, so the report helpers return empty,
+        correctly-typed results instead of raising."""
+        if not self.spark.catalog.tableExists(self.counters_table):
+            stored = self.spark.createDataFrame([], _GRID_SCHEMA)
+        else:
+            stored = self.spark.table(self.counters_table)
         return (
-            self.spark.table(self.counters_table)
-            .filter(F.col("day") >= 0)
+            stored
+            .filter(~_is_wm())
             .select(
                 "event_type",
                 F.date_add(
@@ -166,6 +180,39 @@ class StreamPageHinkleyMonitor:
         )
 
 
+def _reconcile_checkpoint_lineage(
+    spark: SparkSession,
+    monitor: StreamPageHinkleyMonitor,
+    ckpt_loc: str,
+) -> None:
+    """The counters table's batch-id watermark is only meaningful
+    relative to ONE checkpoint lineage: a fresh checkpoint restarts
+    batch ids at 0 AND re-lists every source file. On a mismatch,
+    reset to a coherent zero state so the replay is exact:
+
+    - fresh checkpoint (no prior commits) + persisted watermark →
+      the stream will re-read EVERY file, so the only exact outcome
+      is a rebuild: drop the counters table first (keeping it would
+      double-fold the already-absorbed events, and keeping only the
+      watermark would silently skip the first wm+1 batches).
+    - prior commits + no watermark (counters table dropped or never
+      built) → the checkpoint would skip the already-listed files
+      forever: clear it so the full input replays into the empty
+      table.
+    """
+    import shutil
+
+    commits = os.path.join(ckpt_loc, "commits")
+    has_commits = os.path.isdir(commits) and any(
+        not n.startswith(".") for n in os.listdir(commits)
+    )
+    wm = monitor.last_batch_id()
+    if wm is not None and not has_commits:
+        spark.sql(f"DROP TABLE IF EXISTS {monitor.counters_table}")
+    elif wm is None and has_commits:
+        shutil.rmtree(ckpt_loc, ignore_errors=True)
+
+
 def stream_page_hinkley(
     spark: SparkSession,
     source_path: str,
@@ -199,11 +246,20 @@ def stream_page_hinkley(
         with scoped_blocks(spark):
             _sink_body(batch_df, batch_id)
 
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_ph_")
+    # Deterministic default checkpoint derived from the counters
+    # table: a second invocation for the same monitor RESUMES the
+    # same file listing + batch numbering instead of minting a fresh
+    # mkdtemp whose batch ids restart at 0 against the persisted
+    # watermark (re-counting or skipping files depending on listing
+    # order).
+    ckpt = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), "datanika_ck_stream_ph"
+    )
+    ckpt_loc = os.path.join(ckpt, monitor.counters_table)
+    _reconcile_checkpoint_lineage(spark, monitor, ckpt_loc)
     q = (
         sdf.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation",
-                os.path.join(ckpt, monitor.counters_table))
+        .option("checkpointLocation", ckpt_loc)
         .trigger(availableNow=True)
         .start()
     )

@@ -1253,8 +1253,13 @@ pts AS (
   FROM avg_rs
 ),
 slope AS (
-  SELECT (count(*) * sum(xu * yu) - sum(xu) * sum(yu)) * 1.0
-         / (count(*) * sum(xu * xu) - sum(xu) * sum(xu)) AS h
+  -- < 2 surviving block sizes (near-constant series) zero the
+  -- denominator; emit NULL explicitly so both engines agree
+  SELECT CASE
+           WHEN count(*) * sum(xu * xu) - sum(xu) * sum(xu) != 0
+           THEN (count(*) * sum(xu * yu) - sum(xu) * sum(yu)) * 1.0
+                / (count(*) * sum(xu * xu) - sum(xu) * sum(xu))
+         END AS h
   FROM pts
 )
 SELECT block_n, n_blocks, ROUND(avg_rs, 6) AS avg_rs,
@@ -1353,16 +1358,19 @@ def timeseries_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log("block_n") * 1000000).cast("bigint").alias("xu"),
         F.round(F.log("avg_rs") * 1000000).cast("bigint").alias("yu"),
     )
+    # < 2 surviving block sizes (near-constant series) zero the
+    # denominator; gate with when() so both engines emit NULL
+    slope_den = (
+        F.count(F.lit(1)) * F.sum(F.col("xu") * F.col("xu"))
+        - F.sum("xu") * F.sum("xu")
+    )
     slope = pts.agg(
-        (
+        F.when(
+            slope_den != 0,
             (
                 F.count(F.lit(1)) * F.sum(F.col("xu") * F.col("yu"))
                 - F.sum("xu") * F.sum("yu")
-            ) * 1.0
-            / (
-                F.count(F.lit(1)) * F.sum(F.col("xu") * F.col("xu"))
-                - F.sum("xu") * F.sum("xu")
-            )
+            ) * 1.0 / slope_den,
         ).alias("h")
     )
     return (

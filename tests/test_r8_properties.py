@@ -182,6 +182,41 @@ def test_hurst_trending_beats_alternating(spark, tmp_path):
     assert h_ramp > h_alt + 0.3
 
 
+def test_hurst_single_surviving_block_size_yields_null(spark, tmp_path):
+    """Ten hours of data complete only the n=8 block, so the log-log
+    fit has ONE point and the slope denominator is exactly zero: the
+    guarded division must emit NULL (matching the oracle's CASE), not
+    divide by zero or diverge between engines."""
+    rows, eid = [], 0
+    base = dt.datetime(2024, 3, 1)
+    for h in range(10):
+        for _ in range(h + 1):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, minutes=30),
+                 1, "view", 1.0, "{}")
+            )
+    _write(_events(spark, rows), str(tmp_path), "events")
+    got = load_all()["timeseries_hurst_exponent"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["block_n"] == 8
+    assert got[0]["hurst"] is None
+    # the oracle agrees on the same degenerate input
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"
+    )
+    oracle = con.execute(
+        load_all()["timeseries_hurst_exponent"].oracle
+    ).fetchall()
+    assert len(oracle) == 1 and oracle[0][3] is None
+
+
 # -- Page-Hinkley ---------------------------------------------------------------
 
 

@@ -122,3 +122,118 @@ def test_stream_daily_grid_powers_runs_and_mk(spark, tmp_path):
     assert _rows(mon.report_mann_kendall()) == _rows(
         stats_mann_kendall(spark, SF)
     )
+
+
+def test_stream_ph_default_checkpoint_resumes(spark, tmp_path):
+    """Two stream_page_hinkley calls with NO checkpoint_dir must
+    resume one lineage (deterministic default derived from the
+    counters table): the second call absorbs ONLY the new file —
+    the old mkdtemp-per-call default restarted batch ids at 0
+    against the persisted watermark and re-counted or skipped."""
+    import os
+    import tempfile
+
+    spark.sql("DROP TABLE IF EXISTS ph_mon4")
+    release_blocks(spark)
+    shutil.rmtree(
+        os.path.join(
+            tempfile.gettempdir(), "datanika_ck_stream_ph", "ph_mon4"
+        ),
+        ignore_errors=True,
+    )
+    ev, src = _split_mid(spark, tmp_path, "ph_src4")
+    held = tmp_path / "held_f1.parquet"
+    (src / "f1.parquet").rename(held)
+    mon = StreamPageHinkleyMonitor(spark, "ph_mon4")
+    n = ev.count()
+    s1 = stream_page_hinkley(spark, str(src), mon)
+    assert s1.arrived == n // 2
+    held.rename(src / "f1.parquet")
+    s2 = stream_page_hinkley(spark, str(src), mon)
+    assert s2.arrived == n - n // 2  # new file only — no re-count
+    assert _rows(mon.report()) == _rows(drift_page_hinkley(spark, SF))
+
+
+def test_stream_ph_fresh_checkpoint_rebuilds(spark, tmp_path):
+    """A brand-new checkpoint re-lists EVERY source file, so the
+    monitor must rebuild from zero (drop + refold exactly once)
+    rather than double-fold against the stale watermark."""
+    spark.sql("DROP TABLE IF EXISTS ph_mon5")
+    release_blocks(spark)
+    ev, src = _split_mid(spark, tmp_path, "ph_src5")
+    mon = StreamPageHinkleyMonitor(spark, "ph_mon5")
+    stream_page_hinkley(
+        spark, str(src), mon, checkpoint_dir=str(tmp_path / "ck_a")
+    )
+    before = _rows(mon.report())
+    s2 = stream_page_hinkley(
+        spark, str(src), mon, checkpoint_dir=str(tmp_path / "ck_b")
+    )
+    assert s2.arrived == ev.count()
+    assert _rows(mon.report()) == before
+
+
+def test_stream_ph_dropped_state_replays_checkpoint(spark, tmp_path):
+    """The counters table is the source of truth: if it vanishes but
+    the checkpoint still has commits, the checkpoint is cleared so
+    the full input replays into the empty table (instead of the
+    already-listed files being skipped forever)."""
+    spark.sql("DROP TABLE IF EXISTS ph_mon6")
+    release_blocks(spark)
+    ev, src = _split_mid(spark, tmp_path, "ph_src6")
+    mon = StreamPageHinkleyMonitor(spark, "ph_mon6")
+    ck = str(tmp_path / "ck_c")
+    stream_page_hinkley(spark, str(src), mon, checkpoint_dir=ck)
+    before = _rows(mon.report())
+    spark.sql("DROP TABLE ph_mon6")
+    s2 = stream_page_hinkley(spark, str(src), mon, checkpoint_dir=ck)
+    assert s2.arrived == ev.count()
+    assert _rows(mon.report()) == before
+
+
+def test_ph_report_before_first_absorb_is_empty(spark):
+    """All three reports return empty, correctly-typed frames before
+    the first absorb — no AnalysisException on the missing table."""
+    spark.sql("DROP TABLE IF EXISTS ph_mon_unused")
+    mon = StreamPageHinkleyMonitor(spark, "ph_mon_unused")
+    assert mon.last_batch_id() is None
+    ph = mon.report()
+    assert ph.count() == 0
+    assert ph.columns == [
+        "event_type", "n_days", "ph_inc", "inc_day", "ph_dec", "dec_day"
+    ]
+    assert mon.report_runs_test().count() == 0
+    assert mon.report_mann_kendall().count() == 0
+
+
+def test_ph_pre1970_day_survives_watermark(spark):
+    """An event dated 1969-12-31 lands on epoch day -1 — the old
+    day-only watermark filter read its count as the batch id and
+    dropped it from every report. The sentinel now matches on BOTH
+    (day, event_type), so the negative-day row is real data."""
+    import datetime as dt
+
+    spark.sql("DROP TABLE IF EXISTS ph_mon7")
+    release_blocks(spark)
+    mon = StreamPageHinkleyMonitor(spark, "ph_mon7")
+    batch = spark.createDataFrame(
+        [
+            (1, dt.datetime(1969, 12, 31, 12), 1, "purchase", 2.5, "{}"),
+            (2, dt.datetime(2024, 3, 1, 12), 1, "purchase", 4.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    mon.absorb(batch, batch_id=5)
+    assert mon.last_batch_id() == 5
+    grid = {
+        (r["event_type"], r["day"]): (r["cents"], r["cnt"])
+        for r in spark.table("ph_mon7").collect()
+    }
+    assert grid[("purchase", -1)] == (250, 1)
+    assert grid[("__batch watermark__", -1)] == (-1, 5)
+    rep = mon.report().collect()
+    assert len(rep) == 1 and rep[0]["n_days"] == 2
+    # replay of the same batch id stays a no-op
+    mon.absorb(batch, batch_id=5)
+    assert spark.table("ph_mon7").count() == len(grid)
