@@ -35,6 +35,14 @@ from datanika_core_spark.plans.resolver import compile_model
 COMMANDS = ("build", "run", "test", "compile", "seed", "snapshot")
 
 
+def _scheduler_mode(spark: SparkSession) -> str:
+    """The context's job-scheduling mode; pool tags are inert unless
+    this is FAIR (a context conf — fixed at session build time)."""
+    return spark.sparkContext.getConf().get(
+        "spark.scheduler.mode", "FIFO"
+    )
+
+
 @dataclass
 class RunReport:
     command: str
@@ -78,6 +86,20 @@ class ModelRunner:
                 report.compiled[name] = compile_model(self.registry, model).sql
                 report.logs.append(f"compiled {name}")
             return report
+
+        # The per-worker pool tags only time-share executors under
+        # FAIR scheduling (build_spark sets it + ships
+        # resources/fairscheduler.xml); surface an advisory when the
+        # session runs FIFO so the inert pools aren't a silent
+        # surprise on a shared cluster.
+        if max(1, int(threads)) > 1:
+            if _scheduler_mode(self.spark).upper() != "FAIR":
+                report.logs.append(
+                    "note: spark.scheduler.mode=FIFO — per-worker "
+                    "scheduler pools are inert; set FAIR (build_spark "
+                    "default; pools in resources/fairscheduler.xml) so "
+                    "a wide level's jobs time-share executors"
+                )
 
         # Level-wise execution: models within a topo level share no
         # edges, so they run concurrently (dbt threads parity). A

@@ -53,7 +53,22 @@ _DEFAULTS: Mapping[str, str] = {
     # are far below this even at sf100.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.ui.enabled": "false",
+    # FAIR job scheduling so the concurrent ModelRunner's per-worker
+    # pools (spark.scheduler.pool = models-<i>, plans/runner.py) do
+    # real work: a wide topo level's models time-share executors
+    # instead of queuing FIFO (dbt `threads: 4` parity — reference
+    # dbt_project.py:231). Inert for single-job sessions.
+    "spark.scheduler.mode": "FAIR",
 }
+
+#: shipped pool definitions for the ModelRunner workers; pools are
+#: auto-created with the same defaults past models-3, the file is the
+#: operator knob for re-weighting model runs on a shared cluster
+FAIR_SCHEDULER_XML = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "resources",
+    "fairscheduler.xml",
+)
 
 
 def build_spark(
@@ -74,6 +89,10 @@ def build_spark(
         conf["spark.sql.warehouse.dir"] = warehouse_dir
     if extra_conf:
         conf.update(extra_conf)
+    if os.path.isfile(FAIR_SCHEDULER_XML):
+        conf.setdefault(
+            "spark.scheduler.allocation.file", FAIR_SCHEDULER_XML
+        )
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -136,3 +136,44 @@ def test_concurrent_build_real_models(spark):
         drop_table(spark, f"an.part{q}")
     drop_table(spark, "an.conc_union")
     drop_table(spark, "raw_conc")
+
+
+def test_fair_scheduler_wiring(spark):
+    """build_spark sessions run FAIR with the shipped allocation
+    file, so the per-worker pool tags actually time-share a wide
+    level's jobs (dbt threads parity off local mode too)."""
+    import xml.etree.ElementTree as ET
+
+    from datanika_core_spark.session import FAIR_SCHEDULER_XML
+
+    conf = spark.sparkContext.getConf()
+    assert conf.get("spark.scheduler.mode") == "FAIR"
+    assert conf.get("spark.scheduler.allocation.file") == FAIR_SCHEDULER_XML
+    pools = {
+        p.get("name")
+        for p in ET.parse(FAIR_SCHEDULER_XML).getroot().findall("pool")
+    }
+    # one shipped pool per default-threads worker (extras auto-create)
+    assert {f"models-{i}" for i in range(4)} <= pools
+
+
+def test_fifo_session_logs_pool_advisory(spark, diamond_registry,
+                                          monkeypatch):
+    """Under a FIFO context the pool names are inert — the runner
+    must say so in the report log instead of silently degrading; a
+    FAIR context (the build_spark default) stays advisory-free."""
+    import datanika_core_spark.plans.runner as runner_mod
+
+    runner = ModelRunner(spark, diamond_registry)
+    runner.materializer = FakeMaterializer()
+    report = runner.invoke("run", threads=4)
+    assert not [line for line in report.logs if "inert" in line]
+
+    monkeypatch.setattr(runner_mod, "_scheduler_mode", lambda s: "FIFO")
+    runner.materializer = FakeMaterializer()
+    report = runner.invoke("run", threads=4)
+    assert [line for line in report.logs if "inert" in line]
+    # single-threaded runs never need the advisory
+    runner.materializer = FakeMaterializer()
+    report = runner.invoke("run", threads=1)
+    assert not [line for line in report.logs if "inert" in line]
