@@ -1,0 +1,210 @@
+"""Distributed global order statistics — row_number / ntile /
+prefix aggregates over a TOTAL order — without the single-partition
+WindowExec a bare ``Window.orderBy(...)`` compiles to.
+
+The classic two-phase shape (TeraSort ranking / Blelloch scan):
+
+1. ONE cheap pass computes ~|shuffle partitions| quantile boundaries
+   of the leading sort key (``approxQuantile``) and freezes them as
+   PLAN LITERALS — so bucket assignment is a pure, deterministic
+   projection (``#bounds <= key``), immune to the per-execution
+   boundary sampling that makes ``repartitionByRange`` inconsistent
+   between plan branches (Spark samples new range bounds every time
+   an exchange re-executes; offsets computed under one sampling and
+   applied under another silently mis-rank boundary rows — found the
+   hard way, pinned by tests/test_ranking.py);
+2. the statistic is computed WITHIN each bucket
+   (``Window.partitionBy(bucket)`` — the window's own hash exchange
+   is the only corpus-wide shuffle);
+3. buckets close over each other with a ≤|buckets|-row table of
+   per-bucket summaries: an exclusive running total over bucket ids
+   (a global window, but over a bucket-count-sized aggregate —
+   bounded by construction), broadcast-joined back.
+
+Exactness: buckets are contiguous, non-overlapping ranges of the
+leading key with ties co-located, so for a total ordering key
+(callers always append a unique id tiebreak) the global rank is
+exactly ``rows in earlier buckets + local rank`` for ANY boundary
+placement — results are bit-identical to the single-partition form;
+only the plan changes. The machine pin in tests/test_plan_quality.py
+(tools/plan_signals_all.py ``gw`` signal) keeps every registry
+workload on this path.
+
+Quantile (not equal-width) boundaries keep the buckets balanced
+under value skew; a pathological single hot key still collapses to
+one bucket — the same floor any order-preserving partitioning has.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "_gr_pid"
+_KEY = "_gr_key"
+_LRN = "_gr_lrn"
+_RUN = "_gr_run"
+_CNT = "_gr_c"
+_OFF = "_gr_off"
+_TOT = "_gr_n"
+
+
+def _cols(order_cols) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+
+def _with_pid(df: DataFrame, order_cols, bucket_by: Column | None):
+    """Tag each row with a deterministic, order-contiguous bucket id:
+    #(frozen quantile boundaries <= leading key). ``bucket_by`` must
+    be numeric and monotone NON-DECREASING along the global order —
+    it defaults to the first order column, so pass e.g. ``-F.col(c)``
+    when the leading sort is descending."""
+    key = bucket_by if bucket_by is not None else _cols(order_cols)[0]
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    tmp = df.withColumn(_KEY, key.cast("double"))
+    if n_parts > 1:
+        qs = [i / n_parts for i in range(1, n_parts)]
+        bounds = sorted(set(tmp.approxQuantile(_KEY, qs, 0.001)))
+    else:
+        bounds = []
+    if bounds:
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        pid = F.size(F.filter(arr, lambda b: b <= F.col(_KEY)))
+    else:
+        pid = F.lit(0)
+    return tmp.withColumn(_PID, pid)
+
+
+def _local(df: DataFrame, order_cols, bucket_by, expr_fn) -> DataFrame:
+    """Bucket-tag and evaluate ``expr_fn(window)`` within buckets."""
+    w = Window.partitionBy(_PID).orderBy(*_cols(order_cols))
+    return _with_pid(df, order_cols, bucket_by).withColumn(
+        _LRN, expr_fn(w)
+    )
+
+
+def _count_offsets(local: DataFrame) -> DataFrame:
+    """Exclusive prefix COUNT per bucket: how many rows sort strictly
+    before bucket p. ≤|buckets| rows — the one global window here is
+    bounded by construction."""
+    counts = local.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
+    woff = Window.orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return counts.select(
+        _PID,
+        F.coalesce(F.sum(_CNT).over(woff), F.lit(0))
+        .cast("bigint").alias(_OFF),
+        F.col(_CNT),
+    )
+
+
+def global_row_number(
+    df: DataFrame, order_cols, alias: str, bucket_by: Column | None = None
+) -> DataFrame:
+    """df + a BIGINT ``alias`` column = row_number() over the global
+    ``order_cols`` order. The ordering must be total (append a unique
+    id as the last key) — under ties, ranks would be bucket-placement
+    dependent, exactly as they are nondeterministic under a
+    single-partition window."""
+    local = _local(
+        df, order_cols, bucket_by, lambda w: F.row_number().over(w)
+    )
+    offs = _count_offsets(local).drop(_CNT)
+    return (
+        local.join(F.broadcast(offs), _PID)
+        .withColumn(alias, (F.col(_OFF) + F.col(_LRN)).cast("bigint"))
+        .drop(_PID, _KEY, _LRN, _OFF)
+    )
+
+
+def global_ntile(
+    df: DataFrame, order_cols, k: int, alias: str,
+    bucket_by: Column | None = None,
+) -> DataFrame:
+    """df + an INT ``alias`` column = ntile(k) over the global
+    ``order_cols`` order, reproducing the SQL-standard bucket fill
+    (first n mod k tiles take one extra row) from the distributed
+    rank — bit-identical to ``F.ntile(k).over(Window.orderBy(...))``."""
+    local = _local(
+        df, order_cols, bucket_by, lambda w: F.row_number().over(w)
+    )
+    offs = _count_offsets(local)
+    tot = offs.agg(F.sum(_CNT).cast("bigint").alias(_TOT))
+    rn = F.col(_OFF) + F.col(_LRN)
+    rem = F.col(_TOT) % k
+    big = F.expr(f"{_TOT} div {k}") + 1
+    tile = F.when(
+        rn <= rem * big,
+        F.expr(f"({_OFF} + {_LRN} - 1) div ({_TOT} div {k} + 1)") + 1,
+    ).otherwise(
+        rem
+        + F.expr(
+            f"({_OFF} + {_LRN} - ({_TOT} % {k}) * ({_TOT} div {k} + 1)"
+            f" - 1) div greatest({_TOT} div {k}, 1)"
+        )
+        + 1
+    )
+    return (
+        local.join(F.broadcast(offs.drop(_CNT)), _PID)
+        .crossJoin(F.broadcast(tot))
+        .withColumn(alias, tile.cast("int"))
+        .drop(_PID, _KEY, _LRN, _OFF, _TOT)
+    )
+
+
+def global_prefix_sum(
+    df: DataFrame, order_cols, value: str, alias: str,
+    bucket_by: Column | None = None,
+) -> DataFrame:
+    """df + ``alias`` = sum(value) over the global order, rows
+    UNBOUNDED PRECEDING .. CURRENT ROW (inclusive running total)."""
+    local = _local(
+        df, order_cols, bucket_by,
+        lambda w: F.sum(value).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumnRenamed(_LRN, _RUN)
+    totals = local.groupBy(_PID).agg(F.sum(value).alias(_CNT))
+    woff = Window.orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = totals.select(
+        _PID,
+        F.coalesce(F.sum(_CNT).over(woff), F.lit(0)).alias(_OFF),
+    )
+    return (
+        local.join(F.broadcast(offs), _PID)
+        .withColumn(alias, F.col(_OFF) + F.col(_RUN))
+        .drop(_PID, _KEY, _RUN, _OFF)
+    )
+
+
+def global_prefix_max(
+    df: DataFrame, order_cols, value: str, alias: str,
+    bucket_by: Column | None = None,
+) -> DataFrame:
+    """df + ``alias`` = max(value) over the global order, rows
+    UNBOUNDED PRECEDING .. CURRENT ROW (running high-water mark)."""
+    local = _local(
+        df, order_cols, bucket_by,
+        lambda w: F.max(value).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumnRenamed(_LRN, _RUN)
+    totals = local.groupBy(_PID).agg(F.max(value).alias(_CNT))
+    woff = Window.orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = totals.select(_PID, F.max(_CNT).over(woff).alias(_OFF))
+    return (
+        local.join(F.broadcast(offs), _PID)
+        .withColumn(
+            alias,
+            F.when(F.col(_OFF).isNull(), F.col(_RUN))
+            .otherwise(F.greatest(F.col(_OFF), F.col(_RUN))),
+        )
+        .drop(_PID, _KEY, _RUN, _OFF)
+    )

@@ -1450,13 +1450,11 @@ def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("x"),
         "l_orderkey", "l_linenumber",
     )
-    ranked = li.select(
-        "x",
-        F.ntile(_EDH_BUCKETS)
-        .over(W.orderBy("x", "l_orderkey", "l_linenumber"))
-        .cast("bigint")
-        .alias("bucket"),
-    )
+    from datanika_core_spark.operators.ranking import global_ntile
+
+    ranked = global_ntile(
+        li, ["x", "l_orderkey", "l_linenumber"], _EDH_BUCKETS, "bucket"
+    ).select("x", F.col("bucket").cast("bigint").alias("bucket"))
     return (
         ranked.groupBy("bucket")
         .agg(

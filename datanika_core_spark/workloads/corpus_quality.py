@@ -503,7 +503,11 @@ def corpus_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ntile's ORDER BY carries a doc_id tiebreak so bin edges are
     total-ordered — identical across engines and partitionings. The
-    global sort is one shuffle over (quality, doc_id) pairs only."""
+    decile assignment runs through operators/ranking.global_ntile
+    (range-repartition + per-partition rank + broadcast offsets), so
+    no single task ever sees more than one range partition."""
+    from datanika_core_spark.operators.ranking import global_ntile
+
     docs = _with_toks(_norm_docs(spark, sf_dir))
     n_tokens = F.size("toks")
     stop_hits = F.expr(f"size(filter(toks, x -> x IN ({_STOPWORDS_IN})))")
@@ -511,10 +515,9 @@ def corpus_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(1.0), n_tokens / F.lit(100.0))
         * (F.lit(0.5) + F.lit(0.5) * (stop_hits * F.lit(1.0) / n_tokens))
     )
-    w = Window.orderBy("quality", "doc_id")
-    binned = (
-        docs.select("doc_id", quality.alias("quality"))
-        .withColumn("bin", F.ntile(_N_BINS).over(w))
+    binned = global_ntile(
+        docs.select("doc_id", quality.alias("quality")),
+        ["quality", "doc_id"], _N_BINS, "bin",
     )
     picked = (
         F.expr(_spark_hash("concat('qbin:', doc_id)")) % 100
@@ -1160,10 +1163,11 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("bigint").alias("c"),
         "event_id",
     )
-    lv = ev.select(
-        "event_type", "day",
-        F.ntile(_TC_LEVELS).over(_W.orderBy("c", "event_id")).alias("lvl"),
-    )
+    from datanika_core_spark.operators.ranking import global_ntile
+
+    lv = global_ntile(
+        ev, ["c", "event_id"], _TC_LEVELS, "lvl"
+    ).select("event_type", "day", "lvl")
     cls = lv.groupBy("event_type", "day", "lvl").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
@@ -1531,11 +1535,12 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shared-text division). Scale: explode → per-term min rank is
     the only corpus-sized pass (map-side combined); the fit runs on
     10 rows."""
+    from datanika_core_spark.operators.ranking import global_row_number
+
     docs = t(spark, sf_dir, "documents")
     nd = docs.count()
-    ranked = docs.select(
-        "doc_id",
-        F.row_number().over(Window.orderBy("doc_id")).alias("r"),
+    ranked = global_row_number(
+        docs.select("doc_id"), ["doc_id"], "r"
     )
     firstr = (
         docs.select(

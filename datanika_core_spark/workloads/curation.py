@@ -706,20 +706,15 @@ def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partitioned carry-in decomposition every cumulative
     workload here shares), then a per-row filter — the winners are
     ~n rows regardless of corpus size."""
-    from pyspark.sql import Window
+    from datanika_core_spark.operators.ranking import global_prefix_sum
 
     docs = t(spark, sf_dir, "documents")
     w = docs.select(
         "doc_id", F.length("text").cast("bigint").alias("weight")
     )
-    wcum = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.partitionBy(F.lit(1))
-    cum = w.select(
-        "doc_id", "weight",
-        F.sum("weight").over(wcum).alias("c"),
-        F.sum("weight").over(wall).alias("total"),
+    tot = w.agg(F.sum("weight").cast("bigint").alias("total"))
+    cum = global_prefix_sum(w, ["doc_id"], "weight", "c").crossJoin(
+        F.broadcast(tot)
     )
     # `div` is true integral division — a double `/` then cast can
     # flip the floor by a half-ulp once c*n nears 2^53 and silently
@@ -1698,8 +1693,6 @@ def sample_pps_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the sampler's one scan + global prefix sum; the estimator
     adds arithmetic on ≤n winner rows. The truth branch is one
     map-side-combinable aggregate of the same scan."""
-    from pyspark.sql import Window
-
     docs = t(spark, sf_dir, "documents")
     w = docs.select(
         "doc_id",
@@ -1707,14 +1700,11 @@ def sample_pps_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
         .cast("bigint").alias("toks"),
     )
-    wcum = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.partitionBy(F.lit(1))
-    cum = w.select(
-        "doc_id", "weight", "toks",
-        F.sum("weight").over(wcum).alias("c"),
-        F.sum("weight").over(wall).alias("total"),
+    from datanika_core_spark.operators.ranking import global_prefix_sum
+
+    tot = w.agg(F.sum("weight").cast("bigint").alias("total"))
+    cum = global_prefix_sum(w, ["doc_id"], "weight", "c").crossJoin(
+        F.broadcast(tot)
     )
     hi = F.expr(f"(c * {_PPS_N}) div total")
     lo = F.expr(f"((c - weight) * {_PPS_N}) div total")

@@ -127,15 +127,19 @@ def eval_auc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     LINEAR logit (AUC is monotone-invariant, so no libm sigmoid can
     drift a rank) with a doc_id tiebreak.
 
-    Scale: the only global structure is one sort for row_number —
-    Spark range-partitions it. At 100 TB swap in histogram AUC
-    (B fixed score bins + trapezoid, one combiner agg); the exact
-    rank form here is the ground truth that variant is checked
-    against. Everything after the window is integer arithmetic."""
+    Scale: the only global structure is one distributed rank
+    (operators/ranking.global_row_number — frozen quantile buckets +
+    per-bucket windows, never a single-partition sort). At 100 TB
+    swap in histogram AUC (B fixed score bins + trapezoid, one
+    combiner agg); the exact rank form here is the ground truth that
+    variant is checked against. Everything after is integer
+    arithmetic."""
+    from datanika_core_spark.operators.ranking import global_row_number
+
     labeled = _labeled(spark, sf_dir)
-    ranked = labeled.select(
-        "y", F.row_number().over(Window.orderBy("z", "doc_id")).alias("r")
-    )
+    ranked = global_row_number(
+        labeled, ["z", "doc_id"], "r"
+    ).select("y", "r")
     n_pos = F.sum("y")
     n_neg = F.sum(1 - F.col("y"))
     rank_pos = F.sum(F.when(F.col("y") == 1, F.col("r")).otherwise(0))
@@ -502,9 +506,11 @@ def eval_auc_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("pos") * F.sum("neg"))
         ).alias("auc_hist")
     )
-    ranked = labeled.select(
-        "y", F.row_number().over(Window.orderBy("z", "doc_id")).alias("r")
-    )
+    from datanika_core_spark.operators.ranking import global_row_number
+
+    ranked = global_row_number(
+        labeled, ["z", "doc_id"], "r"
+    ).select("y", "r")
     n_pos = F.sum("y")
     x = ranked.agg(
         (
@@ -1013,13 +1019,12 @@ def eval_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = _labeled(spark, sf_dir)
     from pyspark.sql import Window as _W
 
-    deciled = labeled.select(
-        "y",
-        F.ntile(10)
-        .over(_W.orderBy(F.col("z").desc(), "doc_id"))
-        .cast("bigint")
-        .alias("decile"),
-    )
+    from datanika_core_spark.operators.ranking import global_ntile
+
+    deciled = global_ntile(
+        labeled, [F.col("z").desc(), "doc_id"], 10, "decile",
+        bucket_by=-F.col("z"),
+    ).select("y", F.col("decile").cast("bigint").alias("decile"))
     per = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("n_pos"),

@@ -1544,10 +1544,12 @@ def events_out_of_order_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: all arithmetic is integer microseconds (epoch_us on
     both engines) and the delay coin is the portable md5 hash; the
     arrival sort carries an event_id tiebreak. Scale: the global
-    running max is the one non-distributable step — production
-    computes the profile per source partition (which is what the
-    watermark actually bounds); the histogram map-side combines to
-    ≤ {_OOO_CAP_MIN}+1 rows."""
+    running max runs through operators/ranking.global_prefix_max
+    (frozen quantile buckets + per-bucket windows + a ≤|buckets|-row
+    prefix of bucket maxima — no single-partition sort); production
+    would additionally profile per source partition (which is what
+    the watermark actually bounds); the histogram map-side combines
+    to ≤ {_OOO_CAP_MIN}+1 rows."""
     from pyspark.sql import Window as _W
 
     timed = t(spark, sf_dir, "events").select(
@@ -1558,16 +1560,11 @@ def events_out_of_order_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("arrival"),
         "event_id",
     )
-    arr = timed.select(
-        "e",
-        F.max("e")
-        .over(
-            _W.orderBy("arrival", "event_id").rowsBetween(
-                _W.unboundedPreceding, _W.currentRow
-            )
-        )
-        .alias("high_water"),
-    )
+    from datanika_core_spark.operators.ranking import global_prefix_max
+
+    arr = global_prefix_max(
+        timed, ["arrival", "event_id"], "e", "high_water"
+    ).select("e", "high_water")
     hist = (
         arr.select(
             F.least(

@@ -209,8 +209,6 @@ def _skip_rate_frame(
     """Shared measurement: quantize → z/lex rank → ntile files →
     per-file spans (optionally (n+1)/(n-1)-bias-corrected for
     sampled input) → per-dim average span fraction."""
-    from pyspark.sql import Window
-
     lims = pts.agg(
         F.min("x").alias("xlo"), F.max("x").alias("xhi"),
         F.min("y").alias("ylo"), F.max("y").alias("yhi"),
@@ -220,13 +218,13 @@ def _skip_rate_frame(
         F.expr("((x - xlo) * 65535) div greatest(xhi - xlo, 1)").alias("xq"),
         F.expr("((y - ylo) * 65535) div greatest(yhi - ylo, 1)").alias("yq"),
     )
+    from datanika_core_spark.operators.ranking import global_ntile
+
     keyed = quant.withColumn("z", F.expr(_ZL_SPARK_Z))
-    assigned = keyed.select(
-        "x", "y",
-        F.ntile(n_files).over(Window.orderBy("z", "ok", "ln")).alias("f_z"),
-        F.ntile(n_files).over(Window.orderBy("x", "y", "ok", "ln"))
-        .alias("f_lex"),
-    )
+    assigned = global_ntile(
+        global_ntile(keyed, ["z", "ok", "ln"], n_files, "f_z"),
+        ["x", "y", "ok", "ln"], n_files, "f_lex",
+    ).select("x", "y", "f_z", "f_lex")
     # per-file span bias correction for sampled input: n uniform
     # samples inside a span observe (n-1)/(n+1) of it on average, so
     # the sampled extreme-based span scales back up by (n+1)/(n-1)

@@ -66,17 +66,21 @@ def corr_spearman_length_stopwords(
     exact integer arithmetic (ρ = 1 − 6Σd²/(n(n²−1))) until one
     final division.
 
-    Scale: two global rank sorts (range-partitioned). At 100 TB
-    swap ranks for B-bucket histogram CDFs exactly like
-    eval_auc_histogram — rank statistics degrade gracefully to
-    binned forms; this exact form is their ground truth."""
+    Scale: two global ranks via operators/ranking.global_row_number
+    (range-repartition + per-partition rank + broadcast offsets —
+    never a single-partition window). At 100 TB swap ranks for
+    B-bucket histogram CDFs exactly like eval_auc_histogram — rank
+    statistics degrade gracefully to binned forms; this exact form
+    is their ground truth."""
+    from datanika_core_spark.operators.ranking import global_row_number
+
     base = t(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").alias("x"), F.expr(_SP_STOP).alias("y")
     )
-    ranked = base.select(
-        F.row_number().over(Window.orderBy("x", "doc_id")).alias("rx"),
-        F.row_number().over(Window.orderBy("y", "doc_id")).alias("ry"),
-    )
+    ranked = global_row_number(
+        global_row_number(base, ["x", "doc_id"], "rx"),
+        ["y", "doc_id"], "ry",
+    ).select("rx", "ry")
     n = F.count(F.lit(1))
     d2 = F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
     return ranked.agg(
@@ -643,10 +647,12 @@ def corr_spearman_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     approx = sums.select(rho_hist.alias("rho_hist"))
-    exact_ranked = base.select(
-        F.row_number().over(Window.orderBy("x", "doc_id")).alias("rx"),
-        F.row_number().over(Window.orderBy("y", "doc_id")).alias("ry"),
-    )
+    from datanika_core_spark.operators.ranking import global_row_number
+
+    exact_ranked = global_row_number(
+        global_row_number(base, ["x", "doc_id"], "rx"),
+        ["y", "doc_id"], "ry",
+    ).select("rx", "ry")
     n = F.count(F.lit(1))
     exact = exact_ranked.agg(
         (

@@ -1054,3 +1054,69 @@ def test_ht_estimate_has_no_shuffled_join(r8_plans):
     sampler's prefix-sum plan — any SortMergeJoin means the winner
     set got joined the expensive way."""
     assert "SortMergeJoin" not in r8_plans["sample_pps_ht_estimate"]
+
+
+# ---------------------------------------------------------------------------
+# Round 9: unbounded global windows are machine-pinned to zero.
+# ---------------------------------------------------------------------------
+
+
+def test_plans_all_has_zero_unbounded_global_windows():
+    """docs/PLANS_ALL.md's `gw` column (tools/plan_signals_all.py:
+    Window nodes with no partition spec that can see a source scan
+    with no intervening aggregate — the single-partition-sort shape
+    that cannot survive a 100x scale-up) must be 0 for every
+    registry entry. Regenerate the audit after plan-affecting
+    changes; a workload that reintroduces a bare Window.orderBy over
+    a corpus frame fails here instead of silently shipping."""
+    from pathlib import Path
+
+    text = Path(__file__).resolve().parents[1].joinpath(
+        "docs", "PLANS_ALL.md"
+    ).read_text()
+    rows = [
+        line for line in text.splitlines()
+        if line.startswith("|")
+        and not line.startswith(("| workload", "|---"))
+    ]
+    assert len(rows) > 300  # the audit covers the whole registry
+    bad = []
+    for line in rows:
+        cells = [c.strip() for c in line.strip("|").split("|")]
+        name, gw = cells[0], cells[7]
+        if gw not in ("0", "—"):
+            bad.append((name, gw))
+    assert bad == []
+    assert "No unbounded global windows" in text
+
+
+def test_detector_classifies_cached_aggregates_as_bounded(spark):
+    """A global window over a CACHED aggregate (the readout-grid
+    cache pattern, e.g. mi_lang_source's contingency table) is
+    bounded — the detector must look through InMemoryRelation
+    instead of flagging it; a cached raw scan still flags."""
+    from tools.plan_signals_all import unbounded_global_windows
+
+    from datanika_core_spark.session import read_table
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, "/root/testdata/sf0.001/documents.parquet")
+    grid = docs.groupBy("lang").count().cache()
+    try:
+        ok = grid.select(
+            "lang", F.sum("count").over(
+                W.orderBy("lang").rowsBetween(W.unboundedPreceding, 0)
+            ).alias("c"),
+        )
+        assert unbounded_global_windows(ok) == 0
+    finally:
+        grid.unpersist()
+    raw = docs.select("doc_id", "n_chars").cache()
+    try:
+        bad = raw.select(
+            F.row_number().over(W.orderBy("n_chars", "doc_id")).alias("r")
+        )
+        assert unbounded_global_windows(bad) == 1
+    finally:
+        raw.unpersist()
