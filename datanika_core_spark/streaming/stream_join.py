@@ -1,0 +1,165 @@
+"""Watermarked stream-stream join — the continuous twin of the batch
+interval-join family (workloads/temporal.py::range_join_purchase_context):
+every purchase joins the SAME USER's context events from the 2-hour
+window before it, with event-time watermarks on both streams bounding
+the buffered join state.
+
+Why this is its own twin: the 16 existing stream twins are all
+aggregation / sketch-store shapes (state = counters). A stream-stream
+join is the other stateful primitive — BOTH inputs buffer rows until
+the watermark proves no more matches can arrive, so state size is
+governed by (watermark delay + join window) × arrival rate, not by
+history length. Spark requires the join condition to bound each
+side's event time against the other's (the `c_ts` between
+`p_ts - window` and `p_ts` range below) precisely so it can compute
+those eviction thresholds.
+
+Batch/stream parity: when nothing arrives later than the watermark
+delay, the emitted pairs are EXACTLY the batch join's matched pairs
+(tests/test_stream_join.py asserts equality against the batch
+workload's plan over the same parquet). Late arrivals diverge by
+design, with the precise (measured) semantics: a sub-watermark row
+cannot match state from other batches — a late pair split across
+micro-batches is dropped — but two late rows arriving in the SAME
+micro-batch still join (the watermark bounds state and cross-batch
+lateness, not intra-batch matching). The global watermark is the MIN
+over both sides' watermark columns. Both behaviors are pinned by the
+out-of-order test, not papered over.
+
+Replay discipline: the inner join's output for a micro-batch is
+deterministic given the checkpointed offsets, and foreachBatch can
+redeliver a batch on retry — the sink therefore de-duplicates on
+(purchase_id, ctx_id) against the existing table before appending
+(idempotent append; pairs are unique by construction)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: must exceed the join window or same-batch pairs can be evicted
+_DEFAULT_WATERMARK = "150 minutes"
+_WINDOW_HOURS = 2
+_USER_CAP = 60
+
+
+@dataclass
+class JoinStats:
+    batches: int = 0
+    pairs: int = 0
+
+
+def stream_purchase_context(
+    spark: SparkSession,
+    source_path: str,
+    result_table: str,
+    watermark: str = _DEFAULT_WATERMARK,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_sec: int = 300,
+) -> JoinStats:
+    """Run the purchase×context stream-stream join over all currently
+    available files (availableNow), appending matched pairs
+    (purchase_id, ctx_id, ctx_value) to ``result_table``."""
+    from datanika_core_spark.streaming.jobs import read_event_stream
+
+    sdf = read_event_stream(
+        spark, source_path, max_files_per_trigger=max_files_per_trigger
+    )
+    purchases = (
+        sdf.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("user_id") < _USER_CAP)
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    ctx = (
+        sdf.select(
+            F.col("event_id").alias("ctx_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("ctx_value"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    pairs = purchases.join(
+        ctx,
+        (F.col("c_user") == F.col("p_user"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {_WINDOW_HOURS} HOURS")
+        )
+        & (F.col("c_ts") < F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "ctx_id", "ctx_value")
+
+    stats = JoinStats()
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        stats.batches += 1
+        rows = batch_df
+        if spark.catalog.tableExists(result_table):
+            # idempotent append: drop pairs a redelivered batch
+            # already landed (pairs are unique by construction)
+            existing = spark.table(result_table).select(
+                "purchase_id", "ctx_id"
+            )
+            rows = batch_df.join(
+                existing, ["purchase_id", "ctx_id"], "left_anti"
+            )
+        n = rows.count()
+        stats.pairs += n
+        if n:
+            rows.write.format("parquet").mode("append").saveAsTable(
+                result_table
+            )
+
+    ckpt = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), "datanika_ck_stream_join"
+    )
+    q = (
+        pairs.writeStream.foreachBatch(_sink)
+        .option(
+            "checkpointLocation", os.path.join(ckpt, result_table)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    if spark.catalog.tableExists(result_table):
+        spark.catalog.refreshTable(result_table)
+    return stats
+
+
+def context_report(spark: SparkSession, result_table: str) -> DataFrame:
+    """Per-purchase readout over the landed pairs — the matched
+    subset of the batch workload's columns (purchases with zero
+    context events have no pairs to report from)."""
+    if not spark.catalog.tableExists(result_table):
+        return spark.createDataFrame(
+            [],
+            "purchase_id bigint, n_context_events bigint,"
+            " context_value double",
+        )
+    return (
+        spark.table(result_table)
+        .groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_context_events"),
+            F.round(F.sum("ctx_value"), 2).alias("context_value"),
+        )
+        .orderBy("purchase_id")
+    )

@@ -1,0 +1,129 @@
+"""Watermarked stream-stream join twin: exact pair parity with the
+batch interval join when nothing arrives late, idempotent replay, and
+the defining watermark behavior — rows older than the watermark at
+arrival time are DROPPED from the join, pinned with an out-of-order
+two-file delivery."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from datanika_core_spark.blocks import release_blocks
+from datanika_core_spark.session import read_table
+from datanika_core_spark.streaming.stream_join import (
+    context_report,
+    stream_purchase_context,
+)
+from datanika_core_spark.workloads import load_all
+from tests.planted import _events, _write
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _stage_single_file(spark, tmp_path, name):
+    ev = read_table(spark, f"{SF}/events.parquet")
+    src = tmp_path / name
+    src.mkdir()
+    staged = tmp_path / f"{name}_stage"
+    ev.coalesce(1).write.parquet(str(staged))
+    shutil.copy(
+        next(staged.glob("part-*.parquet")), src / "f0.parquet"
+    )
+    return src
+
+
+def test_stream_join_matches_batch_interval_join(spark, tmp_path):
+    """One file → one batch → nothing is late: the streamed pairs
+    aggregate to EXACTLY the batch workload's matched purchases."""
+    spark.sql("DROP TABLE IF EXISTS sj_pairs")
+    release_blocks(spark)
+    src = _stage_single_file(spark, tmp_path, "sj_src")
+    stats = stream_purchase_context(
+        spark, str(src), "sj_pairs",
+        checkpoint_dir=str(tmp_path / "ck_sj"),
+    )
+    assert stats.batches >= 1 and stats.pairs > 0
+    got = _rows(context_report(spark, "sj_pairs"))
+    batch = load_all()["range_join_purchase_context"].fn(spark, SF)
+    want = _rows(
+        batch.filter(F.col("n_context_events") > 0).select(
+            "purchase_id", "n_context_events", "context_value"
+        )
+    )
+    assert got == want
+
+    # replaying the whole input is a no-op (idempotent pair append:
+    # a fresh checkpoint re-reads the file; the sink's left_anti
+    # guard must not double any pair)
+    stream_purchase_context(
+        spark, str(src), "sj_pairs",
+        checkpoint_dir=str(tmp_path / "ck_sj2"),
+    )
+    assert _rows(context_report(spark, "sj_pairs")) == want
+
+
+def test_stream_join_drops_cross_batch_sub_watermark_arrivals(
+    spark, tmp_path
+):
+    """The contract the watermark actually gives a stream-stream
+    join, pinned from measured behavior (q.recentProgress):
+
+    - the global watermark is the MIN over every withWatermark
+      column, so BOTH sides must see the far-future rows in file 0
+      or it never advances;
+    - a late pair arriving split ACROSS batches is dropped: the late
+      purchase (batch 1) is below the watermark so it cannot be
+      buffered for future matches, and the late click (batch 2)
+      counts in numRowsDroppedByWatermark — no pair is emitted.
+      (A late pair arriving in ONE batch would still join — the
+      watermark bounds state and cross-batch lateness, not
+      intra-batch matching.)"""
+    spark.sql("DROP TABLE IF EXISTS sj_late")
+    release_blocks(spark)
+    base = dt.datetime(2024, 3, 1, 10, 0)
+
+    def ts(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    files = [
+        _events(spark, [
+            (101, ts(0), 1, "click", 5.0, "{}"),
+            (102, ts(30), 1, "purchase", 9.0, "{}"),
+            # far-future rows on BOTH sides advance the min-watermark
+            # (the same-timestamp pair cannot join: c_ts < p_ts)
+            (103, ts(60 * 50), 3, "click", 1.0, "{}"),
+            (104, ts(60 * 50), 3, "purchase", 1.0, "{}"),
+        ]),
+        _events(spark, [(202, ts(35), 2, "purchase", 9.0, "{}")]),
+        _events(spark, [(201, ts(5), 2, "click", 7.0, "{}")]),
+    ]
+    src = tmp_path / "sj_late_src"
+    src.mkdir()
+    for i, df in enumerate(files):
+        _write(df, str(tmp_path), f"sj_late_stage{i}")
+        part = next(
+            (tmp_path / f"sj_late_stage{i}.parquet").glob("part-*.parquet")
+        )
+        dst = src / f"f{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stats = stream_purchase_context(
+        spark, str(src), "sj_late",
+        checkpoint_dir=str(tmp_path / "ck_sj_late"),
+        max_files_per_trigger=1,
+    )
+    assert stats.batches >= 3
+    pairs = {
+        (r["purchase_id"], r["ctx_id"])
+        for r in spark.table("sj_late").collect()
+    }
+    assert (102, 101) in pairs  # on-time pair joined
+    assert (202, 201) not in pairs  # split late pair dropped
