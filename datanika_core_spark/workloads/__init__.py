@@ -212,6 +212,9 @@ CHECK_FIRST = [
     "drift_page_hinkley", "text_mattr_diversity",
     "curation_dsir_kl_diagnostics", "stats_mann_kendall",
     "sample_pps_ht_estimate",
+    # round 9 — unrecorded-first puts these at the head of the
+    # window; the remaining slots re-verify the stalest entries
+    "graph_coreness_ladder",
 ]
 
 

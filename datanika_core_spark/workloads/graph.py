@@ -2115,3 +2115,172 @@ def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         " k bigint, converged bigint",
     )
     return out.orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# Coreness ladder: k-core sizes across a deterministic k ladder
+# (round 9) — the coreness-distribution readout the single-K
+# graph_kcore_bounded peel generalizes to.
+# --------------------------------------------------------------------------
+
+_KCL_ROUNDS = 4  # peel rounds per rung (bounded, like the single-K peel)
+_KCL_RUNGS = 5   # k ladder = {1..5}/5 of the Q1 initial degree
+
+
+def _coreness_oracle() -> str:
+    """Unrolled nested peel: rung i's k is (i/5)·Q1; its round-0 edge
+    set is rung i-1's FINAL edge set (k-cores are nested, so peeling
+    at a higher k never needs the removed nodes back). Every step is
+    AS MATERIALIZED — step i references step i-1 more than once."""
+    steps = []
+    prev = "e0"
+    rows = []
+    for i in range(1, _KCL_RUNGS + 1):
+        steps.append(f"""
+kk{i} AS MATERIALIZED (
+  SELECT greatest((d * {i}) // 5, 1) AS k FROM q1
+)""")
+        for r in range(1, _KCL_ROUNDS + 1):
+            steps.append(f"""
+d{i}_{r} AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev}
+  ) GROUP BY node
+),
+n{i}_{r} AS MATERIALIZED (
+  SELECT d{i}_{r}.node FROM d{i}_{r} CROSS JOIN kk{i}
+  WHERE d{i}_{r}.d >= kk{i}.k
+),
+e{i}_{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN n{i}_{r} a ON a.node = e.u
+  JOIN n{i}_{r} b ON b.node = e.v
+)""")
+            prev = f"e{i}_{r}"
+        last, before = _KCL_ROUNDS, _KCL_ROUNDS - 1
+        rows.append(
+            f"SELECT {i} AS rung, (SELECT k FROM kk{i}) AS k,"
+            f" (SELECT count(*) FROM n{i}_{last}) AS n_nodes,"
+            f" (SELECT count(*) FROM e{i}_{last}) AS n_edges,"
+            f" CASE WHEN (SELECT count(*) FROM n{i}_{last})"
+            f" = (SELECT count(*) FROM n{i}_{before}) THEN 1 ELSE 0 END"
+            f" AS converged"
+        )
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+d0 AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0
+  ) GROUP BY node
+),
+q1 AS MATERIALIZED (
+  SELECT d FROM (
+    SELECT d, row_number() OVER (ORDER BY d, node) AS rn,
+           count(*) OVER () AS n
+    FROM d0
+  ) WHERE rn = (n + 1) // 4
+),{",".join(steps)},
+summary AS ({" UNION ALL ".join(rows)})
+SELECT CAST(rung AS BIGINT) AS rung, CAST(k AS BIGINT) AS k,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(converged AS BIGINT) AS converged
+FROM summary
+ORDER BY rung
+"""
+
+
+@workload("graph_coreness_ladder", oracle=_coreness_oracle())
+def graph_coreness_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreness distribution of the co-purchase part graph at a
+    deterministic k ladder: for k = {1..5}/5 of the Q1 initial
+    degree, the size of the (bounded-round) k-core. The payoff over
+    the single-K peel (graph_kcore_bounded) is the SHAPE — how fast
+    the graph sheds mass as k rises is the dense-subgraph profile
+    community mining / spam pruning reads, and the rung where
+    n_nodes collapses brackets the degeneracy.
+
+    The nesting theorem does the heavy lifting: core(k') ⊆ core(k)
+    for k' ≥ k, so each rung peels FROM THE PREVIOUS RUNG'S
+    SURVIVORS — the full ladder costs barely more than the deepest
+    rung, instead of |ladder| independent peels. Each rung runs a
+    fixed 4 rounds (_KCL_ROUNDS) with a convergence flag (the honest
+    distributed form; convergence detection is itself a round).
+
+    Determinism: degrees, Q1, and every k are exact integers; each
+    round is a pure set operation. The oracle replays the identical
+    nested rounds as a generated AS MATERIALIZED CTE chain.
+
+    Scale: per round one degree groupBy + two semi-join-shaped
+    equi-joins on a monotonically SHRINKING edge set;
+    RollingCheckpoint truncates lineage so round N never recomputes
+    rounds 1..N-1. The Q1 readout runs on the |nodes| degree table
+    (single-partition rank window is the right plan there — it is a
+    readout grid, not the corpus)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        )
+
+    from datanika_core_spark.blocks import RollingCheckpoint
+
+    roll = RollingCheckpoint(spark)
+    e = roll(edges)
+    d0 = degrees(e)
+    wk = Window.orderBy("d", "node")
+    q1 = int(
+        d0.select(
+            "d",
+            F.row_number().over(wk).alias("rn"),
+            F.count(F.lit(1)).over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 4"))
+        .first()["d"]
+    )
+    out_rows = []
+    for i in range(1, _KCL_RUNGS + 1):
+        k = max((q1 * i) // 5, 1)
+        n_nodes = n_edges = prev_nodes = None
+        for _ in range(_KCL_ROUNDS):
+            surv = degrees(e).filter(F.col("d") >= k).select("node")
+            prev_nodes = n_nodes
+            n_nodes = surv.count()
+            e = roll(
+                e.join(surv.withColumnRenamed("node", "u"), "u")
+                .join(surv.withColumnRenamed("node", "v"), "v")
+                .select("u", "v")
+            )
+        n_edges = e.count()
+        out_rows.append(
+            (i, k, n_nodes, n_edges,
+             1 if n_nodes == prev_nodes else 0)
+        )
+    out = spark.createDataFrame(
+        out_rows,
+        "rung bigint, k bigint, n_nodes bigint, n_edges bigint,"
+        " converged bigint",
+    )
+    return out.orderBy("rung")

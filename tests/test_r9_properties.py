@@ -176,3 +176,41 @@ def test_theil_sen_exact_hand_case(spark, tmp_path):
     assert r["n_pairs"] == 6
     assert r["ts_slope_per_day"] == 1.083333
     assert r["ts_intercept"] == round(-514325 / 24, 6)  # -21430.208333
+
+
+def test_coreness_ladder_nested_peel_hand_case(spark, tmp_path):
+    """Co-purchase graph = K6 ∪ K8 ∪ P10 (24 nodes; degrees 5, 7,
+    and 1/2). Q1 degree (rank (24+1) div 4 = 6 of the sorted list)
+    is 2, so the ladder k = max(2i div 5, 1) is (1,1,1,1,2).
+
+    Rungs 1–4 (k=1) keep everything: 24 nodes, 15+28+9 = 52 edges,
+    converged. Rung 5 (k=2) unravels the path two ends per round —
+    survivor counts 22, 20, 18, 16 — so after the 4-round budget 16
+    nodes and 44 edges remain with converged=0: pins the bounded-
+    round semantics AND the nested restart from rung 4's edge set."""
+    rows = []
+    for p in range(101, 107):
+        rows.append((1, p))          # K6: one order, six parts
+    for p in range(301, 309):
+        rows.append((2, p))          # K8
+    for i in range(1, 10):           # P10: 201-202-...-210
+        rows.append((10 + i, 200 + i))
+        rows.append((10 + i, 201 + i))
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    _write(li, str(tmp_path), "lineitem")
+    got = {
+        r["rung"]: r
+        for r in load_all()["graph_coreness_ladder"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert sorted(got) == [1, 2, 3, 4, 5]
+    for rung in (1, 2, 3, 4):
+        r = got[rung]
+        assert (r["k"], r["n_nodes"], r["n_edges"], r["converged"]) == (
+            1, 24, 52, 1
+        )
+    r5 = got[5]
+    assert (r5["k"], r5["n_nodes"], r5["n_edges"], r5["converged"]) == (
+        2, 16, 44, 0
+    )
