@@ -38,8 +38,6 @@ rows regardless of stream volume.
 
 from __future__ import annotations
 
-import os
-import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -191,11 +189,18 @@ def stream_benford_audit(
         with scoped_blocks(spark):
             _sink_body(batch_df, batch_id)
 
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_benford_")
+    from datanika_core_spark.streaming.jobs import resolve_checkpoint
+
+    ckpt_loc = resolve_checkpoint(
+        spark, checkpoint_dir, "benford", monitor.counters_table,
+        has_state=lambda: monitor.last_batch_id() is not None,
+        reset_state=lambda: spark.sql(
+            f"DROP TABLE IF EXISTS {monitor.counters_table}"
+        ),
+    )
     q = (
         sdf.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation",
-                os.path.join(ckpt, monitor.counters_table))
+        .option("checkpointLocation", ckpt_loc)
         .trigger(availableNow=True)
         .start()
     )
@@ -409,11 +414,18 @@ def stream_sprt_monitor(
         with scoped_blocks(spark):
             _sink_body(batch_df, batch_id)
 
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_sprt_")
+    from datanika_core_spark.streaming.jobs import resolve_checkpoint
+
+    ckpt_loc = resolve_checkpoint(
+        spark, checkpoint_dir, "sprt", monitor.state_table,
+        has_state=lambda: monitor.last_batch_id() is not None,
+        reset_state=lambda: spark.sql(
+            f"DROP TABLE IF EXISTS {monitor.state_table}"
+        ),
+    )
     q = (
         sdf.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation",
-                os.path.join(ckpt, monitor.state_table))
+        .option("checkpointLocation", ckpt_loc)
         .trigger(availableNow=True)
         .start()
     )
@@ -601,11 +613,18 @@ def stream_ks_drift(
         with scoped_blocks(spark):
             _sink_body(batch_df, batch_id)
 
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_ks_")
+    from datanika_core_spark.streaming.jobs import resolve_checkpoint
+
+    ckpt_loc = resolve_checkpoint(
+        spark, checkpoint_dir, "ks", monitor.counters_table,
+        has_state=lambda: monitor.last_batch_id() is not None,
+        reset_state=lambda: spark.sql(
+            f"DROP TABLE IF EXISTS {monitor.counters_table}"
+        ),
+    )
     q = (
         sdf.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation",
-                os.path.join(ckpt, monitor.counters_table))
+        .option("checkpointLocation", ckpt_loc)
         .trigger(availableNow=True)
         .start()
     )
@@ -781,11 +800,18 @@ def stream_mann_whitney(
         with scoped_blocks(spark):
             _sink_body(batch_df, batch_id)
 
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_mw_")
+    from datanika_core_spark.streaming.jobs import resolve_checkpoint
+
+    ckpt_loc = resolve_checkpoint(
+        spark, checkpoint_dir, "mw", monitor.counters_table,
+        has_state=lambda: monitor.last_batch_id() is not None,
+        reset_state=lambda: spark.sql(
+            f"DROP TABLE IF EXISTS {monitor.counters_table}"
+        ),
+    )
     q = (
         sdf.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation",
-                os.path.join(ckpt, monitor.counters_table))
+        .option("checkpointLocation", ckpt_loc)
         .trigger(availableNow=True)
         .start()
     )

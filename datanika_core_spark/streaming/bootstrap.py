@@ -26,7 +26,6 @@ touches the same grid — stream volume never grows the state.
 from __future__ import annotations
 
 import os
-import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -224,11 +223,18 @@ def stream_bootstrap_ci(
         with scoped_blocks(spark):
             _sink_body(batch_df, batch_id)
 
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_bs_")
+    from datanika_core_spark.streaming.jobs import resolve_checkpoint
+
+    ckpt_loc = resolve_checkpoint(
+        spark, checkpoint_dir, "bootstrap", monitor.state_table,
+        has_state=lambda: monitor.last_batch_id() is not None,
+        reset_state=lambda: spark.sql(
+            f"DROP TABLE IF EXISTS {monitor.state_table}"
+        ),
+    )
     q = (
         sdf.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation",
-                os.path.join(ckpt, monitor.state_table))
+        .option("checkpointLocation", ckpt_loc)
         .trigger(availableNow=True)
         .start()
     )

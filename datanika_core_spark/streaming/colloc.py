@@ -28,8 +28,6 @@ heavy-hitter state is acceptable).
 
 from __future__ import annotations
 
-import os
-import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -219,11 +217,18 @@ def stream_collocations(
         with scoped_blocks(spark):
             _sink_body(batch_df, batch_id)
 
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_colloc_")
+    from datanika_core_spark.streaming.jobs import resolve_checkpoint
+
+    ckpt_loc = resolve_checkpoint(
+        spark, checkpoint_dir, "colloc", monitor.counters_table,
+        has_state=lambda: monitor.last_batch_id() is not None,
+        reset_state=lambda: spark.sql(
+            f"DROP TABLE IF EXISTS {monitor.counters_table}"
+        ),
+    )
     q = (
         sdf.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation",
-                os.path.join(ckpt, monitor.counters_table))
+        .option("checkpointLocation", ckpt_loc)
         .trigger(availableNow=True)
         .start()
     )

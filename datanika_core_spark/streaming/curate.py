@@ -25,8 +25,6 @@ idempotent too.
 
 from __future__ import annotations
 
-import os
-import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -246,12 +244,16 @@ def stream_curate(
         with scoped_blocks(spark):
             _sink_body(batch_df, batch_id)
 
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_curate_")
+    from datanika_core_spark.streaming.jobs import resolve_checkpoint
+
+    ckpt_loc = resolve_checkpoint(
+        spark, checkpoint_dir, "curate", corpus_table,
+        has_state=lambda: spark.catalog.tableExists(corpus_table),
+        reset_state=None  # store self-match rejects re-delivered docs,
+    )
     q = (
         sdf.writeStream.foreachBatch(_sink)
-        .option(
-            "checkpointLocation", os.path.join(ckpt, corpus_table)
-        )
+        .option("checkpointLocation", ckpt_loc)
         .trigger(availableNow=True)
         .start()
     )

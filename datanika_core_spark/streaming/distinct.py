@@ -26,8 +26,6 @@ as the KMV rolling-window workload.
 
 from __future__ import annotations
 
-import os
-import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,10 +76,16 @@ def stream_hll_ingest(
         with scoped_blocks(spark):
             _sink_body(batch_df, batch_id)
 
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_hll_")
+    from datanika_core_spark.streaming.jobs import resolve_checkpoint
+
+    ckpt_loc = resolve_checkpoint(
+        spark, checkpoint_dir, "hll", store.table,
+        has_state=lambda: spark.catalog.tableExists(store.table),
+        reset_state=None  # HLL max-merge: replay is idempotent,
+    )
     q = (
         sdf.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", os.path.join(ckpt, store.table))
+        .option("checkpointLocation", ckpt_loc)
         .trigger(availableNow=True)
         .start()
     )

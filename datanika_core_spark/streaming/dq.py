@@ -37,8 +37,6 @@ Bloom prefilter in front — operators/bloom_store.py).
 
 from __future__ import annotations
 
-import os
-import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -234,11 +232,20 @@ def stream_dq_monitor(
         with scoped_blocks(spark):
             _sink_body(batch_df, batch_id)
 
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_dq_")
+    from datanika_core_spark.streaming.jobs import resolve_checkpoint
+
+    def _reset() -> None:
+        for t in (monitor.counters_table, monitor.keys_table):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    ckpt_loc = resolve_checkpoint(
+        spark, checkpoint_dir, "dq", monitor.counters_table,
+        has_state=lambda: monitor.last_batch_id() is not None,
+        reset_state=_reset,
+    )
     q = (
         sdf.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation",
-                os.path.join(ckpt, monitor.counters_table))
+        .option("checkpointLocation", ckpt_loc)
         .trigger(availableNow=True)
         .start()
     )

@@ -22,8 +22,6 @@ own cluster — never the whole index.
 
 from __future__ import annotations
 
-import os
-import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -130,10 +128,16 @@ def stream_embed_ingest(
         with scoped_blocks(spark):
             _sink_body(batch_df, batch_id)
 
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_embed_")
+    from datanika_core_spark.streaming.jobs import resolve_checkpoint
+
+    ckpt_loc = resolve_checkpoint(
+        spark, checkpoint_dir, "embed", store.table,
+        has_state=lambda: spark.catalog.tableExists(store.table),
+        reset_state=None  # vec_id left-anti keyed: replay is idempotent,
+    )
     q = (
         sdf.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", os.path.join(ckpt, store.table))
+        .option("checkpointLocation", ckpt_loc)
         .trigger(availableNow=True)
         .start()
     )

@@ -20,8 +20,6 @@ batch split folds to the same result.
 
 from __future__ import annotations
 
-import os
-import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -74,10 +72,18 @@ def stream_fingerprint_ingest(
         with scoped_blocks(spark):
             _sink_body(batch_df, batch_id)
 
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_fp_")
+    from datanika_core_spark.streaming.jobs import resolve_checkpoint
+
+    ckpt_loc = resolve_checkpoint(
+        spark, checkpoint_dir, "fingerprint", store.table,
+        has_state=lambda: store.last_batch_id() is not None,
+        reset_state=lambda: spark.sql(
+            f"DROP TABLE IF EXISTS {store.table}"
+        ),
+    )
     q = (
         sdf.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", os.path.join(ckpt, store.table))
+        .option("checkpointLocation", ckpt_loc)
         .trigger(availableNow=True)
         .start()
     )

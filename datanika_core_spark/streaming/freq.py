@@ -29,8 +29,6 @@ store merge touches ≤ d×w stored rows regardless of stream volume.
 
 from __future__ import annotations
 
-import os
-import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -84,10 +82,18 @@ def stream_cms_ingest(
         with scoped_blocks(spark):
             _sink_body(batch_df, batch_id)
 
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_cms_")
+    from datanika_core_spark.streaming.jobs import resolve_checkpoint
+
+    ckpt_loc = resolve_checkpoint(
+        spark, checkpoint_dir, "cms", store.table,
+        has_state=lambda: store.last_batch_id() is not None,
+        reset_state=lambda: spark.sql(
+            f"DROP TABLE IF EXISTS {store.table}"
+        ),
+    )
     q = (
         sdf.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", os.path.join(ckpt, store.table))
+        .option("checkpointLocation", ckpt_loc)
         .trigger(availableNow=True)
         .start()
     )
@@ -144,10 +150,18 @@ def stream_mg_ingest(
         with scoped_blocks(spark):
             _sink_body(batch_df, batch_id)
 
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_mg_")
+    from datanika_core_spark.streaming.jobs import resolve_checkpoint
+
+    ckpt_loc = resolve_checkpoint(
+        spark, checkpoint_dir, "mg", store.table,
+        has_state=lambda: store.last_batch_id() is not None,
+        reset_state=lambda: spark.sql(
+            f"DROP TABLE IF EXISTS {store.table}"
+        ),
+    )
     q = (
         sdf.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", os.path.join(ckpt, store.table))
+        .option("checkpointLocation", ckpt_loc)
         .trigger(availableNow=True)
         .start()
     )

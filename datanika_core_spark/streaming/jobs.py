@@ -213,6 +213,60 @@ def run_available_now_to_memory(
             q.stop()
 
 
+def resolve_checkpoint(
+    spark: SparkSession,
+    checkpoint_dir: str | None,
+    kind: str,
+    state_name: str,
+    has_state=None,
+    reset_state=None,
+) -> str:
+    """Checkpoint-location policy shared by every stream twin.
+
+    1. The DEFAULT checkpoint is deterministic —
+       ``$TMPDIR/datanika_ck_<kind>/<state_name>`` — so a second
+       invocation for the same state table RESUMES the same file
+       listing + batch numbering instead of minting a fresh mkdtemp
+       whose batch ids restart at 0 against persisted state
+       (re-counting or skipping files depending on listing order —
+       the failure mode ADVICE flagged on the PH monitor; every
+       watermarked store shares it).
+    2. Checkpoint lineage and state must agree; on mismatch, reset
+       to a coherent zero state so the replay is exact:
+
+       - fresh checkpoint (no prior commits) + existing state → the
+         stream will re-read EVERY file. If ``reset_state`` is given
+         (non-idempotent stores: additive counters, xor folds), it
+         is called so the rebuild folds each row exactly once;
+         idempotent stores (HLL max-merge, left-anti-keyed indexes)
+         pass ``reset_state=None`` and simply re-absorb.
+       - prior commits + no state (table dropped or never built) →
+         the checkpoint would skip the already-listed files forever:
+         it is cleared so the full input replays into empty state.
+
+    ``has_state``: nullary callable, True when the twin's persisted
+    state exists (watermark row, or just tableExists for idempotent
+    stores). Pass None to skip reconciliation entirely.
+    """
+    base = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"datanika_ck_{kind}"
+    )
+    loc = os.path.join(base, state_name)
+    if has_state is not None:
+        commits = os.path.join(loc, "commits")
+        has_commits = os.path.isdir(commits) and any(
+            not n.startswith(".") for n in os.listdir(commits)
+        )
+        if has_state():
+            if not has_commits and reset_state is not None:
+                reset_state()
+        elif has_commits:
+            import shutil
+
+            shutil.rmtree(loc, ignore_errors=True)
+    return loc
+
+
 def stream_ingest(
     spark: SparkSession,
     source_path: str,
@@ -242,10 +296,16 @@ def stream_ingest(
         )
         loaded["n"] += res.rows_loaded
 
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ck_stream_ingest_")
+    # no reset_state: a warehouse target is never dropped
+    # automatically — merge-on-primary-key is the replay-idempotent
+    # disposition (docstring above); append callers own their ckpt
+    ckpt_loc = resolve_checkpoint(
+        spark, checkpoint_dir, "ingest", table,
+        has_state=lambda: spark.catalog.tableExists(table),
+    )
     q = (
         sdf.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", os.path.join(ckpt, table))
+        .option("checkpointLocation", ckpt_loc)
         .trigger(availableNow=True)
         .start()
     )

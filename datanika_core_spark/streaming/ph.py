@@ -29,8 +29,6 @@ store convention.
 
 from __future__ import annotations
 
-import os
-import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -180,39 +178,6 @@ class StreamPageHinkleyMonitor:
         )
 
 
-def _reconcile_checkpoint_lineage(
-    spark: SparkSession,
-    monitor: StreamPageHinkleyMonitor,
-    ckpt_loc: str,
-) -> None:
-    """The counters table's batch-id watermark is only meaningful
-    relative to ONE checkpoint lineage: a fresh checkpoint restarts
-    batch ids at 0 AND re-lists every source file. On a mismatch,
-    reset to a coherent zero state so the replay is exact:
-
-    - fresh checkpoint (no prior commits) + persisted watermark →
-      the stream will re-read EVERY file, so the only exact outcome
-      is a rebuild: drop the counters table first (keeping it would
-      double-fold the already-absorbed events, and keeping only the
-      watermark would silently skip the first wm+1 batches).
-    - prior commits + no watermark (counters table dropped or never
-      built) → the checkpoint would skip the already-listed files
-      forever: clear it so the full input replays into the empty
-      table.
-    """
-    import shutil
-
-    commits = os.path.join(ckpt_loc, "commits")
-    has_commits = os.path.isdir(commits) and any(
-        not n.startswith(".") for n in os.listdir(commits)
-    )
-    wm = monitor.last_batch_id()
-    if wm is not None and not has_commits:
-        spark.sql(f"DROP TABLE IF EXISTS {monitor.counters_table}")
-    elif wm is None and has_commits:
-        shutil.rmtree(ckpt_loc, ignore_errors=True)
-
-
 def stream_page_hinkley(
     spark: SparkSession,
     source_path: str,
@@ -246,17 +211,18 @@ def stream_page_hinkley(
         with scoped_blocks(spark):
             _sink_body(batch_df, batch_id)
 
-    # Deterministic default checkpoint derived from the counters
-    # table: a second invocation for the same monitor RESUMES the
-    # same file listing + batch numbering instead of minting a fresh
-    # mkdtemp whose batch ids restart at 0 against the persisted
-    # watermark (re-counting or skipping files depending on listing
-    # order).
-    ckpt = checkpoint_dir or os.path.join(
-        tempfile.gettempdir(), "datanika_ck_stream_ph"
+    # deterministic default checkpoint + state/lineage reconciliation
+    # (the shared twin policy — see resolve_checkpoint's docstring;
+    # counters are additive, so a fresh checkpoint forces a rebuild)
+    from datanika_core_spark.streaming.jobs import resolve_checkpoint
+
+    ckpt_loc = resolve_checkpoint(
+        spark, checkpoint_dir, "stream_ph", monitor.counters_table,
+        has_state=lambda: monitor.last_batch_id() is not None,
+        reset_state=lambda: spark.sql(
+            f"DROP TABLE IF EXISTS {monitor.counters_table}"
+        ),
     )
-    ckpt_loc = os.path.join(ckpt, monitor.counters_table)
-    _reconcile_checkpoint_lineage(spark, monitor, ckpt_loc)
     q = (
         sdf.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", ckpt_loc)
