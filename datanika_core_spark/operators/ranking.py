@@ -182,6 +182,40 @@ def global_prefix_sum(
     )
 
 
+def global_prefix_min(
+    df: DataFrame, order_cols, value: str, alias: str,
+    bucket_by: Column | None = None, exclusive: bool = False,
+) -> DataFrame:
+    """df + ``alias`` = min(value) over the global order. With
+    ``exclusive=True`` the frame is UNBOUNDED PRECEDING .. 1
+    PRECEDING (NULL for the globally-first row) — the sort-filter
+    skyline / dominance shape: "best value seen strictly before
+    me"."""
+    ocols = _cols(order_cols)
+    hi = -1 if exclusive else 0
+    local = _local(
+        df, order_cols, bucket_by,
+        lambda w: F.min(value).over(
+            w.rowsBetween(Window.unboundedPreceding, hi)
+        ),
+    ).withColumnRenamed(_LRN, _RUN)
+    totals = local.groupBy(_PID).agg(F.min(value).alias(_CNT))
+    woff = Window.orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = totals.select(_PID, F.min(_CNT).over(woff).alias(_OFF))
+    combined = (
+        F.when(F.col(_OFF).isNull(), F.col(_RUN))
+        .when(F.col(_RUN).isNull(), F.col(_OFF))
+        .otherwise(F.least(F.col(_OFF), F.col(_RUN)))
+    )
+    return (
+        local.join(F.broadcast(offs), _PID)
+        .withColumn(alias, combined)
+        .drop(_PID, _KEY, _RUN, _OFF)
+    )
+
+
 def global_prefix_max(
     df: DataFrame, order_cols, value: str, alias: str,
     bucket_by: Column | None = None,

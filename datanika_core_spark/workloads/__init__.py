@@ -214,7 +214,7 @@ CHECK_FIRST = [
     "sample_pps_ht_estimate",
     # round 9 — unrecorded-first puts these at the head of the
     # window; the remaining slots re-verify the stalest entries
-    "graph_coreness_ladder",
+    "graph_coreness_ladder", "skyline_price_size_parts",
 ]
 
 

@@ -1470,3 +1470,74 @@ def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Skyline (Pareto dominance) — the preference-query operator class
+# (round 9): minimize two attributes at once, return the undominated
+# frontier.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "skyline_price_size_parts",
+    oracle="""
+WITH g AS (
+  SELECT p_retailprice AS price, CAST(p_size AS BIGINT) AS size,
+         CAST(count(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY 1, 2
+),
+m AS (
+  SELECT price, size, n_parts,
+         min(size) OVER (ORDER BY price, size
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS prev_min
+  FROM g
+)
+SELECT price, size, n_parts
+FROM m WHERE prev_min IS NULL OR size < prev_min
+ORDER BY price, size
+""",
+)
+def skyline_price_size_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Börzsönyi 2001): the parts not DOMINATED on
+    (retail price, size) — no other part is ≤ on both and < on at
+    least one. The Pareto frontier is the classic preference query
+    ("cheapest for its size") that no single ORDER BY expresses, and
+    the degenerate-free sort-filter identity makes it exact: after
+    collapsing to the distinct (price, size) grid (equal pairs never
+    dominate each other), a point is on the skyline iff its size is
+    strictly below the minimum size of every point sorting before it
+    by (price, size) — one exclusive global prefix-min.
+
+    Determinism: prices/sizes compare exactly (no arithmetic);
+    grouping first makes ties well-defined on both engines.
+
+    Scale: one corpus groupBy to the |distinct (price, size)| grid,
+    then operators/ranking.global_prefix_min(exclusive=True) — the
+    frozen-quantile-bucket prefix scan, so even a grid that stays
+    corpus-sized never funnels through one task. The classic
+    block-nested-loop skyline is quadratic; the sort-filter form is
+    the 100 TB shape for 2-D (d>2 needs a partition-and-merge pass
+    on top). Complements skyline_parts_per_brand: there the frontier
+    is PER BRAND, so its windows partition by brand and stay bounded;
+    here the frontier is GLOBAL and the prefix scan itself must
+    distribute."""
+    from datanika_core_spark.operators.ranking import global_prefix_min
+
+    part = t(spark, sf_dir, "part")
+    grid = part.groupBy(
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("bigint").alias("size"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    scan = global_prefix_min(
+        grid, ["price", "size"], "size", "prev_min", exclusive=True
+    )
+    return (
+        scan.filter(
+            F.col("prev_min").isNull()
+            | (F.col("size") < F.col("prev_min"))
+        )
+        .select("price", "size", "n_parts")
+        .orderBy("price", "size")
+    )

@@ -214,3 +214,26 @@ def test_coreness_ladder_nested_peel_hand_case(spark, tmp_path):
     assert (r5["k"], r5["n_nodes"], r5["n_edges"], r5["converged"]) == (
         2, 16, 44, 0
     )
+
+
+def test_skyline_hand_case(spark, tmp_path):
+    """Parts at (price, size): two at (1,5), one each at (1,7),
+    (2,4), (2,6), (3,3), (3,9). Dominance (minimize both, strict in
+    one): (1,7) loses to (1,5); (2,6) loses to (2,4); (3,9) loses to
+    (3,3). Skyline = {(1,5)x2, (2,4), (3,3)}."""
+    rows = [
+        (1, 1.0, 5), (2, 1.0, 5), (3, 1.0, 7),
+        (4, 2.0, 4), (5, 2.0, 6),
+        (6, 3.0, 3), (7, 3.0, 9),
+    ]
+    part = spark.createDataFrame(
+        rows, "p_partkey long, p_retailprice double, p_size int"
+    )
+    _write(part, str(tmp_path), "part")
+    got = [
+        (r["price"], r["size"], r["n_parts"])
+        for r in load_all()["skyline_price_size_parts"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert got == [(1.0, 5, 2), (2.0, 4, 1), (3.0, 3, 1)]

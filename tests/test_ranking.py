@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from datanika_core_spark.operators.ranking import (
     global_ntile,
     global_prefix_max,
+    global_prefix_min,
     global_prefix_sum,
     global_row_number,
 )
@@ -128,3 +129,25 @@ def test_primitives_pass_the_global_window_detector(spark, docs):
         F.row_number().over(W.orderBy("n_chars", "doc_id")).alias("r")
     )
     assert unbounded_global_windows(bad) == 1
+
+
+def test_prefix_min_inclusive_and_exclusive(spark, docs):
+    for excl, hi in ((False, 0), (True, -1)):
+        want = _map(
+            docs.select(
+                "doc_id",
+                F.min("n_chars").over(
+                    W.orderBy("doc_id").rowsBetween(
+                        W.unboundedPreceding, hi
+                    )
+                ).alias("m"),
+            ),
+            "doc_id", "m",
+        )
+        got = _map(
+            global_prefix_min(
+                docs, ["doc_id"], "n_chars", "m", exclusive=excl
+            ),
+            "doc_id", "m",
+        )
+        assert got == want, f"exclusive={excl}"
