@@ -215,6 +215,7 @@ CHECK_FIRST = [
     # round 9 — unrecorded-first puts these at the head of the
     # window; the remaining slots re-verify the stalest entries
     "graph_coreness_ladder", "skyline_price_size_parts",
+    "events_value_lorenz_gini",
 ]
 
 

@@ -1927,3 +1927,124 @@ def cohort_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age_week")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact Lorenz curve + Gini over event values (round 9) — the
+# row-level inequality readout next to the per-source token-mass
+# Gini (corpus_gini_concentration), built on the distributed rank
+# primitives.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "events_value_lorenz_gini",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS c FROM events
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
+  FROM ev
+),
+rk AS (
+  SELECT c,
+         CAST(row_number() OVER w AS BIGINT) AS r,
+         CAST(sum(c) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cs
+  FROM ev WINDOW w AS (ORDER BY c, event_id)
+),
+g AS (
+  SELECT (2.0 * CAST(sum(CAST(r AS HUGEINT) * c) AS DOUBLE)
+          - (tot.n + 1.0) * tot.s)
+         / (CAST(tot.n AS DOUBLE) * tot.s) AS gini
+  FROM rk CROSS JOIN tot GROUP BY tot.n, tot.s
+),
+b AS (
+  SELECT q.decile, greatest((tot.n * q.decile) // 10, 1) AS r
+  FROM (SELECT unnest(range(1, 11)) AS decile) q CROSS JOIN tot
+)
+SELECT CAST(b.decile AS BIGINT) AS decile,
+       CAST(b.r AS BIGINT) AS boundary_rank,
+       ROUND(rk.cs * 1.0 / tot.s, 6) AS cum_share,
+       ROUND(g.gini, 6) AS gini
+FROM b JOIN rk ON rk.r = b.r CROSS JOIN tot CROSS JOIN g
+ORDER BY decile
+""",
+)
+def events_value_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Lorenz curve (cumulative value share at each population
+    decile) and Gini coefficient over event values — the row-level
+    'how concentrated is the spend' readout (whale detection, budget
+    skew) that binned approximations blur exactly where it matters,
+    in the top tail. Gini via the rank identity
+    G = (2·Σ rᵢxᵢ − (n+1)·Σx) / (n·Σx) on the ascending total order
+    (value, event_id).
+
+    Determinism: ranks and cumulative sums are exact BIGINTs from
+    operators/ranking (distributed, never a single-partition sort);
+    Σ r·x is kept in DECIMAL(38,0)/HUGEINT — it outgrows BIGINT at
+    warehouse row counts — and both engines promote to double with
+    the identical expression text before the one division.
+
+    Scale: one quantile pass + one bucketed rank pass + one bucketed
+    prefix-sum pass; the decile readout joins 10 broadcast boundary
+    ranks against the cumulative frame. Nothing funnels through a
+    single task."""
+    from datanika_core_spark.operators.ranking import (
+        global_prefix_sum,
+        global_row_number,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    tot = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+    )
+    ranked = global_row_number(ev, ["c", "event_id"], "r")
+    cum = global_prefix_sum(ranked, ["c", "event_id"], "c", "cs")
+    gini = (
+        ranked.agg(
+            F.sum(F.col("r").cast("decimal(38,0)") * F.col("c"))
+            .alias("w")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (
+                    F.lit(2.0) * F.col("w").cast("double")
+                    - (F.col("n") + F.lit(1.0)) * F.col("s")
+                )
+                / (F.col("n").cast("double") * F.col("s"))
+            ).alias("gini")
+        )
+    )
+    boundaries = (
+        spark.range(1, 11)
+        .select(F.col("id").cast("bigint").alias("decile"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.greatest(
+                F.expr("(n * decile) div 10"), F.lit(1).cast("bigint")
+            ).alias("boundary_rank"),
+            "s",
+        )
+    )
+    return (
+        cum.join(
+            F.broadcast(boundaries),
+            cum["r"] == boundaries["boundary_rank"],
+        )
+        .crossJoin(F.broadcast(gini))
+        .select(
+            "decile",
+            "boundary_rank",
+            F.round(F.col("cs") * 1.0 / F.col("s"), 6).alias("cum_share"),
+            F.round("gini", 6).alias("gini"),
+        )
+        .orderBy("decile")
+    )

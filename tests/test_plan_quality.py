@@ -1120,3 +1120,46 @@ def test_detector_classifies_cached_aggregates_as_bounded(spark):
         assert unbounded_global_windows(bad) == 1
     finally:
         raw.unpersist()
+
+
+_R9_FAMILIES = [
+    "skyline_price_size_parts",
+    "events_value_lorenz_gini",
+    # graph_coreness_ladder is a driver-loop workload (its returned
+    # frame is the k-row summary) — its per-round plans are the
+    # kcore shapes already pinned; excluded here like the other
+    # iterative peels.
+]
+
+
+@pytest.fixture(scope="module")
+def r9_plans(spark):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    reg = load_all()
+    try:
+        return {n: _plan(reg[n].fn(spark, SF)) for n in _R9_FAMILIES}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_r9_no_cartesian_no_row_udfs(r9_plans):
+    for name, p in r9_plans.items():
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+
+
+def test_skyline_prefix_scan_uses_broadcast_offsets(r9_plans):
+    """The skyline's exclusive prefix-min closes buckets with a
+    ≤|buckets|-row broadcast — the grid must never sort-merge or
+    nest-loop against it."""
+    p = r9_plans["skyline_price_size_parts"]
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_lorenz_boundary_join_is_broadcast(r9_plans):
+    """Gini/Lorenz joins 10 boundary ranks + two 1-row aggregates
+    into the cumulative frame — all broadcast, no shuffled join."""
+    p = r9_plans["events_value_lorenz_gini"]
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

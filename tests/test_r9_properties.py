@@ -237,3 +237,30 @@ def test_skyline_hand_case(spark, tmp_path):
         ).collect()
     ]
     assert got == [(1.0, 5, 2), (2.0, 4, 1), (3.0, 3, 1)]
+
+
+def test_lorenz_gini_hand_case(spark, tmp_path):
+    """Four events with cents (100, 200, 300, 400): sorted cumulative
+    shares are (0.1, 0.3, 0.6, 1.0); Σ r·x = 1·1+2·2+3·3+4·4 = 30
+    (in cents-units ×100), so G = (2·30 − 5·10)/(4·10) = 0.25.
+    Boundary ranks greatest((4·q) div 10, 1) map deciles 1–4 → rank
+    1, 5–7 → 2, 8–9 → 3, 10 → 4."""
+    rows = [
+        (i + 1, _day(i), 1, "purchase", float(i + 1), "{}")
+        for i in range(4)
+    ]
+    _write(_events(spark, rows), str(tmp_path), "events")
+    got = {
+        r["decile"]: r
+        for r in load_all()["events_value_lorenz_gini"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert sorted(got) == list(range(1, 11))
+    expect_rank = {1: 1, 2: 1, 3: 1, 4: 1, 5: 2, 6: 2, 7: 2,
+                   8: 3, 9: 3, 10: 4}
+    expect_share = {1: 0.1, 2: 0.3, 3: 0.6, 4: 1.0}
+    for d, r in got.items():
+        assert r["boundary_rank"] == expect_rank[d]
+        assert r["cum_share"] == expect_share[expect_rank[d]]
+        assert r["gini"] == 0.25
