@@ -33,6 +33,16 @@ workload on this path.
 Quantile (not equal-width) boundaries keep the buckets balanced
 under value skew; a pathological single hot key still collapses to
 one bucket — the same floor any order-preserving partitioning has.
+
+Cost note: ``approxQuantile`` is a DRIVER ACTION, so CONSTRUCTING one
+of these frames scans the input once before any downstream action
+(plan-only callers like the registry-wide plan audit pay an
+execute-a-scan cost per call). That eager pass is the price of
+freezing the boundaries as literals — the property the correctness
+of the offsets depends on — and is one cheap aggregate, not a sort.
+Callers composing several statistics over the SAME order should use
+the combined primitives (global_rank_prefix_sum) rather than
+chaining calls.
 """
 
 from __future__ import annotations
@@ -179,6 +189,51 @@ def global_prefix_sum(
         local.join(F.broadcast(offs), _PID)
         .withColumn(alias, F.col(_OFF) + F.col(_RUN))
         .drop(_PID, _KEY, _RUN, _OFF)
+    )
+
+
+def global_rank_prefix_sum(
+    df: DataFrame, order_cols, value: str,
+    rank_alias: str, sum_alias: str,
+    bucket_by: Column | None = None,
+) -> DataFrame:
+    """row_number AND the inclusive running sum of ``value`` over the
+    same global order in ONE bucketed pass (one quantile scan, one
+    shuffle, one per-bucket window) — callers needing both (Lorenz
+    curves, weighted quantiles) should not pay two independent
+    ranking pipelines."""
+    ocols = _cols(order_cols)
+    w = Window.partitionBy(_PID).orderBy(*ocols)
+    local = (
+        _with_pid(df, order_cols, bucket_by)
+        .withColumn(_LRN, F.row_number().over(w))
+        .withColumn(
+            _RUN,
+            F.sum(value).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    per = local.groupBy(_PID).agg(
+        F.count(F.lit(1)).alias(_CNT), F.sum(value).alias("_gr_vs")
+    )
+    woff = Window.orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = per.select(
+        _PID,
+        F.coalesce(F.sum(_CNT).over(woff), F.lit(0))
+        .cast("bigint").alias(_OFF),
+        F.coalesce(F.sum("_gr_vs").over(woff), F.lit(0))
+        .alias("_gr_voff"),
+    )
+    return (
+        local.join(F.broadcast(offs), _PID)
+        .withColumn(
+            rank_alias, (F.col(_OFF) + F.col(_LRN)).cast("bigint")
+        )
+        .withColumn(sum_alias, F.col("_gr_voff") + F.col(_RUN))
+        .drop(_PID, _KEY, _LRN, _RUN, _OFF, "_gr_voff")
     )
 
 

@@ -242,15 +242,39 @@ def resolve_checkpoint(
          pass ``reset_state=None`` and simply re-absorb.
        - prior commits + no state (table dropped or never built) →
          the checkpoint would skip the already-listed files forever:
-         it is cleared so the full input replays into empty state.
+         it is cleared so the full input replays into empty state,
+         and ``reset_state`` (when given) runs FIRST so auxiliary
+         remnants go too — a multi-table monitor whose probe only
+         sees the primary table (e.g. the DQ monitor's counters +
+         keys pair) must not replay against a stale secondary table.
 
     ``has_state``: nullary callable, True when the twin's persisted
     state exists (watermark row, or just tableExists for idempotent
     stores). Pass None to skip reconciliation entirely.
+
+    The default root is namespaced per OS user and per Spark
+    warehouse (``datanika_ck_<user>_<hash>``): two sessions only
+    share a lineage when they also share the warehouse the state
+    tables live in — concurrent CI shards or other users on the same
+    host can never interleave commits into each other's checkpoints
+    (the collision-freedom mkdtemp used to provide, kept without
+    giving up determinism).
     """
-    base = checkpoint_dir or os.path.join(
-        tempfile.gettempdir(), f"datanika_ck_{kind}"
-    )
+    if checkpoint_dir:
+        base = checkpoint_dir
+    else:
+        import getpass
+        import hashlib
+
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        )
+        ns = hashlib.md5(wh.encode()).hexdigest()[:8]
+        base = os.path.join(
+            tempfile.gettempdir(),
+            f"datanika_ck_{getpass.getuser()}_{ns}",
+            kind,
+        )
     loc = os.path.join(base, state_name)
     if has_state is not None:
         commits = os.path.join(loc, "commits")
@@ -263,6 +287,8 @@ def resolve_checkpoint(
         elif has_commits:
             import shutil
 
+            if reset_state is not None:
+                reset_state()
             shutil.rmtree(loc, ignore_errors=True)
     return loc
 

@@ -34,8 +34,6 @@ redeliver a batch on retry — the sink therefore de-duplicates on
 
 from __future__ import annotations
 
-import os
-import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -123,14 +121,20 @@ def stream_purchase_context(
                 result_table
             )
 
-    ckpt = checkpoint_dir or os.path.join(
-        tempfile.gettempdir(), "datanika_ck_stream_join"
+    # shared twin checkpoint policy: deterministic default + lineage
+    # reconciliation (a dropped result table with surviving commits
+    # must clear the checkpoint or the input is skipped forever);
+    # the left-anti pair sink makes full replay idempotent, so no
+    # reset_state is needed in the other direction
+    from datanika_core_spark.streaming.jobs import resolve_checkpoint
+
+    ckpt_loc = resolve_checkpoint(
+        spark, checkpoint_dir, "stream_join", result_table,
+        has_state=lambda: spark.catalog.tableExists(result_table),
     )
     q = (
         pairs.writeStream.foreachBatch(_sink)
-        .option(
-            "checkpointLocation", os.path.join(ckpt, result_table)
-        )
+        .option("checkpointLocation", ckpt_loc)
         .trigger(availableNow=True)
         .start()
     )

@@ -1987,13 +1987,12 @@ def events_value_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse row counts — and both engines promote to double with
     the identical expression text before the one division.
 
-    Scale: one quantile pass + one bucketed rank pass + one bucketed
-    prefix-sum pass; the decile readout joins 10 broadcast boundary
-    ranks against the cumulative frame. Nothing funnels through a
-    single task."""
+    Scale: one quantile pass + ONE bucketed pass computing rank and
+    running sum together (operators/ranking.global_rank_prefix_sum);
+    the decile readout joins 10 broadcast boundary ranks against the
+    cumulative frame. Nothing funnels through a single task."""
     from datanika_core_spark.operators.ranking import (
-        global_prefix_sum,
-        global_row_number,
+        global_rank_prefix_sum,
     )
 
     ev = t(spark, sf_dir, "events").select(
@@ -2004,10 +2003,14 @@ def events_value_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("c").cast("bigint").alias("s"),
     )
-    ranked = global_row_number(ev, ["c", "event_id"], "r")
-    cum = global_prefix_sum(ranked, ["c", "event_id"], "c", "cs")
+    # rank + running sum from ONE bucketed pass (one quantile scan,
+    # one shuffle) — two independent ranking pipelines would double
+    # the dominant cost
+    cum = global_rank_prefix_sum(
+        ev, ["c", "event_id"], "c", "r", "cs"
+    )
     gini = (
-        ranked.agg(
+        cum.agg(
             F.sum(F.col("r").cast("decimal(38,0)") * F.col("c"))
             .alias("w")
         )

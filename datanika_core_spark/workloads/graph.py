@@ -2247,7 +2247,7 @@ def graph_coreness_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = roll(edges)
     d0 = degrees(e)
     wk = Window.orderBy("d", "node")
-    q1 = int(
+    q1_row = (
         d0.select(
             "d",
             F.row_number().over(wk).alias("rn"),
@@ -2258,8 +2258,19 @@ def graph_coreness_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n"),
         )
         .filter(F.col("rn") == F.expr("(n + 1) div 4"))
-        .first()["d"]
+        .first()
     )
+    if q1_row is None:
+        # < 3 graph nodes: rank (n+1) div 4 selects nothing — the
+        # oracle's q1 CTE is empty, so every rung reports (NULL k,
+        # 0, 0, converged). Mirror it instead of crashing on None.
+        out = spark.createDataFrame(
+            [(i, None, 0, 0, 1) for i in range(1, _KCL_RUNGS + 1)],
+            "rung bigint, k bigint, n_nodes bigint, n_edges bigint,"
+            " converged bigint",
+        )
+        return out.orderBy("rung")
+    q1 = int(q1_row["d"])
     out_rows = []
     for i in range(1, _KCL_RUNGS + 1):
         k = max((q1 * i) // 5, 1)

@@ -18,11 +18,16 @@ def _mk_commits(loc):
         f.write("{}")
 
 
-def test_default_location_is_deterministic(spark):
+def test_default_location_is_deterministic_and_namespaced(spark):
+    import getpass
+
     a = resolve_checkpoint(spark, None, "kindx", "tbl_a")
     b = resolve_checkpoint(spark, None, "kindx", "tbl_a")
     assert a == b
-    assert a.endswith(os.path.join("datanika_ck_kindx", "tbl_a"))
+    assert a.endswith(os.path.join("kindx", "tbl_a"))
+    # namespaced per user + warehouse: concurrent sessions with a
+    # different warehouse (or another user) never share a lineage
+    assert f"datanika_ck_{getpass.getuser()}_" in a
     assert resolve_checkpoint(spark, None, "kindx", "tbl_b") != a
 
 
@@ -55,14 +60,22 @@ def test_state_with_commits_resumes_untouched(spark, tmp_path):
     assert os.path.isdir(os.path.join(loc, "commits"))
 
 
-def test_commits_without_state_clears_checkpoint(spark, tmp_path):
+def test_commits_without_state_clears_checkpoint_and_resets(
+    spark, tmp_path
+):
+    """Both the checkpoint AND any auxiliary state remnants must go:
+    a multi-table monitor whose probe only sees the primary table
+    (DQ counters + keys) would otherwise replay against the stale
+    secondary table and corrupt the rebuilt counters."""
     loc = os.path.join(str(tmp_path), "tbl")
     _mk_commits(loc)
+    calls = []
     resolve_checkpoint(
         spark, str(tmp_path), "k", "tbl",
         has_state=lambda: False,
-        reset_state=lambda: (_ for _ in ()).throw(AssertionError),
+        reset_state=lambda: calls.append("reset"),
     )
+    assert calls == ["reset"]
     assert not os.path.exists(loc)
 
 

@@ -264,3 +264,30 @@ def test_lorenz_gini_hand_case(spark, tmp_path):
         assert r["boundary_rank"] == expect_rank[d]
         assert r["cum_share"] == expect_share[expect_rank[d]]
         assert r["gini"] == 0.25
+
+
+def test_coreness_ladder_degenerate_two_nodes(spark, tmp_path):
+    """< 3 graph nodes: the Q1 rank (n+1) div 4 selects nothing, so
+    every rung reports (NULL k, 0, 0, converged) — engine and oracle
+    must agree on the degenerate shape instead of the engine
+    crashing on the missing Q1 row."""
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20)], "l_orderkey long, l_partkey long"
+    )
+    _write(li, str(tmp_path), "lineitem")
+    wl = load_all()["graph_coreness_ladder"]
+    got = wl.fn(spark, str(tmp_path)).collect()
+    assert len(got) == 5
+    for r in got:
+        assert (r["k"], r["n_nodes"], r["n_edges"], r["converged"]) == (
+            None, 0, 0, 1
+        )
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"'{tmp_path}/lineitem.parquet/*.parquet'"
+    )
+    oracle = con.execute(wl.oracle).fetchall()
+    assert [tuple(r[1:]) for r in oracle] == [(None, 0, 0, 1)] * 5

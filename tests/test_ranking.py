@@ -151,3 +151,28 @@ def test_prefix_min_inclusive_and_exclusive(spark, docs):
             "doc_id", "m",
         )
         assert got == want, f"exclusive={excl}"
+
+
+def test_rank_prefix_sum_combined_matches_chained(spark, docs):
+    from datanika_core_spark.operators.ranking import (
+        global_rank_prefix_sum,
+    )
+
+    base = W.orderBy("n_chars", "doc_id")
+    want = {
+        r["doc_id"]: (r["r"], r["cs"])
+        for r in docs.select(
+            "doc_id",
+            F.row_number().over(base).alias("r"),
+            F.sum("n_chars").over(
+                base.rowsBetween(W.unboundedPreceding, 0)
+            ).alias("cs"),
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: (r["r"], r["cs"])
+        for r in global_rank_prefix_sum(
+            docs, ["n_chars", "doc_id"], "n_chars", "r", "cs"
+        ).collect()
+    }
+    assert got == want

@@ -130,15 +130,13 @@ def test_stream_ph_default_checkpoint_resumes(spark, tmp_path):
     counters table): the second call absorbs ONLY the new file —
     the old mkdtemp-per-call default restarted batch ids at 0
     against the persisted watermark and re-counted or skipped."""
-    import os
-    import tempfile
+    from datanika_core_spark.streaming.jobs import resolve_checkpoint
 
     spark.sql("DROP TABLE IF EXISTS ph_mon4")
     release_blocks(spark)
+    # probe-free call just resolves the (namespaced) default path
     shutil.rmtree(
-        os.path.join(
-            tempfile.gettempdir(), "datanika_ck_stream_ph", "ph_mon4"
-        ),
+        resolve_checkpoint(spark, None, "stream_ph", "ph_mon4"),
         ignore_errors=True,
     )
     ev, src = _split_mid(spark, tmp_path, "ph_src4")
