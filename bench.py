@@ -44,6 +44,10 @@ def _execute_fully(df) -> int:
 
 
 def main() -> None:
+    try:
+        load0 = os.getloadavg()[0]
+    except OSError:
+        load0 = -1.0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
@@ -124,6 +128,16 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": reps,
     }
+    # Contention telemetry (the r9 lesson: the official artifact was
+    # recorded under battery residual load and its inflated medians
+    # read as code regressions). 1-min loadavg at start/end — a solo
+    # steady-state run on this 32-cpu box shows start ≲ a few; a run
+    # taken mid-battery shows tens. Readers should trust the medians
+    # only when load was quiet.
+    try:
+        out["loadavg_1m"] = [round(load0, 1), round(os.getloadavg()[0], 1)]
+    except OSError:
+        pass
     if reps > 1:
         out["spread"] = {
             n: [round(min(s), 3), round(max(s), 3)]

@@ -42,7 +42,11 @@ freezing the boundaries as literals — the property the correctness
 of the offsets depends on — and is one cheap aggregate, not a sort.
 Callers composing several statistics over the SAME order should use
 the combined primitives (global_rank_prefix_sum) rather than
-chaining calls.
+chaining calls; callers building several frames over the SAME INPUT
+in different orders (Spearman's two rank columns, layout's chained
+ntiles) should precompute every key's boundaries in one scan with
+``quantile_boundaries`` and pass them via ``boundaries=`` — chaining
+without it executes pipeline 1 inside pipeline 2's boundary scan.
 """
 
 from __future__ import annotations
@@ -63,18 +67,58 @@ def _cols(order_cols) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order_cols]
 
 
-def _with_pid(df: DataFrame, order_cols, bucket_by: Column | None):
+def quantile_boundaries(
+    df: DataFrame, keys, n_parts: int | None = None
+) -> list[list[float]]:
+    """ONE approxQuantile driver pass computing frozen bucket
+    boundaries for SEVERAL ranking keys at once — pass the results to
+    the ``boundaries=`` parameter of the public functions so call
+    sites that build two+ ranking frames (Spearman's two rank columns,
+    layout's chained ntiles) pay one input scan instead of executing
+    pipeline 1 inside pipeline 2's eager boundary scan.
+
+    ``keys`` are column names or numeric Column expressions, each the
+    bucket key its frame will use (the leading sort key, negated for
+    descending). Returns one sorted-deduped boundary list per key, in
+    order. NULL keys are ignored by approxQuantile — NULL rows land in
+    bucket 0, consistent with ascending NULLS FIRST."""
+    if n_parts is None:
+        n_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    names = [f"_qb_{i}" for i in range(len(keys))]
+    tmp = df
+    for name, k in zip(names, keys):
+        col = F.col(k) if isinstance(k, str) else k
+        tmp = tmp.withColumn(name, col.cast("double"))
+    if n_parts <= 1:
+        return [[] for _ in keys]
+    qs = [i / n_parts for i in range(1, n_parts)]
+    got = tmp.approxQuantile(names, qs, 0.001)
+    return [sorted(set(b)) for b in got]
+
+
+def _with_pid(
+    df: DataFrame, order_cols, bucket_by: Column | None,
+    boundaries: list[float] | None = None,
+):
     """Tag each row with a deterministic, order-contiguous bucket id:
     #(frozen quantile boundaries <= leading key). ``bucket_by`` must
     be numeric and monotone NON-DECREASING along the global order —
     it defaults to the first order column, so pass e.g. ``-F.col(c)``
-    when the leading sort is descending."""
+    when the leading sort is descending. ``boundaries`` (from
+    quantile_boundaries) skips the eager per-frame scan; ANY boundary
+    placement yields the same final statistic (exactness holds per
+    bucket + offsets), so precomputed boundaries never change results,
+    only the plan."""
     key = bucket_by if bucket_by is not None else _cols(order_cols)[0]
     n_parts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
     tmp = df.withColumn(_KEY, key.cast("double"))
-    if n_parts > 1:
+    if boundaries is not None:
+        bounds = sorted(set(boundaries))
+    elif n_parts > 1:
         qs = [i / n_parts for i in range(1, n_parts)]
         bounds = sorted(set(tmp.approxQuantile(_KEY, qs, 0.001)))
     else:
@@ -87,10 +131,12 @@ def _with_pid(df: DataFrame, order_cols, bucket_by: Column | None):
     return tmp.withColumn(_PID, pid)
 
 
-def _local(df: DataFrame, order_cols, bucket_by, expr_fn) -> DataFrame:
+def _local(
+    df: DataFrame, order_cols, bucket_by, expr_fn, boundaries=None
+) -> DataFrame:
     """Bucket-tag and evaluate ``expr_fn(window)`` within buckets."""
     w = Window.partitionBy(_PID).orderBy(*_cols(order_cols))
-    return _with_pid(df, order_cols, bucket_by).withColumn(
+    return _with_pid(df, order_cols, bucket_by, boundaries).withColumn(
         _LRN, expr_fn(w)
     )
 
@@ -112,7 +158,9 @@ def _count_offsets(local: DataFrame) -> DataFrame:
 
 
 def global_row_number(
-    df: DataFrame, order_cols, alias: str, bucket_by: Column | None = None
+    df: DataFrame, order_cols, alias: str,
+    bucket_by: Column | None = None,
+    boundaries: list[float] | None = None,
 ) -> DataFrame:
     """df + a BIGINT ``alias`` column = row_number() over the global
     ``order_cols`` order. The ordering must be total (append a unique
@@ -120,7 +168,8 @@ def global_row_number(
     dependent, exactly as they are nondeterministic under a
     single-partition window."""
     local = _local(
-        df, order_cols, bucket_by, lambda w: F.row_number().over(w)
+        df, order_cols, bucket_by, lambda w: F.row_number().over(w),
+        boundaries,
     )
     offs = _count_offsets(local).drop(_CNT)
     return (
@@ -133,13 +182,15 @@ def global_row_number(
 def global_ntile(
     df: DataFrame, order_cols, k: int, alias: str,
     bucket_by: Column | None = None,
+    boundaries: list[float] | None = None,
 ) -> DataFrame:
     """df + an INT ``alias`` column = ntile(k) over the global
     ``order_cols`` order, reproducing the SQL-standard bucket fill
     (first n mod k tiles take one extra row) from the distributed
     rank — bit-identical to ``F.ntile(k).over(Window.orderBy(...))``."""
     local = _local(
-        df, order_cols, bucket_by, lambda w: F.row_number().over(w)
+        df, order_cols, bucket_by, lambda w: F.row_number().over(w),
+        boundaries,
     )
     offs = _count_offsets(local)
     tot = offs.agg(F.sum(_CNT).cast("bigint").alias(_TOT))
@@ -168,26 +219,36 @@ def global_ntile(
 def global_prefix_sum(
     df: DataFrame, order_cols, value: str, alias: str,
     bucket_by: Column | None = None,
+    boundaries: list[float] | None = None,
 ) -> DataFrame:
     """df + ``alias`` = sum(value) over the global order, rows
-    UNBOUNDED PRECEDING .. CURRENT ROW (inclusive running total)."""
+    UNBOUNDED PRECEDING .. CURRENT ROW (inclusive running total).
+
+    NULL semantics match the single-partition window exactly: sum
+    ignores NULLs, so a row whose within-bucket prefix is all-NULL
+    carries the earlier buckets' total (NULL only when EVERY value up
+    to the row is NULL) — the offset is left un-coalesced and the two
+    halves combine with NULL-as-identity, like global_prefix_min."""
     local = _local(
         df, order_cols, bucket_by,
         lambda w: F.sum(value).over(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ),
+        boundaries,
     ).withColumnRenamed(_LRN, _RUN)
     totals = local.groupBy(_PID).agg(F.sum(value).alias(_CNT))
     woff = Window.orderBy(_PID).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    offs = totals.select(
-        _PID,
-        F.coalesce(F.sum(_CNT).over(woff), F.lit(0)).alias(_OFF),
+    offs = totals.select(_PID, F.sum(_CNT).over(woff).alias(_OFF))
+    combined = (
+        F.when(F.col(_RUN).isNull(), F.col(_OFF))
+        .when(F.col(_OFF).isNull(), F.col(_RUN))
+        .otherwise(F.col(_OFF) + F.col(_RUN))
     )
     return (
         local.join(F.broadcast(offs), _PID)
-        .withColumn(alias, F.col(_OFF) + F.col(_RUN))
+        .withColumn(alias, combined)
         .drop(_PID, _KEY, _RUN, _OFF)
     )
 
@@ -196,16 +257,18 @@ def global_rank_prefix_sum(
     df: DataFrame, order_cols, value: str,
     rank_alias: str, sum_alias: str,
     bucket_by: Column | None = None,
+    boundaries: list[float] | None = None,
 ) -> DataFrame:
     """row_number AND the inclusive running sum of ``value`` over the
     same global order in ONE bucketed pass (one quantile scan, one
     shuffle, one per-bucket window) — callers needing both (Lorenz
     curves, weighted quantiles) should not pay two independent
-    ranking pipelines."""
+    ranking pipelines. NULL values carry the earlier buckets' total
+    exactly like global_prefix_sum."""
     ocols = _cols(order_cols)
     w = Window.partitionBy(_PID).orderBy(*ocols)
     local = (
-        _with_pid(df, order_cols, bucket_by)
+        _with_pid(df, order_cols, bucket_by, boundaries)
         .withColumn(_LRN, F.row_number().over(w))
         .withColumn(
             _RUN,
@@ -224,15 +287,19 @@ def global_rank_prefix_sum(
         _PID,
         F.coalesce(F.sum(_CNT).over(woff), F.lit(0))
         .cast("bigint").alias(_OFF),
-        F.coalesce(F.sum("_gr_vs").over(woff), F.lit(0))
-        .alias("_gr_voff"),
+        F.sum("_gr_vs").over(woff).alias("_gr_voff"),
+    )
+    vcomb = (
+        F.when(F.col(_RUN).isNull(), F.col("_gr_voff"))
+        .when(F.col("_gr_voff").isNull(), F.col(_RUN))
+        .otherwise(F.col("_gr_voff") + F.col(_RUN))
     )
     return (
         local.join(F.broadcast(offs), _PID)
         .withColumn(
             rank_alias, (F.col(_OFF) + F.col(_LRN)).cast("bigint")
         )
-        .withColumn(sum_alias, F.col("_gr_voff") + F.col(_RUN))
+        .withColumn(sum_alias, vcomb)
         .drop(_PID, _KEY, _LRN, _RUN, _OFF, "_gr_voff")
     )
 
@@ -240,6 +307,7 @@ def global_rank_prefix_sum(
 def global_prefix_min(
     df: DataFrame, order_cols, value: str, alias: str,
     bucket_by: Column | None = None, exclusive: bool = False,
+    boundaries: list[float] | None = None,
 ) -> DataFrame:
     """df + ``alias`` = min(value) over the global order. With
     ``exclusive=True`` the frame is UNBOUNDED PRECEDING .. 1
@@ -253,6 +321,7 @@ def global_prefix_min(
         lambda w: F.min(value).over(
             w.rowsBetween(Window.unboundedPreceding, hi)
         ),
+        boundaries,
     ).withColumnRenamed(_LRN, _RUN)
     totals = local.groupBy(_PID).agg(F.min(value).alias(_CNT))
     woff = Window.orderBy(_PID).rowsBetween(
@@ -274,6 +343,7 @@ def global_prefix_min(
 def global_prefix_max(
     df: DataFrame, order_cols, value: str, alias: str,
     bucket_by: Column | None = None,
+    boundaries: list[float] | None = None,
 ) -> DataFrame:
     """df + ``alias`` = max(value) over the global order, rows
     UNBOUNDED PRECEDING .. CURRENT ROW (running high-water mark)."""
@@ -282,6 +352,7 @@ def global_prefix_max(
         lambda w: F.max(value).over(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ),
+        boundaries,
     ).withColumnRenamed(_LRN, _RUN)
     totals = local.groupBy(_PID).agg(F.max(value).alias(_CNT))
     woff = Window.orderBy(_PID).rowsBetween(

@@ -270,9 +270,17 @@ def resolve_checkpoint(
             "spark.sql.warehouse.dir", "spark-warehouse"
         )
         ns = hashlib.md5(wh.encode()).hexdigest()[:8]
+        try:
+            user = getpass.getuser()
+        except Exception:
+            # containers whose uid has no passwd entry raise here;
+            # any stable per-user token keeps the namespacing
+            user = os.environ.get("USER") or (
+                str(os.getuid()) if hasattr(os, "getuid") else "user"
+            )
         base = os.path.join(
             tempfile.gettempdir(),
-            f"datanika_ck_{getpass.getuser()}_{ns}",
+            f"datanika_ck_{user}_{ns}",
             kind,
         )
     loc = os.path.join(base, state_name)
@@ -301,12 +309,22 @@ def stream_ingest(
     primary_key: str | list[str] | None = None,
     checkpoint_dir: str | None = None,
     timeout_sec: int = 300,
+    processing_time: str | None = None,
 ) -> int:
     """Continuous ingestion: file stream → TableWriter via
     ``foreachBatch`` — the streaming analogue of the batch ingestion
     job (append/merge dispositions behave identically; checkpointing
     replaces the incremental-cursor state table). Processes all
     currently-available files (availableNow) and returns rows loaded.
+
+    ``processing_time`` (e.g. ``"1 seconds"``) switches from the
+    availableNow drain to an OPEN-ENDED micro-batch trigger: the
+    stream keeps polling the directory and ingesting files as they
+    APPEAR, until ``timeout_sec`` elapses — the deployment shape
+    (files arrive forever); availableNow is the test/backfill shape.
+    Everything else (checkpoint lineage, dispositions, exactly-once
+    replay) is identical, which is the point: the twin's semantics
+    must not depend on which trigger drives it.
 
     At scale this is exactly-once into the warehouse: the checkpoint
     records the processed-file log, and merge-on-primary-key makes
@@ -329,17 +347,23 @@ def stream_ingest(
         spark, checkpoint_dir, "ingest", table,
         has_state=lambda: spark.catalog.tableExists(table),
     )
-    q = (
-        sdf.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", ckpt_loc)
-        .trigger(availableNow=True)
-        .start()
+    writer_q = sdf.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", ckpt_loc
     )
+    if processing_time:
+        writer_q = writer_q.trigger(processingTime=processing_time)
+    else:
+        writer_q = writer_q.trigger(availableNow=True)
+    q = writer_q.start()
     try:
         q.awaitTermination(timeout_sec)
     finally:
         if q.isActive:
             q.stop()
+    if spark.catalog.tableExists(table):
+        # a multi-batch run appends files behind the catalog's cached
+        # listing — readers in this session would see a stale count
+        spark.catalog.refreshTable(table)
     return loaded["n"]
 
 

@@ -26,15 +26,27 @@ lateness, not intra-batch matching). The global watermark is the MIN
 over both sides' watermark columns. Both behaviors are pinned by the
 out-of-order test, not papered over.
 
-Replay discipline: the inner join's output for a micro-batch is
+LEFT-OUTER twin: same join, but a purchase with no context emits
+(purchase_id, NULL, NULL). Timing is part of the semantics — the
+null row CANNOT be emitted while the purchase's state is live (a
+match might still arrive), so Spark holds it until the watermark
+passes the purchase's eviction threshold and emits the null in a
+LATER micro-batch (one whose input advanced the watermark past it;
+an availableNow run that ends before then never emits it). Measured
+and pinned by tests/test_stream_join.py::
+test_outer_join_emits_null_only_after_eviction, not inferred.
+
+Replay discipline: the join's output for a micro-batch is
 deterministic given the checkpointed offsets, and foreachBatch can
 redeliver a batch on retry — the sink therefore de-duplicates on
 (purchase_id, ctx_id) against the existing table before appending
-(idempotent append; pairs are unique by construction)."""
+(idempotent append; pairs are unique by construction). The outer
+variant's NULL ctx_id rows need NULL-SAFE key equality (<=> — a
+plain equi anti-join passes every (id, NULL) duplicate through)."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,21 +61,26 @@ _USER_CAP = 60
 class JoinStats:
     batches: int = 0
     pairs: int = 0
+    #: (batch ordinal, unmatched-null rows in that batch) — the outer
+    #: twin's eviction-timing evidence
+    null_emissions: list = field(default_factory=list)
 
 
-def stream_purchase_context(
+def _run_purchase_context(
     spark: SparkSession,
     source_path: str,
     result_table: str,
-    watermark: str = _DEFAULT_WATERMARK,
-    checkpoint_dir: str | None = None,
-    max_files_per_trigger: int | None = None,
-    timeout_sec: int = 300,
+    join_type: str,
+    kind: str,
+    watermark: str,
+    checkpoint_dir: str | None,
+    max_files_per_trigger: int | None,
+    timeout_sec: int,
 ) -> JoinStats:
-    """Run the purchase×context stream-stream join over all currently
-    available files (availableNow), appending matched pairs
-    (purchase_id, ctx_id, ctx_value) to ``result_table``."""
-    from datanika_core_spark.streaming.jobs import read_event_stream
+    from datanika_core_spark.streaming.jobs import (
+        read_event_stream,
+        resolve_checkpoint,
+    )
 
     sdf = read_event_stream(
         spark, source_path, max_files_per_trigger=max_files_per_trigger
@@ -97,7 +114,7 @@ def stream_purchase_context(
             >= F.col("p_ts") - F.expr(f"INTERVAL {_WINDOW_HOURS} HOURS")
         )
         & (F.col("c_ts") < F.col("p_ts")),
-        "inner",
+        join_type,
     ).select("purchase_id", "ctx_id", "ctx_value")
 
     stats = JoinStats()
@@ -107,29 +124,44 @@ def stream_purchase_context(
         rows = batch_df
         if spark.catalog.tableExists(result_table):
             # idempotent append: drop pairs a redelivered batch
-            # already landed (pairs are unique by construction)
+            # already landed (pairs are unique by construction).
+            # NULL-SAFE on ctx_id: the outer twin's unmatched rows
+            # carry ctx_id = NULL, which plain equality never matches
             existing = spark.table(result_table).select(
-                "purchase_id", "ctx_id"
+                F.col("purchase_id").alias("e_pid"),
+                F.col("ctx_id").alias("e_cid"),
             )
             rows = batch_df.join(
-                existing, ["purchase_id", "ctx_id"], "left_anti"
+                existing,
+                batch_df["purchase_id"].eqNullSafe(F.col("e_pid"))
+                & batch_df["ctx_id"].eqNullSafe(F.col("e_cid")),
+                "left_anti",
             )
-        n = rows.count()
-        stats.pairs += n
-        if n:
-            rows.write.format("parquet").mode("append").saveAsTable(
-                result_table
-            )
+        # one materialization: count() and write would otherwise EACH
+        # re-run the stateful join + anti-join per micro-batch
+        rows = rows.persist()
+        try:
+            n = rows.count()
+            stats.pairs += n
+            if join_type != "inner":
+                stats.null_emissions.append(
+                    (stats.batches,
+                     rows.filter(F.col("ctx_id").isNull()).count())
+                )
+            if n:
+                rows.write.format("parquet").mode("append").saveAsTable(
+                    result_table
+                )
+        finally:
+            rows.unpersist()
 
     # shared twin checkpoint policy: deterministic default + lineage
     # reconciliation (a dropped result table with surviving commits
     # must clear the checkpoint or the input is skipped forever);
-    # the left-anti pair sink makes full replay idempotent, so no
-    # reset_state is needed in the other direction
-    from datanika_core_spark.streaming.jobs import resolve_checkpoint
-
+    # the null-safe left-anti pair sink makes full replay idempotent,
+    # so no reset_state is needed in the other direction
     ckpt_loc = resolve_checkpoint(
-        spark, checkpoint_dir, "stream_join", result_table,
+        spark, checkpoint_dir, kind, result_table,
         has_state=lambda: spark.catalog.tableExists(result_table),
     )
     q = (
@@ -148,10 +180,51 @@ def stream_purchase_context(
     return stats
 
 
+def stream_purchase_context(
+    spark: SparkSession,
+    source_path: str,
+    result_table: str,
+    watermark: str = _DEFAULT_WATERMARK,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_sec: int = 300,
+) -> JoinStats:
+    """Run the purchase×context stream-stream INNER join over all
+    currently available files (availableNow), appending matched pairs
+    (purchase_id, ctx_id, ctx_value) to ``result_table``."""
+    return _run_purchase_context(
+        spark, source_path, result_table, "inner", "stream_join",
+        watermark, checkpoint_dir, max_files_per_trigger, timeout_sec,
+    )
+
+
+def stream_purchase_context_outer(
+    spark: SparkSession,
+    source_path: str,
+    result_table: str,
+    watermark: str = _DEFAULT_WATERMARK,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_sec: int = 300,
+) -> JoinStats:
+    """LEFT-OUTER variant: purchases with no context events land as
+    (purchase_id, NULL, NULL) — but only once the watermark has
+    evicted the purchase's buffered state (see module docstring; the
+    returned ``stats.null_emissions`` records which micro-batch each
+    null row surfaced in)."""
+    return _run_purchase_context(
+        spark, source_path, result_table, "left_outer",
+        "stream_join_outer",
+        watermark, checkpoint_dir, max_files_per_trigger, timeout_sec,
+    )
+
+
 def context_report(spark: SparkSession, result_table: str) -> DataFrame:
-    """Per-purchase readout over the landed pairs — the matched
-    subset of the batch workload's columns (purchases with zero
-    context events have no pairs to report from)."""
+    """Per-purchase readout over the landed pairs. For the inner twin
+    this is the matched subset of the batch workload's columns; for
+    the outer twin, unmatched purchases appear with
+    n_context_events = 0 and NULL context_value (count(ctx_id) skips
+    the NULL marker row) — the full batch left-join grid."""
     if not spark.catalog.tableExists(result_table):
         return spark.createDataFrame(
             [],
@@ -162,7 +235,7 @@ def context_report(spark: SparkSession, result_table: str) -> DataFrame:
         spark.table(result_table)
         .groupBy("purchase_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_context_events"),
+            F.count("ctx_id").cast("bigint").alias("n_context_events"),
             F.round(F.sum("ctx_value"), 2).alias("context_value"),
         )
         .orderBy("purchase_id")

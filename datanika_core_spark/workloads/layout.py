@@ -218,12 +218,19 @@ def _skip_rate_frame(
         F.expr("((x - xlo) * 65535) div greatest(xhi - xlo, 1)").alias("xq"),
         F.expr("((y - ylo) * 65535) div greatest(yhi - ylo, 1)").alias("yq"),
     )
-    from datanika_core_spark.operators.ranking import global_ntile
+    from datanika_core_spark.operators.ranking import (
+        global_ntile,
+        quantile_boundaries,
+    )
 
     keyed = quant.withColumn("z", F.expr(_ZL_SPARK_Z))
+    # one boundary scan for both ntile frames — chaining without it
+    # executes the z-frame inside the lex-frame's boundary scan
+    bz, bx = quantile_boundaries(keyed, ["z", "x"])
     assigned = global_ntile(
-        global_ntile(keyed, ["z", "ok", "ln"], n_files, "f_z"),
-        ["x", "y", "ok", "ln"], n_files, "f_lex",
+        global_ntile(keyed, ["z", "ok", "ln"], n_files, "f_z",
+                     boundaries=bz),
+        ["x", "y", "ok", "ln"], n_files, "f_lex", boundaries=bx,
     ).select("x", "y", "f_z", "f_lex")
     # per-file span bias correction for sampled input: n uniform
     # samples inside a span observe (n-1)/(n+1) of it on average, so

@@ -72,14 +72,20 @@ def corr_spearman_length_stopwords(
     B-bucket histogram CDFs exactly like eval_auc_histogram — rank
     statistics degrade gracefully to binned forms; this exact form
     is their ground truth."""
-    from datanika_core_spark.operators.ranking import global_row_number
+    from datanika_core_spark.operators.ranking import (
+        global_row_number,
+        quantile_boundaries,
+    )
 
     base = t(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").alias("x"), F.expr(_SP_STOP).alias("y")
     )
+    # one boundary scan serves both rank frames — without it the outer
+    # frame's eager quantile pass executes the inner ranking pipeline
+    bx, by = quantile_boundaries(base, ["x", "y"])
     ranked = global_row_number(
-        global_row_number(base, ["x", "doc_id"], "rx"),
-        ["y", "doc_id"], "ry",
+        global_row_number(base, ["x", "doc_id"], "rx", boundaries=bx),
+        ["y", "doc_id"], "ry", boundaries=by,
     ).select("rx", "ry")
     n = F.count(F.lit(1))
     d2 = F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
@@ -647,11 +653,15 @@ def corr_spearman_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     approx = sums.select(rho_hist.alias("rho_hist"))
-    from datanika_core_spark.operators.ranking import global_row_number
+    from datanika_core_spark.operators.ranking import (
+        global_row_number,
+        quantile_boundaries,
+    )
 
+    bx, by = quantile_boundaries(base, ["x", "y"])
     exact_ranked = global_row_number(
-        global_row_number(base, ["x", "doc_id"], "rx"),
-        ["y", "doc_id"], "ry",
+        global_row_number(base, ["x", "doc_id"], "rx", boundaries=bx),
+        ["y", "doc_id"], "ry", boundaries=by,
     ).select("rx", "ry")
     n = F.count(F.lit(1))
     exact = exact_ranked.agg(

@@ -153,6 +153,66 @@ def test_prefix_min_inclusive_and_exclusive(spark, docs):
         assert got == want, f"exclusive={excl}"
 
 
+def test_prefix_sum_null_values_match_window(spark):
+    """NULL values must behave exactly like the single-partition
+    window's sum: ignored unless EVERY value up to the row is NULL —
+    in particular a row whose within-bucket prefix is all-NULL must
+    carry the earlier buckets' running total, not go NULL (the ADVICE
+    r9 divergence: reachable via weight = length(text) on NULL text).
+    The values are laid out so several consecutive ids — more than one
+    quantile bucket's worth at 32 partitions — are NULL."""
+    rows = [
+        (i, None if (200 <= i < 600 or i < 3) else i * 10)
+        for i in range(1, 2001)
+    ]
+    df = spark.createDataFrame(rows, "id long, v long")
+    base = W.orderBy("id").rowsBetween(W.unboundedPreceding, 0)
+    want = _map(df.select("id", F.sum("v").over(base).alias("s")), "id", "s")
+    got = _map(global_prefix_sum(df, ["id"], "v", "s"), "id", "s")
+    assert got == want
+    assert want[1] is None and want[2] is None  # all-NULL head stays NULL
+    assert want[300] == want[199]  # mid-null run carries earlier total
+
+    from datanika_core_spark.operators.ranking import (
+        global_rank_prefix_sum,
+    )
+
+    combo = {
+        r["id"]: (r["r"], r["cs"])
+        for r in global_rank_prefix_sum(
+            df, ["id"], "v", "r", "cs"
+        ).collect()
+    }
+    want_r = _map(
+        df.select("id", F.row_number().over(W.orderBy("id")).alias("r")),
+        "id", "r",
+    )
+    assert combo == {i: (want_r[i], want[i]) for i in want}
+
+
+def test_precomputed_boundaries_match_and_skip_rescan(spark, docs):
+    """quantile_boundaries + boundaries= must be bit-identical to the
+    per-frame eager scan (ANY boundary placement is exact), including
+    deliberately lopsided hand-picked boundaries."""
+    from datanika_core_spark.operators.ranking import quantile_boundaries
+
+    (bn,) = quantile_boundaries(docs, ["n_chars"])
+    want = _map(global_row_number(docs, ["n_chars", "doc_id"], "r"),
+                "doc_id", "r")
+    got = _map(
+        global_row_number(docs, ["n_chars", "doc_id"], "r", boundaries=bn),
+        "doc_id", "r",
+    )
+    assert got == want
+    lopsided = _map(
+        global_row_number(
+            docs, ["n_chars", "doc_id"], "r", boundaries=[5.0, 50.0]
+        ),
+        "doc_id", "r",
+    )
+    assert lopsided == want
+
+
 def test_rank_prefix_sum_combined_matches_chained(spark, docs):
     from datanika_core_spark.operators.ranking import (
         global_rank_prefix_sum,

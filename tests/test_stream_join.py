@@ -2,7 +2,11 @@
 batch interval join when nothing arrives late, idempotent replay, and
 the defining watermark behavior — rows older than the watermark at
 arrival time are DROPPED from the join, pinned with an out-of-order
-two-file delivery."""
+two-file delivery. The LEFT-OUTER twin's contract is result TIMING:
+an unmatched purchase's NULL row must NOT appear while its state is
+live (a match could still arrive) and must surface only after a
+later batch advances the watermark past its eviction threshold —
+pinned from measured per-batch emissions, not inferred."""
 
 from __future__ import annotations
 
@@ -17,6 +21,7 @@ from datanika_core_spark.session import read_table
 from datanika_core_spark.streaming.stream_join import (
     context_report,
     stream_purchase_context,
+    stream_purchase_context_outer,
 )
 from datanika_core_spark.workloads import load_all
 from tests.planted import _events, _write
@@ -127,3 +132,101 @@ def test_stream_join_drops_cross_batch_sub_watermark_arrivals(
     }
     assert (102, 101) in pairs  # on-time pair joined
     assert (202, 201) not in pairs  # split late pair dropped
+
+
+def _seq_files(spark, tmp_path, name, files):
+    src = tmp_path / name
+    src.mkdir()
+    for i, rows in enumerate(files):
+        _write(_events(spark, rows), str(tmp_path), f"{name}_stage{i}")
+        part = next(
+            (tmp_path / f"{name}_stage{i}.parquet").glob("part-*.parquet")
+        )
+        dst = src / f"f{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    return src
+
+
+def test_outer_join_emits_null_only_after_eviction(spark, tmp_path):
+    """The left-outer twin, measured: (P1, C1) matches like the inner
+    join; unmatched P2's (P2, NULL) row is held while P2's state is
+    live — zero null emissions in the batches that deliver it — and
+    surfaces only in a LATER batch, after far-future rows on BOTH
+    watermark columns push the global watermark past P2's eviction
+    threshold. Replay from a fresh checkpoint must not double the
+    NULL row (plain equality never matches NULL — the sink's
+    anti-join key is null-safe)."""
+    spark.sql("DROP TABLE IF EXISTS sj_outer")
+    release_blocks(spark)
+    base = dt.datetime(2024, 3, 1, 10, 0)
+
+    def ts(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    files = [
+        [
+            (11, ts(0), 1, "click", 5.0, "{}"),
+            (12, ts(30), 1, "purchase", 9.0, "{}"),   # matched
+            (22, ts(40), 2, "purchase", 9.0, "{}"),   # unmatched
+        ],
+        # far-future rows on BOTH sides (the purchase passes the
+        # user cap so the p_ts watermark column sees it); same ts →
+        # c_ts < p_ts is false, no accidental pair
+        [
+            (33, ts(60 * 50), 3, "click", 1.0, "{}"),
+            (34, ts(60 * 50), 3, "purchase", 1.0, "{}"),
+        ],
+        # second advance: batch N's watermark is computed from data
+        # through batch N-1, so eviction needs one more batch
+        [
+            (43, ts(60 * 100), 4, "click", 1.0, "{}"),
+            (44, ts(60 * 100), 4, "purchase", 1.0, "{}"),
+        ],
+    ]
+    src = _seq_files(spark, tmp_path, "sj_outer_src", files)
+    stats = stream_purchase_context_outer(
+        spark, str(src), "sj_outer",
+        checkpoint_dir=str(tmp_path / "ck_sj_outer"),
+        max_files_per_trigger=1,
+    )
+    assert stats.batches >= 3
+    rows = {
+        (r["purchase_id"], r["ctx_id"])
+        for r in spark.table("sj_outer").collect()
+    }
+    assert (12, 11) in rows      # matched pair, inner-join behavior
+    assert (22, None) in rows    # unmatched purchase emitted as NULL
+    # timing pin: the null row did NOT appear in batch 1 (P2's state
+    # was live) nor batch 2 (watermark for batch 2 still reflects
+    # batch-1 data); first null emission is batch 3 or later
+    emitted = [b for b, n in stats.null_emissions if n > 0]
+    assert emitted and min(emitted) >= 3, stats.null_emissions
+    assert all(n == 0 for b, n in stats.null_emissions if b <= 2)
+
+    # batch left-join parity on the evicted window: the report shows
+    # P1 with its context and P2 with a zero-count NULL-value row
+    got = {
+        r["purchase_id"]: (r["n_context_events"], r["context_value"])
+        for r in context_report(spark, "sj_outer").collect()
+        if r["purchase_id"] in (12, 22)
+    }
+    assert got == {12: (1, 5.0), 22: (0, None)}
+
+    # idempotent replay: fresh checkpoint re-reads everything; the
+    # null-safe anti-join must not double (22, NULL)
+    stream_purchase_context_outer(
+        spark, str(src), "sj_outer",
+        checkpoint_dir=str(tmp_path / "ck_sj_outer2"),
+        max_files_per_trigger=1,
+    )
+    dup = (
+        spark.table("sj_outer")
+        .groupBy("purchase_id", "ctx_id").count()
+        .filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    assert (22, None) in {
+        (r["purchase_id"], r["ctx_id"])
+        for r in spark.table("sj_outer").collect()
+    }

@@ -330,3 +330,59 @@ def test_stream_stream_left_outer_join(spark, events_batch, tmp_path):
     assert unmatched_purchases, (
         "no outer rows emitted - watermark never advanced"
     )
+
+
+def test_stream_ingest_processing_time_picks_up_new_files(
+    spark, tmp_path
+):
+    """Open-ended trigger smoke test (everything else in the suite is
+    availableNow batch-parity): with processing_time the SAME twin
+    keeps polling and ingests a file dropped AFTER the stream
+    started — the deployment shape — and the checkpoint still makes
+    a later availableNow restart a no-op (same lineage, no
+    double-count across trigger modes)."""
+    import shutil
+    import threading
+
+    from tests.planted import _events, _write
+    import datetime as dt
+
+    drop_table(spark, "stream_ct_events")
+    base = dt.datetime(2024, 3, 1, 10, 0)
+    src = tmp_path / "ct_src"
+    src.mkdir()
+
+    def stage(i, rows):
+        _write(_events(spark, rows), str(tmp_path), f"ct_stage{i}")
+        part = next(
+            (tmp_path / f"ct_stage{i}.parquet").glob("part-*.parquet")
+        )
+        shutil.copy(part, src / f"f{i}.parquet")
+
+    stage(0, [(1, base, 1, "click", 1.0, "{}"),
+              (2, base, 2, "click", 2.0, "{}")])
+
+    def drop_late_file():
+        stage(1, [(3, base, 3, "purchase", 3.0, "{}")])
+
+    t = threading.Timer(6.0, drop_late_file)
+    t.start()
+    try:
+        n = stream_ingest(
+            spark, str(src), "stream_ct_events",
+            checkpoint_dir=str(tmp_path / "ck_ct"),
+            timeout_sec=20,
+            processing_time="1 seconds",
+        )
+    finally:
+        t.cancel()
+    assert n == 3  # both files — including the one dropped mid-run
+    assert spark.table("stream_ct_events").count() == 3
+    # same checkpoint, availableNow: lineage carries across trigger
+    # modes — nothing re-ingests
+    n2 = stream_ingest(
+        spark, str(src), "stream_ct_events",
+        checkpoint_dir=str(tmp_path / "ck_ct"),
+    )
+    assert n2 == 0
+    assert spark.table("stream_ct_events").count() == 3

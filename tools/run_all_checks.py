@@ -4,11 +4,20 @@ the judge check, in one command with a one-page summary.
     python tools/run_all_checks.py [--fast]
 
 Runs, in order:
-1. pytest tests/ (full suite; skipped with --fast)
-2. tools/check_correctness.py  (DuckDB-oracle sweep @ sf0.01)
-3. tools/check_types.py        (Arrow-level output-type parity)
-4. tools/verify_driver_contract.py (vanilla-session driver gate)
-5. bench.py                    (headline wall times @ sf0.1)
+1. bench.py                    (headline wall times @ sf0.1)
+2. pytest tests/ (full suite; skipped with --fast)
+3. tools/check_correctness.py  (DuckDB-oracle sweep @ sf0.01)
+4. tools/check_types.py        (Arrow-level output-type parity)
+5. tools/verify_driver_contract.py (vanilla-session driver gate)
+
+BENCH RUNS FIRST — measured before anything heats the machine. The
+r9 battery ran bench last and recorded contention residue as
+apparent per-query regressions the judge had to adjudicate away
+(BENCH_r09.json vs the controlled re-run); the wall-time artifact
+must be the steady-state number, and the cheapest way to guarantee
+that is to take it on the cold machine. bench.py additionally
+records loadavg at start/end so any remaining contention is visible
+in the JSON instead of masquerading as a code regression.
 
 Exit code 0 only if every stage passes.
 """
@@ -40,7 +49,7 @@ def run(label: str, cmd: list[str], timeout: int = 2400) -> tuple[str, bool, str
 def main() -> int:
     fast = "--fast" in sys.argv
     py = sys.executable
-    stages = []
+    stages = [("bench", [py, "bench.py"])]
     if not fast:
         stages.append(("pytest", [py, "-m", "pytest", "tests/", "-q"]))
     stages += [
@@ -51,7 +60,6 @@ def main() -> int:
                              "/root/testdata/sf0.01"]),
         ("plan signals", [py, "tools/plan_signals_all.py",
                           "/root/testdata/sf0.01"]),
-        ("bench", [py, "bench.py"]),
     ]
     results = [run(label, cmd) for label, cmd in stages]
     print("\n== verification summary ==")
