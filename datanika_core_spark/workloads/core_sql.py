@@ -1541,3 +1541,77 @@ def skyline_price_size_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("price", "size", "n_parts")
         .orderBy("price", "size")
     )
+
+
+@workload(
+    "skyline3d_parts_price_size_popularity",
+    oracle="""
+WITH pop AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM lineitem GROUP BY l_partkey
+),
+g AS (
+  SELECT p_retailprice AS price, CAST(p_size AS BIGINT) AS size,
+         n_orders, CAST(count(*) AS BIGINT) AS n_parts
+  FROM part JOIN pop ON l_partkey = p_partkey
+  GROUP BY 1, 2, 3
+)
+SELECT price, size, n_orders, n_parts
+FROM g a
+WHERE NOT EXISTS (
+  SELECT 1 FROM g b
+  WHERE b.price <= a.price AND b.size <= a.size
+    AND b.n_orders >= a.n_orders
+    AND (b.price < a.price OR b.size < a.size
+         OR b.n_orders > a.n_orders))
+ORDER BY price, size, n_orders
+""",
+)
+def skyline3d_parts_price_size_popularity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """3-D skyline: parts undominated on (minimize retail price,
+    minimize size, MAXIMIZE order count) — "as cheap, as small, and
+    at least as proven-popular as anything else". From d=3 no single
+    total order linearizes dominance (the 2-D exclusive-prefix-min
+    identity of skyline_price_size_parts stops working), so this is
+    the partition-and-merge shape the dimension jump actually
+    requires: operators/skyline.skyline_3d — frozen-quantile grid
+    cells on the (price, size) plane, cell-corner dominance pruning,
+    per-cell local skyline on cell-id EQUI keys, then a cross-cell
+    merge against a broadcast pair table enumerated from the ≤G²
+    cell summary. Equi-joins end to end (no BroadcastNestedLoopJoin,
+    no CartesianProduct — pinned); the quadratic factor is per-cell
+    (corpus/G²)², never corpus².
+
+    The maximize dim rides through negation (dominance is
+    orientation-free); popularity is an exact bigint count so both
+    engines compare identically — no float boundary risk.
+
+    Scale: one fact-table groupBy for popularity, one broadcast dim
+    join, one grid groupBy — then all pairing work is cell-bounded.
+    Cross-cell dominated points exist (tests/test_skyline3d.py plants
+    one), so the merge pass is load-bearing, not decoration."""
+    from datanika_core_spark.operators.skyline import skyline_3d
+
+    pop = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    pts = (
+        t(spark, sf_dir, "part")
+        .join(pop, F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").cast("bigint").alias("size"),
+            "n_orders",
+        )
+    )
+    grid = pts.groupBy("price", "size", "n_orders").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    ).withColumn("neg_pop", -F.col("n_orders"))
+    sky = skyline_3d(grid, "price", "size", "neg_pop")
+    return sky.select("price", "size", "n_orders", "n_parts").orderBy(
+        "price", "size", "n_orders"
+    )

@@ -1751,3 +1751,125 @@ def dedup_marginal_rate_by_batch(
         )
         .orderBy("batch")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact substring duplication (round 10): the suffix-array family's
+# answer, computed exactly — maximal cross-document verbatim spans.
+# --------------------------------------------------------------------------
+
+_ES_K = 20  # minimum duplicated-substring length, chars
+
+
+@workload(
+    "dedup_exact_substring_spans",
+    oracle=f"""
+WITH {_O_CORPUS_NEARDUP},
+pos AS (
+  SELECT doc_id, length(text) AS n, i AS pos,
+         {_O_HASH.format(x=f"substring(text, i, {_ES_K})")} AS h
+  FROM corpus, unnest(range(1, length(text) - {_ES_K} + 2)) AS u(i)
+  WHERE length(text) >= {_ES_K}
+),
+dup AS (SELECT h FROM pos GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+hits AS (SELECT * FROM pos WHERE h IN (SELECT h FROM dup)),
+isl AS (
+  SELECT doc_id, n, pos,
+         CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id
+                                                 ORDER BY pos),
+                                  -1000000000) + {_ES_K} - 1
+              THEN 1 ELSE 0 END AS new_isl
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, n, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, any_value(n) AS n, island,
+         min(pos) AS lo, max(pos) + {_ES_K} - 1 AS hi
+  FROM isl2 GROUP BY doc_id, island
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(hi - lo + 1) AS BIGINT) AS covered_chars,
+       round(sum(hi - lo + 1) / any_value(n), 6) AS dup_frac
+FROM spans GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def dedup_exact_substring_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT cross-document substring duplication (the suffix-array
+    dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): for every document, the maximal spans
+    covered by char-k-grams (k = 20) that also appear verbatim in some
+    OTHER document, as (span count, covered chars, covered fraction).
+    A position is duplicated iff its k-gram occurs in ≥2 distinct
+    docs; overlapping/adjacent duplicated positions merge into
+    maximal islands — exactly the "duplicated substring of length
+    ≥ k" coverage a suffix array yields, without building one.
+
+    This is the EXACT counterpart of the winnowing workloads
+    (dedup_winnowing_verbatim keeps ~1/W of gram positions as a
+    bounded-guarantee approximation); recall here is 1.0 by
+    construction, modulo 60-bit hash collisions — the same hash
+    equivalence every dedup workload in this module uses.
+
+    Scale: the positional explode is the honest cost (text_len rows
+    per doc — Lee et al.'s suffix array is the same O(total chars)).
+    One hash shuffle groups gram occurrences (min!=max doc test —
+    constant state per gram, no posting lists materialized), one
+    semi-join back, then per-DOC windows (bounded by doc length) do
+    the island merge. No all-pairs stage exists at any step: a gram
+    shared by 10k docs costs 10k rows, never 10k² pairs — this is
+    what makes exact substring dedup tractable where the verbatim
+    PAIR workloads need the df-cap lever."""
+    corpus = _corpus_neardup(spark, sf_dir).filter(
+        F.length("text") >= _ES_K
+    )
+    h = _spark_hash(f"substring(text, i, {_ES_K})")
+    pos = corpus.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {_ES_K} + 1),"
+                f" i -> struct(i as pos, {h} as h))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "n", F.col("g.pos").alias("pos"),
+             F.col("g.h").alias("h"))
+    dup = (
+        pos.groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("h")
+    )
+    from pyspark.sql import Window as _W
+
+    hits = pos.join(dup, "h", "left_semi")
+    wlag = _W.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn(
+        "new_isl",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.lag("pos").over(wlag), F.lit(-(10 ** 9)))
+            + _ES_K - 1,
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_isl").over(wlag))
+    spans = isl.groupBy("doc_id", "n", "island").agg(
+        F.min("pos").alias("lo"),
+        (F.max("pos") + _ES_K - 1).alias("hi"),
+    )
+    covered = F.sum(F.col("hi") - F.col("lo") + 1)
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            covered.cast("bigint").alias("covered_chars"),
+            F.round(covered / F.first("n"), 6).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1163,3 +1163,52 @@ def test_lorenz_boundary_join_is_broadcast(r9_plans):
     p = r9_plans["events_value_lorenz_gini"]
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+_R10_FAMILIES = [
+    "skyline3d_parts_price_size_popularity",
+    "dedup_exact_substring_spans",
+]
+
+
+@pytest.fixture(scope="module")
+def r10_plans(spark):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    reg = load_all()
+    try:
+        return {n: _plan(reg[n].fn(spark, SF)) for n in _R10_FAMILIES}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_r10_no_cartesian_no_row_udfs(r10_plans):
+    for name, p in r10_plans.items():
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+
+
+def test_skyline3d_is_equi_join_only(r10_plans):
+    """The d>2 skyline's whole point: the local pass equi-joins on
+    cell ids and the cross-cell merge equi-joins on the broadcast
+    pair table — a nested-loop anywhere means the partition-and-merge
+    collapsed back to BNL."""
+    p = r10_plans["skyline3d_parts_price_size_popularity"]
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_exact_substring_has_no_pair_stage(r10_plans):
+    """Exact substring dedup must stay linear in gram occurrences: a
+    duplicated-gram test via min!=max doc aggregate + semi-join back,
+    per-doc windows for the island merge — never a gram-keyed
+    self-join that would square hot posting lists."""
+    p = r10_plans["dedup_exact_substring_spans"]
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # the only window partitions by doc_id (bounded by doc length)
+    from tools.plan_signals_all import unbounded_global_windows
+    reg = load_all()
+    assert unbounded_global_windows(
+        reg["dedup_exact_substring_spans"].fn(
+            __import__("pyspark.sql", fromlist=["SparkSession"])
+            .SparkSession.getActiveSession(), SF)
+    ) == 0
