@@ -106,7 +106,7 @@ def _run_purchase_context(
         )
         .withWatermark("c_ts", watermark)
     )
-    pairs = purchases.join(
+    joined = purchases.join(
         ctx,
         (F.col("c_user") == F.col("p_user"))
         & (
@@ -115,35 +115,45 @@ def _run_purchase_context(
         )
         & (F.col("c_ts") < F.col("p_ts")),
         join_type,
-    ).select("purchase_id", "ctx_id", "ctx_value")
+    )
+    if join_type == "left_semi":
+        # semi join output carries only the left side; the result
+        # table stays one row per qualifying purchase
+        pairs = joined.select("purchase_id")
+    else:
+        pairs = joined.select("purchase_id", "ctx_id", "ctx_value")
 
     stats = JoinStats()
+
+    key_cols = (
+        ["purchase_id"] if join_type == "left_semi"
+        else ["purchase_id", "ctx_id"]
+    )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         stats.batches += 1
         rows = batch_df
         if spark.catalog.tableExists(result_table):
-            # idempotent append: drop pairs a redelivered batch
-            # already landed (pairs are unique by construction).
+            # idempotent append: drop rows a redelivered batch
+            # already landed (keys are unique by construction).
             # NULL-SAFE on ctx_id: the outer twin's unmatched rows
             # carry ctx_id = NULL, which plain equality never matches
             existing = spark.table(result_table).select(
-                F.col("purchase_id").alias("e_pid"),
-                F.col("ctx_id").alias("e_cid"),
+                *[F.col(c).alias(f"e_{c}") for c in key_cols]
             )
-            rows = batch_df.join(
-                existing,
-                batch_df["purchase_id"].eqNullSafe(F.col("e_pid"))
-                & batch_df["ctx_id"].eqNullSafe(F.col("e_cid")),
-                "left_anti",
+            cond = batch_df[key_cols[0]].eqNullSafe(
+                F.col(f"e_{key_cols[0]}")
             )
+            for c in key_cols[1:]:
+                cond = cond & batch_df[c].eqNullSafe(F.col(f"e_{c}"))
+            rows = batch_df.join(existing, cond, "left_anti")
         # one materialization: count() and write would otherwise EACH
         # re-run the stateful join + anti-join per micro-batch
         rows = rows.persist()
         try:
             n = rows.count()
             stats.pairs += n
-            if join_type != "inner":
+            if join_type == "left_outer":
                 stats.null_emissions.append(
                     (stats.batches,
                      rows.filter(F.col("ctx_id").isNull()).count())
@@ -215,6 +225,29 @@ def stream_purchase_context_outer(
     return _run_purchase_context(
         spark, source_path, result_table, "left_outer",
         "stream_join_outer",
+        watermark, checkpoint_dir, max_files_per_trigger, timeout_sec,
+    )
+
+
+def stream_purchase_context_semi(
+    spark: SparkSession,
+    source_path: str,
+    result_table: str,
+    watermark: str = _DEFAULT_WATERMARK,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_sec: int = 300,
+) -> JoinStats:
+    """LEFT-SEMI variant: one row per purchase that had at least one
+    context event — the existence filter, without materializing the
+    pair fan-out. Emission timing follows the MATCH, not eviction: a
+    purchase row emits in the first micro-batch where some context
+    row joins it (state still evicts at watermark like the inner
+    join). Result table has a single ``purchase_id`` column; replay
+    dedup keys on it alone."""
+    return _run_purchase_context(
+        spark, source_path, result_table, "left_semi",
+        "stream_join_semi",
         watermark, checkpoint_dir, max_files_per_trigger, timeout_sec,
     )
 

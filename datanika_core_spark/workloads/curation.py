@@ -1751,3 +1751,4 @@ def sample_pps_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("doc_rel_err"),
     )
+

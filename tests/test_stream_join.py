@@ -230,3 +230,42 @@ def test_outer_join_emits_null_only_after_eviction(spark, tmp_path):
         (r["purchase_id"], r["ctx_id"])
         for r in spark.table("sj_outer").collect()
     }
+
+
+def test_semi_join_matches_batch_existence_filter(spark, tmp_path):
+    """LEFT-SEMI twin: one file → one batch → nothing late: the
+    landed purchase_ids are EXACTLY the batch workload's purchases
+    with ≥1 context event, one row each (no pair fan-out); replay
+    from a fresh checkpoint is a no-op via the purchase_id-only
+    dedup key."""
+    from datanika_core_spark.streaming.stream_join import (
+        stream_purchase_context_semi,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS sj_semi")
+    release_blocks(spark)
+    src = _stage_single_file(spark, tmp_path, "sj_semi_src")
+    stats = stream_purchase_context_semi(
+        spark, str(src), "sj_semi",
+        checkpoint_dir=str(tmp_path / "ck_sj_semi"),
+    )
+    assert stats.batches >= 1 and stats.pairs > 0
+    got = sorted(
+        r["purchase_id"] for r in spark.table("sj_semi").collect()
+    )
+    batch = load_all()["range_join_purchase_context"].fn(spark, SF)
+    want = sorted(
+        r["purchase_id"]
+        for r in batch.filter(F.col("n_context_events") > 0)
+        .select("purchase_id").collect()
+    )
+    assert got == want          # same set…
+    assert len(got) == len(set(got))  # …and exactly one row each
+
+    stream_purchase_context_semi(
+        spark, str(src), "sj_semi",
+        checkpoint_dir=str(tmp_path / "ck_sj_semi2"),
+    )
+    assert sorted(
+        r["purchase_id"] for r in spark.table("sj_semi").collect()
+    ) == want
