@@ -1168,6 +1168,7 @@ def test_lorenz_boundary_join_is_broadcast(r9_plans):
 _R10_FAMILIES = [
     "skyline3d_parts_price_size_popularity",
     "dedup_exact_substring_spans",
+    "graph_kclique_census",
 ]
 
 
@@ -1212,3 +1213,13 @@ def test_exact_substring_has_no_pair_stage(r10_plans):
             __import__("pyspark.sql", fromlist=["SparkSession"])
             .SparkSession.getActiveSession(), SF)
     ) == 0
+
+
+def test_kclique_census_reuses_one_edge_broadcast(r10_plans):
+    """All six closure probes broadcast the SAME canonical edge list;
+    the plan must build it once and ReusedExchange the rest — six
+    independent broadcast builds of a corpus-derived frame would be
+    the 100 TB regression."""
+    p = r10_plans["graph_kclique_census"]
+    assert "BroadcastHashJoin" in p
+    assert "ReusedExchange" in p
