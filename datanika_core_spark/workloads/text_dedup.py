@@ -1761,10 +1761,10 @@ def dedup_marginal_rate_by_batch(
 _ES_K = 20  # minimum duplicated-substring length, chars
 
 
-@workload(
-    "dedup_exact_substring_spans",
-    oracle=f"""
-WITH {_O_CORPUS_NEARDUP},
+#: shared oracle CTE chain: corpus -> duplicated-position islands ->
+#: maximal spans (lo, hi) per doc. Both exact-substring workloads
+#: (the coverage report and the removal transformation) read it.
+_O_ES_SPANS = f"""{_O_CORPUS_NEARDUP},
 pos AS (
   SELECT doc_id, length(text) AS n, i AS pos,
          {_O_HASH.format(x=f"substring(text, i, {_ES_K})")} AS h
@@ -1790,7 +1790,56 @@ spans AS (
   SELECT doc_id, any_value(n) AS n, island,
          min(pos) AS lo, max(pos) + {_ES_K} - 1 AS hi
   FROM isl2 GROUP BY doc_id, island
-)
+)"""
+
+
+def _exact_dup_spans(corpus: DataFrame) -> DataFrame:
+    """Maximal cross-doc duplicated spans (doc_id, n, island, lo, hi)
+    of a (doc_id, text)-corpus: positional char-k-gram explode, the
+    min!=max-doc duplication test per gram hash, semi-join back, and
+    a per-doc island merge (see dedup_exact_substring_spans for the
+    full rationale)."""
+    from pyspark.sql import Window as _W
+
+    corpus = corpus.filter(F.length("text") >= _ES_K)
+    h = _spark_hash(f"substring(text, i, {_ES_K})")
+    pos = corpus.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {_ES_K} + 1),"
+                f" i -> struct(i as pos, {h} as h))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "n", F.col("g.pos").alias("pos"),
+             F.col("g.h").alias("h"))
+    dup = (
+        pos.groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("h")
+    )
+    hits = pos.join(dup, "h", "left_semi")
+    wlag = _W.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn(
+        "new_isl",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.lag("pos").over(wlag), F.lit(-(10 ** 9)))
+            + _ES_K - 1,
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_isl").over(wlag))
+    return isl.groupBy("doc_id", "n", "island").agg(
+        F.min("pos").alias("lo"),
+        (F.max("pos") + _ES_K - 1).alias("hi"),
+    )
+
+
+@workload(
+    "dedup_exact_substring_spans",
+    oracle="WITH " + _O_ES_SPANS + """
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
        CAST(sum(hi - lo + 1) AS BIGINT) AS covered_chars,
        round(sum(hi - lo + 1) / any_value(n), 6) AS dup_frac
@@ -1825,44 +1874,7 @@ def dedup_exact_substring_spans(
     shared by 10k docs costs 10k rows, never 10k² pairs — this is
     what makes exact substring dedup tractable where the verbatim
     PAIR workloads need the df-cap lever."""
-    corpus = _corpus_neardup(spark, sf_dir).filter(
-        F.length("text") >= _ES_K
-    )
-    h = _spark_hash(f"substring(text, i, {_ES_K})")
-    pos = corpus.select(
-        "doc_id",
-        F.length("text").alias("n"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, length(text) - {_ES_K} + 1),"
-                f" i -> struct(i as pos, {h} as h))"
-            )
-        ).alias("g"),
-    ).select("doc_id", "n", F.col("g.pos").alias("pos"),
-             F.col("g.h").alias("h"))
-    dup = (
-        pos.groupBy("h")
-        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
-        .filter(F.col("mn") != F.col("mx"))
-        .select("h")
-    )
-    from pyspark.sql import Window as _W
-
-    hits = pos.join(dup, "h", "left_semi")
-    wlag = _W.partitionBy("doc_id").orderBy("pos")
-    isl = hits.withColumn(
-        "new_isl",
-        F.when(
-            F.col("pos")
-            > F.coalesce(F.lag("pos").over(wlag), F.lit(-(10 ** 9)))
-            + _ES_K - 1,
-            1,
-        ).otherwise(0),
-    ).withColumn("island", F.sum("new_isl").over(wlag))
-    spans = isl.groupBy("doc_id", "n", "island").agg(
-        F.min("pos").alias("lo"),
-        (F.max("pos") + _ES_K - 1).alias("hi"),
-    )
+    spans = _exact_dup_spans(_corpus_neardup(spark, sf_dir))
     covered = F.sum(F.col("hi") - F.col("lo") + 1)
     return (
         spans.groupBy("doc_id")
@@ -1870,6 +1882,131 @@ def dedup_exact_substring_spans(
             F.count(F.lit(1)).cast("bigint").alias("n_spans"),
             covered.cast("bigint").alias("covered_chars"),
             F.round(covered / F.first("n"), 6).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@workload(
+    "dedup_exact_substring_removal",
+    oracle="WITH " + _O_ES_SPANS + f""",
+base AS (SELECT doc_id, text, length(text) AS n FROM corpus
+         WHERE length(text) >= {_ES_K}),
+segs AS (
+  SELECT doc_id,
+         coalesce(lag(hi) OVER (PARTITION BY doc_id ORDER BY lo), 0)
+           AS prev_hi,
+         lo
+  FROM spans
+),
+mid AS (SELECT doc_id, prev_hi + 1 AS slo, lo - 1 AS shi
+        FROM segs WHERE lo > prev_hi + 1),
+tl AS (SELECT doc_id, max(hi) + 1 AS slo, any_value(n) AS shi
+       FROM spans GROUP BY doc_id HAVING max(hi) < any_value(n)),
+allsegs AS (SELECT * FROM mid UNION ALL SELECT * FROM tl),
+cleaned AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(sum(s.shi - s.slo + 1) AS BIGINT) AS kept_chars,
+         md5(string_agg(substring(b.text, s.slo, s.shi - s.slo + 1),
+                        '' ORDER BY s.slo)) AS cleaned_md5
+  FROM allsegs s JOIN base b ON b.doc_id = s.doc_id
+  GROUP BY s.doc_id
+),
+spandocs AS (SELECT DISTINCT doc_id FROM spans)
+SELECT b.doc_id,
+       CAST(coalesce(c.n_segments,
+            CASE WHEN sd.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_segments,
+       CAST(coalesce(c.kept_chars,
+            CASE WHEN sd.doc_id IS NULL THEN b.n ELSE 0 END) AS BIGINT)
+         AS kept_chars,
+       coalesce(c.cleaned_md5,
+            CASE WHEN sd.doc_id IS NULL THEN md5(b.text)
+                 ELSE md5('') END) AS cleaned_md5
+FROM base b
+LEFT JOIN cleaned c ON c.doc_id = b.doc_id
+LEFT JOIN spandocs sd ON sd.doc_id = b.doc_id
+ORDER BY b.doc_id
+""",
+)
+def dedup_exact_substring_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The TRANSFORMATION half of exact substring dedup (Lee et al.
+    2022 don't just report duplicated spans — they CUT them): every
+    document's kept text is the ordered concatenation of the
+    complement segments between its duplicated-span islands, emitted
+    as (segment count, kept chars, md5 of the cleaned text). The md5
+    makes the oracle compare the actual surgery output, not merely
+    its lengths. Total coverage: docs with NO duplicated span keep
+    their full text (1 segment, md5(text)); docs fully covered keep
+    nothing (0 segments, md5('')) — every corpus doc ≥ k chars has
+    exactly one output row.
+
+    Scale: spans come from the shared _exact_dup_spans pipeline (one
+    hash shuffle + per-doc windows); the complement is a lag window
+    over the FEW spans per doc plus one tail row per doc; segment
+    text attaches via one equi-join of the (small) segment list back
+    to the corpus, and the ordered concat is array_sort over ≤
+    segments-per-doc structs — never a corpus-wide sort. The cleaned
+    text itself is emitted as a hash here only to keep the readout
+    row-sized; a pipeline writes the concat itself."""
+    from pyspark.sql import Window as _W
+
+    base = _corpus_neardup(spark, sf_dir).filter(
+        F.length("text") >= _ES_K
+    ).select("doc_id", "text", F.length("text").alias("n"))
+    spans = _exact_dup_spans(base)
+    wd = _W.partitionBy("doc_id").orderBy("lo")
+    segs = spans.withColumn(
+        "prev_hi", F.coalesce(F.lag("hi").over(wd), F.lit(0))
+    )
+    mid = segs.filter(F.col("lo") > F.col("prev_hi") + 1).select(
+        "doc_id", (F.col("prev_hi") + 1).alias("slo"),
+        (F.col("lo") - 1).alias("shi"),
+    )
+    tail = (
+        spans.groupBy("doc_id", "n")
+        .agg(F.max("hi").alias("mhi"))
+        .filter(F.col("mhi") < F.col("n"))
+        .select("doc_id", (F.col("mhi") + 1).alias("slo"),
+                F.col("n").alias("shi"))
+    )
+    allsegs = mid.unionByName(tail).join(
+        base.select("doc_id", "text"), "doc_id"
+    ).withColumn("seg", F.expr("substring(text, slo, shi - slo + 1)"))
+    cleaned = allsegs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_segs"),
+        F.sum(F.col("shi") - F.col("slo") + 1)
+        .cast("bigint").alias("c_kept"),
+        F.md5(F.concat_ws("", F.expr(
+            "transform(array_sort(collect_list(struct(slo, seg))),"
+            " s -> s.seg)"
+        ))).alias("c_md5"),
+    )
+    spandocs = spans.select("doc_id").distinct().withColumn(
+        "has_spans", F.lit(1)
+    )
+    return (
+        base.join(cleaned, "doc_id", "left")
+        .join(spandocs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                "c_segs",
+                F.when(F.col("has_spans").isNull(), F.lit(1))
+                .otherwise(F.lit(0)).cast("bigint"),
+            ).alias("n_segments"),
+            F.coalesce(
+                "c_kept",
+                F.when(F.col("has_spans").isNull(), F.col("n"))
+                .otherwise(F.lit(0)).cast("bigint"),
+            ).alias("kept_chars"),
+            F.coalesce(
+                "c_md5",
+                F.when(F.col("has_spans").isNull(), F.md5("text"))
+                .otherwise(F.md5(F.lit(""))),
+            ).alias("cleaned_md5"),
         )
         .orderBy("doc_id")
     )

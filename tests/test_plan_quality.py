@@ -1168,6 +1168,7 @@ def test_lorenz_boundary_join_is_broadcast(r9_plans):
 _R10_FAMILIES = [
     "skyline3d_parts_price_size_popularity",
     "dedup_exact_substring_spans",
+    "dedup_exact_substring_removal",
     "graph_kclique_census",
 ]
 
