@@ -47,7 +47,7 @@ def main() -> None:
     try:
         load0 = os.getloadavg()[0]
     except OSError:
-        load0 = -1.0
+        load0 = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
@@ -134,10 +134,14 @@ def main() -> None:
     # steady-state run on this 32-cpu box shows start ≲ a few; a run
     # taken mid-battery shows tens. Readers should trust the medians
     # only when load was quiet.
+    # Only emit when BOTH samples succeeded — a half-failed pair
+    # (e.g. a -1 sentinel) would read as a real load value.
     try:
-        out["loadavg_1m"] = [round(load0, 1), round(os.getloadavg()[0], 1)]
+        load1 = os.getloadavg()[0]
     except OSError:
-        pass
+        load1 = None
+    if load0 is not None and load1 is not None:
+        out["loadavg_1m"] = [round(load0, 1), round(load1, 1)]
     if reps > 1:
         out["spread"] = {
             n: [round(min(s), 3), round(max(s), 3)]

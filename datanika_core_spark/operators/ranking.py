@@ -86,13 +86,17 @@ def quantile_boundaries(
         n_parts = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    names = [f"_qb_{i}" for i in range(len(keys))]
+    if n_parts <= 1:
+        return [[] for _ in keys]
+    # collision-resistant temp prefix: never shadow an input column
+    prefix = "_gr_qb_"
+    while any(c.startswith(prefix) for c in df.columns):
+        prefix += "x"
+    names = [f"{prefix}{i}" for i in range(len(keys))]
     tmp = df
     for name, k in zip(names, keys):
         col = F.col(k) if isinstance(k, str) else k
         tmp = tmp.withColumn(name, col.cast("double"))
-    if n_parts <= 1:
-        return [[] for _ in keys]
     qs = [i / n_parts for i in range(1, n_parts)]
     got = tmp.approxQuantile(names, qs, 0.001)
     return [sorted(set(b)) for b in got]

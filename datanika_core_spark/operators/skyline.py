@@ -82,13 +82,36 @@ def skyline_3d(
     cells_per_dim: int = 8,
 ) -> DataFrame:
     """The non-dominated rows of ``grid`` under minimize-all
-    dominance on (d1, d2, d3): no other row ≤ on every dim and < on
-    at least one. ``grid`` must be DISTINCT on (d1, d2, d3) (group
+    dominance on (d1, d2, d3) — see skyline_grid (this is the d = 3
+    instance; the machinery is dimension-agnostic past the two
+    bucketed axes)."""
+    return skyline_grid(grid, (d1, d2, d3), cells_per_dim)
+
+
+def skyline_grid(
+    grid: DataFrame,
+    dims: tuple[str, ...],
+    cells_per_dim: int = 8,
+) -> DataFrame:
+    """The non-dominated rows of ``grid`` under minimize-all
+    dominance on ``dims`` (d >= 3): no other row ≤ on every dim and
+    < on at least one. ``grid`` must be DISTINCT on the dims (group
     first — equal points never dominate each other) with non-null
-    numeric dims; extra columns ride along."""
+    numeric dims; extra columns ride along.
+
+    Only the FIRST TWO dims are bucketed into grid cells (that is
+    what makes a dominator's cell ≤ the dominated point's cell —
+    the monotonicity every pruning step leans on); the corner-summary
+    prune, the pair-reachability test and the dominance predicate
+    range over ALL dims, so extra dims cost one min/max pair in the
+    O(G²) summary and one comparison per probe — the exactness
+    argument in the module docstring never mentions d."""
     from datanika_core_spark.operators.ranking import quantile_boundaries
 
+    assert len(dims) >= 3, "use the 2-D prefix-min identity below d=3"
     spark = grid.sparkSession
+    d1, d2 = dims[0], dims[1]
+    nd = len(dims)
     b1, b2 = quantile_boundaries(grid, [d1, d2], n_parts=cells_per_dim)
     cells = grid.withColumn(_C1, _cell(F.col(d1), b1)).withColumn(
         _C2, _cell(F.col(d2), b2)
@@ -96,19 +119,17 @@ def skyline_3d(
     summ = (
         cells.groupBy(_C1, _C2)
         .agg(
-            F.min(d1).alias("n1"), F.min(d2).alias("n2"),
-            F.min(d3).alias("n3"),
-            F.max(d1).alias("x1"), F.max(d2).alias("x2"),
-            F.max(d3).alias("x3"),
+            *[F.min(d).alias(f"n{i}") for i, d in enumerate(dims, 1)],
+            *[F.max(d).alias(f"x{i}") for i, d in enumerate(dims, 1)],
         )
         .collect()  # ≤ cells_per_dim² rows — bounded driver state
     )
+    rng = range(1, nd + 1)
     # step 3: drop cells entirely dominated by another cell's corner
     live = [
         a for a in summ
         if not any(
-            b["x1"] < a["n1"] and b["x2"] < a["n2"] and b["x3"] < a["n3"]
-            for b in summ
+            all(b[f"x{i}"] < a[f"n{i}"] for i in rng) for b in summ
         )
     ]
     by_cell = {(a[_C1], a[_C2]): a for a in live}
@@ -121,15 +142,12 @@ def skyline_3d(
         for b in live
         if (b[_C1], b[_C2]) != (a[_C1], a[_C2])
         and b[_C1] <= a[_C1] and b[_C2] <= a[_C2]
-        and b["n1"] <= a["x1"] and b["n2"] <= a["x2"]
-        and b["n3"] <= a["x3"]
+        and all(b[f"n{i}"] <= a[f"x{i}"] for i in rng)
     ]
     live_df = spark.createDataFrame(
         [(c1, c2) for (c1, c2) in by_cell], f"{_C1} int, {_C2} int"
     )
     cells = cells.join(F.broadcast(live_df), [_C1, _C2], "left_semi")
-
-    dims = (d1, d2, d3)
 
     def dom(ap: str, bp: str) -> Column:
         """b (qualified ``bp.``/renamed ``_b_``) dominates a."""
@@ -138,7 +156,10 @@ def skyline_3d(
 
         le = [b(d) <= F.col(f"{ap}.{d}") for d in dims]
         lt = [b(d) < F.col(f"{ap}.{d}") for d in dims]
-        return le[0] & le[1] & le[2] & (lt[0] | lt[1] | lt[2])
+        acc_le, acc_lt = le[0], lt[0]
+        for i in range(1, nd):
+            acc_le, acc_lt = acc_le & le[i], acc_lt | lt[i]
+        return acc_le & acc_lt
 
     # step 4: local skyline — self anti-join whose EQUI keys are the
     # cell ids (alias-qualified refs: the sides share lineage)

@@ -322,6 +322,11 @@ def stream_ingest(
     stream keeps polling the directory and ingesting files as they
     APPEAR, until ``timeout_sec`` elapses — the deployment shape
     (files arrive forever); availableNow is the test/backfill shape.
+    NOTE the blocking cost: with ``processing_time`` set there is no
+    drained-source early exit — the call ALWAYS blocks for the full
+    ``timeout_sec`` (default 300 s), because an open-ended stream has
+    no "done" condition. Callers polling a test directory should pass
+    a small timeout (the smoke test uses single-digit seconds).
     Everything else (checkpoint lineage, dispositions, exactly-once
     replay) is identical, which is the point: the twin's semantics
     must not depend on which trigger drives it.

@@ -185,9 +185,21 @@ def stream_page_hinkley(
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = 1,
     timeout_sec: int = 300,
+    processing_time: str | None = None,
 ) -> PHStats:
     """Absorb all currently-available events files (availableNow)
-    into the PH monitor; query ``monitor.report()`` any time."""
+    into the PH monitor; query ``monitor.report()`` any time.
+
+    ``processing_time`` (e.g. ``"1 seconds"``) switches to the
+    open-ended deployment trigger: the stream keeps polling and
+    absorbing files as they APPEAR until ``timeout_sec`` elapses —
+    there is no drained-source early exit, so the call ALWAYS blocks
+    the full timeout (pass a small one when polling a test dir). The
+    point of offering both on the SAME checkpoint: the monitor's
+    cross-batch state (day counters, carried batch ids) must not
+    depend on which trigger drove it — an availableNow restart after
+    a processing-time run is a no-op (test-pinned, the stateful
+    extension of the r10 stream_ingest trigger smoke)."""
     from datanika_core_spark.streaming.jobs import read_event_stream
 
     stats = PHStats()
@@ -223,12 +235,14 @@ def stream_page_hinkley(
             f"DROP TABLE IF EXISTS {monitor.counters_table}"
         ),
     )
-    q = (
-        sdf.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", ckpt_loc)
-        .trigger(availableNow=True)
-        .start()
+    writer = sdf.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", ckpt_loc
     )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
     try:
         q.awaitTermination(timeout_sec)
     finally:

@@ -36,6 +36,22 @@ an availableNow run that ends before then never emits it). Measured
 and pinned by tests/test_stream_join.py::
 test_outer_join_emits_null_only_after_eviction, not inferred.
 
+FULL-OUTER variant: deliberately NOT built (the r10 verdict asked
+for an assess-then-decide). Measured on the testdata, the unmatched
+CONTEXT side dominates the output absolutely: sf0.001 → 36 matched
+pairs vs 965 unmatched ctx events; sf0.01 → 152 vs 9 852; sf0.1 →
+145 vs 99 859 (99.85% of rows). A full-outer twin would buffer and
+re-emit virtually the ENTIRE input stream as (NULL, ctx) rows —
+state and output scale with the raw stream, not with matches, and
+the rows carry zero join information ("this event matched nothing"
+is the complement of a filter, not a join result). The production
+shape for "which context events never matched" is the left-anti
+BATCH query over the landed pairs table, which needs no stream
+state at all. Inner, left-outer and left-semi cover every
+information-bearing emission; full-outer is excluded the way the
+exact k>=6 clique rungs are (workloads/graph.py census docstring) —
+with the measured volumes written down.
+
 Replay discipline: the join's output for a micro-batch is
 deterministic given the checkpointed offsets, and foreachBatch can
 redeliver a batch on retry — the sink therefore de-duplicates on
@@ -257,12 +273,23 @@ def context_report(spark: SparkSession, result_table: str) -> DataFrame:
     this is the matched subset of the batch workload's columns; for
     the outer twin, unmatched purchases appear with
     n_context_events = 0 and NULL context_value (count(ctx_id) skips
-    the NULL marker row) — the full batch left-join grid."""
+    the NULL marker row) — the full batch left-join grid. NOT valid
+    for the left-semi twin's table (purchase_id only — no ctx
+    columns to aggregate); that raises with a clear message instead
+    of an opaque unresolved-column AnalysisException."""
     if not spark.catalog.tableExists(result_table):
         return spark.createDataFrame(
             [],
             "purchase_id bigint, n_context_events bigint,"
             " context_value double",
+        )
+    cols = set(spark.table(result_table).columns)
+    if not {"ctx_id", "ctx_value"} <= cols:
+        raise ValueError(
+            f"context_report needs ctx_id/ctx_value columns; table "
+            f"{result_table!r} has {sorted(cols)} — semi-join result "
+            "tables carry purchase_id only and have no per-context "
+            "rows to report on"
         )
     return (
         spark.table(result_table)

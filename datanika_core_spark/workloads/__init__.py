@@ -216,6 +216,10 @@ CHECK_FIRST = [
     # window; the remaining slots re-verify the stalest entries
     "graph_coreness_ladder", "skyline_price_size_parts",
     "events_value_lorenz_gini",
+    # round 11 — unrecorded-first already puts these at the head of
+    # the window; listed for deterministic tie-break order
+    "graph_clique_ladder_sampled", "dedup_exact_substring_incremental",
+    "skyline4d_parts_price_size_popularity_suppliers",
 ]
 
 

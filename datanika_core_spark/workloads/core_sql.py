@@ -1615,3 +1615,86 @@ def skyline3d_parts_price_size_popularity(
     return sky.select("price", "size", "n_orders", "n_parts").orderBy(
         "price", "size", "n_orders"
     )
+
+
+@workload(
+    "skyline4d_parts_price_size_popularity_suppliers",
+    oracle="""
+WITH pop AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_sup
+  FROM lineitem GROUP BY l_partkey
+),
+g AS (
+  SELECT p_retailprice AS price, CAST(p_size AS BIGINT) AS size,
+         n_orders, n_sup, CAST(count(*) AS BIGINT) AS n_parts
+  FROM part JOIN pop ON l_partkey = p_partkey
+  GROUP BY 1, 2, 3, 4
+)
+SELECT price, size, n_orders, n_sup, n_parts
+FROM g a
+WHERE NOT EXISTS (
+  SELECT 1 FROM g b
+  WHERE b.price <= a.price AND b.size <= a.size
+    AND b.n_orders >= a.n_orders AND b.n_sup >= a.n_sup
+    AND (b.price < a.price OR b.size < a.size
+         OR b.n_orders > a.n_orders OR b.n_sup > a.n_sup))
+ORDER BY price, size, n_orders, n_sup
+""",
+)
+def skyline4d_parts_price_size_popularity_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """4-D skyline: parts undominated on (minimize retail price,
+    minimize size, MAXIMIZE order count, MAXIMIZE distinct supplier
+    count) — the r10 verdict's optional-depth lead made concrete: the
+    grid machinery is dimension-agnostic past the two bucketed axes
+    (operators/skyline.skyline_grid), so d = 4 costs exactly one more
+    min/max pair in the O(G²) cell-corner summary and one more
+    comparison per dominance probe. Cells are still cut on the
+    (price, size) plane only — that is where bucket monotonicity
+    lives; the two maximize dims ride through negation in the corner
+    prune, the pair-reachability test, and the dominance predicate.
+
+    Both extra dims are exact bigint counts (orders, distinct
+    suppliers per part), so engine and oracle compare identically —
+    no float boundary risk. The d = 4 skyline is a strict superset of
+    the d = 3 one (adding a dim can only un-dominate points), which
+    tests/test_skyline3d.py pins alongside a seeded brute-force
+    equality.
+
+    Scale: identical profile to the 3-D workload — one fact groupBy
+    (now carrying a distinct-count), one dim join, one grid groupBy,
+    then all pairing work cell-bounded; higher d weakens the corner
+    PRUNE (strict dominance on all dims gets rarer), which is the
+    known curse of skyline dimensionality, not a plan regression —
+    the equi-join shape is unchanged."""
+    from datanika_core_spark.operators.skyline import skyline_grid
+
+    pop = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.count_distinct("l_suppkey").cast("bigint").alias("n_sup"),
+        )
+    )
+    pts = (
+        t(spark, sf_dir, "part")
+        .join(pop, F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").cast("bigint").alias("size"),
+            "n_orders", "n_sup",
+        )
+    )
+    grid = (
+        pts.groupBy("price", "size", "n_orders", "n_sup")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .withColumn("neg_pop", -F.col("n_orders"))
+        .withColumn("neg_sup", -F.col("n_sup"))
+    )
+    sky = skyline_grid(grid, ("price", "size", "neg_pop", "neg_sup"))
+    return sky.select(
+        "price", "size", "n_orders", "n_sup", "n_parts"
+    ).orderBy("price", "size", "n_orders", "n_sup")

@@ -2299,7 +2299,77 @@ def graph_coreness_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Exact k-clique census (round 10): triangles, K4, K5 — one ladder.
+# Round 11 generalizes the ladder into _clique_ladder so the sampled
+# k<=7 estimator (graph_clique_ladder_sampled) reuses the same rungs.
 # --------------------------------------------------------------------------
+
+
+def _clique_ladder(
+    edges: DataFrame, kmax: int, probe_ok: bool
+) -> dict[int, DataFrame]:
+    """Oriented k-clique ladder over an undirected ``(u < v)`` edge
+    frame: returns {k: frame with one row per K_k} for 3 <= k <= kmax.
+    Every K_k is enumerated exactly once at its orientation-minimum
+    vertex — in the (degree, id)-ordered orientation that vertex
+    out-points to ALL other members, so level k extends each
+    (k-1)-clique at its apex by one more id-ordered out-neighbor and
+    verifies the k-1 new edges against the canonical edge list
+    (Chiba–Nishizeki via the Suri–Vassilvitskii oriented formulation).
+    Edges src→member exist by orientation construction; only
+    member-member edges need closure probes, and all probes broadcast
+    the SAME canonical edge list when ``probe_ok`` (one broadcast,
+    ReusedExchange shares it across every rung)."""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u_n"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v_n"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, F.col("u") == F.col("u_n"))
+        .join(dv, F.col("v") == F.col("v_n"))
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+
+    def closed(frame, x, y):
+        """Keep rows of ``frame`` where the undirected edge (x, y)
+        exists — x < y by construction at every call site (members
+        are id-ascending out-neighbors of the apex)."""
+        e = edges.select(
+            F.col("u").alias(f"_e_{x}"), F.col("v").alias(f"_e_{y}")
+        )
+        e = F.broadcast(e) if probe_ok else e
+        return frame.join(
+            e,
+            (F.col(x) == F.col(f"_e_{x}")) & (F.col(y) == F.col(f"_e_{y}")),
+        ).drop(f"_e_{x}", f"_e_{y}")
+
+    members = ["c1"]
+    cur = oriented.select("src", F.col("dst").alias("c1"))
+    frames: dict[int, DataFrame] = {}
+    for k in range(3, kmax + 1):
+        nxt = f"c{k - 1}"
+        ext = oriented.select(
+            F.col("src").alias(f"_s{k}"), F.col("dst").alias(nxt)
+        )
+        cur = cur.join(
+            ext,
+            (F.col("src") == F.col(f"_s{k}"))
+            & (F.col(nxt) > F.col(members[-1])),
+        ).select("src", *members, nxt)
+        for m in members:
+            cur = closed(cur, m, nxt)
+        members.append(nxt)
+        frames[k] = cur
+    return frames
 
 
 @workload(
@@ -2388,24 +2458,172 @@ def graph_kclique_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
+    pair_upper = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("kk"))
+        .agg((F.sum(F.col("kk") * (F.col("kk") - 1)) / 2)
+             .cast("bigint").alias("p"))
+        .first()[0]
+        or 0
     )
-    du = deg.select(F.col("node").alias("u_n"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v_n"), F.col("d").alias("dv"))
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = (
-        edges.join(du, F.col("u") == F.col("u_n"))
-        .join(dv, F.col("v") == F.col("v_n"))
-        .select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    probe_ok = pair_upper <= _TRI_BROADCAST_EDGE_CEILING
+    frames = _clique_ladder(edges, 5, probe_ok)
+
+    def n(frame, k):
+        return frame.agg(
+            F.lit(k).cast("bigint").alias("k"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cliques"),
         )
+
+    return (
+        n(frames[3], 3).unionAll(n(frames[4], 4))
+        .unionAll(n(frames[5], 5)).orderBy("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sampled k-clique ladder to k = 7 (round 11): the clique-number path
+# the exact census's k >= 6 exclusion names (graph.py census docstring:
+# "the honest path to ω is per-level DOULION-style edge sampling").
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "graph_clique_ladder_sampled",
+    oracle=f"""
+WITH sampled AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  ) WHERE {_DLN_COIN} <> 0
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM sampled UNION ALL SELECT v FROM sampled
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+  FROM sampled e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+l3 AS (
+  SELECT o1.src, o1.dst AS c1, o2.dst AS c2
+  FROM oriented o1 JOIN oriented o2
+    ON o2.src = o1.src AND o2.dst > o1.dst
+  WHERE EXISTS (SELECT 1 FROM sampled e WHERE e.u = o1.dst AND e.v = o2.dst)
+),
+l4 AS (
+  SELECT x.src, x.c1, x.c2, o.dst AS c3
+  FROM l3 x JOIN oriented o ON o.src = x.src AND o.dst > x.c2
+  WHERE EXISTS (SELECT 1 FROM sampled e WHERE e.u = x.c1 AND e.v = o.dst)
+    AND EXISTS (SELECT 1 FROM sampled e WHERE e.u = x.c2 AND e.v = o.dst)
+),
+l5 AS (
+  SELECT x.src, x.c1, x.c2, x.c3, o.dst AS c4
+  FROM l4 x JOIN oriented o ON o.src = x.src AND o.dst > x.c3
+  WHERE EXISTS (SELECT 1 FROM sampled e WHERE e.u = x.c1 AND e.v = o.dst)
+    AND EXISTS (SELECT 1 FROM sampled e WHERE e.u = x.c2 AND e.v = o.dst)
+    AND EXISTS (SELECT 1 FROM sampled e WHERE e.u = x.c3 AND e.v = o.dst)
+),
+l6 AS (
+  SELECT x.src, x.c1, x.c2, x.c3, x.c4, o.dst AS c5
+  FROM l5 x JOIN oriented o ON o.src = x.src AND o.dst > x.c4
+  WHERE EXISTS (SELECT 1 FROM sampled e WHERE e.u = x.c1 AND e.v = o.dst)
+    AND EXISTS (SELECT 1 FROM sampled e WHERE e.u = x.c2 AND e.v = o.dst)
+    AND EXISTS (SELECT 1 FROM sampled e WHERE e.u = x.c3 AND e.v = o.dst)
+    AND EXISTS (SELECT 1 FROM sampled e WHERE e.u = x.c4 AND e.v = o.dst)
+),
+l7 AS (
+  SELECT x.src
+  FROM l6 x JOIN oriented o ON o.src = x.src AND o.dst > x.c5
+  WHERE EXISTS (SELECT 1 FROM sampled e WHERE e.u = x.c1 AND e.v = o.dst)
+    AND EXISTS (SELECT 1 FROM sampled e WHERE e.u = x.c2 AND e.v = o.dst)
+    AND EXISTS (SELECT 1 FROM sampled e WHERE e.u = x.c3 AND e.v = o.dst)
+    AND EXISTS (SELECT 1 FROM sampled e WHERE e.u = x.c4 AND e.v = o.dst)
+    AND EXISTS (SELECT 1 FROM sampled e WHERE e.u = x.c5 AND e.v = o.dst)
+),
+sel AS (
+  SELECT 3 AS k, n, round(CAST(n * 64 AS DOUBLE) / 27.0, 6) AS est
+  FROM (SELECT count(*) AS n FROM l3)
+  UNION ALL
+  SELECT 4, n, round(CAST(n * 4096 AS DOUBLE) / 729.0, 6)
+  FROM (SELECT count(*) AS n FROM l4)
+  UNION ALL
+  SELECT 5, n, round(CAST(n * 1048576 AS DOUBLE) / 59049.0, 6)
+  FROM (SELECT count(*) AS n FROM l5)
+  UNION ALL
+  SELECT 6, n, round(CAST(n * 1073741824 AS DOUBLE) / 14348907.0, 6)
+  FROM (SELECT count(*) AS n FROM l6)
+  UNION ALL
+  SELECT 7, n, round(CAST(n * 4398046511104 AS DOUBLE) / 10460353203.0, 6)
+  FROM (SELECT count(*) AS n FROM l7)
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n_sampled,
+       est AS est_cliques
+FROM sel ORDER BY k
+""",
+)
+def graph_clique_ladder_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SAMPLED k-clique ladder to k = 7 on the co-purchase part graph
+    — the clique-number estimator graph_kclique_census's k >= 6
+    exclusion names as the honest path to ω (its docstring: per-level
+    DOULION-style edge sampling). Keep each edge with p = 3/4 via the
+    deterministic integer coin (the complement of
+    graph_triangle_doulion's p = 1/4 sample — same LCG, keep != 0),
+    run the SAME oriented ladder (_clique_ladder) on the sparsified
+    graph two rungs past the census, and scale each level's count by
+    1/p^C(k,2) — a K_k survives iff all C(k,2) of its edges survive,
+    so E[n_sampled · (4/3)^C(k,2)] equals the exact count
+    (Tsourakakis' DOULION argument, per level). The scaled estimate
+    stays exact-deterministic for the oracle: both engines sparsify
+    identically, so n_sampled matches bit-for-bit and est_cliques is
+    the same integer product cast to double, divided, and rounded.
+
+    ω readout: the largest k with n_sampled > 0 certifies ω >= k
+    (every sampled clique IS a clique of the full graph); est_cliques
+    sizes the census beyond the exact rungs. p = 3/4 (not doulion's
+    1/4) because the correction grows as (4/3)^C(k,2) — at k = 7
+    that's 420× (vs 4^21 ≈ 4.4e12× at p = 1/4, which would zero out
+    every rung past the triangles on any graph this size).
+
+    Accuracy is pinned by tests/test_clique_ladder.py: the sf0.001
+    realized est/exact ratios (deterministic, fixed coin) are 0.999 /
+    1.033 / 1.193 / 1.657 / 3.007 for k = 3..7 — near-exact where the
+    correction is small (the exponent pin), decaying as (4/3)^C(k,2)
+    amplifies correlated clique survival; sf0.001 is the pathological
+    case (its counts still GROW at k = 6 — cliques share edges
+    massively, the covariance term Tsourakakis' variance names). The
+    n_sampled > 0 ω certificate is variance-free either way. The
+    ladder itself is exact on a planted K7-plus-noise graph at every
+    rung.
+
+    Scale: identical profile to the exact census on a 3/4-size graph
+    — extension joins equi-keyed on the apex, all 15 closure probes
+    broadcast ONE canonical sampled-edge list (gated on the census's
+    wedge bound; AQE fallback past the ceiling), candidates at level
+    k bounded by (k-1)-cliques × orientation out-degree. The two
+    extra rungs cost less than the census's level 5 on the full
+    graph: level-6 candidates start from (3/4)^10 ≈ 0.056 of the
+    exact K5 population. Deeper rungs (k = 8, 9, ...) are the same
+    loop with a smaller p — the estimator's variance, not the plan
+    shape, is what bounds the ladder."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    coin = F.expr(_DLN_COIN)
+    sampled = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .filter(coin != 0)
+        .select("u", "v")
+        .distinct()
+        # feeds degrees + orientation + 15 closure probes + 5 counts;
+        # materializing once wins (the doulion lesson)
+        .localCheckpoint(eager=True)
     )
     pair_upper = (
         li.groupBy("l_orderkey")
@@ -2416,56 +2634,22 @@ def graph_kclique_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         or 0
     )
     probe_ok = pair_upper <= _TRI_BROADCAST_EDGE_CEILING
-
-    def closed(frame, x, y):
-        """Keep rows of ``frame`` where the undirected edge (x, y)
-        exists — x < y by construction at every call site."""
-        e = edges.select(
-            F.col("u").alias(f"_e_{x}"), F.col("v").alias(f"_e_{y}")
-        )
-        e = F.broadcast(e) if probe_ok else e
-        return frame.join(
-            e,
-            (F.col(x) == F.col(f"_e_{x}")) & (F.col(y) == F.col(f"_e_{y}")),
-        ).drop(f"_e_{x}", f"_e_{y}")
-
-    o1 = oriented.select("src", F.col("dst").alias("a"))
-    o2 = oriented.select(F.col("src").alias("s2"), F.col("dst").alias("b"))
-    tri = closed(
-        o1.join(o2, (F.col("src") == F.col("s2")) & (F.col("a") < F.col("b")))
-        .select("src", "a", "b"),
-        "a", "b",
-    )
-    o3 = oriented.select(F.col("src").alias("s3"), F.col("dst").alias("c"))
-    k4 = closed(
-        closed(
-            tri.join(o3, (F.col("src") == F.col("s3"))
-                     & (F.col("c") > F.col("b")))
-            .select("src", "a", "b", "c"),
-            "a", "c",
-        ),
-        "b", "c",
-    )
-    o4 = oriented.select(F.col("src").alias("s4"), F.col("dst").alias("e"))
-    k5 = closed(
-        closed(
-            closed(
-                k4.join(o4, (F.col("src") == F.col("s4"))
-                        & (F.col("e") > F.col("c")))
-                .select("src", "a", "b", "c", "e"),
-                "a", "e",
-            ),
-            "b", "e",
-        ),
-        "c", "e",
-    )
+    frames = _clique_ladder(sampled, 7, probe_ok)
 
     def n(frame, k):
+        c2 = k * (k - 1) // 2
+        cnt = F.count(F.lit(1)).cast("bigint")
         return frame.agg(
             F.lit(k).cast("bigint").alias("k"),
-            F.count(F.lit(1)).cast("bigint").alias("n_cliques"),
+            cnt.alias("n_sampled"),
+            F.round(
+                (cnt * F.lit(4 ** c2)).cast("double")
+                / F.lit(float(3 ** c2)),
+                6,
+            ).alias("est_cliques"),
         )
 
-    return (
-        n(tri, 3).unionAll(n(k4, 4)).unionAll(n(k5, 5)).orderBy("k")
-    )
+    out = n(frames[3], 3)
+    for k in (4, 5, 6, 7):
+        out = out.unionAll(n(frames[k], k))
+    return out.orderBy("k")

@@ -1758,7 +1758,9 @@ def dedup_marginal_rate_by_batch(
 # answer, computed exactly — maximal cross-document verbatim spans.
 # --------------------------------------------------------------------------
 
-_ES_K = 20  # minimum duplicated-substring length, chars
+# minimum duplicated-substring length (chars) — single source is the
+# incremental store module; the oracle f-strings below interpolate it
+from datanika_core_spark.operators.substring_store import ES_K as _ES_K  # noqa: E402
 
 
 #: shared oracle CTE chain: corpus -> duplicated-position islands ->
@@ -1798,43 +1800,23 @@ def _exact_dup_spans(corpus: DataFrame) -> DataFrame:
     of a (doc_id, text)-corpus: positional char-k-gram explode, the
     min!=max-doc duplication test per gram hash, semi-join back, and
     a per-doc island merge (see dedup_exact_substring_spans for the
-    full rationale)."""
-    from pyspark.sql import Window as _W
+    full rationale). Gram explode and island merge are shared with
+    the incremental store (operators/substring_store.py), whose
+    full-readout parity with this one-shot is test-pinned."""
+    from datanika_core_spark.operators.substring_store import (
+        merge_islands,
+        positional_grams,
+    )
 
-    corpus = corpus.filter(F.length("text") >= _ES_K)
-    h = _spark_hash(f"substring(text, i, {_ES_K})")
-    pos = corpus.select(
-        "doc_id",
-        F.length("text").alias("n"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, length(text) - {_ES_K} + 1),"
-                f" i -> struct(i as pos, {h} as h))"
-            )
-        ).alias("g"),
-    ).select("doc_id", "n", F.col("g.pos").alias("pos"),
-             F.col("g.h").alias("h"))
+    pos = positional_grams(corpus, "text", _ES_K)
     dup = (
         pos.groupBy("h")
         .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
         .filter(F.col("mn") != F.col("mx"))
         .select("h")
     )
-    hits = pos.join(dup, "h", "left_semi")
-    wlag = _W.partitionBy("doc_id").orderBy("pos")
-    isl = hits.withColumn(
-        "new_isl",
-        F.when(
-            F.col("pos")
-            > F.coalesce(F.lag("pos").over(wlag), F.lit(-(10 ** 9)))
-            + _ES_K - 1,
-            1,
-        ).otherwise(0),
-    ).withColumn("island", F.sum("new_isl").over(wlag))
-    return isl.groupBy("doc_id", "n", "island").agg(
-        F.min("pos").alias("lo"),
-        (F.max("pos") + _ES_K - 1).alias("hi"),
-    )
+    hits = pos.join(dup, "h", "left_semi").select("doc_id", "n", "pos")
+    return merge_islands(hits, _ES_K)
 
 
 @workload(
@@ -2010,3 +1992,145 @@ def dedup_exact_substring_removal(
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental exact-substring dedup (round 11): the persisted-index
+# operating mode of the r10 one-shot — batches probe and append.
+# --------------------------------------------------------------------------
+
+#: ingest-batch id of a corpus doc_id: first half of the base docs,
+#: second half, then the +20000 near-dup mutants — three arrivals.
+_ESI_B = "CASE WHEN {d} < 250 THEN 0 WHEN {d} < 20000 THEN 1 ELSE 2 END"
+
+
+@workload(
+    "dedup_exact_substring_incremental",
+    oracle=f"""WITH {_O_CORPUS_NEARDUP},
+pos AS (
+  SELECT doc_id, length(text) AS n, i AS pos,
+         {_O_HASH.format(x=f"substring(text, i, {_ES_K})")} AS h
+  FROM corpus, unnest(range(1, length(text) - {_ES_K} + 2)) AS u(i)
+  WHERE length(text) >= {_ES_K}
+),
+h1 AS (SELECT h, min(doc_id) AS mn FROM pos GROUP BY h),
+h2 AS (
+  SELECT p.h, min(p.doc_id) AS mn2
+  FROM pos p JOIN h1 ON h1.h = p.h AND p.doc_id > h1.mn
+  GROUP BY p.h
+),
+cand AS (
+  SELECT p.doc_id, p.n, p.pos,
+         CASE WHEN h1.mn <> p.doc_id THEN h1.mn ELSE h2.mn2 END AS oth
+  FROM pos p JOIN h1 ON h1.h = p.h LEFT JOIN h2 ON h2.h = p.h
+),
+hits AS (
+  SELECT doc_id, n, pos FROM cand
+  WHERE oth IS NOT NULL
+    AND ({_ESI_B.format(d="oth")}) <= ({_ESI_B.format(d="doc_id")})
+),
+isl AS (
+  SELECT doc_id, n, pos,
+         CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id
+                                                 ORDER BY pos),
+                                  -1000000000) + {_ES_K} - 1
+              THEN 1 ELSE 0 END AS new_isl
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, n, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS lo, max(pos) + {_ES_K} - 1 AS hi
+  FROM isl2 GROUP BY doc_id, island
+),
+bdocs AS (
+  SELECT {_ESI_B.format(d="doc_id")} AS batch, count(*) AS n_docs
+  FROM corpus WHERE length(text) >= {_ES_K} GROUP BY 1
+),
+bsp AS (
+  SELECT {_ESI_B.format(d="doc_id")} AS batch,
+         count(DISTINCT doc_id) AS n_dup_docs,
+         count(*) AS n_spans,
+         sum(hi - lo + 1) AS covered
+  FROM spans GROUP BY 1
+)
+SELECT CAST(d.batch AS BIGINT) AS batch,
+       CAST(d.n_docs AS BIGINT) AS n_docs,
+       CAST(coalesce(s.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(s.covered, 0) AS BIGINT) AS covered_chars
+FROM bdocs d LEFT JOIN bsp s ON s.batch = d.batch
+ORDER BY d.batch
+""",
+)
+def dedup_exact_substring_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact substring dedup operated INCREMENTALLY — the production
+    shape dedup_exact_substring_spans's one-shot pass stands in for:
+    the corpus arrives in three ingest batches (base docs in two
+    halves, then the near-dup mutants), each batch appends its
+    positional gram index to a persisted ExactSubstringIndexStore and
+    probes ITS OWN docs against everything ingested so far. Per batch:
+    docs indexed, docs carrying a duplicated-at-arrival span, span
+    count, covered chars — the crawl-time readout (a span here means
+    "this text verbatim-duplicates something already in the corpus",
+    the signal that gates admission, cf. dedup_saturation_curve).
+
+    Probe-at-arrival semantics (== the oracle's): a position of doc d
+    is duplicated iff some doc of an EARLIER-OR-SAME batch shares its
+    k-gram. Later arrivals do NOT retro-flag earlier docs here — the
+    full retro readout is the store's ``spans()``, whose parity with
+    the one-shot workload is pinned by tests/test_substring_store.py
+    (same islands, bit-identical), and replayed batches append 0 rows
+    (idempotent update, also test-pinned).
+
+    Each batch's probe aggregate is MATERIALIZED before the next
+    update — the summary table is merge-overwritten per batch, so a
+    lazy probe plan would read the final summary, not the
+    at-arrival one (the store-loop twin of the cursor workload's
+    commit-then-read discipline, elt.py::incremental_cursor_events).
+
+    Scale: per batch, cost = the batch's own gram explode + ONE
+    equi-join against the (h, mn, mx) gram summary — constant state
+    per gram, no posting lists, the stored positions never rescanned;
+    the summary merge is the parquet stand-in for MERGE INTO (bucket
+    both sides by h to co-locate at 100 TB). Driver state: 5 ints per
+    batch."""
+    from datanika_core_spark.operators.substring_store import (
+        ExactSubstringIndexStore,
+    )
+    from datanika_core_spark.operators.writers import drop_table
+
+    corpus = _corpus_neardup(spark, sf_dir).select("doc_id", "text")
+    batch_col = (
+        F.when(F.col("doc_id") < 250, F.lit(0))
+        .when(F.col("doc_id") < 20000, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    corpus = corpus.withColumn("batch", batch_col)
+    tbl = "wl_es_index"
+    for suffix in ("", "_docs", "_hsum", "_hsum_stage"):
+        drop_table(spark, f"{tbl}{suffix}")
+    store = ExactSubstringIndexStore(spark, tbl, _ES_K)
+    out_rows = []
+    for b in (0, 1, 2):
+        bdf = corpus.filter(F.col("batch") == b).select("doc_id", "text")
+        store.update(bdf)
+        n_docs = bdf.filter(F.length("text") >= _ES_K).count()
+        r = store.probe(bdf).agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.count(F.lit(1)).alias("ns"),
+            F.sum(F.col("hi") - F.col("lo") + 1).alias("cov"),
+        ).first()
+        out_rows.append(
+            (b, n_docs, int(r["nd"]), int(r["ns"]), int(r["cov"] or 0))
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "batch bigint, n_docs bigint, n_dup_docs bigint,"
+        " n_spans bigint, covered_chars bigint",
+    ).orderBy("batch")

@@ -1,0 +1,90 @@
+"""Planted-graph exactness of the generalized oriented k-clique
+ladder (_clique_ladder, every rung 3..7) plus the sampled estimator's
+accuracy on the sf0.001 co-purchase graph — the ladder is load-bearing
+for BOTH graph_kclique_census (exact, k <= 5) and
+graph_clique_ladder_sampled (p = 3/4 edge sample, k <= 7)."""
+
+from __future__ import annotations
+
+from math import comb
+
+import pytest
+
+from datanika_core_spark.workloads import load_all
+from datanika_core_spark.workloads.graph import _clique_ladder
+
+SF = "/root/testdata/sf0.001"
+
+#: K7 on nodes 1..7, one extra triangle via node 8 -> {1, 2}, and an
+#: isolated edge (9, 10) that must contribute to NO rung.
+PLANTED = (
+    [(u, v) for u in range(1, 8) for v in range(u + 1, 8)]
+    + [(1, 8), (2, 8), (9, 10)]
+)
+WANT = {
+    3: comb(7, 3) + 1,  # 36: the planted K7's triangles + (1, 2, 8)
+    4: comb(7, 4),
+    5: comb(7, 5),
+    6: comb(7, 6),
+    7: 1,
+}
+
+#: EXACT K3..K7 counts of the sf0.001 co-purchase graph (8 899 edges),
+#: computed once with the unrolled oriented ladder in DuckDB — the
+#: census's own oracle shape extended two rungs. NOTE the counts still
+#: GROW at k = 6: the sf0.001 part universe is small, so co-purchase
+#: density is far higher than at sf0.01/sf0.1.
+EXACT_SF0001 = {3: 125968, 4: 674558, 5: 1524089, 6: 1570486, 7: 783654}
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(u), int(v)) for u, v in pairs], "u bigint, v bigint"
+    )
+
+
+@pytest.mark.parametrize("probe_ok", [True, False])
+def test_ladder_exact_on_planted_k7(spark, probe_ok):
+    """Every rung exact on the planted graph, on both closure-probe
+    paths (broadcast and AQE-shuffled)."""
+    frames = _clique_ladder(_edges(spark, PLANTED), 7, probe_ok)
+    got = {k: frames[k].count() for k in range(3, 8)}
+    assert got == WANT
+
+
+def test_ladder_enumerates_the_planted_k7_itself(spark):
+    """The single K7 row is the planted clique {1..7} — membership,
+    not just a count; and each K6 row is one of its 6-subsets."""
+    frames = _clique_ladder(_edges(spark, PLANTED), 7, True)
+    (row,) = frames[7].collect()
+    assert sorted(row) == [1, 2, 3, 4, 5, 6, 7]
+    for r in frames[6].collect():
+        assert set(r).issubset(set(range(1, 8))) and len(set(r)) == 6
+
+
+def test_sampled_estimator_tracks_exact_counts(spark):
+    """graph_clique_ladder_sampled at sf0.001: ω readout certifies
+    k = 7 (the graph HAS K7s and p = 3/4 keeps ~1 900 of them), the
+    k = 3 estimate lands within 10% of exact (an off-by-one exponent
+    in the correction would shift it 33%), and the deep rungs stay
+    within the covariance-dominated loose band."""
+    rows = {
+        r["k"]: r
+        for r in load_all()["graph_clique_ladder_sampled"].fn(
+            spark, SF
+        ).collect()
+    }
+    assert set(rows) == {3, 4, 5, 6, 7}
+    assert all(rows[k]["n_sampled"] > 0 for k in rows)  # ω >= 7
+    # Realized est/exact ratios are DETERMINISTIC (fixed coin):
+    # 0.999 / 1.033 / 1.193 / 1.657 / 3.007 for k = 3..7 — accuracy
+    # decays with the (4/3)^C(k,2) amplification of correlated clique
+    # survival, exactly the covariance effect the doulion workload's
+    # stderr bound documents, and this graph is the pathological case
+    # (counts still GROW at k = 6, cliques share edges massively).
+    # The k = 3/4 band is the exponent pin; the deep-rung bands
+    # document honest deviation, not precision.
+    for k, exact in EXACT_SF0001.items():
+        ratio = rows[k]["est_cliques"] / exact
+        lo, hi = (0.9, 1.2) if k <= 4 else (0.3, 4.0)
+        assert lo < ratio < hi, (k, ratio)

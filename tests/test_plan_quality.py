@@ -1224,3 +1224,79 @@ def test_kclique_census_reuses_one_edge_broadcast(r10_plans):
     p = r10_plans["graph_kclique_census"]
     assert "BroadcastHashJoin" in p
     assert "ReusedExchange" in p
+
+
+# -- round 11: sampled clique ladder + incremental substring store ---------
+
+def test_r11_sampled_ladder_plan(spark):
+    """The k<=7 sampled ladder keeps the census's join discipline: no
+    cartesian, no row UDFs, closure probes as broadcast hash joins.
+    Unlike the census there is NO ReusedExchange pin: the sampled
+    edge list is localCheckpoint-materialized (it feeds 20+ plan
+    branches), and a checkpointed build side defeats exchange-reuse
+    canonicalization — each probe builds its own broadcast from the
+    tiny materialized RDD. Measured BOTH ways (sf0.001: ckpt 3.1 s vs
+    reuse-path 4.7 s; sf0.1 warm: 17.1 s vs 23.9 s): paying ~70 cheap
+    broadcast builds of an O(p·m) local list beats re-executing the
+    pair-explode distinct lineage that exchange reuse still
+    schedules. If the build side ever stops being checkpointed,
+    restore the census's ReusedExchange pin."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = _plan(load_all()["graph_clique_ladder_sampled"].fn(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_r11_skyline4d_is_equi_join_only(spark):
+    """Same pin as the 3-D workload: local pass equi-joins on cell
+    ids, cross-cell merge on the broadcast pair table — a
+    nested-loop anywhere means the d = 4 generalization collapsed
+    back to BNL."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = _plan(
+            load_all()[
+                "skyline4d_parts_price_size_popularity_suppliers"
+            ].fn(spark, SF)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_r11_substring_store_plans(spark, tmp_path):
+    """The store's probe and full readout stay linear: equi-join
+    against the gram summary (no posting-list self-join, no
+    cartesian), island windows partitioned per doc (never global).
+    dedup_exact_substring_incremental executes this exact plan per
+    batch — the workload itself is eager (store writes), so the pin
+    lives on the store operators."""
+    from datanika_core_spark.operators.substring_store import (
+        ExactSubstringIndexStore,
+    )
+    from datanika_core_spark.operators.writers import drop_table
+    from tools.plan_signals_all import unbounded_global_windows
+
+    name = "t_es_planpin"
+    for sfx in ("", "_docs", "_hsum", "_hsum_stage"):
+        drop_table(spark, f"{name}{sfx}")
+    store = ExactSubstringIndexStore(spark, name)
+    docs = spark.createDataFrame(
+        [(1, "x" * 40), (2, "x" * 40)], "doc_id bigint, text string"
+    )
+    store.update(docs)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for frame in (store.probe(docs), store.spans()):
+            p = _plan(frame)
+            assert "CartesianProduct" not in p
+            assert "BatchEvalPython" not in p
+            assert unbounded_global_windows(frame) == 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -212,6 +212,14 @@ def test_precomputed_boundaries_match_and_skip_rescan(spark, docs):
     )
     assert lopsided == want
 
+    # temp-column collision: an input already carrying _gr_qb_0 must
+    # not be shadowed/overwritten by the boundary scan's cast columns
+    poisoned = docs.withColumn("_gr_qb_0", F.lit(-1.0))
+    (bn2,) = quantile_boundaries(poisoned, ["n_chars"])
+    assert bn2 == bn
+    # n_parts<=1 returns before building any temp columns
+    assert quantile_boundaries(poisoned, ["n_chars"], n_parts=1) == [[]]
+
 
 def test_rank_prefix_sum_combined_matches_chained(spark, docs):
     from datanika_core_spark.operators.ranking import (

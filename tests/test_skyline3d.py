@@ -108,3 +108,71 @@ def test_plan_is_equi_join_only(spark):
     from tools.plan_signals_all import unbounded_global_windows
 
     assert unbounded_global_windows(sky) == 0
+
+
+# -- round 11: skyline_grid at d = 4 ----------------------------------------
+
+def _brute_nd(points):
+    out = []
+    for a in points:
+        dominated = any(
+            all(b[i] <= a[i] for i in range(len(a)))
+            and any(b[i] < a[i] for i in range(len(a)))
+            for b in points
+        )
+        if not dominated:
+            out.append(a)
+    return sorted(out)
+
+
+def test_grid_d4_matches_brute_force_seeded(spark):
+    """skyline_grid at d = 4 == brute-force dominance on a seeded
+    pseudo-random point cloud (deterministic LCG — no RNG in tests),
+    including duplicate-coordinate collisions on the bucketed axes."""
+    from datanika_core_spark.operators.skyline import skyline_grid
+
+    x = 1234567
+    pts, seen = [], set()
+    for _ in range(300):
+        row = []
+        for _ in range(4):
+            x = (x * 48271) % (2 ** 31 - 1)
+            row.append(float(x % 40))  # coarse -> many collisions
+        tpl = tuple(row)
+        if tpl not in seen:  # grid must be DISTINCT on dims
+            seen.add(tpl)
+            pts.append(tpl)
+    df = spark.createDataFrame(
+        pts, "d1 double, d2 double, d3 double, d4 double"
+    )
+    got = sorted(
+        tuple(r[d] for d in ("d1", "d2", "d3", "d4"))
+        for r in skyline_grid(df, ("d1", "d2", "d3", "d4")).collect()
+    )
+    assert got == _brute_nd(pts)
+
+
+def test_grid_d4_is_superset_of_d3(spark):
+    """Adding a dim can only UN-dominate points: the d = 3 skyline of
+    the planted cloud is a subset of its d = 4 skyline (with the
+    extra dim constant the sets are equal; with it varying the d = 4
+    set can only grow). Pins the wiring: d3-vs-d4 must differ only in
+    the dims tuple."""
+    from datanika_core_spark.operators.skyline import skyline_grid
+
+    pts, a, b = _planted()
+    pts4 = [(d1, d2, d3, float((int(d1) * 7) % 11)) for d1, d2, d3 in pts]
+    df = spark.createDataFrame(
+        pts4, "d1 double, d2 double, d3 double, d4 double"
+    )
+    sky3 = {
+        (r["d1"], r["d2"], r["d3"])
+        for r in skyline_3d(
+            df.select("d1", "d2", "d3").distinct(), "d1", "d2", "d3"
+        ).collect()
+    }
+    sky4 = {
+        (r["d1"], r["d2"], r["d3"])
+        for r in skyline_grid(df, ("d1", "d2", "d3", "d4")).collect()
+    }
+    assert sky3 <= sky4

@@ -269,3 +269,11 @@ def test_semi_join_matches_batch_existence_filter(spark, tmp_path):
     assert sorted(
         r["purchase_id"] for r in spark.table("sj_semi").collect()
     ) == want
+
+    # context_report has no ctx columns to aggregate on a semi
+    # table — it must refuse with a CLEAR error, not an opaque
+    # unresolved-column AnalysisException
+    import pytest
+
+    with pytest.raises(ValueError, match="ctx_id"):
+        context_report(spark, "sj_semi")

@@ -235,3 +235,52 @@ def test_ph_pre1970_day_survives_watermark(spark):
     # replay of the same batch id stays a no-op
     mon.absorb(batch, batch_id=5)
     assert spark.table("ph_mon7").count() == len(grid)
+
+
+def test_stream_ph_processing_time_trigger_carries_state(
+    spark, tmp_path
+):
+    """Open-ended trigger on a STATEFUL twin (the r10 stream_ingest
+    smoke proved lineage carries across trigger modes for a
+    stateless append; this extends it to cross-batch state): with
+    processing_time the monitor absorbs a file dropped AFTER the
+    stream started, the mid-day split still merges into one day
+    (report == the batch workload), and an availableNow restart on
+    the SAME checkpoint absorbs nothing — counters neither fork nor
+    double across trigger modes."""
+    import threading
+
+    spark.sql("DROP TABLE IF EXISTS ph_ct")
+    release_blocks(spark)
+    ev, src = _split_mid(spark, tmp_path, "ph_ct_src")
+    hold = tmp_path / "ph_ct_hold"
+    hold.mkdir()
+    shutil.move(str(src / "f1.parquet"), str(hold / "f1.parquet"))
+    mon = StreamPageHinkleyMonitor(spark, "ph_ct")
+
+    t = threading.Timer(
+        6.0,
+        lambda: shutil.move(
+            str(hold / "f1.parquet"), str(src / "f1.parquet")
+        ),
+    )
+    t.start()
+    try:
+        stats = stream_page_hinkley(
+            spark, str(src), mon,
+            checkpoint_dir=str(tmp_path / "ck_ph_ct"),
+            timeout_sec=25,
+            processing_time="1 seconds",
+        )
+    finally:
+        t.cancel()
+    assert stats.arrived == ev.count()  # incl. the mid-run file
+    assert _rows(mon.report()) == _rows(drift_page_hinkley(spark, SF))
+
+    # same checkpoint, availableNow: nothing replays, state intact
+    stats2 = stream_page_hinkley(
+        spark, str(src), mon,
+        checkpoint_dir=str(tmp_path / "ck_ph_ct"),
+    )
+    assert stats2.arrived == 0
+    assert _rows(mon.report()) == _rows(drift_page_hinkley(spark, SF))
