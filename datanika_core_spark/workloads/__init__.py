@@ -220,6 +220,7 @@ CHECK_FIRST = [
     # the window; listed for deterministic tie-break order
     "graph_clique_ladder_sampled", "dedup_exact_substring_incremental",
     "skyline4d_parts_price_size_popularity_suppliers",
+    "graph_ktruss_bounded",
 ]
 
 

@@ -2318,7 +2318,11 @@ def _clique_ladder(
     Edges src→member exist by orientation construction; only
     member-member edges need closure probes, and all probes broadcast
     the SAME canonical edge list when ``probe_ok`` (one broadcast,
-    ReusedExchange shares it across every rung)."""
+    ReusedExchange shares it across every rung). One-shot callers
+    only: an iterative caller would stack one edge-list broadcast per
+    round — graph_ktruss_bounded counts support via adjacency
+    intersection instead, for exactly that reason (its docstring has
+    the measurements)."""
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -2653,3 +2657,213 @@ def graph_clique_ladder_sampled(
     for k in (4, 5, 6, 7):
         out = out.unionAll(n(frames[k], k))
     return out.orderBy("k")
+
+
+# --------------------------------------------------------------------------
+# Bounded k-truss peeling (round 11): the EDGE-strength sibling of the
+# k-core node peel — drop edges supported by too few triangles.
+# --------------------------------------------------------------------------
+
+_KT_ROUNDS = 3  # fixed peel budget (convergence detection is a round)
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support via adjacency intersection
+    (compact-forward): s(u, v) = |N(u) ∩ N(v)|, edges with zero
+    support omitted. NOT the oriented wedge enumeration the one-shot
+    triangle workloads use — an iterative peel re-counts every round,
+    and both wedge-closure strategies fail under iteration at scale:
+    a broadcast closure stacks one full-edge-list broadcast per round
+    faster than the ContextCleaner retires them (measured driver OOM
+    at sf0.1), while a sort-merge closure shuffles the entire wedge
+    stream (tens of millions of candidates) every round (measured
+    heap thrash). The adjacency frame is |V| rows of degree-bounded
+    arrays — node-keyed, small, AQE broadcasts it — and the
+    intersection work is Σ(deg(u) + deg(v)) per round, no wedge
+    materialization at any point."""
+    adj = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(
+            e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+        .groupBy("node")
+        .agg(F.collect_list("nbr").alias("nb"))
+    )
+    au = adj.select(F.col("node").alias("u"), F.col("nb").alias("nb_u"))
+    av = adj.select(F.col("node").alias("v"), F.col("nb").alias("nb_v"))
+    return (
+        e.join(au, "u").join(av, "v")
+        .select(
+            "u", "v",
+            F.size(F.array_intersect("nb_u", "nb_v"))
+            .cast("bigint").alias("s"),
+        )
+        .filter(F.col("s") > 0)
+    )
+
+
+def _ktruss_oracle() -> str:
+    """Unrolled truss peel (the k-core generated-CTE-chain technique):
+    tri{r} enumerates each triangle of e{r-1} once via the u<v<w
+    double join, sup{r} counts per-edge support, e{r} keeps edges with
+    support >= s_min. s_min derives from the ROUND-0 support
+    distribution (discrete lower quartile × 4/5 — the k-core's
+    adaptive-integer trick, applied to edges)."""
+    steps = []
+    for r in range(1, _KT_ROUNDS + 2):
+        steps.append(f"""
+tri{r} AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e{r - 1} e1
+  JOIN e{r - 1} e2 ON e2.u = e1.v
+  JOIN e{r - 1} e3 ON e3.u = e1.u AND e3.v = e2.v
+)""")
+        if r > _KT_ROUNDS:
+            break
+        steps.append(f"""
+sup{r} AS MATERIALIZED (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS s FROM (
+    SELECT a AS u, b AS v FROM tri{r}
+    UNION ALL SELECT a, c FROM tri{r}
+    UNION ALL SELECT b, c FROM tri{r}
+  ) GROUP BY u, v
+)""")
+        extra = """
+s0 AS MATERIALIZED (
+  SELECT coalesce(t.s, 0) AS s FROM e0 e
+  LEFT JOIN sup1 t ON t.u = e.u AND t.v = e.v
+),
+hist AS MATERIALIZED (SELECT s, count(*) AS c FROM s0 GROUP BY s),
+smin AS MATERIALIZED (
+  SELECT greatest((q1 * 4) // 5, 1) AS s_min FROM (
+    SELECT min(s) AS q1 FROM (
+      SELECT s, sum(c) OVER (ORDER BY s) AS cum,
+             (SELECT sum(c) FROM hist) AS n
+      FROM hist
+    ) WHERE cum >= (n + 1) // 4
+  )
+),""" if r == 1 else ""
+        steps.append(f"""{extra}
+e{r} AS MATERIALIZED (
+  SELECT u, v FROM sup{r} CROSS JOIN smin WHERE s >= smin.s_min
+)""")
+    rows = [
+        "SELECT 0 AS round, (SELECT count(*) FROM e0) AS n_edges,"
+        " (SELECT count(*) FROM tri1) AS n_triangles"
+    ]
+    for r in range(1, _KT_ROUNDS + 1):
+        rows.append(
+            f"SELECT {r}, (SELECT count(*) FROM e{r}),"
+            f" (SELECT count(*) FROM tri{r + 1})"
+        )
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),{",".join(steps)},
+summary AS ({" UNION ALL ".join(rows)})
+SELECT CAST(s.round AS BIGINT) AS round,
+       CAST(s.n_edges AS BIGINT) AS n_edges,
+       CAST(s.n_triangles AS BIGINT) AS n_triangles,
+       CAST(smin.s_min AS BIGINT) AS s_min,
+       CAST(CASE WHEN (SELECT count(*) FROM e{_KT_ROUNDS})
+                    = (SELECT count(*) FROM e{_KT_ROUNDS - 1})
+                 THEN 1 ELSE 0 END AS BIGINT) AS converged
+FROM summary s CROSS JOIN smin
+ORDER BY round
+"""
+
+
+@workload("graph_ktruss_bounded", oracle=_ktruss_oracle())
+def graph_ktruss_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-truss peeling on the co-purchase part graph — the
+    EDGE-strength sibling of graph_kcore_bounded: drop every edge
+    whose triangle support within the surviving subgraph falls below
+    s_min (truss k = s_min + 2), repeat for a fixed round budget, and
+    report per-round edge/triangle counts plus a convergence flag
+    (fixed-round semantics, the honest distributed form). The k-truss
+    is the standard cohesion cut one notch stronger than the k-core:
+    every surviving edge sits in s_min triangles of survivors, so
+    communities keep their triangle-dense cores while bridge/spam
+    edges peel first (Cohen 2008).
+
+    s_min adapts to sf like the k-core's K: the discrete lower
+    quartile of the ROUND-0 support distribution × 4/5 (exact integer
+    arithmetic over the support histogram — a window over the ≤ few
+    hundred distinct support values, never over the edge list; the
+    engine collects that tiny histogram and resolves s_min
+    driver-side, the same eager watch-class as the k-core's K).
+
+    Determinism: supports are exact integers, each round a pure set
+    operation; the oracle replays identical rounds as a generated
+    unrolled CTE chain (tri via the u<v<w double join — same triangle
+    set as the engine's degree-ordered orientation, enumerated once
+    either way).
+
+    Scale: each round counts support by ADJACENCY INTERSECTION
+    (compact-forward), not wedge enumeration — sup_of's docstring has
+    the measured failure modes of both closure strategies under
+    iteration; the per-round cost is one node-keyed groupBy building
+    degree-bounded arrays plus two equi-joins of the edge set against
+    that (broadcast-small) frame. Per-round triangle counts come FREE
+    from the support frame (sum(s)/3 — each triangle lands on its 3
+    edges), and the surviving edge set IS the filtered support frame
+    (0-support edges can never survive, s_min >= 1).
+    RollingCheckpoints bound lineage and retained blocks to O(1)
+    sets; everything reduces to driver ints, so all blocks are
+    released before return."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    from datanika_core_spark.blocks import RollingCheckpoint
+
+    roll_e = RollingCheckpoint(spark)
+    roll_s = RollingCheckpoint(spark)
+    sup_of = _edge_support
+
+    def n_tri(sup: DataFrame) -> int:
+        r = sup.agg(F.expr("sum(s) div 3").alias("t")).first()["t"]
+        return int(r or 0)
+
+    e = roll_e(edges)
+    m0 = e.count()
+    sup = roll_s(sup_of(e))
+    counts = [(0, m0, n_tri(sup))]
+    # s_min from the round-0 support histogram (0-support edges
+    # included via m0 minus the support rows), resolved driver-side
+    hist = {int(r["s"]): int(r["c"]) for r in
+            sup.groupBy("s").agg(F.count(F.lit(1)).alias("c")).collect()}
+    hist[0] = hist.get(0, 0) + (m0 - sum(hist.values()))
+    target, cum, q1 = (m0 + 1) // 4, 0, 0
+    for s_val in sorted(hist):
+        cum += hist[s_val]
+        if cum >= target:
+            q1 = s_val
+            break
+    s_min = max((q1 * 4) // 5, 1)
+
+    prev_edges = m0
+    converged = 0
+    for r in range(1, _KT_ROUNDS + 1):
+        e = roll_e(sup.filter(F.col("s") >= s_min).select("u", "v"))
+        n_e = e.count()
+        sup = roll_s(sup_of(e))
+        counts.append((r, n_e, n_tri(sup)))
+        if r == _KT_ROUNDS and n_e == prev_edges:
+            converged = 1
+        prev_edges = n_e
+    roll_e.release()
+    roll_s.release()
+    out = spark.createDataFrame(
+        [(r, n, nt, s_min, converged) for (r, n, nt) in counts],
+        "round bigint, n_edges bigint, n_triangles bigint,"
+        " s_min bigint, converged bigint",
+    )
+    return out.orderBy("round")

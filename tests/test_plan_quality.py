@@ -1300,3 +1300,24 @@ def test_r11_substring_store_plans(spark, tmp_path):
             assert unbounded_global_windows(frame) == 0
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_r11_ktruss_support_plan(spark):
+    """The truss peel's support kernel must stay wedge-free: two
+    equi-joins of the edge set against the node-keyed adjacency
+    frame, no cartesian, no nested loop, no row UDFs — the shape
+    that survives per-round iteration where broadcast/SMJ wedge
+    closures measurably did not (see _edge_support's docstring)."""
+    from datanika_core_spark.workloads.graph import _edge_support
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "u bigint, v bigint"
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = _plan(_edge_support(e))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
