@@ -128,8 +128,17 @@ def _with_pid(
     else:
         bounds = []
     if bounds:
-        arr = F.array(*[F.lit(float(b)) for b in bounds])
-        pid = F.size(F.filter(arr, lambda b: b <= F.col(_KEY)))
+        # CASE-WHEN sum, NOT F.filter(array, lambda ...): these frames
+        # are self-joined downstream (local ⋈ its own bucket offsets in
+        # every public function here), and lambda-variable exprIds go
+        # stale under DeduplicateRelations when the key collapses onto
+        # a scan attribute (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND — the
+        # SCALE.md rule-7 trap). |bounds| <= shuffle.partitions-1, so
+        # the unrolled comparison chain stays codegen-friendly.
+        pid = sum(
+            F.when(F.lit(float(b)) <= F.col(_KEY), 1).otherwise(0)
+            for b in bounds
+        )
     else:
         pid = F.lit(0)
     return tmp.withColumn(_PID, pid)

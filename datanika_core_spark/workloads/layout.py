@@ -575,3 +575,238 @@ def pack_ffd_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         " bin_load bigint, n_bins bigint",
     )
     return out.orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Hilbert curve vs Z-order: the liquid-clustering layout question.
+# --------------------------------------------------------------------------
+
+_HB_BITS = 8          # 8 bits/axis -> 256x256 grid, d in [0, 65536)
+_HB_FILES = _ZL_FILES
+
+
+def _hilbert_levels(bits: int = _HB_BITS) -> list[tuple[str, str, str]]:
+    """Per-level (hd, hx, hy) transform texts for the standard Hilbert
+    xy->d recurrence, unrolled over ``bits`` levels (s = 2^(bits-1)
+    ... 1). PORTABLE SQL: only ``&`` on BIGINTs, literal arithmetic,
+    and CASE — no shifts (DuckDB spells them >>/<<, Spark as
+    functions), no xor (DuckDB's ^ is exponentiation), no lambdas
+    (stale-exprId trap under the downstream ranking self-join), so
+    ONE generated text drives both engines bit-for-bit. Quadrant code
+    (3*rx)^ry and the ry=0 rotate/reflect are expanded into the CASE
+    arms; validated cell-exhaustively against a reference
+    implementation and by the defining locality property (every
+    consecutive d step is Manhattan-adjacent) in
+    tests/test_r11_properties.py."""
+    lvls = []
+    for i in range(bits):
+        s = 2 ** (bits - 1 - i)
+        hd = (
+            f"hd + {s * s} * (CASE"
+            f" WHEN (hx & {s}) > 0 AND (hy & {s}) > 0 THEN 2"
+            f" WHEN (hx & {s}) > 0 THEN 3"
+            f" WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        )
+        hx = (
+            f"CASE WHEN (hy & {s}) > 0 THEN hx"
+            f" WHEN (hx & {s}) > 0 THEN {s - 1} - hy ELSE hy END"
+        )
+        hy = (
+            f"CASE WHEN (hy & {s}) > 0 THEN hy"
+            f" WHEN (hx & {s}) > 0 THEN {s - 1} - hx ELSE hx END"
+        )
+        lvls.append((hd, hx, hy))
+    return lvls
+
+
+#: 8-bit Morton z-value on the SAME 256x256 grid, as literal-arithmetic
+#: portable SQL: (xq & 2^b) is 0 or 2^b; * 2^b lands it at bit 2b
+#: (* 2^(b+1) at 2b+1 for y) — no shift operators, one text both engines.
+_HB_Z = " + ".join(
+    f"(xq & {1 << b}) * {1 << b} + (yq & {1 << b}) * {1 << (b + 1)}"
+    for b in range(_HB_BITS)
+)
+
+_HB_QX = "((x - xlo) * 255) {div} greatest(xhi - xlo, 1) AS xq"
+_HB_QY = "((y - ylo) * 255) {div} greatest(yhi - ylo, 1) AS yq"
+
+#: Spark spelling of the SAME recurrence as ONE aggregate() fold over
+#: the bit levels (s = 2^(bits-1-i)), struct accumulator (hx, hy, hd).
+#: See the workload docstring for why the oracle's per-level unroll
+#: cannot be used here (CollapseProject expression-tree explosion).
+_HB_SPARK_H = (
+    f"aggregate(sequence(0, {_HB_BITS - 1}),"
+    " named_struct('hx', xq, 'hy', yq, 'hd', cast(0 as bigint)),"
+    " (acc, i) -> named_struct("
+    f"'hx', CASE WHEN (acc.hy & shiftleft(cast(1 as bigint), {_HB_BITS - 1} - i)) > 0 THEN acc.hx"
+    f" WHEN (acc.hx & shiftleft(cast(1 as bigint), {_HB_BITS - 1} - i)) > 0"
+    f" THEN shiftleft(cast(1 as bigint), {_HB_BITS - 1} - i) - 1 - acc.hy ELSE acc.hy END,"
+    f" 'hy', CASE WHEN (acc.hy & shiftleft(cast(1 as bigint), {_HB_BITS - 1} - i)) > 0 THEN acc.hy"
+    f" WHEN (acc.hx & shiftleft(cast(1 as bigint), {_HB_BITS - 1} - i)) > 0"
+    f" THEN shiftleft(cast(1 as bigint), {_HB_BITS - 1} - i) - 1 - acc.hx ELSE acc.hx END,"
+    f" 'hd', acc.hd + shiftleft(cast(1 as bigint), 2 * ({_HB_BITS - 1} - i)) * (CASE"
+    f" WHEN (acc.hx & shiftleft(cast(1 as bigint), {_HB_BITS - 1} - i)) > 0"
+    f" AND (acc.hy & shiftleft(cast(1 as bigint), {_HB_BITS - 1} - i)) > 0 THEN 2"
+    f" WHEN (acc.hx & shiftleft(cast(1 as bigint), {_HB_BITS - 1} - i)) > 0 THEN 3"
+    f" WHEN (acc.hy & shiftleft(cast(1 as bigint), {_HB_BITS - 1} - i)) > 0 THEN 1 ELSE 0 END)),"
+    " acc -> acc.hd)"
+)
+
+
+def _hb_oracle() -> str:
+    hchain = ["h0 AS (SELECT x, y, ok, ln, xq AS hx, yq AS hy,"
+              " 0 AS hd, " + _HB_Z + " AS z FROM quant)"]
+    for i, (hd, hx, hy) in enumerate(_hilbert_levels()):
+        hchain.append(
+            f"h{i + 1} AS (SELECT x, y, ok, ln, z, {hd} AS hd,"
+            f" {hx} AS hx, {hy} AS hy FROM h{i})"
+        )
+    return f"""
+WITH pts AS (
+  SELECT l_partkey AS x, l_suppkey AS y,
+         l_orderkey AS ok, l_linenumber AS ln
+  FROM lineitem
+),
+lims AS (
+  SELECT min(x) AS xlo, max(x) AS xhi, min(y) AS ylo, max(y) AS yhi
+  FROM pts
+),
+quant AS (
+  SELECT x, y, ok, ln, {_HB_QX.format(div='//')},
+         {_HB_QY.format(div='//')}
+  FROM pts, lims
+),
+{','.join(hchain)},
+assigned AS (
+  SELECT x, y,
+         ntile({_HB_FILES}) OVER (ORDER BY hd, ok, ln) AS f_h,
+         ntile({_HB_FILES}) OVER (ORDER BY z, ok, ln) AS f_z
+  FROM h{_HB_BITS}
+),
+spans AS (
+  SELECT 'hilbert' AS layout, f_h AS f,
+         max(x) - min(x) + 1 AS span_x,
+         max(y) - min(y) + 1 AS span_y
+  FROM assigned GROUP BY f_h
+  UNION ALL
+  SELECT 'zorder', f_z,
+         max(x) - min(x) + 1, max(y) - min(y) + 1
+  FROM assigned GROUP BY f_z
+),
+globals AS (
+  SELECT max(x) - min(x) + 1 AS rx, max(y) - min(y) + 1 AS ry FROM pts
+),
+per_dim AS (
+  SELECT layout, 'l_partkey' AS dim,
+         avg(least(span_x, rx) * 1.0 / rx) AS avg_span_frac
+  FROM spans, globals GROUP BY layout
+  UNION ALL
+  SELECT layout, 'l_suppkey',
+         avg(least(span_y, ry) * 1.0 / ry)
+  FROM spans, globals GROUP BY layout
+)
+SELECT layout, dim, round(avg_span_frac, 6) AS avg_span_frac,
+       round(1 - avg_span_frac, 6) AS est_skip_frac
+FROM per_dim
+ORDER BY layout, dim
+"""
+
+
+@workload("hilbert_vs_zorder_skipping", oracle=_hb_oracle())
+def hilbert_vs_zorder_skipping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Zone-map skip-rate comparison: HILBERT-curve vs Z-order file
+    layout for lineitem clustered on (l_partkey, l_suppkey) — the
+    measurement behind preferring Hilbert for multi-dimensional
+    clustering (e.g. Delta's liquid clustering): both are
+    space-filling curves, but every consecutive Hilbert step is
+    Manhattan-adjacent while Morton takes long diagonal jumps at
+    quadrant boundaries, so equal-row file cuts along Hilbert rank
+    get tighter per-dimension min/max zone maps. Both layouts are
+    computed on the SAME 256x256 quantized grid ({_HB_BITS} bits per
+    axis) so the comparison isolates the curve, not the resolution.
+
+    The Hilbert index is the textbook xy->d recurrence over
+    {_HB_BITS} integer transform levels. The DuckDB oracle unrolls
+    them into a CTE chain (_hilbert_levels); the Spark side folds
+    them in ONE ``aggregate()`` higher-order expression (_HB_SPARK_H)
+    carrying (hx, hy, hd) in a struct accumulator — NOT the same
+    chained-projection unroll: CollapseProject inlines consecutive
+    projections, and each level references the previous hx/hy in
+    several CASE arms, so the unrolled chain builds a ~3^{_HB_BITS}
+    expression tree (measured: analyzer OOM at sf0.01). The fold is
+    linear-size and loops at runtime. Both spellings implement the
+    identical integer recurrence — pinned cell-exhaustively against a
+    reference implementation (tests/test_r11_properties.py); no
+    floats anywhere before the final ratio.
+    Ranking/ntile-ing into {_HB_FILES} files uses the distributed
+    frozen-quantile ntile with ONE shared boundary scan for both
+    layout keys. Scale: same diagnostic shape as
+    zorder_file_skipping — at 100 TB run the measurement on the
+    deterministic 1% hash sample (zorder_skip_rate_sampled's span
+    bias correction applies unchanged to the Hilbert rank)."""
+    from datanika_core_spark.operators.ranking import (
+        global_ntile,
+        quantile_boundaries,
+    )
+
+    pts = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("x"),
+        F.col("l_suppkey").alias("y"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    lims = pts.agg(
+        F.min("x").alias("xlo"), F.max("x").alias("xhi"),
+        F.min("y").alias("ylo"), F.max("y").alias("yhi"),
+    )
+    quant = pts.crossJoin(F.broadcast(lims)).selectExpr(
+        "x", "y", "ok", "ln",
+        _HB_QX.format(div="div"), _HB_QY.format(div="div"),
+    )
+    keyed = quant.selectExpr(
+        "x", "y", "ok", "ln",
+        _HB_SPARK_H + " AS h", _HB_Z + " AS z",
+    )
+    bh, bz = quantile_boundaries(keyed, ["h", "z"])
+    assigned = global_ntile(
+        global_ntile(keyed, ["h", "ok", "ln"], _HB_FILES, "f_h",
+                     boundaries=bh),
+        ["z", "ok", "ln"], _HB_FILES, "f_z", boundaries=bz,
+    ).select("x", "y", "f_h", "f_z")
+    spans_h = assigned.groupBy("f_h").agg(
+        (F.max("x") - F.min("x") + 1).alias("span_x"),
+        (F.max("y") - F.min("y") + 1).alias("span_y"),
+    ).select(F.lit("hilbert").alias("layout"), "span_x", "span_y")
+    spans_z = assigned.groupBy("f_z").agg(
+        (F.max("x") - F.min("x") + 1).alias("span_x"),
+        (F.max("y") - F.min("y") + 1).alias("span_y"),
+    ).select(F.lit("zorder").alias("layout"), "span_x", "span_y")
+    g = pts.agg(
+        (F.max("x") - F.min("x") + 1).alias("rx"),
+        (F.max("y") - F.min("y") + 1).alias("ry"),
+    )
+    per_dim = (
+        spans_h.unionAll(spans_z)
+        .crossJoin(F.broadcast(g))
+        .groupBy("layout")
+        .agg(
+            F.avg(F.least("span_x", "rx") / F.col("rx")).alias("sx"),
+            F.avg(F.least("span_y", "ry") / F.col("ry")).alias("sy"),
+        )
+        .select(
+            "layout",
+            F.explode(
+                F.create_map(
+                    F.lit("l_partkey"), F.col("sx"),
+                    F.lit("l_suppkey"), F.col("sy"),
+                )
+            ).alias("dim", "avg_span_frac"),
+        )
+    )
+    return per_dim.select(
+        "layout", "dim",
+        F.round("avg_span_frac", 6).alias("avg_span_frac"),
+        F.round(1 - F.col("avg_span_frac"), 6).alias("est_skip_frac"),
+    ).orderBy("layout", "dim")

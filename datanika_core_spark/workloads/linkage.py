@@ -502,3 +502,401 @@ def linkage_reciprocal_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sorted-neighborhood blocking (round 11): the classic windowed
+# alternative to equality blocking (Hernández & Stolfo, SIGMOD 1995).
+# --------------------------------------------------------------------------
+
+_SN_W = 10  # neighborhood window, in global sort positions
+
+
+@workload(
+    "linkage_sorted_neighborhood",
+    oracle=f"""
+WITH clean AS (
+  SELECT p_partkey AS uid, p_partkey AS orig_key, 0 AS is_dirty,
+         p_name AS name
+  FROM part
+), dirty AS (
+  SELECT p_partkey + 1000000 AS uid, p_partkey AS orig_key, 1 AS is_dirty,
+         substring(p_name, 1, length(p_name) - 2)
+           || substring(p_name, length(p_name)) AS name
+  FROM part WHERE p_partkey % 10 = 0
+),
+allrec AS (SELECT * FROM clean UNION ALL SELECT * FROM dirty),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY name, uid) AS r FROM allrec
+),
+cand AS (
+  SELECT d.uid AS dirty_uid, d.orig_key AS dirty_key,
+         c.orig_key AS clean_key,
+         levenshtein(d.name, c.name) AS dist,
+         abs(d.r - c.r) AS rank_gap
+  FROM ranked d JOIN ranked c
+    ON c.r BETWEEN d.r - {_SN_W} AND d.r + {_SN_W}
+  WHERE d.is_dirty = 1 AND c.is_dirty = 0
+    AND levenshtein(d.name, c.name) <= {_LEV_MAX}
+)
+SELECT dirty_key, clean_key AS matched_key,
+       CAST(dist AS BIGINT) AS dist,
+       CAST(rank_gap AS BIGINT) AS rank_gap
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY dirty_uid
+                               ORDER BY dist, rank_gap, clean_key) AS rn
+  FROM cand
+) WHERE rn = 1
+ORDER BY dirty_key
+""",
+)
+def linkage_sorted_neighborhood(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995): clean
+    and dirty records sort TOGETHER by name, and candidate pairs are
+    records within ±{w} global sort positions — no equality blocking
+    key at all, which is the method's point: a LATE-position typo
+    (here: second-to-last char deleted) that would break an equality
+    block on the full name leaves the record sorted near its source.
+    Candidates verify with Levenshtein <= 2; best clean match per
+    dirty record (min dist, then min rank gap, then min key). part
+    names are heavily duplicated (~64 distinct among 2000 at sf0.01),
+    so the match target is A clean record carrying the source's name
+    — key identity is unknowable when names tie, exactly real-world
+    linkage semantics. Dirty records pushed out of the window by a
+    long run of tied names stay unmatched (~15/200 at sf0.01) — the
+    documented single-pass SN miss mode (production runs multi-pass
+    with rotated keys; one pass is the operator).
+
+    Scale: the global sort position comes from the distributed
+    frozen-quantile rank (operators/ranking.global_row_number) with a
+    numeric 4-char-prefix bucket key (monotone along the name order,
+    so bucketing stays order-contiguous; strings can't feed
+    approxQuantile directly). The window join is a BAND join, not a
+    range scan: each dirty record probes exactly 3 rank tiles of
+    width {w} (its own ± 1), so the join is EQUI on the tile id with
+    the (every-10th-part) dirty side broadcast — candidates per dirty
+    record are <= 2·{w}+1 regardless of corpus size. The oracle says
+    BETWEEN (DuckDB IEJoins it); the engine never does.
+
+    The clean and dirty join sides are each built from an INDEPENDENT
+    plan over fresh scans (global_row_number already self-joins its
+    input against its own bucket offsets; filtering ONE ranked frame
+    into both join sides nests that self-join and trips the stale
+    exprId binding bug — docs/SCALE.md rule 7 / NEXT.md gotcha). Both
+    rankings are deterministic (total order, frozen shared boundaries)
+    so the two computations agree rank-for-rank; the one
+    quantile_boundaries scan is shared across them."""
+    from pyspark.sql import Window
+
+    from datanika_core_spark.operators.ranking import (
+        global_row_number,
+        quantile_boundaries,
+    )
+
+    def _ranked(bounds=None):
+        """allrec + global rank r, built from a FRESH part scan so the
+        two call sites share zero exprIds (see docstring)."""
+        part = t(spark, sf_dir, "part").select("p_partkey", "p_name")
+        clean = part.select(
+            F.col("p_partkey").alias("uid"),
+            F.col("p_partkey").alias("orig_key"),
+            F.lit(0).alias("is_dirty"),
+            F.col("p_name").alias("name"),
+        )
+        dirty = part.filter(F.col("p_partkey") % 10 == 0).select(
+            (F.col("p_partkey") + 1000000).alias("uid"),
+            F.col("p_partkey").alias("orig_key"),
+            F.lit(1).alias("is_dirty"),
+            F.expr(
+                "concat(substring(p_name, 1, length(p_name) - 2),"
+                " substring(p_name, length(p_name)))"
+            ).alias("name"),
+        )
+        allrec = clean.unionByName(dirty)
+        # numeric prefix code, monotone non-decreasing along
+        # (name, uid): lexicographic ASCII order agrees with the
+        # base-128 value of the first 4 chars (missing chars read as
+        # 0 — prefixes sort first)
+        code = sum(
+            F.ascii(F.substring("name", i, 1)) * (128 ** (4 - i))
+            for i in range(1, 5)
+        ).cast("double")
+        if bounds is None:
+            [bounds] = quantile_boundaries(allrec, [code])
+        return (
+            global_row_number(
+                allrec, ["name", "uid"], "r",
+                bucket_by=code, boundaries=bounds,
+            ),
+            bounds,
+        )
+
+    ranked_c, bounds = _ranked()
+    ranked_d, _ = _ranked(bounds)
+    tile = lambda c: F.expr(f"({c} - 1) div {_SN_W}")  # noqa: E731
+    cleanr = ranked_c.filter(F.col("is_dirty") == 0).select(
+        F.col("orig_key").alias("clean_key"),
+        F.col("name").alias("cname"),
+        F.col("r").alias("rc"),
+        tile("r").alias("g"),
+    )
+    dirtyr = ranked_d.filter(F.col("is_dirty") == 1).select(
+        F.col("uid").alias("dirty_uid"),
+        F.col("orig_key").alias("dirty_key"),
+        F.col("name").alias("dname"),
+        F.col("r").alias("rd"),
+        F.explode(
+            F.array(tile("r") - 1, tile("r"), tile("r") + 1)
+        ).alias("g"),
+    )
+    cand = (
+        F.broadcast(dirtyr)
+        .join(cleanr, "g")
+        .filter(F.abs(F.col("rd") - F.col("rc")) <= _SN_W)
+        .withColumn("dist", F.levenshtein("dname", "cname"))
+        .filter(F.col("dist") <= _LEV_MAX)
+        .withColumn("rank_gap", F.abs(F.col("rd") - F.col("rc")))
+    )
+    w = Window.partitionBy("dirty_uid").orderBy(
+        "dist", "rank_gap", "clean_key"
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "dirty_key",
+            F.col("clean_key").alias("matched_key"),
+            F.col("dist").cast("bigint").alias("dist"),
+            F.col("rank_gap").cast("bigint").alias("rank_gap"),
+        )
+        .orderBy("dirty_key")
+    )
+
+
+linkage_sorted_neighborhood.__doc__ = (
+    linkage_sorted_neighborhood.__doc__.replace("{w}", str(_SN_W))
+)
+
+
+# --------------------------------------------------------------------------
+# Blocking quality: reduction ratio vs pairs completeness (the
+# standard blocking-scheme evaluation, e.g. Christen 2012).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "linkage_blocking_quality",
+    oracle=f"""
+WITH clean AS (
+  SELECT p_partkey AS uid, p_name AS name FROM part
+), dirty AS (
+  SELECT p_partkey + 1000000 AS uid, p_name AS src_name,
+         CASE WHEN p_partkey % 20 = 0 THEN substring(p_name, 2)
+              ELSE substring(p_name, 1, length(p_name) - 2)
+                   || substring(p_name, length(p_name)) END AS name
+  FROM part WHERE p_partkey % 10 = 0
+),
+counts AS (
+  SELECT (SELECT count(*) FROM dirty) AS nd,
+         (SELECT count(*) FROM clean) AS nc
+),
+truth AS (
+  SELECT d.uid AS duid, d.name AS dname, d.src_name,
+         c.uid AS cuid, c.name AS cname
+  FROM dirty d JOIN clean c ON c.name = d.src_name
+),
+allrec AS (
+  SELECT uid, 0 AS is_dirty, name FROM clean
+  UNION ALL SELECT uid, 1, name FROM dirty
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY name, uid) AS r FROM allrec
+),
+p2_cand AS (
+  SELECT sum(d.n * c.n) AS cand FROM
+    (SELECT substring(name, 1, 2) AS blk, count(*) AS n
+     FROM dirty GROUP BY 1) d
+  JOIN
+    (SELECT substring(name, 1, 2) AS blk, count(*) AS n
+     FROM clean GROUP BY 1) c
+  USING (blk)
+),
+p2_cov AS (
+  SELECT count(*) AS cov, (SELECT count(*) FROM truth) AS tp
+  FROM truth WHERE substring(dname, 1, 2) = substring(cname, 1, 2)
+),
+sn_cand AS (
+  SELECT count(*) AS cand
+  FROM ranked d JOIN ranked c
+    ON c.r BETWEEN d.r - {_SN_W} AND d.r + {_SN_W}
+  WHERE d.is_dirty = 1 AND c.is_dirty = 0
+),
+sn_cov AS (
+  SELECT count(*) AS cov, (SELECT count(*) FROM truth) AS tp
+  FROM truth t
+  JOIN ranked rd ON rd.uid = t.duid AND rd.is_dirty = 1
+  JOIN ranked rc ON rc.uid = t.cuid AND rc.is_dirty = 0
+  WHERE abs(rd.r - rc.r) <= {_SN_W}
+)
+SELECT blocker, CAST(cand AS BIGINT) AS candidates,
+       CAST(tp AS BIGINT) AS truth_pairs,
+       round(cov * 1.0 / tp, 6) AS pairs_completeness,
+       round(1.0 - cand * 1.0 / (nd * nc), 6) AS reduction_ratio
+FROM (
+  SELECT 'prefix2' AS blocker, cand, cov, tp
+  FROM p2_cand, p2_cov
+  UNION ALL
+  SELECT 'sorted_neighborhood', cand, cov, tp
+  FROM sn_cand, sn_cov
+) CROSS JOIN counts
+ORDER BY blocker
+""",
+)
+def linkage_blocking_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Blocking-scheme evaluation (Christen's reduction ratio /
+    pairs completeness): score two blockers — 2-char-prefix equality
+    vs ±{w} sorted-neighborhood — against name-level ground truth on
+    a mixed-typo corpus: every 10th part is dirtied, HALF with the
+    second-to-last char deleted (prefix intact, sorts adjacent) and
+    half with the FIRST char deleted (prefix broken, sorts far away),
+    so neither blocker dominates: prefix2 keeps every end-typo truth
+    pair and loses every first-char one; the sort window trades some
+    of each. truth = (dirty, clean) pairs where the clean name equals
+    the dirty record's SOURCE name. RR = 1 - candidates/(|dirty| x
+    |clean|); PC = truth pairs the blocker co-blocks / all truth.
+
+    Scale: NO pair set is materialized for RR — prefix2 candidates
+    are Σ_block |dirty_b| x |clean_b| from two grouped counts, and
+    the SN window count probes 3 rank tiles per dirty record exactly
+    like linkage_sorted_neighborhood (broadcast dirty side, EQUI on
+    tile id). PC joins the truth set only (bounded by name-duplicate
+    fan-out, not corpus²). The SN ranking reuses
+    operators/ranking.global_row_number with both join sides built
+    from independent plans + one shared boundary scan (the SCALE.md
+    rule-7 discipline)."""
+    from datanika_core_spark.operators.ranking import (
+        global_row_number,
+        quantile_boundaries,
+    )
+
+    dirt = (
+        "CASE WHEN p_partkey % 20 = 0 THEN substring(p_name, 2)"
+        " ELSE substring(p_name, 1, length(p_name) - 2)"
+        " || substring(p_name, length(p_name)) END"
+    )
+
+    def _clean():
+        return t(spark, sf_dir, "part").select(
+            F.col("p_partkey").alias("uid"),
+            F.col("p_name").alias("name"),
+        )
+
+    def _dirty():
+        return (
+            t(spark, sf_dir, "part")
+            .filter(F.col("p_partkey") % 10 == 0)
+            .select(
+                (F.col("p_partkey") + 1000000).alias("uid"),
+                F.col("p_name").alias("src_name"),
+                F.expr(dirt).alias("name"),
+            )
+        )
+
+    def _ranked(bounds=None):
+        allrec = _clean().select(
+            "uid", F.lit(0).alias("is_dirty"), "name"
+        ).unionByName(
+            _dirty().select("uid", F.lit(1).alias("is_dirty"), "name")
+        )
+        code = sum(
+            F.ascii(F.substring("name", i, 1)) * (128 ** (4 - i))
+            for i in range(1, 5)
+        ).cast("double")
+        if bounds is None:
+            [bounds] = quantile_boundaries(allrec, [code])
+        return (
+            global_row_number(
+                allrec, ["name", "uid"], "r",
+                bucket_by=code, boundaries=bounds,
+            ),
+            bounds,
+        )
+
+    nd = _dirty().count()
+    nc = _clean().count()
+    truth = _dirty().select(
+        F.col("uid").alias("duid"), F.col("name").alias("dname"),
+        "src_name",
+    ).join(
+        _clean().select(
+            F.col("uid").alias("cuid"), F.col("name").alias("cname")
+        ),
+        F.col("cname") == F.col("src_name"),
+    )
+    tp = truth.count()
+
+    # --- prefix2: grouped-count candidate arithmetic, truth overlap
+    p2d = _dirty().groupBy(
+        F.substring("name", 1, 2).alias("blk")
+    ).agg(F.count(F.lit(1)).alias("n_d"))
+    p2c = _clean().groupBy(
+        F.substring("name", 1, 2).alias("blk")
+    ).agg(F.count(F.lit(1)).alias("n_c"))
+    p2_cand = (
+        p2d.join(p2c, "blk")
+        .agg(F.sum(F.col("n_d") * F.col("n_c")).alias("cand"))
+        .first()["cand"]
+    )
+    p2_cov = truth.filter(
+        F.substring("dname", 1, 2) == F.substring("cname", 1, 2)
+    ).count()
+
+    # --- sorted neighborhood: tile-join window count + truth ranks
+    ranked_c, bounds = _ranked()
+    ranked_d, _ = _ranked(bounds)
+    tile = lambda c: F.expr(f"({c} - 1) div {_SN_W}")  # noqa: E731
+    cleanr = ranked_c.filter(F.col("is_dirty") == 0).select(
+        F.col("uid").alias("cuid"), F.col("r").alias("rc"),
+        tile("r").alias("g"),
+    )
+    dirtyr = ranked_d.filter(F.col("is_dirty") == 1).select(
+        F.col("uid").alias("duid"), F.col("r").alias("rd"),
+        F.explode(
+            F.array(tile("r") - 1, tile("r"), tile("r") + 1)
+        ).alias("g"),
+    )
+    sn_cand = (
+        F.broadcast(dirtyr)
+        .join(cleanr, "g")
+        .filter(F.abs(F.col("rd") - F.col("rc")) <= _SN_W)
+        .count()
+    )
+    sn_cov = (
+        truth.select("duid", "cuid")
+        .join(dirtyr.select("duid", "rd").distinct(), "duid")
+        .join(cleanr.select("cuid", "rc"), "cuid")
+        .filter(F.abs(F.col("rd") - F.col("rc")) <= _SN_W)
+        .count()
+    )
+
+    rows = [
+        ("prefix2", int(p2_cand), int(tp), p2_cov),
+        ("sorted_neighborhood", int(sn_cand), int(tp), sn_cov),
+    ]
+    out = spark.createDataFrame(
+        [
+            (
+                b, cand, tpn,
+                round(cov / tpn, 6),
+                round(1.0 - cand / (nd * nc), 6),
+            )
+            for (b, cand, tpn, cov) in rows
+        ],
+        "blocker string, candidates bigint, truth_pairs bigint,"
+        " pairs_completeness double, reduction_ratio double",
+    )
+    return out.orderBy("blocker")

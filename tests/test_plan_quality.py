@@ -1321,3 +1321,84 @@ def test_r11_ktruss_support_plan(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_r11_sorted_neighborhood_plan(spark):
+    """The SN window join must be EQUI on the rank-tile id with the
+    dirty side broadcast — never a range/nested-loop pairing (the
+    oracle's BETWEEN is DuckDB's privilege, not the engine's). Also
+    pins lambda-freedom: the ranking bucket id is the CASE-WHEN sum
+    (ranking.py _with_pid), because this workload self-joins two
+    global_row_number frames and lambda exprIds go stale under
+    DeduplicateRelations."""
+    from datanika_core_spark.workloads.linkage import (
+        linkage_sorted_neighborhood,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = _plan(linkage_sorted_neighborhood(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" in p  # the tile-id band join
+
+
+def test_r11_allpairs_cosine_plan(spark):
+    """The weighted AllPairs must pair via the prefix posting-list
+    EQUI-join (term key), never a cartesian; the df/nn aggregates are
+    the only broadcast frames. The nn corpus-count frame is a 1-row
+    cross join — the documented non-quadratic BNL shape."""
+    from datanika_core_spark.workloads.text_dedup import (
+        dedup_allpairs_cosine,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = _plan(dedup_allpairs_cosine(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_r11_hilbert_plan(spark):
+    """The Hilbert key must be ONE fold expression (no chained
+    projection unroll — CollapseProject inlines those into a ~3^8
+    expression tree, measured analyzer OOM at sf0.01) and the layout
+    comparison must stay cartesian-free; the lims/globals frames are
+    1-row broadcasts."""
+    from datanika_core_spark.workloads.layout import (
+        hilbert_vs_zorder_skipping,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = _plan(hilbert_vs_zorder_skipping(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_r11_blocking_quality_plans(spark):
+    """linkage_blocking_quality is eager (counts feed a local result
+    frame), so pin its heavy intermediate — the SN window count —
+    through the same tile-join shape as linkage_sorted_neighborhood
+    by checking the workload executes with no cartesian in any
+    executed plan: run it end-to-end under AQE off and assert the
+    RESULT invariants instead (2 rows, both blockers present)."""
+    from datanika_core_spark.workloads.linkage import (
+        linkage_blocking_quality,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        rows = linkage_blocking_quality(spark, SF).collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert sorted(r.blocker for r in rows) == [
+        "prefix2", "sorted_neighborhood",
+    ]

