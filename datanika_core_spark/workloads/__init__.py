@@ -218,6 +218,9 @@ CHECK_FIRST = [
     "events_value_lorenz_gini",
     # round 11 — unrecorded-first already puts these at the head of
     # the window; listed for deterministic tie-break order
+    "preference_bradley_terry", "dedup_allpairs_cosine",
+    "hilbert_vs_zorder_skipping", "linkage_blocking_quality",
+    "linkage_sorted_neighborhood",
     "graph_clique_ladder_sampled", "dedup_exact_substring_incremental",
     "skyline4d_parts_price_size_popularity_suppliers",
     "graph_ktruss_bounded",
