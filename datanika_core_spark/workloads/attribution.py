@@ -809,3 +809,294 @@ def _shapley_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("conv").cast("bigint").alias("c"),
     )
+
+
+# --------------------------------------------------------------------------
+# Markov removal-effect attribution (Anderl et al. 2016 — the
+# "data-driven attribution" model): channel credit = how much the
+# journey-graph conversion probability drops when the channel is
+# removed.
+# --------------------------------------------------------------------------
+
+_MRA_GAP_MIN = 30   # session gap, matches the sessionize convention
+_MRA_K = 60         # fixed value-iteration rounds (geometric conv.)
+
+#: Journey edges shared by engine and oracle: sessions split on a
+#: 30-min gap, each session truncated at its FIRST purchase
+#: (absorbing CONV); sessions with no purchase terminate in the
+#: absorbing '__null__' state; 'START' precedes every session.
+_MRA_EDGES_SQL = f"""
+seq AS MATERIALIZED (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL {_MRA_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS MATERIALIZED (
+  SELECT user_id, event_type, ts, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS sid
+  FROM seq
+),
+pos AS MATERIALIZED (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS rn
+  FROM sess
+),
+fp AS MATERIALIZED (
+  SELECT user_id, sid,
+         min(CASE WHEN event_type = 'purchase' THEN rn END) AS prn,
+         max(rn) AS lastrn
+  FROM pos GROUP BY user_id, sid
+),
+kept AS MATERIALIZED (
+  SELECT p.user_id, p.sid, p.event_type, p.rn,
+         coalesce(f.prn, f.lastrn) AS endrn, f.prn
+  FROM pos p JOIN fp f
+    ON f.user_id = p.user_id AND f.sid = p.sid
+  WHERE p.rn <= coalesce(f.prn, f.lastrn)
+),
+raw_edges AS MATERIALIZED (
+  SELECT 'START' AS src, event_type AS dst FROM kept WHERE rn = 1
+  UNION ALL
+  SELECT a.event_type, b.event_type
+  FROM kept a JOIN kept b
+    ON b.user_id = a.user_id AND b.sid = a.sid AND b.rn = a.rn + 1
+  UNION ALL
+  SELECT event_type, '__null__'
+  FROM kept WHERE rn = endrn AND prn IS NULL
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM raw_edges GROUP BY src, dst
+)"""
+
+
+@workload(
+    "attribution_markov_removal",
+    oracle=f"""
+WITH RECURSIVE
+{_MRA_EDGES_SQL},
+channels AS MATERIALIZED (
+  SELECT DISTINCT st FROM (
+    SELECT src AS st FROM edges UNION ALL SELECT dst FROM edges
+  ) WHERE st NOT IN ('START', 'purchase', '__null__')
+),
+states AS MATERIALIZED (
+  SELECT DISTINCT st FROM (
+    SELECT src AS st FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+scen AS MATERIALIZED (
+  SELECT '__base__' AS removed
+  UNION ALL SELECT st FROM channels
+),
+redge AS MATERIALIZED (
+  SELECT s.removed, e.src,
+         CASE WHEN e.dst = s.removed THEN '__null__' ELSE e.dst END
+           AS dst,
+         sum(e.w) AS w
+  FROM scen s JOIN edges e ON e.src <> s.removed
+  GROUP BY 1, 2, 3
+),
+outw AS MATERIALIZED (
+  SELECT removed, src, sum(w) AS tw FROM redge GROUP BY 1, 2
+),
+aug AS MATERIALIZED (
+  SELECT r.removed, r.src, r.dst, r.w * 1.0 / o.tw AS pr
+  FROM redge r JOIN outw o
+    ON o.removed = r.removed AND o.src = r.src
+  WHERE r.src NOT IN ('purchase', '__null__')
+  UNION ALL
+  SELECT removed, st, st, CAST(1.0 AS DOUBLE)
+  FROM scen CROSS JOIN (SELECT 'purchase' AS st
+                        UNION ALL SELECT '__null__')
+),
+walk AS (
+  SELECT 0 AS it, removed, st,
+         CASE WHEN st = 'purchase' THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS p
+  FROM scen CROSS JOIN states
+  UNION ALL
+  SELECT it + 1, removed, src AS st, sum(pp) AS p
+  FROM (
+    SELECT w.it AS it, a.removed AS removed, a.src AS src,
+           a.pr * w.p AS pp
+    FROM walk w
+    JOIN aug a ON a.removed = w.removed AND a.dst = w.st
+    WHERE w.it < {_MRA_K}
+  )
+  GROUP BY it, removed, src
+),
+fin AS (
+  SELECT removed, p FROM walk
+  WHERE it = {_MRA_K} AND st = 'START'
+),
+re AS (
+  SELECT f.removed AS channel, f.p AS p_removed, b.p AS p_base,
+         1.0 - f.p / b.p AS re
+  FROM fin f, (SELECT p FROM fin WHERE removed = '__base__') b
+  WHERE f.removed <> '__base__'
+)
+SELECT channel,
+       ROUND(p_base, 6) AS p_base,
+       ROUND(p_removed, 6) AS p_removed,
+       ROUND(re, 6) AS removal_effect,
+       ROUND(re / (SELECT sum(re) FROM re), 6) AS attribution_share
+FROM re
+ORDER BY channel
+""",
+)
+def attribution_markov_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2016), the
+    "data-driven" model next to the positional heuristics
+    (last-touch / linear / time-decay) and the game-theoretic Shapley
+    one: journeys are 30-min-gap sessions truncated at the FIRST
+    purchase (absorbing CONV) or terminated in an absorbing NULL
+    state; a channel's credit is how much the chain's
+    START→purchase absorption probability DROPS when the channel is
+    removed (its in-edges redirect to NULL, its out-edges vanish),
+    normalized across channels. Removing a channel can only lower
+    conversion, so effects are nonnegative by construction.
+
+    Determinism: transition probabilities are exact BIGINT-count
+    ratios; absorption probabilities come from a FIXED {k}-round
+    value iteration (geometric convergence leaves ~1e-16 by round
+    {k}), replayed by the oracle as ONE joint recursive CTE over
+    (removed_channel, state) — all removal scenarios walk in
+    parallel, no per-channel SQL.
+
+    Scale: the distributed work is the sessionize window + one
+    groupBy collapsing the stream to |states|² transition counts
+    (identical cost to markov_next_event); the scenario sweep and
+    iterations run on the collected grid — driver arithmetic on
+    sketch-sized state, the markov_conversion_horizon precedent
+    (graph.py:1231). Thousands of channels would keep the grid
+    metadata-sized; the |channels|+1 scenarios share the one
+    grid."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts")
+               > F.lag("ts").over(w)
+               + F.expr(f"INTERVAL {_MRA_GAP_MIN} MINUTES")),
+            1,
+        ).otherwise(0).alias("new_sess"),
+    )
+    sess = seq.withColumn("sid", F.sum("new_sess").over(w))
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    pos = sess.select(
+        "user_id", "sid", "event_type",
+        F.row_number().over(ws).alias("rn"),
+    )
+    fp = pos.groupBy("user_id", "sid").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
+        ).alias("prn"),
+        F.max("rn").alias("lastrn"),
+    )
+    kept = (
+        pos.join(fp, ["user_id", "sid"])
+        .withColumn("endrn", F.coalesce("prn", "lastrn"))
+        .filter(F.col("rn") <= F.col("endrn"))
+    )
+    a = kept.select("user_id", "sid", "event_type", "rn")
+    b = kept.select(
+        F.col("user_id").alias("u2"), F.col("sid").alias("s2"),
+        F.col("event_type").alias("t2"), F.col("rn").alias("r2"),
+    )
+    raw_edges = (
+        kept.filter(F.col("rn") == 1)
+        .select(F.lit("START").alias("src"),
+                F.col("event_type").alias("dst"))
+        .unionAll(
+            a.join(
+                b,
+                (F.col("u2") == F.col("user_id"))
+                & (F.col("s2") == F.col("sid"))
+                & (F.col("r2") == F.col("rn") + 1),
+            ).select(F.col("event_type").alias("src"),
+                     F.col("t2").alias("dst"))
+        )
+        .unionAll(
+            kept.filter(
+                (F.col("rn") == F.col("endrn"))
+                & F.col("prn").isNull()
+            ).select(F.col("event_type").alias("src"),
+                     F.lit("__null__").alias("dst"))
+        )
+    )
+    edges = raw_edges.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    rows = edges.collect()  # |states|² grid — sketch-sized
+    wmap: dict[str, dict[str, int]] = {}
+    states: set[str] = set()
+    for r in rows:
+        wmap.setdefault(r["src"], {})[r["dst"]] = int(r["w"])
+        states.add(r["src"])
+        states.add(r["dst"])
+    channels = sorted(
+        states - {"START", "purchase", "__null__"}
+    )
+
+    def absorb(removed: str | None) -> float:
+        # scenario chain: drop edges FROM removed, redirect edges TO
+        # removed into __null__, renormalize per src
+        probs: dict[str, dict[str, float]] = {}
+        for s in sorted(states):
+            if s in ("purchase", "__null__") or s == removed:
+                continue
+            outs: dict[str, int] = {}
+            for d, c in sorted(wmap.get(s, {}).items()):
+                dd = "__null__" if d == removed else d
+                outs[dd] = outs.get(dd, 0) + c
+            tot = sum(outs.values())
+            if tot:
+                probs[s] = {d: c * 1.0 / tot
+                            for d, c in sorted(outs.items())}
+        p = {s: (1.0 if s == "purchase" else 0.0) for s in states}
+        for _ in range(_MRA_K):
+            p = {
+                s: (
+                    sum(pr * p[d] for d, pr in probs[s].items())
+                    if s in probs else p[s]
+                )
+                for s in states
+            }
+        return p["START"]
+
+    p_base = absorb(None)
+    out_rows = []
+    res = {c: 1.0 - absorb(c) / p_base for c in channels}
+    tot_re = sum(res.values())
+    for c in channels:
+        out_rows.append(
+            (
+                c,
+                round(p_base, 6),
+                round(p_base * (1.0 - res[c]), 6),
+                round(res[c], 6),
+                round(res[c] / tot_re, 6),
+            )
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "channel string, p_base double, p_removed double,"
+        " removal_effect double, attribution_share double",
+    ).orderBy("channel")
+
+
+attribution_markov_removal.__doc__ = (
+    attribution_markov_removal.__doc__.replace("{k}", str(_MRA_K))
+)

@@ -1424,3 +1424,21 @@ def test_r11_bradley_terry_plan(spark):
     assert "BatchEvalPython" not in p
     # the final plan must read checkpointed round state, not lineitem
     assert "lineitem" not in p or p.count("lineitem") <= 2
+
+
+def test_r11_markov_removal_plan(spark):
+    """The distributed half of removal attribution (sessionize
+    windows + the consecutive-event self-join + the transition-count
+    groupBy) must stay cartesian- and UDF-free; the scenario sweep
+    runs on the collected sketch-sized grid, so the edge frame is
+    the plan to pin."""
+    from datanika_core_spark.workloads.attribution import (
+        attribution_markov_removal,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        rows = attribution_markov_removal(spark, SF).collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert len(rows) >= 3  # all non-purchase channels present

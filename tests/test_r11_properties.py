@@ -228,3 +228,60 @@ def test_bradley_terry_fit_properties(spark):
     assert p["A"] > p["B"] > p["C"]
     assert abs(sum(p.values()) - 1.0) < 1e-12
     assert not any(math.isnan(v) for v in p.values())
+
+
+def test_markov_removal_attribution_semantics(spark):
+    """Removal-effect invariants the oracle diff can't distinguish
+    from a different-but-agreeing model: every effect is in [0, 1]
+    (removing a channel can only LOWER the absorbing conversion
+    probability), the shares sum to 1, p_base is identical across
+    rows, and planted dominance holds — a chain where one channel
+    carries all conversions must attribute ~everything to it."""
+    from datanika_core_spark.workloads.attribution import (
+        attribution_markov_removal,
+    )
+
+    rows = attribution_markov_removal(spark, SF).collect()
+    assert rows, "no channels"
+    bases = {r.p_base for r in rows}
+    assert len(bases) == 1
+    for r in rows:
+        assert 0.0 <= r.removal_effect <= 1.0
+        assert r.p_removed <= r.p_base + 1e-9
+    assert abs(sum(r.attribution_share for r in rows) - 1.0) < 1e-4
+
+    # planted: hand-built chain where conversion ONLY flows through
+    # channel 'b' — replicate the engine's driver iteration on a
+    # literal grid and check dominance
+    wmap = {
+        "START": {"a": 50, "b": 50},
+        "a": {"__null__": 50},
+        "b": {"purchase": 40, "__null__": 10},
+    }
+    states = {"START", "a", "b", "purchase", "__null__"}
+
+    def absorb(removed):
+        probs = {}
+        for s in sorted(states):
+            if s in ("purchase", "__null__") or s == removed:
+                continue
+            outs = {}
+            for d, c in sorted(wmap.get(s, {}).items()):
+                dd = "__null__" if d == removed else d
+                outs[dd] = outs.get(dd, 0) + c
+            tot = sum(outs.values())
+            if tot:
+                probs[s] = {d: c / tot for d, c in sorted(outs.items())}
+        p = {s: (1.0 if s == "purchase" else 0.0) for s in states}
+        for _ in range(60):
+            p = {
+                s: (sum(pr * p[d] for d, pr in probs[s].items())
+                    if s in probs else p[s])
+                for s in states
+            }
+        return p["START"]
+
+    base = absorb(None)
+    re_a = 1 - absorb("a") / base
+    re_b = 1 - absorb("b") / base
+    assert re_b > 0.99 and re_a < 0.01
