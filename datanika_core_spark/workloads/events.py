@@ -2051,3 +2051,197 @@ def events_value_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sample log-rank test (Mantel-Cox) — the significance test on
+# top of the KM/Nelson-Aalen curves.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "survival_logrank_ab",
+    oracle=f"""
+WITH span AS (
+  SELECT user_id,
+         CAST(min(ts) AS DATE) AS first_d,
+         CAST(max(ts) AS DATE) AS last_d
+  FROM events GROUP BY user_id
+),
+w AS (SELECT CAST(max(ts) AS DATE) AS wend FROM events),
+life AS (
+  SELECT user_id,
+         ('0x'||substring(md5('lr-' || CAST(user_id AS VARCHAR)),1,15))
+           ::BIGINT % 2 AS grp,
+         CAST(datediff('day', first_d, last_d) AS BIGINT) AS t,
+         CASE WHEN datediff('day', last_d, w.wend) < {_KM_CENSOR_DAYS}
+              THEN 1 ELSE 0 END AS censored
+  FROM span CROSS JOIN w
+),
+grid AS (SELECT DISTINCT t FROM life),
+cnt AS (
+  SELECT g.t, s.grp,
+         CAST(coalesce(sum(1 - l.censored), 0) AS BIGINT) AS d,
+         CAST(coalesce(sum(l.censored), 0) AS BIGINT) AS c
+  FROM grid g
+  CROSS JOIN (SELECT 0 AS grp UNION ALL SELECT 1) s
+  LEFT JOIN life l ON l.t = g.t AND l.grp = s.grp
+  GROUP BY g.t, s.grp
+),
+risk AS (
+  SELECT t, grp, d, c,
+         (SELECT count(*) FROM life l WHERE l.grp = cnt.grp)
+           - coalesce(sum(d + c) OVER (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM cnt
+),
+wide AS (
+  SELECT t,
+         max(CASE WHEN grp = 0 THEN d END) AS d0,
+         max(CASE WHEN grp = 1 THEN d END) AS d1,
+         max(CASE WHEN grp = 0 THEN n_risk END) AS n0,
+         max(CASE WHEN grp = 1 THEN n_risk END) AS n1
+  FROM risk GROUP BY t
+),
+terms AS (
+  SELECT t, d0, d1, n0, n1, d0 + d1 AS d, n0 + n1 AS n,
+         (d0 + d1) * n0 * CAST(1.0 AS DOUBLE) / (n0 + n1) AS e0,
+         CASE WHEN n0 + n1 > 1 THEN
+           (d0 + d1) * n0 * CAST(1.0 AS DOUBLE) * n1
+             * (n0 + n1 - d0 - d1)
+             / ((n0 + n1) * CAST(1.0 AS DOUBLE) * (n0 + n1)
+                * (n0 + n1 - 1))
+         ELSE CAST(0.0 AS DOUBLE) END AS v
+  FROM wide WHERE d0 + d1 > 0 AND n0 + n1 > 0
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM life WHERE grp = 0) AS n_users_0,
+  (SELECT CAST(count(*) AS BIGINT) FROM life WHERE grp = 1) AS n_users_1,
+  CAST(sum(d0) AS BIGINT) AS o0,
+  ROUND(sum(e0), 6) AS e0,
+  ROUND((sum(d0) - sum(e0)) / sqrt(sum(v)), 6) AS z,
+  ROUND((sum(d0) - sum(e0)) * (sum(d0) - sum(e0)) / sum(v), 6)
+    AS chi2,
+  CASE WHEN (sum(d0) - sum(e0)) * (sum(d0) - sum(e0)) / sum(v)
+            > 3.841459 THEN 1 ELSE 0 END AS reject_05
+FROM terms
+""",
+)
+def survival_logrank_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank (Mantel-Cox) test over the same censored
+    user lifetimes as survival_kaplan_meier, split into two arms by
+    the portable md5 bucket (the abtest assignment convention): at
+    every distinct lifetime with at least one event, arm 0's observed
+    events compare against the hypergeometric expectation
+    d·n0/(n0+n1) given the pooled risk sets; Z = (O−E)/√ΣV and
+    χ² = Z² with the α=0.05 verdict — the significance test the KM
+    curves themselves don't provide (a md5 split should NOT reject;
+    a planted-shift test pins that a real difference does).
+
+    Determinism: risk sets, event counts and the χ² numerator's
+    inputs are exact BIGINTs; per-time E and V terms are the same
+    fixed-order double expression on both engines, summed over the
+    bounded lifetime grid (order drift ~1e-15, absorbed at 6 dp).
+
+    Scale: one user-keyed groupBy collapses the stream to lifetimes,
+    a second collapses lifetimes to the (grp × distinct-t) grid; the
+    prefix-sum windows run ON that aggregated grid (the KM
+    convention), so nothing after the second shuffle scales with
+    event volume."""
+    from pyspark.sql import Window
+
+    from datanika_core_spark.operators.minhash import spark_hash_expr
+
+    ev = t(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_d"),
+        F.max("ts").cast("date").alias("last_d"),
+    )
+    wend = ev.agg(F.max("ts").cast("date").alias("wend"))
+    life = span.crossJoin(F.broadcast(wend)).select(
+        F.expr(
+            "pmod("
+            + spark_hash_expr("concat('lr-', cast(user_id as string))")
+            + ", 2)"
+        ).alias("grp"),
+        F.datediff("last_d", "first_d").cast("bigint").alias("t"),
+        F.when(
+            F.datediff("wend", "last_d") < _KM_CENSOR_DAYS, 1
+        ).otherwise(0).alias("censored"),
+    )
+    life = life.cache()
+    grid = life.select("t").distinct()
+    sides = spark.range(2).select(F.col("id").cast("bigint").alias("grp"))
+    cnt = (
+        grid.crossJoin(F.broadcast(sides))
+        .join(life, ["t", "grp"], "left")
+        .groupBy("t", "grp")
+        .agg(
+            F.coalesce(F.sum(1 - F.col("censored")), F.lit(0))
+            .cast("bigint").alias("d"),
+            F.coalesce(F.sum("censored"), F.lit(0))
+            .cast("bigint").alias("c"),
+        )
+    )
+    totals = life.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    wprev = (
+        Window.partitionBy("grp").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = cnt.join(F.broadcast(totals), "grp").select(
+        "t", "grp", "d", "c",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev),
+                         F.lit(0))
+        ).alias("n_risk"),
+    )
+    wide = risk.groupBy("t").agg(
+        F.max(F.when(F.col("grp") == 0, F.col("d"))).alias("d0"),
+        F.max(F.when(F.col("grp") == 1, F.col("d"))).alias("d1"),
+        F.max(F.when(F.col("grp") == 0, F.col("n_risk"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n_risk"))).alias("n1"),
+    )
+    terms = wide.filter(
+        (F.col("d0") + F.col("d1") > 0) & (F.col("n0") + F.col("n1") > 0)
+    ).selectExpr(
+        "d0",
+        "(d0 + d1) * n0 * CAST(1.0 AS DOUBLE) / (n0 + n1) AS e0",
+        "CASE WHEN n0 + n1 > 1 THEN"
+        " (d0 + d1) * n0 * CAST(1.0 AS DOUBLE) * n1"
+        " * (n0 + n1 - d0 - d1)"
+        " / ((n0 + n1) * CAST(1.0 AS DOUBLE) * (n0 + n1)"
+        " * (n0 + n1 - 1))"
+        " ELSE CAST(0.0 AS DOUBLE) END AS v",
+    )
+    nu = {
+        int(r["grp"]): int(r["n_users"]) for r in totals.collect()
+    }
+    agg = terms.agg(
+        F.sum("d0").cast("bigint").alias("o0"),
+        F.sum("e0").alias("se0"),
+        F.sum("v").alias("sv"),
+    )
+    return agg.select(
+        F.lit(nu.get(0, 0)).cast("bigint").alias("n_users_0"),
+        F.lit(nu.get(1, 0)).cast("bigint").alias("n_users_1"),
+        F.col("o0").alias("o0"),
+        F.round("se0", 6).alias("e0"),
+        F.round(
+            (F.col("o0") - F.col("se0")) / F.sqrt("sv"), 6
+        ).alias("z"),
+        F.round(
+            (F.col("o0") - F.col("se0")) * (F.col("o0") - F.col("se0"))
+            / F.col("sv"),
+            6,
+        ).alias("chi2"),
+        F.when(
+            (F.col("o0") - F.col("se0")) * (F.col("o0") - F.col("se0"))
+            / F.col("sv")
+            > 3.841459,
+            1,
+        ).otherwise(0).alias("reject_05"),
+    )

