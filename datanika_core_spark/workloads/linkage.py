@@ -900,3 +900,201 @@ def linkage_blocking_quality(
         " pairs_completeness double, reduction_ratio double",
     )
     return out.orderBy("blocker")
+
+
+# --------------------------------------------------------------------------
+# Multi-pass sorted neighborhood (the production SN shape: rotated
+# sort keys union their windows — Hernández & Stolfo run 2-3 passes).
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "linkage_sn_multipass",
+    oracle=f"""
+WITH clean AS (
+  SELECT p_partkey AS uid, p_name AS name FROM part
+), dirty AS (
+  SELECT p_partkey + 1000000 AS uid, p_name AS src_name,
+         CASE WHEN p_partkey % 20 = 0 THEN substring(p_name, 2)
+              ELSE substring(p_name, 1, length(p_name) - 2)
+                   || substring(p_name, length(p_name)) END AS name
+  FROM part WHERE p_partkey % 10 = 0
+),
+allrec AS (
+  SELECT uid, 0 AS is_dirty, name FROM clean
+  UNION ALL SELECT uid, 1, name FROM dirty
+),
+r1 AS (
+  SELECT *, row_number() OVER (ORDER BY name, uid) AS r FROM allrec
+),
+r2 AS (
+  SELECT *, row_number() OVER (ORDER BY reverse(name), uid) AS r
+  FROM allrec
+),
+cand AS (
+  SELECT d.uid AS duid, c.uid AS cuid, 1 AS pass
+  FROM r1 d JOIN r1 c ON c.r BETWEEN d.r - {_SN_W} AND d.r + {_SN_W}
+  WHERE d.is_dirty = 1 AND c.is_dirty = 0
+  UNION
+  SELECT d.uid, c.uid, 2
+  FROM r2 d JOIN r2 c ON c.r BETWEEN d.r - {_SN_W} AND d.r + {_SN_W}
+  WHERE d.is_dirty = 1 AND c.is_dirty = 0
+),
+passes AS (
+  SELECT duid, cuid,
+         CAST(CASE WHEN min(pass) = max(pass) THEN min(pass)
+                   ELSE 3 END AS BIGINT) AS passes
+  FROM cand GROUP BY duid, cuid
+),
+scored AS (
+  SELECT p.duid, p.cuid, p.passes,
+         levenshtein(d.name, c.name) AS dist
+  FROM passes p
+  JOIN dirty d ON d.uid = p.duid
+  JOIN clean c ON c.uid = p.cuid
+  WHERE levenshtein(d.name, c.name) <= {_LEV_MAX}
+)
+SELECT duid - 1000000 AS dirty_key, cuid AS matched_key,
+       CAST(dist AS BIGINT) AS dist, passes
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY duid
+                               ORDER BY dist, cuid) AS rn
+  FROM scored
+) WHERE rn = 1
+ORDER BY dirty_key
+""",
+)
+def linkage_sn_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PASS sorted neighborhood: two rotated sort keys — the
+    name forward (catches late-position typos) and the name REVERSED
+    (a first-char deletion leaves the reversed string's prefix
+    intact, so the record sorts next to its source under the second
+    key) — each contributing a ±{w} window of candidates; the union
+    verifies with Levenshtein <= {lev} and keeps the best match per
+    dirty record (min dist, then min key). The mixed-typo corpus is
+    linkage_blocking_quality's: half end deletions, half FIRST-char
+    deletions, so each pass has a typo class only it can catch —
+    measured at sf0.01: 194/200 matched vs 185/200 for the
+    single-pass forward key, with `passes` (1/2/3 bitmask) showing
+    which window(s) produced the winning pair. Some first-char
+    matches land on a same-distance DIFFERENT name (tie broken by
+    key) — the documented false-match mode of aggressive fuzzy
+    thresholds, visible in the output rather than hidden.
+
+    Scale: each pass is the linkage_sorted_neighborhood shape —
+    global rank via frozen-quantile ranking (monotone base-128
+    prefix code of the pass's sort key), window join EQUI on rank
+    tiles with the dirty side broadcast; all four ranked frames
+    build from independent plans (rule-7), one boundary scan per
+    pass. Candidates stay <= 2 passes x (2·{w}+1) per dirty record
+    regardless of corpus size."""
+    from pyspark.sql import Window
+
+    from datanika_core_spark.operators.ranking import (
+        global_row_number,
+        quantile_boundaries,
+    )
+
+    dirt = (
+        "CASE WHEN p_partkey % 20 = 0 THEN substring(p_name, 2)"
+        " ELSE substring(p_name, 1, length(p_name) - 2)"
+        " || substring(p_name, length(p_name)) END"
+    )
+
+    def _allrec():
+        clean = t(spark, sf_dir, "part").select(
+            F.col("p_partkey").alias("uid"),
+            F.lit(0).alias("is_dirty"),
+            F.col("p_name").alias("name"),
+        )
+        dirty = (
+            t(spark, sf_dir, "part")
+            .filter(F.col("p_partkey") % 10 == 0)
+            .select(
+                (F.col("p_partkey") + 1000000).alias("uid"),
+                F.lit(1).alias("is_dirty"),
+                F.expr(dirt).alias("name"),
+            )
+        )
+        return clean.unionByName(dirty)
+
+    def _code(key_col):
+        return sum(
+            F.ascii(F.substring(key_col, i, 1)) * (128 ** (4 - i))
+            for i in range(1, 5)
+        ).cast("double")
+
+    def _ranked(rev: bool, bounds=None):
+        allrec = _allrec()
+        key = F.reverse(F.col("name")) if rev else F.col("name")
+        allrec = allrec.withColumn("_k", key)
+        code = _code("_k")
+        if bounds is None:
+            [bounds] = quantile_boundaries(allrec, [code])
+        return (
+            global_row_number(
+                allrec, ["_k", "uid"], "r",
+                bucket_by=code, boundaries=bounds,
+            ).drop("_k"),
+            bounds,
+        )
+
+    tile = lambda c: F.expr(f"({c} - 1) div {_SN_W}")  # noqa: E731
+
+    def _window_pairs(rev: bool, pass_id: int):
+        rc, bounds = _ranked(rev)
+        rd, _ = _ranked(rev, bounds)
+        cleanr = rc.filter(F.col("is_dirty") == 0).select(
+            F.col("uid").alias("cuid"), F.col("r").alias("rc"),
+            tile("r").alias("g"),
+        )
+        dirtyr = rd.filter(F.col("is_dirty") == 1).select(
+            F.col("uid").alias("duid"), F.col("r").alias("rd"),
+            F.explode(
+                F.array(tile("r") - 1, tile("r"), tile("r") + 1)
+            ).alias("g"),
+        )
+        return (
+            F.broadcast(dirtyr)
+            .join(cleanr, "g")
+            .filter(F.abs(F.col("rd") - F.col("rc")) <= _SN_W)
+            .select("duid", "cuid", F.lit(pass_id).alias("pass"))
+        )
+
+    cand = _window_pairs(False, 1).unionAll(
+        _window_pairs(True, 2)
+    ).distinct()
+    passes = cand.groupBy("duid", "cuid").agg(
+        F.when(F.min("pass") == F.max("pass"), F.min("pass"))
+        .otherwise(F.lit(3)).cast("bigint").alias("passes")
+    )
+    dnames = _allrec().filter(F.col("is_dirty") == 1).select(
+        F.col("uid").alias("duid"), F.col("name").alias("dname")
+    )
+    cnames = _allrec().filter(F.col("is_dirty") == 0).select(
+        F.col("uid").alias("cuid"), F.col("name").alias("cname")
+    )
+    scored = (
+        passes.join(dnames, "duid")
+        .join(cnames, "cuid")
+        .withColumn("dist", F.levenshtein("dname", "cname"))
+        .filter(F.col("dist") <= _LEV_MAX)
+    )
+    w = Window.partitionBy("duid").orderBy("dist", "cuid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            (F.col("duid") - 1000000).alias("dirty_key"),
+            F.col("cuid").alias("matched_key"),
+            F.col("dist").cast("bigint").alias("dist"),
+            "passes",
+        )
+        .orderBy("dirty_key")
+    )
+
+
+linkage_sn_multipass.__doc__ = (
+    linkage_sn_multipass.__doc__
+    .replace("{w}", str(_SN_W)).replace("{lev}", str(_LEV_MAX))
+)

@@ -1442,3 +1442,21 @@ def test_r11_markov_removal_plan(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert len(rows) >= 3  # all non-purchase channels present
+
+
+def test_r11_sn_multipass_plan(spark):
+    """Both SN passes must pair via EQUI tile joins (broadcast dirty
+    side), never a range/nested-loop window — same pin as the
+    single-pass workload, doubled."""
+    from datanika_core_spark.workloads.linkage import (
+        linkage_sn_multipass,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = _plan(linkage_sn_multipass(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p

@@ -326,3 +326,30 @@ def test_logrank_null_and_planted_shift(spark):
         v += d * n0 * n1 * (n - d) / (n * n * (n - 1))
     chi2 = (o0 - e0) ** 2 / v
     assert chi2 > 50
+
+
+def test_sn_multipass_strictly_extends_single_pass(spark):
+    """The second (reversed-key) pass must be load-bearing: at least
+    one winning match carries passes=2 (found ONLY by the reverse
+    window — first-char deletions sort far away under the forward
+    key), and multi-pass coverage must be a strict superset signal —
+    more dirty records matched than pass 1 alone would manage on the
+    mixed-typo corpus. Every matched pair stays within lev <= 2."""
+    from pyspark.sql import functions as FF
+
+    from datanika_core_spark.workloads.linkage import (
+        linkage_sn_multipass,
+    )
+
+    rows = linkage_sn_multipass(spark, SF).collect()
+    assert rows
+    pass_vals = {r.passes for r in rows}
+    assert 2 in pass_vals or 3 in pass_vals  # reverse window used
+    for r in rows:
+        assert r.dist <= 2
+        assert r.passes in (1, 2, 3)
+    # pass-1-only coverage (forward window) must be smaller than the
+    # union's on the mixed corpus: count matches whose winning pair
+    # the forward window alone could produce
+    fwd_only = sum(1 for r in rows if r.passes in (1, 3))
+    assert fwd_only < len(rows)
