@@ -1376,6 +1376,16 @@ def preference_bradley_terry(
         )
         .agg(F.sum("l_quantity").alias("q"))
     )
+    return bt_strengths(spark, bq)
+
+
+def bt_strengths(spark: SparkSession, bq: DataFrame) -> DataFrame:
+    """The BT fit from the (ok, b, q) sufficient-input frame: derive
+    directed wins / the symmetric comparison matrix, run the fixed
+    {it}-round MM iteration, return (brand, strength, wins,
+    comparisons). Shared VERBATIM by the batch workload and the
+    streaming PreferenceStore so their parity is by construction
+    (the PH-monitor convention). Fixed _BT_ITERS rounds."""
     wv = bq.select(
         F.col("ok"), F.col("b").alias("i"), F.col("q").alias("qi")
     )
@@ -1404,6 +1414,15 @@ def preference_bradley_terry(
     )
     wins = wins_d.groupBy("i").agg(F.sum("w").alias("w")).cache()
     k = wins.count()  # materializes both cached sufficient stats
+    if k == 0:
+        # empty comparison set (e.g. a store before its first
+        # absorb): an empty, correctly-typed readout — never a
+        # divide-by-zero in the uniform start
+        return spark.createDataFrame(
+            [],
+            "brand string, strength double, wins bigint,"
+            " comparisons bigint",
+        )
     p = wins.select("i", (F.lit(1.0) / k).alias("p"))
     # each round reads p TWICE (the strengths and their sum), so an
     # unbounded chain doubles the logical plan per iteration (2^10 x
