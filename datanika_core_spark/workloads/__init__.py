@@ -218,7 +218,7 @@ CHECK_FIRST = [
     "events_value_lorenz_gini",
     # round 11 — unrecorded-first already puts these at the head of
     # the window; listed for deterministic tie-break order
-    "linkage_sn_multipass",
+    "ivm_minmax_delete_repair", "linkage_sn_multipass",
     "survival_logrank_ab", "attribution_markov_removal",
     "preference_bradley_terry", "dedup_allpairs_cosine",
     "hilbert_vs_zorder_skipping", "linkage_blocking_quality",

@@ -444,3 +444,124 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_orders"),
         F.round(F.col("cents") / 100.0, 2).alias("revenue"),
     ).orderBy("nationkey")
+
+
+# --------------------------------------------------------------------------
+# IVM under DELETES for non-additive aggregates (min/max): the
+# bounded-rescan repair.
+# --------------------------------------------------------------------------
+
+
+@workload(
+    "ivm_minmax_delete_repair",
+    oracle="""
+WITH cents AS (
+  SELECT event_id, event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         CASE WHEN event_id % 50 = 0 THEN 1 ELSE 0 END AS del
+  FROM events
+),
+surv AS (
+  SELECT event_type, day,
+         CAST(count(*) AS BIGINT) AS n,
+         min(c) AS min_cents, max(c) AS max_cents
+  FROM cents WHERE del = 0
+  GROUP BY event_type, day
+),
+pre AS (
+  SELECT event_type, day, min(c) AS mn, max(c) AS mx
+  FROM cents GROUP BY event_type, day
+),
+dels AS (
+  SELECT event_type, day, min(c) AS dmn, max(c) AS dmx
+  FROM cents WHERE del = 1
+  GROUP BY event_type, day
+)
+SELECT s.event_type, s.day, s.n, s.min_cents, s.max_cents,
+       CASE WHEN d.event_type IS NOT NULL
+                  AND (d.dmn = p.mn OR d.dmx = p.mx)
+            THEN 1 ELSE 0 END AS rescanned
+FROM surv s
+JOIN pre p ON p.event_type = s.event_type AND p.day = s.day
+LEFT JOIN dels d ON d.event_type = s.event_type AND d.day = s.day
+ORDER BY s.event_type, s.day
+""",
+)
+def ivm_minmax_delete_repair(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVM of a min/max view under DELETES — the case the additive
+    rollup cannot express: count and sum are abelian-group aggregates
+    (a delete is a negative merge), but min/max only form a
+    SEMIGROUP — there is no inverse, so deleting the row that held a
+    group's min forces a rescan. The repair is BOUNDED: merge the
+    delete batch's per-group (d_n, d_min, d_max) into the state;
+    groups where the deleted min/max does NOT touch the stored
+    extreme keep their value (the common case — deletes are a 2%
+    sample here); only groups whose stored extreme was deleted
+    re-aggregate their SURVIVING base rows (a semi-join-pruned scan
+    of just those groups). The output carries a `rescanned` flag per
+    group so the bounded-repair claim is itself checked by the
+    oracle, which derives the same flag analytically from the
+    pre-delete and deleted-row aggregates.
+
+    Scale: at 100 TB the rescan leg reads only the affected groups'
+    partitions (day-partitioned layout makes the semi-join a
+    partition prune); everything else is a |groups|-row merge. The
+    delete set is every 50th event — deterministic, so both engines
+    agree row-for-row."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    is_del = F.col("event_id") % 50 == 0
+    base = ev  # pre-delete table (the materialized view's source)
+    deletes = ev.filter(is_del)
+    survivors = ev.filter(~is_del)
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("c").alias("mn"),
+            F.max("c").alias("mx"),
+        )
+
+    state = agg(base)
+    d = agg(deletes).select(
+        "event_type", "day",
+        F.col("n").alias("dn"), F.col("mn").alias("dmn"),
+        F.col("mx").alias("dmx"),
+    )
+    merged = state.join(d, ["event_type", "day"], "left").select(
+        "event_type", "day",
+        (F.col("n") - F.coalesce(F.col("dn"), F.lit(0)))
+        .cast("bigint").alias("n2"),
+        "mn", "mx", "dmn", "dmx",
+    ).filter(F.col("n2") > 0)
+    needs_rescan = merged.filter(
+        (F.col("dmn") == F.col("mn")) | (F.col("dmx") == F.col("mx"))
+    )
+    clean = merged.filter(
+        F.col("dmn").isNull()
+        | ((F.col("dmn") != F.col("mn")) & (F.col("dmx") != F.col("mx")))
+    ).select(
+        "event_type", "day", F.col("n2").alias("n"),
+        F.col("mn").alias("min_cents"), F.col("mx").alias("max_cents"),
+        F.lit(0).alias("rescanned"),
+    )
+    # bounded repair: re-aggregate ONLY the affected groups' surviving
+    # rows (left-semi prune before the scan-side aggregate)
+    rescanned = agg(
+        survivors.join(
+            F.broadcast(needs_rescan.select("event_type", "day")),
+            ["event_type", "day"],
+            "left_semi",
+        )
+    ).select(
+        "event_type", "day", "n",
+        F.col("mn").alias("min_cents"), F.col("mx").alias("max_cents"),
+        F.lit(1).alias("rescanned"),
+    )
+    return clean.unionByName(rescanned).orderBy("event_type", "day")

@@ -353,3 +353,38 @@ def test_sn_multipass_strictly_extends_single_pass(spark):
     # the forward window alone could produce
     fwd_only = sum(1 for r in rows if r.passes in (1, 3))
     assert fwd_only < len(rows)
+
+
+def test_ivm_minmax_repair_is_bounded_and_exact(spark):
+    """The rescan must be PARTIAL (some groups repaired without a
+    rescan, some with — if every group rescans, the incremental path
+    is dead code; if none does, the non-additive case isn't
+    exercised) and the repaired view must equal the full recompute
+    over survivors group-for-group."""
+    from pyspark.sql import functions as FF
+
+    from datanika_core_spark.workloads import t as tt
+    from datanika_core_spark.workloads.elt import (
+        ivm_minmax_delete_repair,
+    )
+
+    rows = ivm_minmax_delete_repair(spark, SF).collect()
+    flags = {r.rescanned for r in rows}
+    assert flags == {0, 1}
+    ev = tt(spark, SF, "events").select(
+        "event_id", "event_type",
+        FF.to_date(FF.date_trunc("day", "ts")).alias("day"),
+        FF.round(FF.col("value") * 100).cast("bigint").alias("c"),
+    ).filter(FF.col("event_id") % 50 != 0)
+    truth = {
+        (r.event_type, r.day): (r.n, r.mn, r.mx)
+        for r in ev.groupBy("event_type", "day").agg(
+            FF.count(FF.lit(1)).cast("bigint").alias("n"),
+            FF.min("c").alias("mn"), FF.max("c").alias("mx"),
+        ).collect()
+    }
+    got = {
+        (r.event_type, r.day): (r.n, r.min_cents, r.max_cents)
+        for r in rows
+    }
+    assert got == truth
