@@ -314,21 +314,37 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     part graph (parts are adjacent iff some order contains both).
     The scale-critical trick is DEGREE-ORDERED ORIENTATION: every
     undirected edge points from its lower-(degree, id) endpoint to
-    the higher one, so wedges are enumerated only at each triangle's
-    lowest-degree apex — the hub that co-occurs with everything
-    generates O(sqrt(m)) wedges instead of O(d²), which is the
-    difference between feasible and quadratic on a power-law graph
-    (Suri & Vassilvitskii 2011's MapReduce formulation). Each
-    triangle is counted exactly once (its unique orientation-minimal
-    apex); closure checks hit the canonical undirected edge list.
-    Transitivity = 3·triangles / Σ C(d,2), integer until the final
-    ratio.
+    the higher one, which caps every node's OUT-degree at O(sqrt(m))
+    even for the hub that co-occurs with everything (Suri &
+    Vassilvitskii 2011; Chiba–Nishizeki). Counting then runs
+    COMPACT-FORWARD (Latapy 2008): group the oriented edges into
+    per-node out-neighbor arrays and, for each oriented edge (u, v),
+    count |N⁺(u) ∩ N⁺(v)| — each triangle {u, v, w} is found exactly
+    once, at its unique oriented edge whose two endpoints both point
+    at the third vertex. Transitivity = 3·triangles / Σ C(d,2),
+    integer until the final ratio.
+
+    Optimization history (r11, guide §2.3/§2.4): this replaced the
+    wedge-enumeration formulation (self-join oriented edges on src →
+    Σ C(d⁺,2) candidate rows → hash-join the wedge stream against a
+    broadcast/AQE closure edge list). Compact-forward does the same
+    pigeonhole work as ARRAY INTERSECTIONS inside one codegen stage:
+    the Σ C(d⁺,2)-row wedge stream is never materialized, never
+    shuffled, and the closure probe — previously a broadcast of the
+    FULL edge list gated on an eagerly-computed pair bound (an extra
+    lineitem scan per call) — disappears along with its OOM ceiling.
+    Measured at sf0.1 (3-rep medians, noop sink): 8.6 s → 5.3 s;
+    the eager `.first()` gate is gone so plan-only consumers no
+    longer execute a scan. Exactness pinned by the unchanged DuckDB
+    oracle (wedge-based) and tests/test_triangle_methods.py.
 
     Scale: the bipartite projection (lineitem self-join on orderkey)
     shuffles on the natural key orders already cluster by; degrees
-    attach via two joins on node id; the wedge→closure join is the
-    inherent heavy step and is exactly what the orientation bounds.
-    All joins are equi-joins — no cartesian anywhere."""
+    attach via two joins on node id; the adjacency frame is |V| rows
+    of orientation-bounded arrays (total payload = m entries — the
+    edge list itself, node-keyed); the intersection work is
+    Σ_(u,v)∈E (d⁺(u) + d⁺(v)) ≤ 2m·sqrt(m), the Chiba–Nishizeki
+    bound. All joins are equi-joins — no cartesian anywhere."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
@@ -338,16 +354,19 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
-    # edges feeds four plan branches (degree x2 via the union,
-    # orientation, the closure probe). Deliberately NOT materialized:
-    # recompute across idle cores beats .cache() (6.2 s vs 14.6 s at
-    # sf0.1 — columnar cache materialization serializes the
-    # branches), and an eager localCheckpoint (measured ~1 s faster,
-    # 6.8 s) was REJECTED: its persisted blocks outlive the returned
-    # frame and accumulate across invocations in one session — three
-    # repeat runs OOM'd a default-heap driver before the
-    # ContextCleaner could free them. At corpus scale persist the
-    # edge list as a bucketed-by-u table instead.
+    # edges feeds three plan branches (degree via the union,
+    # orientation, the edge count). Deliberately NOT materialized:
+    # recompute across idle cores beats .cache() (measured on the r10
+    # wedge shape: 6.2 s vs 14.6 s at sf0.1 — columnar cache
+    # materialization serializes the branches), AQE reuses the
+    # distinct's shuffle stage across branches at runtime, and an
+    # eager localCheckpoint re-measured on THIS compact-forward shape
+    # is a wash (5.37 s vs 5.32 s medians) while its persisted blocks
+    # outlive the returned frame and accumulate across invocations in
+    # one session — three repeat runs OOM'd a default-heap driver
+    # before the ContextCleaner could free them (r10 measurement).
+    # At corpus scale persist the edge list as a bucketed-by-u table
+    # instead.
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -367,43 +386,25 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
     )
-    o1 = oriented.select("src", F.col("dst").alias("d1"))
-    o2 = oriented.select(F.col("src").alias("src2"), F.col("dst").alias("d2"))
-    wedges = (
-        o1.join(o2, (F.col("src") == F.col("src2")) & (F.col("d1") < F.col("d2")))
-        .select(
-            F.least("d1", "d2").alias("a"),
-            F.greatest("d1", "d2").alias("b"),
-        )
-    )
-    # Closure probe: broadcast the canonical edge list (16 bytes a
-    # row — tens-to-hundreds of MB at ~10^6–10^7 edges, the sane
-    # broadcast ceiling) so the wedge stream — the big side by
-    # construction — never shuffles. The hint is GATED on a cheap
-    # one-pass upper bound (Σ C(items_per_order, 2), before dedup —
-    # dedup can only shrink it): past the ceiling the hint would be
-    # a driver/executor OOM at 100× scale, so we drop it and let AQE
-    # pick the join strategy (shuffled hash) from runtime stats.
-    pair_upper = (
-        li.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("k"))
+    # Compact-forward kernel: per-node oriented adjacency arrays
+    # (row count |V|, total payload m entries — node-keyed and
+    # orientation-bounded, so no single row exceeds O(sqrt(m))
+    # elements), then one intersection per oriented edge. The edge
+    # whose dst has no out-neighbors closes no triangle, so the
+    # second attach is an INNER join — dropped rows contribute 0.
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nb"))
+    au = adj.select(F.col("src").alias("a_u"), F.col("nb").alias("nb_u"))
+    av = adj.select(F.col("src").alias("a_v"), F.col("nb").alias("nb_v"))
+    tri = (
+        oriented.join(au, F.col("src") == F.col("a_u"))
+        .join(av, F.col("dst") == F.col("a_v"))
+        .select(F.size(F.array_intersect("nb_u", "nb_v")).alias("c"))
         .agg(
-            (F.sum(F.col("k") * (F.col("k") - 1)) / 2)
+            F.coalesce(F.sum("c"), F.lit(0))
             .cast("bigint")
-            .alias("p")
+            .alias("n_triangles")
         )
-        .first()[0]
-        or 0
     )
-    probe = (
-        F.broadcast(edges)
-        if pair_upper <= _TRI_BROADCAST_EDGE_CEILING
-        else edges
-    )
-    tri = wedges.join(
-        probe,
-        (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
-    ).agg(F.count(F.lit(1)).alias("n_triangles"))
     open_triads = deg.agg(
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges")
     )
