@@ -132,7 +132,12 @@ def corpus_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the longest equal-run of the sorted token array (_TOP_CNT_SPARK)
     and bigram stats are array expressions — no shuffle, no join,
     no UDF."""
-    d = _with_toks(_norm_docs(spark, sf_dir)).select("doc_id", "toks")
+    # sort FIRST (r11): the sorted-run/bigram folds below a final
+    # orderBy would run twice via range-partitioner sampling — same
+    # fix as quality_classifier_hashed (measured there: 2.51 s →
+    # 1.08 s at sf0.1)
+    d = (_with_toks(_norm_docs(spark, sf_dir))
+         .select("doc_id", "toks").orderBy("doc_id"))
     bg = d.withColumn("bigrams", F.expr(_BIGRAMS_SPARK)) \
           .withColumn("top_cnt", F.expr(_TOP_CNT_SPARK))
     dbf = F.expr(_DBF_SPARK)
@@ -146,7 +151,6 @@ def corpus_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dbf, 6).alias("dup_bigram_frac"),
             ((ttf <= _TTF_MAX) & (dbf <= _DBF_MAX)).alias("keep"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -614,8 +614,12 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sparsified graph, and scale by 1/p³ = 64 — an unbiased
     estimator whose heavy step (wedge enumeration) shrinks by ~p², so
     this line costs a fraction of graph_triangle_count's exact pass
-    (measured at sf0.1: exact 1 877 975 triangles in ~7.7 s; this
-    estimate within ~1.6% at ~2.6 s warm). Sampling is a DETERMINISTIC
+    (measured at sf0.1 r11: exact 1 884 488 triangles in ~5.3 s
+    post-compact-forward; this estimate within ~1.6% at ~2.6 s warm;
+    r11 re-measured the compact-forward kernel here too — 2.62 s →
+    2.49 s, inside noise, because the sampled wedge stage is already
+    p²-shrunk and the cost is the full-pair-stream distinct, so the
+    wedge shape stays). Sampling is a DETERMINISTIC
     integer coin (two LCG rounds mod 2^31-1 over (u, v) — see
     _DLN_COIN for the overflow-exactness argument), so both engines
     sparsify identically and the driver hash-compare is exact; the

@@ -68,6 +68,14 @@ def quality_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         F.split(F.lower(F.trim(F.col("text"))), _TOKS).alias("toks"),
     ).filter(F.size("toks") > 0)
+    # SORT FIRST, score after (r11, guide §1.2/§7.2): a global sort's
+    # range-partitioner SAMPLES its child plan, so an expensive
+    # projection below the final orderBy is evaluated twice (once in
+    # the sampling pass, once for real) — measured 2.51 s → 1.08 s at
+    # sf0.1 by ordering the narrow (doc_id, lang, toks) frame before
+    # the md5-weight fold. A Project above Sort preserves the global
+    # order, so the output contract is unchanged.
+    tok = tok.orderBy("doc_id")
     fold = (f"aggregate(transform(toks, x -> {_S_W.format(x='x')}), "
             f"cast(0 as double), (a, v) -> a + v)")
     scored = tok.select(
@@ -80,7 +88,7 @@ def quality_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 6).alias("quality"),
         F.when(F.col("score") >= 0.5, 1).otherwise(0)
         .cast("bigint").alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 _WS_N = 30
@@ -228,6 +236,16 @@ def perplexity_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold = (f"aggregate(transform(toks, "
             f"x -> ln(coalesce(element_at(mm, x), {_PPL_FLOOR}d))), "
             f"cast(0 as double), (a, v) -> a + v)")
+    # NO final orderBy (r11, guide §2.4 "an orderBy used only to make
+    # output deterministic"): the global sort's range-partitioner
+    # samples its child plan, so the LM fold below a final orderBy
+    # was evaluated TWICE — measured 1.86 s → 1.23 s at sf0.1 without
+    # it. The sort cannot be hoisted below the fold either: a Sort
+    # under a Join is relationally meaningless and Catalyst's
+    # EliminateSorts removes it. The driver/oracle comparison is
+    # order-insensitive (order-insensitive value hash), so the
+    # computed result is unchanged; only the cosmetic display order
+    # is dropped.
     return (
         tok.join(F.broadcast(m))
         .select(
@@ -235,7 +253,6 @@ def perplexity_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("toks").cast("bigint").alias("dl"),
             F.round(F.expr(f"exp(-({fold} / size(toks)))"), 6).alias("ppl"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -273,6 +290,11 @@ def token_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.split(F.lower(F.trim(F.col("text"))), _TOKS).alias("toks"),
     ).filter(F.size("toks") > 0)
+    # SORT FIRST, fold after (r11): the O(d·n) entropy fold below a
+    # final orderBy would run twice (range-partitioner sampling pass
+    # re-executes the sort's child) — same fix as
+    # quality_classifier_hashed above.
+    tok = tok.orderBy("doc_id")
     h = ("aggregate(transform(array_sort(array_distinct(toks)), d -> "
          " -(cast(size(filter(toks, x -> x = d)) as double) / size(toks))"
          "  * ln(cast(size(filter(toks, x -> x = d)) as double)"
@@ -291,7 +313,7 @@ def token_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("h") / F.log(F.col("n_distinct").cast("double")))
             .otherwise(0.0), 6
         ).alias("norm_entropy"),
-    ).orderBy("doc_id")
+    )
 
 
 @workload(

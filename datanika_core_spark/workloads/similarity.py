@@ -435,7 +435,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-row higher-order lambdas only (map-only, no shuffle, no UDF);
     at 100 TB this runs as a projection over the embedding table and
     writes the int8 store alongside the fp32 one."""
-    vecs = _vectors(spark, sf_dir)
+    # sort FIRST (r11): the quantize/RMSE/cosine folds below a final
+    # orderBy would run twice via range-partitioner sampling — same
+    # fix as quality_classifier_hashed
+    vecs = _vectors(spark, sf_dir).orderBy("vec_id")
     scale = F.expr(
         f"greatest(array_max(transform(v, x -> abs(x))), 1e-12d)"
         f" / {_Q_LEVELS}"
@@ -452,7 +455,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scale", 6).alias("scale"),
         F.round(rmse, 6).alias("rmse"),
         F.round(F.expr(_s_cos("v", "r")), 6).alias("cos_sim"),
-    ).orderBy("vec_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -871,7 +874,10 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal; no shuffle, no UDF, codegen throughout. This is the
     cheap front-end that shrinks the ANN index 4x; recall impact is
     measured the same way as ann_ivf_recall_eval."""
-    vecs = _vectors(spark, sf_dir)
+    # sort FIRST (r11): the 16×64 projection fold below a final
+    # orderBy would run twice via range-partitioner sampling — same
+    # fix as quality_classifier_hashed
+    vecs = _vectors(spark, sf_dir).orderBy("vec_id")
     proj = vecs.withColumn(
         "p",
         F.expr(
@@ -891,7 +897,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.expr(norm.format(c="p")) / F.expr(norm.format(c="v")), 4
         ).alias("norm_ratio"),
-    ).orderBy("vec_id")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -339,38 +339,35 @@ def test_conformal_joins_stay_broadcast(r6c_plans):
 
 
 # --------------------------------------------------------------------------
-# round 7: the exact triangle count's closure-probe broadcast hint is
-# GATED on a candidate-pair upper bound — at sf0.1 (~1e5 pairs) the
-# hint must still fire; above the ceiling it must be absent so an
-# unconditional broadcast can never OOM a 100x-scale run.
+# round 7 (rewritten r11): the exact triangle count's closure probe
+# used to be a FULL-EDGE-LIST broadcast gated on a pair bound; the
+# r11 compact-forward rewrite removed the closure join entirely, so
+# the plan must carry NO static broadcast hint anywhere (the only
+# broadcasts allowed are planner-chosen ones, which AQE can demote),
+# no cartesian product, and it must stay executable with AQE off —
+# the "works at any scale without the hint" property the old gate
+# existed to protect.
 # --------------------------------------------------------------------------
 
 
-def test_triangle_closure_broadcast_gated(spark, monkeypatch):
-    import datanika_core_spark.workloads.graph as g
+def test_triangle_compact_forward_no_static_broadcast(spark):
     from datanika_core_spark.workloads import load_all as _la
 
     reg = _la()
+    df = reg["graph_triangle_count"].fn(spark, SF)
+    # no ResolvedHint survives to the optimized plan: the kernel
+    # carries zero broadcast() hints (planner stays free to pick
+    # shuffled joins when the graph outgrows memory)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized
+    assert "UnresolvedHint" not in optimized
+    p = _plan(df)
+    assert "CartesianProduct" not in p
+    # the kernel is join-correct without AQE's runtime rewrites too
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        # default ceiling: sf0.1's pair bound is far below 1e7 — the
-        # closure probe is a broadcast join
-        p_small = _plan(reg["graph_triangle_count"].fn(spark, SF))
-        assert "BroadcastHashJoin" in p_small
-
-        # force the "100 TB regime": with the ceiling at 0 the hint
-        # must be dropped — no static broadcast survives in the plan
-        # (AQE is off here, so a leftover hint would show up as a
-        # BroadcastExchange on the edge list)
-        monkeypatch.setattr(g, "_TRI_BROADCAST_EDGE_CEILING", 0)
-        df = g.graph_triangle_count.__wrapped__(spark, SF) if hasattr(
-            g.graph_triangle_count, "__wrapped__"
-        ) else reg["graph_triangle_count"].fn(spark, SF)
-        p_big = _plan(df)
-        # the only broadcasts left are the three 1-row summary frames
-        # (counts/tri/open_triads cross-joins); the wedge-vs-edges
-        # closure join itself must be a shuffled join now
-        assert "SortMergeJoin" in p_big or "ShuffledHashJoin" in p_big
+        row = reg["graph_triangle_count"].fn(spark, SF).collect()[0]
+        assert row.n_triangles > 0
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
