@@ -62,8 +62,9 @@ ORDER BY doc_id
 def quality_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear quality classifier over hashed token features:
     score = sigmoid(mean_tok w(tok)), w = deterministic hash-derived
-    weight. Evaluates as one per-row fold in the scan stage — the
-    fastText serving shape, zero shuffles."""
+    weight. Evaluates as ONE per-row fold — the fastText serving
+    shape; the only exchange is the output sort, placed BELOW the
+    fold (r11) so the fold runs once."""
     tok = t(spark, sf_dir, "documents").select(
         "doc_id", "lang",
         F.split(F.lower(F.trim(F.col("text"))), _TOKS).alias("toks"),
@@ -285,7 +286,8 @@ def token_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     stuck-token spam). Entirely per-row array lambdas inside the scan
     stage: distinct tokens sorted for a deterministic fold order,
     each term's in-doc frequency via a nested filter — O(d·n) per
-    row, zero shuffles, zero Python."""
+    row, zero Python; the only exchange is the output sort, placed
+    BELOW the fold (r11) so the fold runs once."""
     tok = t(spark, sf_dir, "documents").select(
         "doc_id",
         F.split(F.lower(F.trim(F.col("text"))), _TOKS).alias("toks"),
