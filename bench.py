@@ -17,10 +17,14 @@ broadcast OOM and produced no numbers at all):
   fully executed the plan before the sweep runs.
 
 Repeat-median mode: $SPARK_GRAFT_BENCH_REPS=k (default 3) runs the
-whole headline loop k times; "queries" reports per-query MEDIANS and
-"spread" reports [min, max] so noise is visible (single-run noise at
-sf0.1 was measured at ±20-90% in rounds 4-5; the r7 driver artifact
-swung +47% on zero plan changes, hence medians by default).
+whole headline loop k times; "queries" reports per-query MEDIANS, and
+a `# spread: {...}` STDERR line reports per-query [min, max] so noise
+stays visible (single-run noise at sf0.1 was measured at ±20-90% in
+rounds 4-5; the r7 driver artifact swung +47% on zero plan changes,
+hence medians by default). The spread used to live on the stdout
+JSON line, which grew it past the driver's tail-capture buffer and
+silently broke the r11 round-over-round comparison — the parsed
+stdout line now carries only medians/totals/loadavg (~1.5 KB).
 """
 
 from __future__ import annotations
@@ -143,10 +147,18 @@ def main() -> None:
     if load0 is not None and load1 is not None:
         out["loadavg_1m"] = [round(load0, 1), round(load1, 1)]
     if reps > 1:
-        out["spread"] = {
+        # Per-query [min, max] spread stays available for noise
+        # analysis, but on STDERR: the r11 round-over-round comparison
+        # was destroyed because the spread dict doubled the stdout
+        # JSON line past the driver's tail-capture buffer (r10's line
+        # failed to parse, so every prev_sec was null). The parsed
+        # contract line carries only medians + totals and stays
+        # bounded (~1.5 KB at 37 queries).
+        spread = {
             n: [round(min(s), 3), round(max(s), 3)]
             for n, s in samples.items()
         }
+        print(f"# spread: {json.dumps(spread)}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
 
