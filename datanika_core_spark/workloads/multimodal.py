@@ -53,12 +53,22 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder='pil')."""
     media = with_binary_metadata(_media(spark, sf_dir))
     decoded = decode_media(media, "content", decoder="fake")
+    # NO final orderBy (r12, guide §2.4 "an orderBy used only to make
+    # output deterministic", §4 Python-boundary cost): the global
+    # sort's range partitioner SAMPLES its child plan, and here the
+    # child is the Arrow mapInPandas decode with no exchange below it
+    # — the sampling pass re-ran the ENTIRE Python decode stage (the
+    # r11 sort-first defect class, on the far more expensive §4
+    # boundary). The driver/oracle comparison is order-insensitive
+    # (rows are sorted before hashing), so the computed result is
+    # unchanged; only the cosmetic display order is dropped — the
+    # perplexity_unigram_score precedent, driver-verified green.
     return decoded.select(
         "doc_id",
         F.col("media_meta.n_bytes").cast("bigint").alias("n_bytes"),
         F.col("media_meta.md5").alias("payload_md5"),
         "width", "height", "channels",
-    ).orderBy("doc_id")
+    )
 
 
 @workload(
@@ -134,6 +144,11 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datanika_core_spark.operators.multimodal import audio_pcm_features
 
     feats = audio_pcm_features(_media(spark, sf_dir))
+    # NO final orderBy (r12): same range-sampler double evaluation as
+    # multimodal_decode_meta — the sort sat directly above the Arrow
+    # mapInPandas PCM stage, so the sampling pass re-ran the numpy
+    # featurization for every row. Order-insensitive compare; row set
+    # unchanged (perplexity precedent).
     return (
         feats.filter(F.col("n_samples") > 0)
         .select(
@@ -142,7 +157,6 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rms", 6).alias("rms"),
             F.col("peak").cast("bigint").alias("peak"),
         )
-        .orderBy("doc_id")
     )
 
 
