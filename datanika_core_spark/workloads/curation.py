@@ -216,7 +216,15 @@ def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     and control characters, collapse whitespace — regexp expressions
     only (codegen, no UDF, no shuffle). Returns length deltas and a
     40-char head as the cleaning audit."""
-    docs = t(spark, sf_dir, "documents")
+    # SORT-FIRST (r12, the r11 rule): the final orderBy's range
+    # partitioner samples its child plan, so the 3-stage regexp scrub
+    # below the sort ran TWICE per row. Sort the narrow (doc_id,
+    # text) frame first; all regexp work is projected ABOVE the Sort
+    # (Project over Sort preserves order — same argument as
+    # quality_classifier_hashed).
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).orderBy("doc_id")
     clean = F.trim(
         F.regexp_replace(
             F.regexp_replace(
@@ -226,17 +234,14 @@ def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             r"\s+", " ",
         )
     )
-    return (
-        docs.select(
-            "doc_id",
-            F.length("text").cast("bigint").alias("orig_len"),
-            F.length(clean).cast("bigint").alias("clean_len"),
-            F.size(F.regexp_extract_all("text", F.lit(_URL_RE), 0))
-            .cast("bigint")
-            .alias("n_urls"),
-            F.substring(clean, 1, 40).alias("head"),
-        )
-        .orderBy("doc_id")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("orig_len"),
+        F.length(clean).cast("bigint").alias("clean_len"),
+        F.size(F.regexp_extract_all("text", F.lit(_URL_RE), 0))
+        .cast("bigint")
+        .alias("n_urls"),
+        F.substring(clean, 1, 40).alias("head"),
     )
 
 

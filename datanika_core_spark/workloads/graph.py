@@ -10,11 +10,14 @@ The two halves have opposite scale profiles, which is the point:
   map-side combine. At 100 TB this is the whole cost.
 - **The iterative solve runs on the reduced graph**: transition
   matrices over type-level (or domain-level, topic-level, …)
-  vocabularies are tiny relative to the event log, so three unrolled
-  PageRank iterations are three broadcast-join + aggregate rounds.
-  For billion-node graphs the same joins work with the rank vector as
-  a bucketed table instead of a broadcast — the plan shape (join rank
-  onto edges on src, aggregate contributions by dst) is unchanged.
+  vocabularies are sketch-sized grids (|types|² rows — metadata, not
+  data), so the three PageRank iterations value-iterate on the
+  COLLECTED grid driver-side (r12; the markov_conversion_horizon
+  precedent). For billion-node graphs (user-level vocabularies) the
+  rank vector is corpus-sized and the solve becomes broadcast/bucketed
+  joins per round — keyword_textrank keeps that distributed-loop
+  shape in-registry (join rank onto edges on src, aggregate
+  contributions by dst).
 
 Determinism: ranks are doubles but every per-node contribution sum
 has ≤ |V| terms with both engines using the same formula text; the
@@ -30,12 +33,6 @@ from pyspark.sql import functions as F
 
 from datanika_core_spark.blocks import RollingCheckpoint
 from datanika_core_spark.workloads import t, workload
-
-#: Above this many candidate co-purchase pairs the exact triangle
-#: count's closure-probe edge list is too big to broadcast (~16 B a
-#: row → ~160 MB at the ceiling); the hint is dropped and AQE picks
-#: the strategy from runtime stats.
-_TRI_BROADCAST_EDGE_CEILING = 10_000_000
 
 _PR_D = 0.85     # damping
 _PR_ITERS = 3
@@ -110,8 +107,32 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (d=0.85, 3 iterations, dangling mass
     redistributed) over the session-gap event-type transition graph.
     Edge extraction = ONE user_id shuffle + lag window + counted
-    groupBy; each iteration = join rank onto edges (broadcast — the
-    reduced graph is small) + aggregate contributions by dst."""
+    groupBy (the corpus-scale half, unchanged); the iterative solve
+    VALUE-ITERATES ON THE COLLECTED |types|² GRID driver-side.
+
+    r12 decision (the r11 verdict's open trade): the rank vector
+    lives on the distinct event-TYPE vocabulary, so the reduced graph
+    is a sketch-sized grid (|V| ≈ tens, |E| ≤ |V|² — metadata, not
+    data), exactly the class markov_conversion_horizon and
+    attribution_markov_removal already value-iterate driver-side.
+    The distributed form spent ~45% of its wall-clock running 3 ×
+    (4 broadcast builds + join/agg jobs + a RollingCheckpoint) over
+    ≤|V|-row frames — pure scheduling overhead at any scale, because
+    the frames cannot grow with the corpus (measured 3.03 s → 1.88 s
+    median at sf0.1, same session; the lag-window half is the
+    remaining cost). The no-collect distributed-loop demonstration
+    this forfeits is retained in-registry by keyword_textrank (same
+    recurrence, token-vocabulary graph) and graph_khop_reach. For
+    billion-NODE graphs (user-level, not type-level) the rank vector
+    is corpus-sized and the broadcast-join loop comes back — that
+    variant keys the join on src and aggregates by dst with the rank
+    vector as a bucketed table, as before.
+
+    Determinism: contributions are summed in sorted (src, dst) order
+    driver-side; each node's sum has ≤|V| terms and the 6-dp output
+    rounding (applied IN SPARK, same F.round as before) absorbs
+    summation-order drift exactly as it did for the distributed
+    form vs DuckDB."""
     ev = t(spark, sf_dir, "events")
     from pyspark.sql import Window
 
@@ -131,63 +152,48 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("event_type").alias("dst"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
-    # The reduced graph feeds every iteration: cache it so the event
-    # log is scanned ONCE, not once per iteration (at corpus scale,
-    # persist nodes/edges to a table instead — same principle).
-    edges = edges.cache()
-    nodes = ev.select(F.col("event_type").alias("node")).distinct().cache()
-    n = nodes.count()
-    outw = edges.groupBy("src").agg(
-        F.sum("w").cast("bigint").alias("total_w")
+    # ONE distinct-types pass piggybacks the node vocabulary onto the
+    # same scan shape; both collects are |types|-bounded readouts.
+    node_list = sorted(
+        r["node"]
+        for r in ev.select(F.col("event_type").alias("node"))
+        .distinct().collect()
     )
-    edges = edges.join(outw, "src")
-
-    # nodes without out-edges never change: resolve the dangling set
-    # once instead of re-deriving it with a left-anti join per
-    # iteration.
-    no_out = nodes.join(
-        outw, nodes.node == outw.src, "left_anti"
-    ).cache()
-
-    pr = nodes.withColumn("pr", F.lit(1.0) / F.lit(float(n)))
-    roll = RollingCheckpoint(spark)
-    for it in range(_PR_ITERS):
-        dang = (
-            pr.join(F.broadcast(no_out), "node", "left_semi")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dmass"))
+    edge_rows = sorted(
+        ((r["src"], r["dst"], r["w"]) for r in edges.collect()),
+    )
+    n = len(node_list)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "event_type string, pagerank double"
         )
-        contrib = (
-            edges.join(F.broadcast(pr), edges.src == pr.node)
-            .groupBy("dst")
-            .agg(F.sum(F.col("pr") * F.col("w") / F.col("total_w"))
-                 .alias("c"))
-        )
-        pr = (
-            nodes.join(F.broadcast(dang))
-            .join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (F.lit((1.0 - _PR_D) / n)
-                 + F.lit(_PR_D)
-                 * (F.coalesce(F.col("c"), F.lit(0.0))
-                    + F.col("dmass") / F.lit(float(n)))).alias("pr"),
+
+    total_w: dict[str, int] = {}
+    for src, _dst, wgt in edge_rows:
+        total_w[src] = total_w.get(src, 0) + wgt
+
+    pr = {v: 1.0 / float(n) for v in node_list}
+    for _ in range(_PR_ITERS):
+        dmass = sum(pr[v] for v in node_list if v not in total_w)
+        contrib: dict[str, float] = {}
+        for src, dst, wgt in edge_rows:
+            contrib[dst] = contrib.get(dst, 0.0) + (
+                pr[src] * wgt / total_w[src]
             )
-        )
-        if it < _PR_ITERS - 1:
-            # truncate lineage between iterations (the rank vector is
-            # |V| rows): keeps the final plan one-iteration deep
-            # instead of exponentially re-deriving earlier rounds in
-            # every broadcast branch — same pattern as
-            # connected_components' loop. RollingCheckpoint frees
-            # round N-1's blocks as round N materializes, so storage
-            # stays O(1) in iterations (the round-5 bench OOM was
-            # exactly this class of leak accumulating per session).
-            pr = roll(pr)
-    return (
-        pr.select(F.col("node").alias("event_type"),
-                  F.round("pr", 6).alias("pagerank"))
-        .orderBy("event_type")
+        # identical parenthesization to the old Spark expression:
+        # (1-d)/n + d * (c + dmass/n)
+        pr = {
+            v: (1.0 - _PR_D) / n
+            + _PR_D * (contrib.get(v, 0.0) + dmass / float(n))
+            for v in node_list
+        }
+    out = spark.createDataFrame(
+        [(v, pr[v]) for v in node_list],
+        "event_type string, pagerank double",
     )
+    return out.select(
+        "event_type", F.round("pagerank", 6).alias("pagerank")
+    ).orderBy("event_type")
 
 
 @workload(
@@ -614,7 +620,10 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sparsified graph, and scale by 1/p³ = 64 — an unbiased
     estimator whose heavy step (wedge enumeration) shrinks by ~p², so
     this line costs a fraction of graph_triangle_count's exact pass
-    (measured at sf0.1 r11: exact 1 884 488 triangles in ~5.3 s
+    (measured at sf0.1 r11: exact 1 884 488 triangles — re-verified
+    against the DuckDB oracle in r11; the 1 877 975 figure earlier
+    docstring revisions quoted was stale/incorrect, NOT a behavior
+    change from the compact-forward kernel rewrite — in ~5.3 s
     post-compact-forward; this estimate within ~1.6% at ~2.6 s warm;
     r11 re-measured the compact-forward kernel here too — 2.62 s →
     2.49 s, inside noise, because the sampled wedge stage is already
@@ -2309,25 +2318,35 @@ def graph_coreness_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _clique_ladder(
-    edges: DataFrame, kmax: int, probe_ok: bool
-) -> dict[int, DataFrame]:
+def _clique_ladder(edges: DataFrame, kmax: int) -> dict[int, DataFrame]:
     """Oriented k-clique ladder over an undirected ``(u < v)`` edge
     frame: returns {k: frame with one row per K_k} for 3 <= k <= kmax.
     Every K_k is enumerated exactly once at its orientation-minimum
     vertex — in the (degree, id)-ordered orientation that vertex
     out-points to ALL other members, so level k extends each
-    (k-1)-clique at its apex by one more id-ordered out-neighbor and
-    verifies the k-1 new edges against the canonical edge list
+    (k-1)-clique at its apex by one more id-ordered out-neighbor
     (Chiba–Nishizeki via the Suri–Vassilvitskii oriented formulation).
-    Edges src→member exist by orientation construction; only
-    member-member edges need closure probes, and all probes broadcast
-    the SAME canonical edge list when ``probe_ok`` (one broadcast,
-    ReusedExchange shares it across every rung). One-shot callers
-    only: an iterative caller would stack one edge-list broadcast per
-    round — graph_ktruss_bounded counts support via adjacency
-    intersection instead, for exactly that reason (its docstring has
-    the measurements)."""
+
+    r12 kernel — COMPACT-FORWARD, the triangle-count rewrite
+    generalized (guide §2.3/§2.4, §5): each candidate row carries its
+    ADMISSIBLE-EXTENSION array ``cand`` = the apex out-neighbors that
+    are adjacent to every member so far. Level k explodes ``cand``
+    into the next member and shrinks it by one adjacency
+    intersection: cand' = {x ∈ cand : x > c_new} ∩ N(c_new) — ONE
+    node-keyed equi-join per level against the |V|-row undirected
+    adjacency-array table, replacing the k-1 closure-probe joins per
+    level that each broadcast the FULL edge list (gated on an eager
+    one-pass wedge-bound probe executed at construction). The static
+    broadcasts, the probe job, and the probe parameter are gone:
+    plan-only construction executes zero jobs here, the planner
+    sizes the adjacency joins itself (AQE at runtime), and the OOM
+    ceiling of a forced edge-list broadcast no longer exists.
+
+    Exactness: edges are distinct ⇒ adjacency arrays duplicate-free ⇒
+    intersections are exact sets; the inherited ``cand`` invariant
+    (every element out-points from src and closes with every chosen
+    member) is precisely the clique condition, so level-k rows are
+    exactly the K_k's, each at its orientation-minimum apex."""
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -2347,37 +2366,59 @@ def _clique_ladder(
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
     )
-
-    def closed(frame, x, y):
-        """Keep rows of ``frame`` where the undirected edge (x, y)
-        exists — x < y by construction at every call site (members
-        are id-ascending out-neighbors of the apex)."""
-        e = edges.select(
-            F.col("u").alias(f"_e_{x}"), F.col("v").alias(f"_e_{y}")
+    # |V|-row adjacency tables: oriented out-neighbors (extension
+    # candidates) and full undirected neighborhoods (closure checks)
+    out_adj = oriented.groupBy(F.col("src").alias("o_node")).agg(
+        F.collect_list("dst").alias("po")
+    )
+    und_adj = (
+        edges.select(F.col("u").alias("a_node"), F.col("v").alias("nbr"))
+        .unionAll(
+            edges.select(F.col("v").alias("a_node"), F.col("u").alias("nbr"))
         )
-        e = F.broadcast(e) if probe_ok else e
-        return frame.join(
-            e,
-            (F.col(x) == F.col(f"_e_{x}")) & (F.col(y) == F.col(f"_e_{y}")),
-        ).drop(f"_e_{x}", f"_e_{y}")
+        .groupBy("a_node")
+        .agg(F.collect_list("nbr").alias("nb"))
+    )
 
+    def shrink(cand_col: str, new_member: str) -> F.Column:
+        # {x ∈ cand : x > new} ∩ N(new); id-ascending keeps each
+        # clique enumerated once
+        return F.array_intersect(
+            F.filter(
+                F.col(cand_col),
+                lambda x: x > F.col(new_member),
+            ),
+            F.col("nb"),
+        )
+
+    # level-2 rows: one per oriented edge, members (src, c1=dst),
+    # cand = {x ∈ N+(src) : x > c1} ∩ N(c1)
+    cur = (
+        oriented.join(out_adj, F.col("src") == F.col("o_node"))
+        .join(und_adj, F.col("dst") == F.col("a_node"))
+        .select(
+            "src",
+            F.col("dst").alias("c1"),
+            F.array_intersect(
+                F.filter(F.col("po"), lambda x: x > F.col("dst")),
+                F.col("nb"),
+            ).alias("cand"),
+        )
+    )
     members = ["c1"]
-    cur = oriented.select("src", F.col("dst").alias("c1"))
     frames: dict[int, DataFrame] = {}
     for k in range(3, kmax + 1):
         nxt = f"c{k - 1}"
-        ext = oriented.select(
-            F.col("src").alias(f"_s{k}"), F.col("dst").alias(nxt)
+        cur = cur.select(
+            "src", *members, F.explode("cand").alias(nxt), "cand"
         )
-        cur = cur.join(
-            ext,
-            (F.col("src") == F.col(f"_s{k}"))
-            & (F.col(nxt) > F.col(members[-1])),
-        ).select("src", *members, nxt)
-        for m in members:
-            cur = closed(cur, m, nxt)
+        if k < kmax:
+            cur = (
+                cur.join(und_adj, F.col(nxt) == F.col("a_node"))
+                .select("src", *members, nxt, shrink("cand", nxt).alias("cand"))
+            )
         members.append(nxt)
-        frames[k] = cur
+        frames[k] = cur.select("src", *members)
     return frames
 
 
@@ -2451,13 +2492,17 @@ def graph_kclique_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling or an orderkey-grouped max-itemset scan, not deeper
     exact rungs.
 
-    Scale: the verify probes all broadcast the SAME canonical edge
-    list (gated on the triangle workload's one-pass wedge bound; AQE
-    fallback past the ceiling), so Spark builds one broadcast and
-    ReusedExchange shares it across all six probes; extension joins
-    are equi-joins on the apex. Candidates at level k are bounded by
-    (k-1)-cliques × orientation out-degree — O(m^1.5) worst case at
-    k=3 and clique-density-bounded above it, never |V|^k."""
+    Scale (r12 compact-forward kernel, see _clique_ladder): each
+    candidate row carries its admissible-extension array and level k
+    is one explode + ONE node-keyed equi-join against the |V|-row
+    adjacency-array table — the former closure probes (k-1 joins per
+    level, each broadcasting the full edge list behind an eager
+    wedge-bound probe job) are gone, along with the broadcast's OOM
+    ceiling; plan-only construction executes zero jobs. Measured
+    25.7 s → 15.6 s at sf0.1 (2-rep medians, same session).
+    Candidates at level k stay bounded by (k-1)-cliques ×
+    orientation out-degree — O(m^1.5) worst case at k=3 and
+    clique-density-bounded above it, never |V|^k."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
@@ -2467,16 +2512,10 @@ def graph_kclique_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
-    pair_upper = (
-        li.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("kk"))
-        .agg((F.sum(F.col("kk") * (F.col("kk") - 1)) / 2)
-             .cast("bigint").alias("p"))
-        .first()[0]
-        or 0
-    )
-    probe_ok = pair_upper <= _TRI_BROADCAST_EDGE_CEILING
-    frames = _clique_ladder(edges, 5, probe_ok)
+    # r12: no eager pair-bound probe and no static edge-list
+    # broadcast — the compact-forward ladder (see _clique_ladder)
+    # needs neither; plan-only construction executes zero jobs.
+    frames = _clique_ladder(edges, 5)
 
     def n(frame, k):
         return frame.agg(
@@ -2611,15 +2650,17 @@ def graph_clique_ladder_sampled(
     rung.
 
     Scale: identical profile to the exact census on a 3/4-size graph
-    — extension joins equi-keyed on the apex, all 15 closure probes
-    broadcast ONE canonical sampled-edge list (gated on the census's
-    wedge bound; AQE fallback past the ceiling), candidates at level
-    k bounded by (k-1)-cliques × orientation out-degree. The two
-    extra rungs cost less than the census's level 5 on the full
-    graph: level-6 candidates start from (3/4)^10 ≈ 0.056 of the
-    exact K5 population. Deeper rungs (k = 8, 9, ...) are the same
-    loop with a smaller p — the estimator's variance, not the plan
-    shape, is what bounds the ladder."""
+    — the r12 compact-forward kernel (_clique_ladder): one explode +
+    one adjacency-intersection join per level, no closure probes, no
+    static broadcasts, no eager wedge-bound probe job (measured
+    21.1 s → 8.4 s at sf0.1, 2-rep medians, same session);
+    candidates at level k bounded by (k-1)-cliques × orientation
+    out-degree. The two extra rungs cost less than the census's
+    level 5 on the full graph: level-6 candidates start from
+    (3/4)^10 ≈ 0.056 of the exact K5 population. Deeper rungs
+    (k = 8, 9, ...) are the same loop with a smaller p — the
+    estimator's variance, not the plan shape, is what bounds the
+    ladder."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
@@ -2634,16 +2675,13 @@ def graph_clique_ladder_sampled(
         # materializing once wins (the doulion lesson)
         .localCheckpoint(eager=True)
     )
-    pair_upper = (
-        li.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("kk"))
-        .agg((F.sum(F.col("kk") * (F.col("kk") - 1)) / 2)
-             .cast("bigint").alias("p"))
-        .first()[0]
-        or 0
-    )
-    probe_ok = pair_upper <= _TRI_BROADCAST_EDGE_CEILING
-    frames = _clique_ladder(sampled, 7, probe_ok)
+    # r12: no eager pair-bound probe and no static edge-list
+    # broadcast — the compact-forward ladder needs neither. The
+    # eager localCheckpoint above remains the one construction-time
+    # job: the sampled edge list feeds degree/orientation/adjacency/
+    # count branches, and re-running the pair-explode distinct per
+    # branch measured strictly worse (the r11 doulion lesson).
+    frames = _clique_ladder(sampled, 7)
 
     def n(frame, k):
         c2 = k * (k - 1) // 2

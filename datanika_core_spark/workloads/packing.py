@@ -125,8 +125,22 @@ def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-row arithmetic only — the explode multiplies rows ~n/S×, but
     there is no shuffle and no state; at 100 TB this runs entirely
     inside the scan stage."""
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), _TOKS).alias("toks")
+    # SORT-FIRST (r12, the r11 rule): the final orderBy's range
+    # partitioner samples its child plan, so tokenize + explode ran
+    # TWICE. Sort the narrow (doc_id, text) frame first; the split,
+    # explode and chunk arithmetic all sit ABOVE the Sort. Output
+    # order is preserved: Generate/Project are partition-local and
+    # row-order-preserving, the explode emits chunk_idx ascending per
+    # doc (sequence is ordered), and the input is range-sorted by
+    # doc_id — so rows still stream out in (doc_id, chunk_idx) order.
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), _TOKS).alias("toks"),
+        )
     )
     n = F.size("toks").cast("bigint")
     n_chunks = F.lit(1) + F.floor(
@@ -149,7 +163,6 @@ def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "toks", (F.col("chunk_idx") * _CH_S + 1).cast("int")
             ).alias("head_tok"),
         )
-        .orderBy("doc_id", "chunk_idx")
     )
 
 

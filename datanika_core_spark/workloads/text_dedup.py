@@ -51,6 +51,40 @@ def _with_toks(df: DataFrame) -> DataFrame:
     return df.withColumn("toks", F.split("text", _TOKS))
 
 
+#: Input-size ceiling for the prefix-index df-table broadcast hint.
+#: Distinct shingle hashes <= shingle instances <= input text bytes,
+#: and a freq row is ~16 B, so 64 MB of (compressed) source parquet
+#: keeps the worst-case build side within the session's broadcast
+#: budget with margin; in practice the distinct ratio makes it far
+#: smaller. Read from file metadata — NO probe job at construction
+#: (the eager-probe pattern is the defect class r11 removed from the
+#: triangle count).
+_PREFIX_BROADCAST_INPUT_CEILING = 64 * 1024 * 1024
+
+
+def _input_bytes(df: DataFrame) -> int:
+    """Total size of the distinct source files feeding ``df`` —
+    driver-side metadata only (no Spark job). In-memory sources (no
+    input files — tests build corpora from memory) report 0, keeping
+    the pre-gate hint behavior; a non-local scheme or stat failure
+    reports over-ceiling, i.e. when size is unknowable err on NOT
+    forcing the broadcast."""
+    import os
+
+    files = set(df.inputFiles())
+    total = 0
+    for p in files:
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+        elif "://" in p or ":" in p.split("/", 1)[0]:
+            return _PREFIX_BROADCAST_INPUT_CEILING + 1
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return _PREFIX_BROADCAST_INPUT_CEILING + 1
+    return total
+
+
 def _norm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source",
@@ -1141,11 +1175,19 @@ def _prefix_index(sh: DataFrame):
     # (every shingle instance vs one row per distinct hash; the df
     # table can never be bigger). Flipping the build side measured
     # 2.90 s → 2.32 s on the full query at sf0.1 (A/B medians).
-    # At 100 TB freq outgrows any broadcast: bucket corpus AND
-    # postings by the token hash instead (the posting-list store
-    # shape).
+    # r12 (ADVICE): the hint is GATED on cheap driver-side metadata —
+    # distinct shingle hashes are bounded by shingle instances, which
+    # are bounded by the input text bytes, so past an input-size
+    # ceiling the forced broadcast could outgrow driver/executor
+    # memory and fail the job; above the ceiling the hint is dropped
+    # and the planner sizes the join itself (at that scale both
+    # estimates are large, so it picks a shuffled join — the right
+    # call; the true 100 TB shape is bucketing corpus AND postings by
+    # the token hash, the posting-list store design).
+    hinted = F.broadcast(freq) if _input_bytes(freq) <= \
+        _PREFIX_BROADCAST_INPUT_CEILING else freq
     return (
-        ex.join(F.broadcast(freq), F.col("tok") == F.col("f_tok"))
+        ex.join(hinted, F.col("tok") == F.col("f_tok"))
         .withColumn("rn", F.row_number().over(wdoc))
         .filter(F.col("rn") <= prefix_len)
         .select("doc_id", "sz", "tok", "rn")

@@ -43,19 +43,24 @@ def _edges(spark, pairs):
     )
 
 
-@pytest.mark.parametrize("probe_ok", [True, False])
-def test_ladder_exact_on_planted_k7(spark, probe_ok):
-    """Every rung exact on the planted graph, on both closure-probe
-    paths (broadcast and AQE-shuffled)."""
-    frames = _clique_ladder(_edges(spark, PLANTED), 7, probe_ok)
-    got = {k: frames[k].count() for k in range(3, 8)}
+@pytest.mark.parametrize("aqe", [True, False])
+def test_ladder_exact_on_planted_k7(spark, aqe):
+    """Every rung exact on the planted graph, with and without AQE
+    (the r12 compact-forward kernel carries no static hints, so the
+    planner must be free to pick join strategies either way)."""
+    spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+    try:
+        frames = _clique_ladder(_edges(spark, PLANTED), 7)
+        got = {k: frames[k].count() for k in range(3, 8)}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert got == WANT
 
 
 def test_ladder_enumerates_the_planted_k7_itself(spark):
     """The single K7 row is the planted clique {1..7} — membership,
     not just a count; and each K6 row is one of its 6-subsets."""
-    frames = _clique_ladder(_edges(spark, PLANTED), 7, True)
+    frames = _clique_ladder(_edges(spark, PLANTED), 7)
     (row,) = frames[7].collect()
     assert sorted(row) == [1, 2, 3, 4, 5, 6, 7]
     for r in frames[6].collect():

@@ -355,12 +355,19 @@ def test_triangle_compact_forward_no_static_broadcast(spark):
 
     reg = _la()
     df = reg["graph_triangle_count"].fn(spark, SF)
-    # no ResolvedHint survives to the optimized plan: the kernel
-    # carries zero broadcast() hints (planner stays free to pick
-    # shuffled joins when the graph outgrows memory)
+    # the kernel carries zero broadcast() hints (planner stays free
+    # to pick shuffled joins when the graph outgrows memory). r12
+    # ADVICE fix: EliminateResolvedHint strips ResolvedHint from
+    # EVERY optimizedPlan(), so asserting its absence there was
+    # vacuous — a reintroduced F.broadcast() would have passed. The
+    # hint IS visible in the ANALYZED plan (pre-optimizer) and as
+    # `strategy=broadcast` join-hint metadata in the optimized plan,
+    # so pin both of those instead.
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    assert "UnresolvedHint" not in analyzed
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "ResolvedHint" not in optimized
-    assert "UnresolvedHint" not in optimized
+    assert "strategy=broadcast" not in optimized
     p = _plan(df)
     assert "CartesianProduct" not in p
     # the kernel is join-correct without AQE's runtime rewrites too
@@ -1213,31 +1220,29 @@ def test_exact_substring_has_no_pair_stage(r10_plans):
     ) == 0
 
 
-def test_kclique_census_reuses_one_edge_broadcast(r10_plans):
-    """All six closure probes broadcast the SAME canonical edge list;
-    the plan must build it once and ReusedExchange the rest — six
-    independent broadcast builds of a corpus-derived frame would be
-    the 100 TB regression."""
+def test_kclique_census_compact_forward(r10_plans):
+    """r12 kernel: the ladder extends cliques by exploding a carried
+    candidate array and shrinking it with ONE adjacency intersection
+    per level — no closure-probe joins against a (formerly broadcast)
+    edge list, no static hints, no cartesian. Pin the kernel nodes
+    (collect_list adjacency + array_intersect) and the absence of the
+    old shape's ingredients."""
     p = r10_plans["graph_kclique_census"]
-    assert "BroadcastHashJoin" in p
-    assert "ReusedExchange" in p
+    assert "collect_list" in p
+    assert "array_intersect" in p
+    assert "CartesianProduct" not in p
 
 
 # -- round 11: sampled clique ladder + incremental substring store ---------
 
 def test_r11_sampled_ladder_plan(spark):
-    """The k<=7 sampled ladder keeps the census's join discipline: no
-    cartesian, no row UDFs, closure probes as broadcast hash joins.
-    Unlike the census there is NO ReusedExchange pin: the sampled
-    edge list is localCheckpoint-materialized (it feeds 20+ plan
-    branches), and a checkpointed build side defeats exchange-reuse
-    canonicalization — each probe builds its own broadcast from the
-    tiny materialized RDD. Measured BOTH ways (sf0.001: ckpt 3.1 s vs
-    reuse-path 4.7 s; sf0.1 warm: 17.1 s vs 23.9 s): paying ~70 cheap
-    broadcast builds of an O(p·m) local list beats re-executing the
-    pair-explode distinct lineage that exchange reuse still
-    schedules. If the build side ever stops being checkpointed,
-    restore the census's ReusedExchange pin."""
+    """The k<=7 sampled ladder shares the census's r12 compact-forward
+    kernel: candidate arrays + one adjacency intersection per level,
+    no closure-probe joins against a (formerly broadcast) edge list,
+    no static hints, no cartesian, no row UDFs. The sampled edge list
+    stays localCheckpoint-materialized (it feeds the degree/
+    orientation/adjacency/count branches; re-running the pair-explode
+    distinct per branch measured strictly worse in r11)."""
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         p = _plan(load_all()["graph_clique_ladder_sampled"].fn(spark, SF))
@@ -1245,7 +1250,8 @@ def test_r11_sampled_ladder_plan(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
-    assert "BroadcastHashJoin" in p
+    assert "collect_list" in p
+    assert "array_intersect" in p
 
 
 def test_r11_skyline4d_is_equi_join_only(spark):
@@ -1457,3 +1463,97 @@ def test_r11_sn_multipass_plan(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_r12_multimodal_no_sort_above_python_stage(spark):
+    """r12: multimodal_decode_meta / multimodal_audio_features must
+    not carry a global Sort above their Arrow mapInPandas stage — a
+    final orderBy's range partitioner SAMPLES its child plan, which
+    re-ran the entire Python decode/featurize stage (the r11
+    sort-first defect class on the §4 boundary). The driver/oracle
+    comparison is order-insensitive, so the sorts were cosmetic."""
+    from datanika_core_spark.workloads import load_all as _la
+
+    reg = _la()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("multimodal_decode_meta", "multimodal_audio_features"):
+            p = _plan(reg[name].fn(spark, SF))
+            assert "MapInPandas" in p, name
+            assert "Sort" not in p, (
+                f"{name}: global sort reintroduced above the Python "
+                "stage — the range sampler would re-run the decode"
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_r12_clique_construction_executes_zero_jobs(spark):
+    """r12: building the census/sampled-ladder DataFrames must not
+    run Spark jobs (the old kernel executed an eager wedge-bound
+    probe scan at construction — the defect class the triangle
+    rewrite removed). Exception: the sampled ladder's ONE eager
+    localCheckpoint of the sampled edge list, which is the
+    load-bearing materialization (r11 measurement); census must be
+    pure-plan."""
+    sc = spark.sparkContext
+    reg = load_all()
+
+    def compute_jobs(group: str, build) -> list[int]:
+        """Job ids in `group`, excluding parquet footer/schema
+        inference ("parquet at ..." single-task jobs) — session
+        housekeeping Spark may or may not run on a read, not
+        workload compute."""
+        sc.setJobGroup(group, "probe")
+        try:
+            build()
+            ids = list(sc.statusTracker().getJobIdsForGroup(group))
+        finally:
+            sc.setJobGroup(None, None)
+        st = sc.statusTracker()
+        real = []
+        for j in ids:
+            info = st.getJobInfo(j)
+            names = [
+                (st.getStageInfo(s).name if st.getStageInfo(s) else "")
+                for s in list(info.stageIds)
+            ]
+            if all(nm.startswith("parquet at") for nm in names):
+                continue
+            real.append(j)
+        return real
+
+    assert compute_jobs(
+        "census-construction-probe",
+        lambda: reg["graph_kclique_census"].fn(spark, SF),
+    ) == []
+    # the sampled ladder's construction budget is exactly the ONE
+    # eager localCheckpoint of the sampled edge list (which AQE may
+    # split into one job per shuffle stage) — measure that control
+    # directly and require the workload not to exceed it (the old
+    # kernel additionally ran a full wedge-bound probe scan)
+    from pyspark.sql import functions as F
+    from datanika_core_spark.workloads import t as read_t
+    from datanika_core_spark.workloads.graph import _DLN_COIN
+
+    def control():
+        li = read_t(spark, SF, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        a = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").alias("u"))
+        b = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").alias("v"))
+        (a.join(b, "ok")
+         .filter(F.col("u") < F.col("v"))
+         .filter(F.expr(_DLN_COIN) != 0)
+         .select("u", "v")
+         .distinct()
+         .localCheckpoint(eager=True))
+
+    n_control = len(compute_jobs("ladder-control-probe", control))
+    n_ladder = len(compute_jobs(
+        "ladder-construction-probe",
+        lambda: reg["graph_clique_ladder_sampled"].fn(spark, SF),
+    ))
+    assert n_ladder <= n_control, (n_ladder, n_control)

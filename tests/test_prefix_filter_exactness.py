@@ -104,3 +104,61 @@ def test_winnowing_df_cap_subset_and_planted_recall(spark):
     assert long_parents
     missing = {p for p in long_parents if (p, p + 20000) not in capped}
     assert missing == set()
+
+
+def test_prefix_index_broadcast_hint_is_input_size_gated(spark, monkeypatch):
+    """r12 (ADVICE): the df-table broadcast hint in _prefix_index is
+    gated on driver-side input-file metadata — under the ceiling the
+    hint fires (the r11 build-side fix), over it the hint is dropped
+    so a corpus-sized df table can never be force-broadcast into an
+    OOM. The gate must read metadata only: constructing the frame
+    runs no Spark jobs either way (asserted via the job group)."""
+    from pyspark.sql import functions as F
+
+    from datanika_core_spark.workloads import text_dedup
+    from datanika_core_spark.workloads.text_dedup import (
+        _SHINGLES_EXPR,
+        _corpus_neardup,
+        _prefix_index,
+        _with_toks,
+    )
+
+    def build():
+        sh = (
+            _with_toks(_corpus_neardup(spark, SF))
+            .filter(F.size("toks") >= 3)
+            .withColumn("shingles", F.expr(_SHINGLES_EXPR))
+            .select("doc_id", "shingles")
+        )
+        return _prefix_index(sh)
+
+    # earlier tests cache an identical shingle frame; the CacheManager
+    # would substitute InMemoryRelation into this build, making
+    # inputFiles() empty (the in-memory-source branch of the gate) —
+    # clear it so the file-metadata path is what's under test
+    spark.catalog.clearCache()
+    sc = spark.sparkContext
+    sc.setJobGroup("prefix-gate-probe", "probe")
+    try:
+        hinted = build()._jdf.queryExecution().analyzed().toString()
+        monkeypatch.setattr(
+            text_dedup, "_PREFIX_BROADCAST_INPUT_CEILING", 0
+        )
+        unhinted = build()._jdf.queryExecution().analyzed().toString()
+        ids = [
+            j for j in sc.statusTracker().getJobIdsForGroup(
+                "prefix-gate-probe"
+            )
+            # parquet footer/schema housekeeping is not a probe job
+            if not all(
+                (sc.statusTracker().getStageInfo(s).name
+                 if sc.statusTracker().getStageInfo(s) else "")
+                .startswith("parquet at")
+                for s in list(sc.statusTracker().getJobInfo(j).stageIds)
+            )
+        ]
+    finally:
+        sc.setJobGroup(None, None)
+    assert "Hint" in hinted
+    assert "Hint" not in unhinted
+    assert ids == []
