@@ -153,9 +153,20 @@ def boilerplate_passage_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE pass over the corpus (a hash-frequency subplan joined
     back would re-run the explode+hash lineage — Spark doesn't reuse
-    unexchanged subplans). Explode → pre-agg to unique (doc, hash)
-    rows (map-side combine collapses within-doc repeats), then
-    count(*) OVER (PARTITION BY hash) over those unique rows IS the
+    unexchanged subplans). Explode → the r12 SHARED EXCHANGE: an
+    explicit repartition(ch) is the only pre-window shuffle — hash
+    partitioning on ch satisfies the (doc, ch) agg's clustered
+    distribution (ch is a grouping key) AND the ch-window's, so the
+    agg and the window run in one stage on one exchange (guide §2.4
+    "window functions partitioned by the same key as a preceding
+    aggregation do not need a second shuffle"; measured 0.77 → 0.69 s
+    at sf0.1, static plan 3 hash exchanges → 2). Trade: the exchange
+    carries the raw exploded (doc, ch) stream instead of the
+    map-side-combined triples — within-doc exact-chunk repeats are
+    the rare case, and the old shape's SECOND full-stream exchange
+    (agg output reshuffled by ch for the window) cost more than the
+    forfeited combine at every duplication factor below 2×. Then
+    count(*) OVER (PARTITION BY ch) over the unique rows IS the
     distinct-doc frequency. Post-explode shuffles touch (doc, hash,
     cnt) triples only — tiny next to the corpus text."""
     docs = t(spark, sf_dir, "documents")
@@ -166,6 +177,7 @@ def boilerplate_passage_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.explode(F.expr(_CHUNKS_SPARK)).alias("chunk"))
         .select("doc_id", F.expr(_spark_hash("chunk")).alias("ch"))
+        .repartition("ch")
         .groupBy("doc_id", "ch")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -251,9 +263,14 @@ def dedup_repeated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     a repeated 10-gram, so recall at the threshold width is exact)."""
     docs = t(spark, sf_dir, "documents")
     # single corpus pass, same shape as boilerplate_passage_removal:
-    # pre-agg to unique (doc, gram-hash) rows, window count over the
+    # agg to unique (doc, gram-hash) rows, window count over the
     # hash gives the distinct-doc frequency without a join-back that
-    # would re-run the explode+hash lineage
+    # would re-run the explode+hash lineage. r12 SHARED EXCHANGE: the
+    # explicit repartition(gh) is the only pre-window shuffle — it
+    # satisfies both the (doc, gh) agg's and the gh-window's
+    # clustered distribution, fusing them into one stage (guide §2.4;
+    # boilerplate_passage_removal's docstring has the byte-level
+    # trade; measured 1.59 → 1.52 s at sf0.1, 3 hash exchanges → 2)
     per_doc = (
         docs.select(
             "doc_id",
@@ -261,6 +278,7 @@ def dedup_repeated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.explode(F.expr(_SPANS_SPARK)).alias("g"))
         .select("doc_id", F.expr(_spark_hash("g")).alias("gh"))
+        .repartition("gh")
         .groupBy("doc_id", "gh")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -1557,3 +1557,28 @@ def test_r12_clique_construction_executes_zero_jobs(spark):
         lambda: reg["graph_clique_ladder_sampled"].fn(spark, SF),
     ))
     assert n_ladder <= n_control, (n_ladder, n_control)
+
+
+def test_r12_span_window_family_shares_one_exchange(spark):
+    """r12 shared exchange: dedup_repeated_span_fraction and
+    boilerplate_passage_removal pre-shuffle once on the gram-hash key
+    — hash(key) satisfies both the (doc, key) agg's clustered
+    distribution (key is a grouping key) and the key-window's, so the
+    static plan carries exactly TWO hash exchanges (shared pre-window
+    + final doc agg) plus the readout range sort. Three would mean
+    the agg and window stopped sharing; more means a new shuffle
+    crept into the corpus-pass half."""
+    reg = load_all()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in (
+            "dedup_repeated_span_fraction",
+            "boilerplate_passage_removal",
+        ):
+            df = reg[name].fn(spark, SF)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            n_hash = plan.count("Exchange hashpartitioning")
+            n_range = plan.count("Exchange rangepartitioning")
+            assert (n_hash, n_range) == (2, 1), (name, n_hash, n_range)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
